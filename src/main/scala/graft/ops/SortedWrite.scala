@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Globally sorted, compression-tuned Parquet writes.
+  *
+  * Parity with the reference writer (`/root/reference/pyarrow/main.py:67-150`):
+  *   - global ascending sort on the configured column when it exists in the
+  *     schema; absent → pass through and report (`pyarrow/main.py:70-73`);
+  *   - zstd compression (gzip as an option — the reference's runtime codec
+  *     probe, `pyarrow/main.py:125-133`, is unnecessary: Spark bundles zstd);
+  *   - 1 MB uncompressed data pages (`pyarrow/main.py:145`);
+  *   - no INT96 timestamps (Spark default `TIMESTAMP_MICROS`);
+  *   - optionally a single output file named by the caller
+  *     (`<stem>.zst.parquet` key mapping lives in [[graft.pipeline.ConvertJob]]).
+  *
+  * Scale posture: `singleFile = true` is a PARITY mode (one Lambda invoke →
+  * one file). At 100 TB you keep `singleFile = false`: the global sort is a
+  * range-partitioned exchange + per-partition sort that spills via
+  * `UnsafeExternalSorter`, and the write stays fully parallel — one file per
+  * partition, partition count set by AQE / `spark.sql.shuffle.partitions`.
+  * Known gap vs the reference: Parquet `sorting_columns` footer metadata has
+  * no public Spark writer API (SURVEY §4.3); actual row order is sorted.
+  */
+object SortedWrite {
+
+  final case class WriteResult(
+      path: String,
+      rows: Long,
+      sorted: Boolean,
+      sortColumn: String,
+      codec: String)
+
+  /** Write `df` to `outPath` as Parquet.
+    *
+    * @param outPath    target: exact file path when `singleFile`, else a directory
+    * @param sortCol    global ascending sort key; skipped (and flagged) when absent
+    * @param codec      "zstd" (default) or "gzip"
+    * @param singleFile coalesce to one file and rename it to exactly `outPath`
+    */
+  def write(
+      df: DataFrame,
+      outPath: String,
+      sortCol: String = "time",
+      codec: String = "zstd",
+      singleFile: Boolean = false,
+      pageSizeBytes: Int = 1048576): WriteResult = {
+
+    val sortable = df.columns.contains(sortCol)
+    val sorted = if (sortable) df.orderBy(col(sortCol).asc) else df
+
+    def writerOf(d: DataFrame) =
+      d.write
+        .mode("overwrite")
+        .option("compression", codec)
+        .option("parquet.page.size", pageSizeBytes.toString)
+
+    val rows =
+      if (singleFile) {
+        val tmpDir = outPath + ".__tmp__"
+        // coalesce(1) collapses the range partitioning, so sort INSIDE the
+        // single partition to keep global order in the one output file.
+        val one =
+          if (sortable) df.coalesce(1).sortWithinPartitions(col(sortCol).asc)
+          else df.coalesce(1)
+        writerOf(one).parquet(tmpDir)
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        val fs = new Path(tmpDir).getFileSystem(conf)
+        val part = fs
+          .listStatus(new Path(tmpDir))
+          .map(_.getPath)
+          .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file under $tmpDir"))
+        val target = new Path(outPath)
+        if (fs.exists(target)) fs.delete(target, true)
+        val parent = target.getParent
+        if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+        fs.rename(part, target)
+        fs.delete(new Path(tmpDir), true)
+        df.sparkSession.read.parquet(outPath).count()
+      } else {
+        writerOf(sorted).parquet(outPath)
+        // Metadata-only count of what was just written.
+        df.sparkSession.read.parquet(outPath).count()
+      }
+
+    WriteResult(outPath, rows, sortable, sortCol, codec)
+  }
+}

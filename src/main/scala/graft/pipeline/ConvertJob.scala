@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{DtCoercion, SchemaJson, SortedWrite}
+
+/** The reference's whole pipeline as one batch job: gzipped-NDJSON in,
+  * schema inferred, deep `_dt` coercion, global sort, tuned Parquet out.
+  *
+  * Maps `convert_object_to_parquet` (`/root/reference/pyarrow/main.py:94-169`)
+  * onto a single declarative Spark plan:
+  * `FileScan json → Project(coercion) → Exchange rangepartitioning(sort) →
+  * Sort → InsertIntoHadoopFsRelation(parquet)`.
+  *
+  * The reference's S3-event entry (`pyarrow/main.py:18-50`) collapses to path
+  * arguments: `srcPath` is any path/glob `spark.read.json` accepts (`.gz`
+  * decompresses transparently; NDJSON is the default line mode). Destination
+  * key mapping (`pyarrow/main.py:119-133`): key stem + `.zst.parquet` /
+  * `.gz.parquet`, via [[destName]].
+  */
+object ConvertJob {
+
+  final case class ConvertResult(
+      outputPath: String,
+      rows: Long,
+      sorted: Boolean,
+      codec: String,
+      originalSchema: String,
+      updatedSchema: String,
+      coercedFields: Seq[String]) {
+
+    /** Structured-log line — parity with `pyarrow/main.py:152-165`. */
+    def logJson: String =
+      s"""{"message": "Conversion complete", "rows_written": $rows, """ +
+        s""""compression": "$codec", "sorted": $sorted, """ +
+        s""""original_schema": $originalSchema, "updated_schema": $updatedSchema}"""
+  }
+
+  /** Destination file name for a source object key: stem before the first
+    * dot + codec-tagged parquet suffix (`pyarrow/main.py:119-133`).
+    */
+  def destName(srcKey: String, codec: String = "zstd"): String = {
+    val stem = srcKey.split("\\.", 2)(0)
+    val tag = if (codec == "gzip") "gz" else "zst"
+    s"$stem.$tag.parquet"
+  }
+
+  /** Read NDJSON → coerce `_dt` → sort → write parquet. */
+  def run(
+      spark: SparkSession,
+      srcPath: String,
+      outPath: String,
+      sortCol: String = "time",
+      codec: String = "zstd",
+      strict: Boolean = false,
+      singleFile: Boolean = false): ConvertResult = {
+
+    val raw = spark.read.json(srcPath)
+    runOn(raw, outPath, sortCol, codec, strict, singleFile)
+  }
+
+  /** Same pipeline over an already-loaded DataFrame (for tests / streaming). */
+  def runOn(
+      raw: DataFrame,
+      outPath: String,
+      sortCol: String = "time",
+      codec: String = "zstd",
+      strict: Boolean = false,
+      singleFile: Boolean = false): ConvertResult = {
+
+    val original = raw.schema
+    val coerced = DtCoercion.coerceDtFields(raw, strict)
+    val res = SortedWrite.write(coerced, outPath, sortCol, codec, singleFile)
+    ConvertResult(
+      outputPath = res.path,
+      rows = res.rows,
+      sorted = res.sorted,
+      codec = res.codec,
+      originalSchema = SchemaJson.render(original),
+      updatedSchema = SchemaJson.render(coerced.schema),
+      coercedFields = DtCoercion.hitPaths(original))
+  }
+}

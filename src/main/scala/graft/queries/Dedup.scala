@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deduplication operators over `documents`: exact (hash group-by),
+  * MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard verification.
+  *
+  * Scale design: every near-dup path is LSH-bucketed — candidates come from
+  * an equi-join on (band, bandhash), never a cross join, so the shuffle key
+  * is the bucket and the cost is O(candidates), not O(n²). The exact-jaccard
+  * verify joins shingle sets back in only for the candidate pairs.
+  */
+object Dedup {
+
+  /** documents + distinct word-3-shingle set per doc. */
+  private def shingled(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+
+  /** Candidate near-dup pairs via MinHash LSH (numPerm=32, 8 bands × 4 rows),
+    * verified with exact shingle-set Jaccard >= `threshold`.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled(docs)
+    val sig = sh.select(
+      col("doc_id"), col("sh"),
+      Text.minHashSignature(col("sh"), numPerm = 32).as("sig"))
+    val bands = sig.select(
+      col("doc_id"),
+      explode(Text.lshBands(col("sig"), numBands = 8, rowsPerBand = 4)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bhash").as("bhash"))
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking on the 64-bit simhash,
+    * verified by Hamming distance <= `maxHamming`.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = docs.select(
+      col("doc_id"),
+      Text.simHash(Text.tokens(col("text"))).as("sim"))
+    val bands = sh.select(
+      col("doc_id"), col("sim"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("bhash"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("sim"), col("b.band").as("band"), col("b.bhash").as("bhash"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        Text.hamming64(col("x.sim"), col("y.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val all: Map[String, Q] = Map(
+    "q32_dedup_exact" -> Q(
+      "Exact dedup: group by normalized-content hash, keep min doc_id",
+      """SELECT MD5(LOWER(TRIM(text))) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY MD5(LOWER(TRIM(text))) ORDER BY fp""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(Text.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")
+    },
+
+    "q33_dedup_minhash" -> Q.noOracle(
+      "MinHash+LSH near-dup pairs (32 perms, 8×4 bands), jaccard-verified >= 0.7") {
+      (s, dir) =>
+        minhashPairs(Tables(s, dir, "documents"), threshold = 0.7)
+          .orderBy("a", "b")
+    },
+
+    "q34_dedup_simhash" -> Q.noOracle(
+      "SimHash near-dup pairs (64-bit, 4×16 bands), hamming-verified <= 8") { (s, dir) =>
+      simhashPairs(Tables(s, dir, "documents"), maxHamming = 8)
+        .orderBy("a", "b")
+    },
+
+    "q35_ngram_jaccard" -> Q.noOracle(
+      "Exact 3-gram Jaccard over LSH candidates (no threshold — full verify output)") {
+      (s, dir) =>
+        minhashPairs(Tables(s, dir, "documents"), threshold = 0.0)
+          .orderBy("a", "b")
+    })
+}

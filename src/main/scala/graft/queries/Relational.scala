@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory: scan/project/filter, global sort, top-k,
+  * aggregation (group/having/distinct/rollup/cube), joins (inner, multiway
+  * broadcast, left outer, full outer, semi, anti, as-of), windows (rank,
+  * running sum, lag), set ops (union/intersect/except), JSON extraction,
+  * time bucketing and sessionization.
+  *
+  * The reference itself has none of these (SURVEY §2.6) — they are the
+  * north-star extension surface, expressed 1:1 as Catalyst-optimized
+  * built-ins. Every query here is scale-shaped: filters/projections push to
+  * the parquet scan, dimension joins are broadcast, aggregates are partial
+  * (map-side) before the shuffle, and windows partition by high-cardinality
+  * keys.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double column: per-value decimal cast
+    * (deterministic), decimal addition (associative/commutative), surfaced
+    * as double. Keeps Spark and the DuckDB oracle bit-identical regardless
+    * of partitioning/accumulation order.
+    */
+  private def dsum(c: String, scale: Int = 2): org.apache.spark.sql.Column =
+    sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
+
+  val all: Map[String, Q] = Map(
+    "q01_scan_project" -> Q(
+      "Projection + pushed filter over lineitem (PushedFilters + ReadSchema pruning)",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01")))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    "q02_filter_like" -> Q(
+      "Range + LIKE predicates over part",
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_size BETWEEN 10 AND 20 AND p_brand LIKE 'Brand#1%'
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "part")
+        .filter(col("p_size").between(10, 20) && col("p_brand").like("Brand#1%"))
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")
+    },
+
+    "q03_sort_global" -> Q(
+      "Global total sort (range-partitioned exchange at scale)",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    },
+
+    "q04_topk" -> Q(
+      "Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject (no full sort materialization)",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+
+    "q05_agg_pricing" -> Q(
+      "TPC-H Q1-style grouped aggregation (partial agg before single shuffle)",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+            .cast("double").as("sum_disc_price"),
+          (dsum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (dsum("l_discount") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q06_group_having" -> Q(
+      "GROUP BY + HAVING over a high-cardinality key",
+      """SELECT l_suppkey, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 5
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("cnt"), dsum("l_quantity").as("sum_qty"))
+        .filter(col("cnt") > 5)
+        .orderBy("l_suppkey")
+    },
+
+    "q07_distinct" -> Q(
+      "DISTINCT (partial-dedup before shuffle)",
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment") { (s, dir) =>
+      Tables(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+    },
+
+    "q08_count_distinct" -> Q(
+      "COUNT(DISTINCT) via expand + two-phase agg",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    "q09_rollup" -> Q(
+      "ROLLUP grouping sets",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    "q10_cube" -> Q(
+      "CUBE grouping sets",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    "q11_join_inner" -> Q(
+      "Inner join fact→dim with broadcast (no shuffle of orders)",
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    "q12_join_stars" -> Q(
+      "TPC-H Q5-style 5-way star join, all dims broadcast; one fact shuffle for the agg",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(
+          sum(expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    "q13_join_left" -> Q(
+      "Left outer join preserving unmatched customers",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+
+    "q14_join_semi" -> Q(
+      "Left semi join (EXISTS) — no payload duplication, build side reduced by pushed filter",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(
+          Tables(s, dir, "orders").filter(col("o_totalprice") > 100000),
+          col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "q15_join_anti" -> Q(
+      "Left anti join (NOT EXISTS)",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "q16_join_full" -> Q(
+      "Full outer join of two pre-aggregated sides",
+      """SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        |ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer").groupBy(col("c_nationkey").as("cnk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val p = Tables(s, dir, "supplier").groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(p, col("cnk") === col("snk"), "full")
+        .select(coalesce(col("cnk"), col("snk")).as("nationkey"), col("n_cust"), col("n_supp"))
+        .orderBy("nationkey")
+    },
+
+    "q17_window_rank" -> Q(
+      "Window RANK per partition + filter (top-3 orders per customer)",
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         RANK() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), rank().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    },
+
+    "q18_window_running" -> Q(
+      "Running sum window (exact decimal accumulation)",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(w).cast("double").as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "q19_window_lag" -> Q(
+      "LAG window — per-user deltas over the events stream table",
+      """SELECT user_id, event_id,
+        |  value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables(s, dir, "events")
+        .select(
+          col("user_id"),
+          col("event_id"),
+          (col("value") - lag("value", 1).over(w)).as("delta"))
+        .orderBy("user_id", "event_id")
+    },
+
+    "q20_union" -> Q(
+      "UNION (distinct) of two key sets",
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(Tables(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")
+    },
+
+    "q21_intersect" -> Q(
+      "INTERSECT (customers that do have orders)",
+      """SELECT c_custkey FROM customer
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").select("c_custkey")
+        .intersect(Tables(s, dir, "orders").select("o_custkey"))
+        .orderBy("c_custkey")
+    },
+
+    "q22_except" -> Q(
+      "EXCEPT (customers without orders)",
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").select("c_custkey")
+        .except(Tables(s, dir, "orders").select("o_custkey"))
+        .orderBy("c_custkey")
+    },
+
+    "q23_json_extract" -> Q(
+      "JSON path extraction from a string column (events.props)",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    "q24_events_hourly" -> Q(
+      "Tumbling time-window aggregation (hourly buckets)",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    "q25_sessionize" -> Q(
+      "Sessionization: 30-min-gap session ids via lag + running sum windows",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val cum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(
+          col("user_id"), col("event_id"), col("ts"),
+          when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byTime)
+            > 1800000000L, 1L).otherwise(0L).as("brk"))
+        .select(
+          col("user_id"), col("event_id"),
+          sum("brk").over(cum).as("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    },
+
+    "q26_asof_join" -> Q(
+      "As-of join: latest prior click per purchase (union + last_value window — " +
+        "single shuffle by user, no per-key loops; DuckDB oracle mirrors the same plan)",
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT user_id, event_id, event_type,
+        |         LAST_VALUE(click_id IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id
+        |  FROM u)
+        |SELECT event_id, user_id, last_click_id
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) { (s, dir) =>
+      graft.operators.AsOfJoin.lastPriorEvent(
+        Tables(s, dir, "events"),
+        matchType = "click", probeType = "purchase")
+        .orderBy("event_id")
+    }
+  )
+}

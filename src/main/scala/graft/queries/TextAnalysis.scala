@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Text-analysis operators over the `documents` table: stats, quality
+  * scoring, language guessing, token counting, fingerprinting. All pure
+  * expressions — linear scans, no shuffles except the final aggregations,
+  * trivially 100 TB-partitionable.
+  *
+  * Oracle-checked variants restrict themselves to arithmetic expressible
+  * identically in DuckDB (length/replace/md5/position); the richer engine
+  * functions (n-gram language profiles, BPE-ish token estimates, simhash)
+  * live in [[graft.functions.Text]] and are covered by ScalaTest + the
+  * no-oracle queries in [[Dedup]].
+  */
+object TextAnalysis {
+
+  // Portable token count: identical length/replace arithmetic both engines.
+  private val tokSql =
+    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END"
+
+  val all: Map[String, Q] = Map(
+    "q27_text_stats" -> Q(
+      "Per-document stats: length + whitespace token count",
+      s"""SELECT doc_id, n_chars, LENGTH(text) AS len,
+         |  CAST($tokSql AS BIGINT) AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"), col("n_chars"),
+          length(col("text")).as("len"),
+          Text.tokenCountPortable(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    "q28_quality" -> Q(
+      "Quality signals: non-space density, avg token length, marker-char count",
+      s"""SELECT doc_id,
+         |  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LENGTH(text) AS density,
+         |  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / CAST($tokSql AS DOUBLE) AS avg_tok_len,
+         |  LENGTH(text) - LENGTH(REPLACE(text, 'the', '')) AS the_chars
+         |FROM documents WHERE LENGTH(text) > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      val nonSpace = length(replace(t, lit(" "), lit(""))).cast("double")
+      Tables(s, dir, "documents")
+        .filter(length(t) > 0)
+        .select(
+          col("doc_id"),
+          (nonSpace / length(t)).as("density"),
+          (nonSpace / Text.tokenCountPortable(t).cast("double")).as("avg_tok_len"),
+          (length(t) - length(replace(t, lit("the"), lit("")))).as("the_chars"))
+        .orderBy("doc_id")
+    },
+
+    "q29_lang_guess" -> Q(
+      "Deterministic marker-word language guess (portable CASE form)",
+      """SELECT doc_id, lang,
+        |  CASE WHEN POSITION(' der ' IN text) > 0 THEN 'de'
+        |       WHEN POSITION(' le ' IN text) > 0 THEN 'fr'
+        |       WHEN POSITION(' el ' IN text) > 0 THEN 'es'
+        |       WHEN POSITION(' the ' IN text) > 0 THEN 'en'
+        |       ELSE 'und' END AS lang_guess
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"), col("lang"),
+          when(instr(t, " der ") > 0, "de")
+            .when(instr(t, " le ") > 0, "fr")
+            .when(instr(t, " el ") > 0, "es")
+            .when(instr(t, " the ") > 0, "en")
+            .otherwise("und").as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    "q30_fingerprint" -> Q(
+      "Content fingerprint (md5 of normalized text)",
+      """SELECT doc_id, MD5(LOWER(TRIM(text))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    "q31_tokens_by_source" -> Q(
+      "Corpus token accounting per source (map-side partial agg)",
+      s"""SELECT source,
+         |  CAST(SUM($tokSql) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  COUNT(*) AS n_docs
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          sum(Text.tokenCountPortable(col("text"))).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    })
+}
