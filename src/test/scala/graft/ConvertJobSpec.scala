@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.gen.Findings
+import graft.pipeline.ConvertJob
+
+/** Golden end-to-end: generated findings fixture → ConvertJob → parquet,
+  * asserting schema coercion, global order, row count, readability
+  * (SURVEY §5.2).
+  */
+class ConvertJobSpec extends SparkSpec {
+
+  private lazy val dir = Files.createTempDirectory("graft-e2e").toString
+  private lazy val fixtures = Findings.writeFixtures(dir, n = 500)
+
+  test("destName maps key stem + codec suffix") {
+    assert(ConvertJob.destName("findings/f.ndjson.gz") == "findings/f.zst.parquet")
+    assert(ConvertJob.destName("findings/f.ndjson.gz", "gzip") == "findings/f.gz.parquet")
+    assert(ConvertJob.destName("noext") == "noext.zst.parquet")
+  }
+
+  test("unsorted fixture → single sorted parquet file with 5 coerced _dt paths") {
+    val out = s"$dir/out/finding-unsorted.zst.parquet"
+    val res = ConvertJob.run(spark, fixtures._2, out, singleFile = true)
+
+    assert(res.rows == 500)
+    assert(res.sorted)
+    assert(res.codec == "zstd")
+    assert(res.coercedFields.toSet == Set(
+      "time_dt", "metadata.product.my_dt",
+      "finding_info_list[].created_time_dt",
+      "finding_info_list[].first_seen_time_dt",
+      "finding_info_list[].related_events[].modified_time_dt"))
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+    // globally ascending time
+    val times = back.select("time").collect().map(_.getLong(0))
+    assert(times.sliding(2).forall(p => p(0) <= p(1)), "output must be globally sorted")
+    // coerced types all the way down
+    assert(back.schema("time_dt").dataType == TimestampType)
+    assert(back.select(col("metadata.product.my_dt")).schema.head.dataType == TimestampType)
+    val deep = back
+      .select(explode(col("finding_info_list")).as("f"))
+      .select(explode(col("f.related_events")).as("e"))
+      .select(col("e.modified_time_dt"))
+    assert(deep.schema.head.dataType == TimestampType)
+    assert(deep.filter(col("modified_time_dt").isNotNull).count() > 0)
+    // time_dt round-trips to exactly the epoch-ms time column
+    val mismatch = back
+      .filter(unix_millis(col("time_dt")) =!= col("time")).count()
+    assert(mismatch == 0, "time_dt must parse to exactly `time` epoch ms")
+  }
+
+  test("sorted and unsorted variants converge to identical sorted content") {
+    val o1 = s"$dir/out2/a.parquet"
+    val o2 = s"$dir/out2/b.parquet"
+    ConvertJob.run(spark, fixtures._1, o1, singleFile = true)
+    ConvertJob.run(spark, fixtures._2, o2, singleFile = true)
+    val a = spark.read.parquet(o1).select("time", "desc").collect()
+    val b = spark.read.parquet(o2).select("time", "desc").collect()
+    assert(a sameElements b)
+  }
+
+  test("generator is deterministic per seed") {
+    assert(Findings.record(7).render == Findings.record(7).render)
+    assert(Findings.record(7, seed = 1).render != Findings.record(7, seed = 2).render)
+  }
+}

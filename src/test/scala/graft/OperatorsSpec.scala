@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.operators.AsOfJoin
+import graft.queries.Dedup
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("lastPriorEvent picks the latest strictly-prior match per key") {
+    val events = Seq(
+      (1L, ts(10), 100L, "click"),
+      (1L, ts(20), 101L, "click"),
+      (1L, ts(30), 102L, "purchase"), // → 101
+      (1L, ts(30), 103L, "click"),    // same ts as 102 but later event_id
+      (1L, ts(40), 104L, "purchase"), // → 103
+      (2L, ts(5), 200L, "purchase"),  // no prior click → null
+      (2L, ts(6), 201L, "view")       // filtered out
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = AsOfJoin.lastPriorEvent(events, "click", "purchase")
+      .orderBy("event_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(102L, 104L, 200L))
+    assert(out(0).getLong(2) == 101L)
+    assert(out(1).getLong(2) == 103L)
+    assert(out(2).isNullAt(2))
+  }
+
+  test("generic asOf joins value from build side") {
+    val probe = Seq((1L, ts(30), 1L), (1L, ts(5), 2L)).toDF("k", "t", "pid")
+    val build = Seq((1L, ts(10), 10L, 7.5), (1L, ts(20), 11L, 9.5)).toDF("k", "t", "pid", "v")
+    val out = AsOfJoin.asOf(probe, build, "k", "t", "pid", "v")
+      .orderBy("pid").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("asof_v")) == 9.5)
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_v")))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhashPairs finds planted near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tonight"),                                  // near-dup of 1
+      (3L, "completely different content about databases and columnar execution engines"),
+      (4L, "another unrelated document discussing gardening tulips and watering cans"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.5)
+  }
+
+  test("simhashPairs blocks on 16-bit bands and verifies hamming") {
+    val base = "spark is a unified analytics engine for large scale data processing with apis"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " everywhere"),
+      (3L, "orthogonal text on birds migration patterns wings feathers and seasonal travel routes"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 12).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(!ids.contains((1L, 3L)) && !ids.contains((2L, 3L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payload plumbing: decode stub is deterministic and partition-local") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(Multimodal.withPayload(docs))
+      .collect().sortBy(_.doc_id)
+    assert(meta(0).byte_len == 11L)
+    assert(meta(0).width >= 16 && meta(0).height >= 16)
+    assert(meta(1).byte_len == 0L)
+    // determinism
+    val again = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect().sortBy(_.doc_id)
+    assert(meta(0).checksum == again(0).checksum)
+  }
+
+  test("frame sampling explodes payload rows without shuffling") {
+    val docs = Seq((1L, "x" * 200)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.withPayload(docs), everyN = 64)
+    assert(frames.count() == 4) // offsets 0,64,128,192
+  }
+}
+
+class RegistrySpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001 (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key exists in queries and every query has a doc") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+    assert(SparkEntry.registry.values.forall(_.doc.nonEmpty))
+  }
+
+  test("spot-check: q05 grouped agg shape at sf0.001") {
+    val df = SparkEntry.queries("q05_agg_pricing")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 6)
+    assert(df.columns.toSet.contains("sum_disc_price"))
+  }
+
+  test("spot-check: as-of join returns purchases with nullable prior click at sf0.001") {
+    val df = SparkEntry.queries("q26_asof_join")(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+  }
+}
