@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text-hashing kernels for dedup at scale.
+  *
+  * The pure-HOF forms in [[Text]] (nested `transform`/`zip_with`/`aggregate`)
+  * are correct but interpreted — on a 5 000-doc × ~400-token corpus the
+  * simhash HOF alone costs ~13 s. These expressions run the same algorithms
+  * as a primitive loop inside whole-stage codegen.
+  *
+  * Hashing uses XXH64 (same kernel as Spark's `xxhash64`, seed 42):
+  *   - token hash  h(t)      = XXH64(bytes(t), 42)       — identical to the
+  *     builtin `xxhash64(t)`, so results cross-check against the HOF forms;
+  *   - shingle hash of k consecutive tokens = left-chained
+  *     `hashLong(h(t_{i+j}), ...)` — no intermediate strings are built;
+  *   - permutation p of a shingle hash = `hashLong(s, p)`.
+  */
+object HashKernels {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** = builtin xxhash64(string) */
+  def hashToken(t: UTF8String): Long = XXH64.hashUTF8String(t, 42L)
+
+  def chain(h: Long, next: Long): Long = XXH64.hashLong(next, h)
+
+  /** MinHash signature over k-token shingles, `numPerm` permutations. */
+  def shingleMinHash(tokens: ArrayData, k: Int, numPerm: Int): Array[Long] = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else hashToken(tokens.getUTF8String(i))
+      i += 1
+    }
+    val nSh = math.max(1, n - k + 1)
+    val sh = new Array[Long](nSh)
+    if (n <= k) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = chain(h, th(j)); j += 1 }
+      sh(0) = h
+    } else {
+      i = 0
+      while (i < nSh) {
+        var h = 42L
+        var j = 0
+        while (j < k) { h = chain(h, th(i + j)); j += 1 }
+        sh(i) = h
+        i += 1
+      }
+    }
+    val sig = new Array[Long](numPerm)
+    var p = 0
+    while (p < numPerm) {
+      var mn = Long.MaxValue
+      i = 0
+      while (i < sh.length) {
+        val v = XXH64.hashLong(sh(i), p.toLong)
+        if (v < mn) mn = v
+        i += 1
+      }
+      sig(p) = mn
+      p += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over the token multiset — identical semantics to the HOF
+    * form in [[Text.simHash]] (bit j = sign of Σ ±1 by bit j of xxhash64(t)).
+    */
+  def simHash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hashToken(tokens.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+/** array<string> tokens → array<long> minhash signature (codegen'd). */
+case class ShingleMinHash(child: Expression, k: Int, numPerm: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "shingle_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      HashKernels.shingleMinHash(v.asInstanceOf[ArrayData], k, numPerm))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashKernels.shingleMinHash($c, $k, $numPerm))")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** array<string> tokens → 64-bit simhash (codegen'd). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simHash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simHash64($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object HashExpressions {
+  import org.apache.spark.sql.graft.{shims => S}
+
+  def shingleMinHash(tokens: Column, k: Int = 3, numPerm: Int = 32): Column =
+    S.column(ShingleMinHash(S.expression(tokens), k, numPerm))
+
+  def simHash64(tokens: Column): Column =
+    S.column(SimHash64(S.expression(tokens)))
+}

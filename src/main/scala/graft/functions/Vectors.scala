@@ -10,25 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd kernels (see [[VectorExpressions]]) — the hot-path forms. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotProduct(a, b)
+
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosineSim(a, b)
+
+  def euclidean(a: Column, b: Column): Column = sqrt(VectorExpressions.l2Squared(a, b))
+
+  /** Interpreted higher-order-function forms — kept as the pure-built-in
+    * reference implementation (bit-identical results; used to cross-check
+    * the codegen kernels in tests).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
-  def norm2(a: Column): Column = sqrt(dot(a, a))
+  def norm2Hof(a: Column): Column = sqrt(dotHof(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
-
-  def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (acc, v) => acc + v))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (norm2Hof(a) * norm2Hof(b))
 
   /** Sign-bit LSH bucket code from the first `bits` components: a cheap,
     * deterministic coarse partitioner for ANN (IVF-style candidate pruning).

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.Text
+import graft.functions.{HashExpressions, Text}
 
 /** Deduplication operators over `documents`: exact (hash group-by),
   * MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard verification.
@@ -26,9 +26,10 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled(docs)
-    val sig = sh.select(
-      col("doc_id"), col("sh"),
-      Text.minHashSignature(col("sh"), numPerm = 32).as("sig"))
+    // codegen'd kernel: shingles + 32 permutations in one primitive loop
+    val sig = docs.select(
+      col("doc_id"),
+      HashExpressions.shingleMinHash(Text.tokens(col("text")), k = 3, numPerm = 32).as("sig"))
     val bands = sig.select(
       col("doc_id"),
       explode(Text.lshBands(col("sig"), numBands = 8, rowsPerBand = 4)).as("b"))
@@ -52,7 +53,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = docs.select(
       col("doc_id"),
-      Text.simHash(Text.tokens(col("text"))).as("sim"))
+      HashExpressions.simHash64(Text.tokens(col("text"))).as("sim"))
     val bands = sh.select(
       col("doc_id"), col("sim"),
       explode(array((0 until 4).map { b =>
@@ -96,9 +97,14 @@ object Dedup {
     },
 
     "q35_ngram_jaccard" -> Q.noOracle(
-      "Exact 3-gram Jaccard over LSH candidates (no threshold — full verify output)") {
+      "Exact word-3-gram Jaccard between consecutive doc ids (linear self-join)") {
       (s, dir) =>
-        minhashPairs(Tables(s, dir, "documents"), threshold = 0.0)
-          .orderBy("a", "b")
+        val sh = shingled(Tables(s, dir, "documents"))
+        sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+          .join(
+            sh.select((col("doc_id") - 1).as("a"), col("doc_id").as("b"), col("sh").as("sh_b")),
+            "a")
+          .select(col("a"), col("b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          .orderBy("a")
     })
 }

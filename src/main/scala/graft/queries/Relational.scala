@@ -32,7 +32,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-01-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "lineitem")
+      Tables.raw(s, dir, "lineitem")
         .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01")))
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")
@@ -53,7 +53,7 @@ object Relational {
       "Global total sort (range-partitioned exchange at scale)",
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "orders")
+      Tables.raw(s, dir, "orders")
         .select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     },
@@ -62,7 +62,7 @@ object Relational {
       "Top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject (no full sort materialization)",
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "orders")
+      Tables.raw(s, dir, "orders")
         .select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)

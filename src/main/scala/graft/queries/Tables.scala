@@ -13,11 +13,35 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Tables small enough to always broadcast — never rebalanced. */
+  private val DimTables = Set("region", "nation", "customer", "supplier", "part")
+
+  /** Fact-table loader with scan rebalancing: the local testdata ships one
+    * parquet file with ONE rowgroup per table, so the scan is a single task
+    * and every compute-heavy stage above it would run on one core. When the
+    * scan yields fewer splits than half the cluster parallelism, repartition
+    * up. On a real lake (many files/rowgroups — the 100 TB case) the guard
+    * makes this a no-op and the scan's natural splits flow through, keeping
+    * filter/projection pushdown fully effective.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = raw(spark, dir, name)
+    if (DimTables(name)) df else balanced(df)
+  }
+
+  /** Pushdown-preserving loader (no rebalance) — for scan/filter/top-k
+    * queries where the parquet-level filter + projection IS the operator.
+    */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, dir)
       case _        => spark.read.parquet(s"$dir/$name.parquet")
     }
+
+  private def balanced(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, p / 2)) df.repartition(p) else df
+  }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

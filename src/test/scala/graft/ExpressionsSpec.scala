@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashExpressions, Text, Vectors}
+
+/** Codegen'd custom expressions cross-checked against the pure-built-in HOF
+  * forms (bit-identical semantics contracts).
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codegen cosine == HOF cosine bit-for-bit on real embeddings") {
+    val emb = graft.queries.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50).select($"vec_id", $"embedding")
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"ia" < $"ib")
+    val diff = pairs
+      .select(
+        Vectors.cosine($"va", $"vb").as("fast"),
+        Vectors.cosineHof($"va", $"vb").as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(diff == 0, "codegen cosine must be bit-identical to the HOF form")
+  }
+
+  test("codegen simhash64 == HOF simHash on real documents") {
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    val diff = docs.select(
+      HashExpressions.simHash64(Text.tokens($"text")).as("fast"),
+      Text.simHash(Text.tokens($"text")).as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(diff == 0, "codegen simhash must equal the HOF form")
+  }
+
+  test("shingleMinHash: identical token streams → identical signatures, different → different") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "an entirely different stream of tokens goes here")
+      .toDF("t")
+      .select(HashExpressions.shingleMinHash(Text.tokens($"t")).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0).size == 32)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("shingleMinHash similarity tracks jaccard (near-dup shares most mins)") {
+    val df = Seq(
+      ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+      ("b", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w17"),
+      ("c", "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16"))
+      .toDF("id", "t")
+      .select($"id", HashExpressions.shingleMinHash(Text.tokens($"t")).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    def agree(x: Seq[Long], y: Seq[Long]) = x.zip(y).count(p => p._1 == p._2)
+    assert(agree(m("a"), m("b")) > agree(m("a"), m("c")),
+      "near-dup docs must agree on more minhash slots than unrelated docs")
+  }
+
+  test("dot/l2 kernels match algebra") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      Vectors.dot($"a", $"b"),
+      Vectors.euclidean($"a", $"b")).head
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(27.0)) < 1e-12)
+  }
+}
