@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions.col
   * range-partitioned exchange + per-partition sort that spills via
   * `UnsafeExternalSorter`, and the write stays fully parallel — one file per
   * partition, partition count set by AQE / `spark.sql.shuffle.partitions`.
-  * Known gap vs the reference: Parquet `sorting_columns` footer metadata has
-  * no public Spark writer API (SURVEY §4.3); actual row order is sorted.
+  * Parquet `sorting_columns` footer metadata has no public Spark writer API
+  * (SURVEY §4.3), so after the write each local part file's footer is stamped
+  * in place via [[SortingColumnsStamp]] — valid because a range-partitioned
+  * `orderBy` leaves every output file internally sorted by the key.
   */
 object SortedWrite {
 
@@ -79,13 +81,36 @@ object SortedWrite {
         if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
         fs.rename(part, target)
         fs.delete(new Path(tmpDir), true)
+        if (sortable) stampLocal(fs, Seq(target), sortCol)
         df.sparkSession.read.parquet(outPath).count()
       } else {
         writerOf(sorted).parquet(outPath)
+        if (sortable) {
+          val conf = df.sparkSession.sparkContext.hadoopConfiguration
+          val fs = new Path(outPath).getFileSystem(conf)
+          val parts = fs.listStatus(new Path(outPath)).map(_.getPath)
+            .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          stampLocal(fs, parts.toSeq, sortCol)
+        }
         // Metadata-only count of what was just written.
         df.sparkSession.read.parquet(outPath).count()
       }
 
     WriteResult(outPath, rows, sortable, sortCol, codec)
   }
+
+  /** Stamp `sorting_columns` into footers of local files (in-place rewrite
+    * needs a seekable file; object-store outputs keep sorted ORDER without
+    * the footer hint — same stance as the reference, which stamps its local
+    * temp file before upload).
+    */
+  private def stampLocal(fs: org.apache.hadoop.fs.FileSystem, parts: Seq[Path], sortCol: String): Unit =
+    if (fs.getScheme == "file")
+      parts.foreach { p =>
+        if (SortingColumnsStamp.stamp(p.toUri.getPath, sortCol)) {
+          // the rewrite invalidates ChecksumFileSystem's .crc sidecar
+          val crc = new Path(p.getParent, s".${p.getName}.crc")
+          if (fs.exists(crc)) fs.delete(crc, false)
+        }
+      }
 }

@@ -70,4 +70,50 @@ class ConvertJobSpec extends SparkSpec {
     assert(Findings.record(7).render == Findings.record(7).render)
     assert(Findings.record(7, seed = 1).render != Findings.record(7, seed = 2).render)
   }
+
+  test("sorting_columns footer metadata is stamped and the file stays readable") {
+    import graft.ops.SortingColumnsStamp
+    val out = s"$dir/out3/stamped.parquet"
+    ConvertJob.run(spark, fixtures._2, out, singleFile = true)
+
+    val rgs = SortingColumnsStamp.readSortingColumns(out)
+    assert(rgs.nonEmpty)
+    assert(rgs.forall(_ == Seq(("time", false, false))),
+      "every row group must carry SortingColumn(time, ascending, nulls_last)")
+
+    // rewrite must not corrupt the file: full content re-read matches
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+    assert(back.select("time").collect().map(_.getLong(0)).sliding(2)
+      .forall(p => p(0) <= p(1)))
+
+    // stamping a missing column is a clean no-op
+    assert(!SortingColumnsStamp.stamp(out, "no_such_col"))
+    assert(spark.read.parquet(out).count() == 500)
+  }
+
+  test("multi-part sorted write stamps every part file footer") {
+    import graft.ops.{SortedWrite, SortingColumnsStamp}
+    val out = s"$dir/out4/parts.parquet"
+    val df = spark.range(0, 10000).toDF("time")
+      .withColumn("v", col("time") * 2)
+      .repartition(4)
+    // keep the range exchange at 4 partitions so the write emits 4 files
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try SortedWrite.write(df, out, sortCol = "time")
+    finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.unset("spark.sql.shuffle.partitions")
+    }
+    val parts = new java.io.File(out).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length > 1, "expected a multi-part sorted write")
+    parts.foreach { p =>
+      val rgs = SortingColumnsStamp.readSortingColumns(p.getPath)
+      assert(rgs.forall(_ == Seq(("time", false, false))), s"unstamped part ${p.getName}")
+    }
+    // range-partitioned sort: reading the directory back is still globally sorted per file
+    assert(spark.read.parquet(out).count() == 10000)
+  }
 }
