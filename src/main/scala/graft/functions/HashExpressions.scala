@@ -72,6 +72,62 @@ object HashKernels {
     sig
   }
 
+  /** Sorted DISTINCT XXH64 hashes of the k-token shingles — the set form used
+    * for exact-jaccard verification. Same chained shingle hashing as
+    * [[shingleMinHash]], then sort + dedup, so |A∩B| is a linear two-pointer
+    * merge in [[jaccardSorted]].
+    */
+  def shingleHashSet(tokens: ArrayData, k: Int): Array[Long] = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else hashToken(tokens.getUTF8String(i))
+      i += 1
+    }
+    val nSh = math.max(1, n - k + 1)
+    val sh = new Array[Long](nSh)
+    if (n <= k) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = chain(h, th(j)); j += 1 }
+      sh(0) = h
+    } else {
+      i = 0
+      while (i < nSh) {
+        var h = 42L
+        var j = 0
+        while (j < k) { h = chain(h, th(i + j)); j += 1 }
+        sh(i) = h
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(sh)
+    // in-place dedup of the sorted run
+    var w = 0
+    i = 0
+    while (i < sh.length) {
+      if (w == 0 || sh(i) != sh(w - 1)) { sh(w) = sh(i); w += 1 }
+      i += 1
+    }
+    if (w == sh.length) sh else java.util.Arrays.copyOf(sh, w)
+  }
+
+  /** Jaccard of two sorted-distinct long arrays: two-pointer intersection. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** 64-bit SimHash over the token multiset — identical semantics to the HOF
     * form in [[Text.simHash]] (bit j = sign of Σ ±1 by bit j of xxhash64(t)).
     */
@@ -146,6 +202,56 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** array<string> tokens → sorted-distinct array<long> shingle hash set. */
+case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
+
+  override def prettyName: String = "shingle_hash_set"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      HashKernels.shingleHashSet(v.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashKernels.shingleHashSet($c, $k))")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** (sorted-distinct array<long>) × 2 → jaccard similarity (codegen'd). */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "jaccard_sorted"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashKernels.jaccardSorted(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graft.{shims => S}
 
@@ -154,4 +260,10 @@ object HashExpressions {
 
   def simHash64(tokens: Column): Column =
     S.column(SimHash64(S.expression(tokens)))
+
+  def shingleHashSet(tokens: Column, k: Int = 3): Column =
+    S.column(ShingleHashSet(S.expression(tokens), k))
+
+  def jaccardSorted(a: Column, b: Column): Column =
+    S.column(JaccardSorted(S.expression(a), S.expression(b)))
 }

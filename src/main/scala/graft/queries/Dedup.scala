@@ -15,11 +15,14 @@ import graft.functions.{HashExpressions, Text}
   */
 object Dedup {
 
-  /** documents + distinct word-3-shingle set per doc. */
+  /** documents + sorted-distinct HASHED word-3-shingle set per doc
+    * (codegen'd; jaccard over two of these is a linear merge, and the
+    * shuffle moves 8-byte hashes instead of shingle strings).
+    */
   private def shingled(df: DataFrame): DataFrame =
     df.select(
       col("doc_id"),
-      array_distinct(Text.shingles(col("text"), 3)).as("sh"))
+      HashExpressions.shingleHashSet(Text.tokens(col("text")), k = 3).as("sh"))
 
   /** Candidate near-dup pairs via MinHash LSH (numPerm=32, 8 bands × 4 rows),
     * verified with exact shingle-set Jaccard >= `threshold`.
@@ -43,7 +46,8 @@ object Dedup {
     candidates
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
-      .select(col("a"), col("b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("a"), col("b"),
+        HashExpressions.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -104,7 +108,8 @@ object Dedup {
           .join(
             sh.select((col("doc_id") - 1).as("a"), col("doc_id").as("b"), col("sh").as("sh_b")),
             "a")
-          .select(col("a"), col("b"), Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          .select(col("a"), col("b"),
+            HashExpressions.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
           .orderBy("a")
     })
 }

@@ -61,6 +61,35 @@ class ExpressionsSpec extends SparkSpec {
       "near-dup docs must agree on more minhash slots than unrelated docs")
   }
 
+  test("hashed-shingle jaccard == string-shingle jaccard on real documents") {
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(60)
+    val a = docs.select($"doc_id".as("ia"), $"text".as("ta")).filter($"ia" % 2 === 0)
+    val b = docs.select($"doc_id".as("ib"), $"text".as("tb")).filter($"ib" % 2 === 1)
+    val pairs = a.join(b, $"ia" + 1 === $"ib")
+    val diff = pairs.select(
+      HashExpressions.jaccardSorted(
+        HashExpressions.shingleHashSet(Text.tokens($"ta")),
+        HashExpressions.shingleHashSet(Text.tokens($"tb"))).as("fast"),
+      Text.jaccard(
+        array_distinct(Text.shingles($"ta", 3)),
+        array_distinct(Text.shingles($"tb", 3))).as("ref"))
+      .filter(abs($"fast" - $"ref") > 1e-12)
+      .count()
+    assert(diff == 0, "hashed-set jaccard must match exact string-shingle jaccard")
+  }
+
+  test("jaccardSorted edge cases") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 1.0),
+      (Seq(1L, 2L), Seq(3L, 4L), 0.0),
+      (Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L), 1.0 / 3.0))
+      .toDF("a", "b", "want")
+    val bad = df.filter(
+      abs(HashExpressions.jaccardSorted($"a", $"b") - $"want") > 1e-15).count()
+    assert(bad == 0)
+  }
+
   test("dot/l2 kernels match algebra") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
     val r = df.select(
