@@ -1,0 +1,54 @@
+package graft
+
+/** The SQL surface: custom kernels callable from plain `spark.sql`. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("cosine_similarity from SQL matches the Column API") {
+    Seq((Seq(1f, 0f), Seq(1f, 0f)), (Seq(1f, 0f), Seq(0f, 1f)))
+      .toDF("a", "b").createOrReplaceTempView("v")
+    val got = spark.sql("SELECT cosine_similarity(a, b) AS c FROM v ORDER BY c")
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.0 && got(1) == 1.0)
+  }
+
+  test("shingle/jaccard pipeline expressible in one SQL statement") {
+    Seq(
+      (1, "the quick brown fox jumps over the lazy dog"),
+      (2, "the quick brown fox jumps over the lazy cat"),
+      (3, "completely different words appear in this line"))
+      .toDF("id", "text").createOrReplaceTempView("docs")
+    val rows = spark.sql(
+      """SELECT a.id AS ia, b.id AS ib,
+        |  jaccard_sorted(shingle_hash_set(split(a.text, ' '), 3),
+        |                 shingle_hash_set(split(b.text, ' '), 3)) AS j
+        |FROM docs a JOIN docs b ON a.id < b.id ORDER BY ia, ib""".stripMargin)
+      .collect()
+    val j = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(j((1, 2)) > j((1, 3)), "near-dup must out-score unrelated")
+    assert(j((1, 3)) == 0.0)
+  }
+
+  test("simhash64 and shingle_minhash SQL forms run and agree with the Column API") {
+    import graft.functions.{HashExpressions, Text}
+    import org.apache.spark.sql.functions.col
+    Seq("some tokens for hashing here").toDF("text").createOrReplaceTempView("t")
+    val sqlSim = spark.sql("SELECT simhash64(split(text, ' ')) FROM t").head.getLong(0)
+    val apiSim = Seq("some tokens for hashing here").toDF("text")
+      .select(HashExpressions.simHash64(Text.tokens(col("text")))).head.getLong(0)
+    assert(sqlSim == apiSim)
+    val sig = spark.sql("SELECT shingle_minhash(split(text, ' '), 3, 16) FROM t")
+      .head.getSeq[Long](0)
+    assert(sig.size == 16)
+  }
+
+  test("config-path extension class registers the same functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    // building the session from extensions is exercised by spark-shell/driver
+    // configs; here assert the class is config-instantiable and non-throwing
+    assert(GraftExtensions.all.map(_._1.funcName).toSet.contains("cosine_similarity"))
+  }
+}
