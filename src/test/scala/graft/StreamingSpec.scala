@@ -30,4 +30,47 @@ class StreamingSpec extends SparkSpec {
     val times = b.select("time").collect().map(_.getLong(0))
     assert(times.sliding(2).forall(p => p(0) <= p(1)), "per-file output globally sorted")
   }
+
+  test("stateful streaming sessionization closes sessions on gap and on watermark timeout") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionizeStream
+    import graft.streaming.SessionizeStream.Event
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[Event] =
+      org.apache.spark.sql.Encoders.product[Event]
+
+    val t0 = 1700000000000L // fixed epoch ms
+    def ev(u: Long, id: Long, minutes: Long) =
+      Event(u, id, new Timestamp(t0 + minutes * 60000))
+
+    val input = MemoryStream[Event]
+    val q = SessionizeStream.start(spark, input.toDF(), queryName = "sessions_t",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    // session 0: two events 5 min apart; then a 120-min gap breaks it
+    input.addData(ev(1, 10, 0), ev(1, 11, 5))
+    q.processAllAvailable()
+    input.addData(ev(1, 12, 125))
+    q.processAllAvailable()
+
+    val closed = spark.table("sessions_t")
+      .select("user_id", "session_seq", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(closed.contains((1L, 0L, 2L)),
+      s"gap must close session 0 with 2 events, got ${closed.mkString(",")}")
+
+    // watermark far past the open session's last event → event-time timeout
+    input.addData(ev(99, 1, 100000))
+    q.processAllAvailable()
+    input.addData(ev(99, 2, 100001)) // one more batch so the timeout fires
+    q.processAllAvailable()
+    val after = spark.table("sessions_t")
+      .select("user_id", "session_seq", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(after.contains((1L, 1L, 1L)),
+      s"timeout must close session 1 (the single event at +125min), got ${after.mkString(",")}")
+    q.stop()
+  }
 }
