@@ -24,18 +24,41 @@ object Tables {
     * makes this a no-op and the scan's natural splits flow through, keeping
     * filter/projection pushdown fully effective.
     */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = raw(spark, dir, name)
-    if (DimTables(name)) df else balanced(df)
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo((spark, dir, name, "balanced")) {
+      val df = raw(spark, dir, name)
+      if (DimTables(name)) df else balanced(df)
+    }
+
+  /** DataFrames are immutable plans, so loads are memoized per
+    * (session, dir, table): the split-count probe in [[balanced]] forces a
+    * physical plan, and without the cache every query re-paid it.
+    * get/put (not computeIfAbsent) because loads nest — a benign duplicate
+    * load on a race beats a Recursive-update failure.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String, String), DataFrame]()
+
+  private def memo(key: (SparkSession, String, String, String))(load: => DataFrame): DataFrame = {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val df = load
+      cache.putIfAbsent(key, df)
+      df
+    }
   }
 
   /** Pushdown-preserving loader (no rebalance) — for scan/filter/top-k
     * queries where the parquet-level filter + projection IS the operator.
     */
   def raw(spark: SparkSession, dir: String, name: String): DataFrame =
-    name match {
-      case "events" => events(spark, dir)
-      case _        => spark.read.parquet(s"$dir/$name.parquet")
+    memo((spark, dir, name, "raw")) {
+      name match {
+        case "events" => events(spark, dir)
+        case _        => spark.read.parquet(s"$dir/$name.parquet")
+      }
     }
 
   private def balanced(df: DataFrame): DataFrame = {
