@@ -73,4 +73,41 @@ class StreamingSpec extends SparkSpec {
       s"timeout must close session 1 (the single event at +125min), got ${after.mkString(",")}")
     q.stop()
   }
+
+  test("watermarked tumbling-window aggregation finalizes windows in append mode") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventAggStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Timestamp, String, Double)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaDouble)
+
+    val h0 = 1700000000000L - (1700000000000L % 3600000) // aligned hour start
+    def ev(minutes: Long, typ: String, v: Double) =
+      (new Timestamp(h0 + minutes * 60000), typ, v)
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventAggStream.start(
+      input.toDF().toDF("ts", "event_type", "value"), queryName = "win_t")
+
+    input.addData(ev(5, "click", 1.0), ev(25, "click", 2.0), ev(40, "view", 5.0))
+    q.processAllAvailable()
+    // watermark (10 min) must pass hour0's end before the window finalizes
+    input.addData(ev(200, "click", 9.0))
+    q.processAllAvailable()
+    input.addData(ev(201, "click", 9.0)) // extra batch so the new watermark applies
+    q.processAllAvailable()
+
+    val rows = spark.table("win_t")
+      .select("window_start", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.contains((h0, "click", 2L, 3.0)),
+      s"hour-0 click window must finalize with n=2 sum=3.0, got ${rows.mkString(",")}")
+    assert(rows.contains((h0, "view", 1L, 5.0)))
+    q.stop()
+  }
 }
