@@ -29,6 +29,19 @@ object Text {
       lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long")))
 
+  /** BPE-style pre-tokenization regex: letter runs, digit runs, single
+    * punctuation marks. Identical RE2/Java semantics, so oracle-checkable
+    * against DuckDB's regexp_extract_all.
+    */
+  val BpeSplitPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Subword-ish tokens of lowercased text (regexp_extract_all, codegen'd). */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(BpeSplitPattern), lit(0))
+
+  /** Count of BPE-style subword tokens. */
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("long")
+
   /** Word k-shingles (k consecutive tokens joined by one space). Short texts
     * (< k tokens) yield a single whole-text shingle.
     */

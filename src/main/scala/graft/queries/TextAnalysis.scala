@@ -98,5 +98,18 @@ object TextAnalysis {
           sum(col("n_chars")).as("total_chars"),
           count(lit(1)).as("n_docs"))
         .orderBy("source")
+    },
+
+    "q41_bpe_tokens" -> Q(
+      "BPE-style subword pre-tokenization counts (regex runs of letters/digits/punct)",
+      s"""SELECT doc_id,
+         |  CAST(LEN(regexp_extract_all(LOWER(text), '${Text.BpeSplitPattern}')) AS BIGINT)
+         |    AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Text.bpeTokenCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
     })
 }
