@@ -17,6 +17,8 @@ object Vectors {
 
   def euclidean(a: Column, b: Column): Column = sqrt(VectorExpressions.l2Squared(a, b))
 
+  def l2sq(a: Column, b: Column): Column = VectorExpressions.l2Squared(a, b)
+
   /** Interpreted higher-order-function forms — kept as the pure-built-in
     * reference implementation (bit-identical results; used to cross-check
     * the codegen kernels in tests).

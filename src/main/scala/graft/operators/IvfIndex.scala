@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.Vectors
+
+/** IVF (inverted-file) approximate nearest neighbor — the centroid-
+  * quantized scale path for similarity search, alongside the sign-bit LSH
+  * variant ([[graft.functions.Vectors.signBucket]]).
+  *
+  * Shape for 100 TB:
+  *   - `fit` trains k-means on a driver-bounded SAMPLE of the corpus
+  *     (centroids are k×dim floats — kilobytes — regardless of corpus size);
+  *   - bucket assignment is a pure codegen expression (argmin of k
+  *     [[graft.functions.L2Squared]] distances against centroid literals) —
+  *     no model object, no UDF, no shuffle; the corpus is written
+  *     partitioned/bucketed by `bucket` once and probed forever;
+  *   - `search` probes the `nProbe` nearest centroids per query, so the
+  *     candidate join is an equi-join on bucket touching nProbe/k of the
+  *     corpus instead of all of it.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Float]]) {
+
+    private def dists(emb: Column): Seq[Column] =
+      centroids.toSeq.map(c => Vectors.l2sq(emb, typedlit(c.toSeq)))
+
+    /** Nearest-centroid id (0-based) — codegen argmin over k distances. */
+    def bucketOf(emb: Column): Column = {
+      val ds = dists(emb)
+      val zipped = array(ds.zipWithIndex.map { case (d, i) =>
+        struct(d.as("d"), lit(i).as("i"))
+      }: _*)
+      // array_min on array<struct> orders by (d, i): deterministic ties
+      array_min(zipped).getField("i")
+    }
+
+    /** The `nProbe` nearest centroid ids, nearest first. */
+    def probeBuckets(emb: Column, nProbe: Int): Column = {
+      val ds = dists(emb)
+      val zipped = array(ds.zipWithIndex.map { case (d, i) =>
+        struct(d.as("d"), lit(i).as("i"))
+      }: _*)
+      transform(slice(array_sort(zipped), 1, nProbe), x => x.getField("i"))
+    }
+  }
+
+  /** Train the coarse quantizer on a sample of `corpus.embCol`.
+    *
+    * The sample cap bounds driver/ML memory independent of corpus size; at
+    * 100 TB pass a fraction that yields ~100k-1M rows — k-means quality
+    * needs only a representative sample, not the corpus.
+    */
+  def fit(
+      corpus: DataFrame,
+      embCol: String = "embedding",
+      k: Int = 16,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): Model = {
+    val sample =
+      (if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed))
+        .select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(sample)
+    Model(km.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  /** Corpus side of the index: rows tagged with their bucket. At scale this
+    * is what you persist, partitioned by `bucket`.
+    */
+  def assign(model: Model, corpus: DataFrame, embCol: String = "embedding"): DataFrame =
+    corpus.withColumn("bucket", model.bucketOf(col(embCol)))
+
+  /** Top-`k` cosine neighbors per query among the `nProbe` probed buckets.
+    * Output: (query_id, neighbor_id, rank, sim) — same shape as the
+    * brute-force baseline, recall < 1 by construction.
+    */
+  def search(
+      model: Model,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+
+    val q = broadcast(
+      queries.select(
+        col(idCol).as("query_id"), col(embCol).as("qv"),
+        explode(model.probeBuckets(col(embCol), nProbe)).as("bucket")))
+    val c = assign(model, corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("cv"), col("bucket"))
+
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("sim"))
+      // a (query, neighbor) pair can match through several probed buckets
+      .dropDuplicates("query_id", "neighbor_id")
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

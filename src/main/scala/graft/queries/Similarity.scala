@@ -92,5 +92,16 @@ object Similarity {
         lshTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir), k = 5)
           .select("query_id", "neighbor_id", "rank")
           .orderBy("query_id", "rank")
+    },
+
+    "q42_knn_ivf" -> Q.noOracle(
+      "IVF ANN top-5: k-means coarse quantizer, 4-probe bucket equi-join (recall < 1)") {
+      (s, dir) =>
+        val corpus = emb(s, dir)
+        val model = graft.operators.IvfIndex.fit(corpus, k = 16)
+        graft.operators.IvfIndex
+          .search(model, corpus.filter(col("vec_id") < 10), corpus, k = 5, nProbe = 4)
+          .select("query_id", "neighbor_id", "rank")
+          .orderBy("query_id", "rank")
     })
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfIndex
+import graft.queries.{Similarity, Tables}
+
+/** IVF ANN against the planted-cluster embeddings (testdata `label` marks
+  * 10 generator clusters).
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("bucket assignment recovers well-separated synthetic clusters exactly") {
+    import spark.implicits._
+    // 3 clusters around axis-aligned distant centers, tiny jitter
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0f)
+      base(c) = 100f
+      val emb = base.map(v => v + rnd.nextFloat())
+      (i.toLong, emb.toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "truth")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val model = IvfIndex.fit(df, k = 3)
+    val assigned = IvfIndex.assign(model, df)
+    // every truth-cluster maps to exactly one bucket
+    val m = assigned.groupBy("truth", "bucket").count().collect()
+    assert(m.length == 3, s"each synthetic cluster must land in one bucket: ${m.mkString(",")}")
+    assert(m.map(_.getAs[Any]("bucket")).distinct.length == 3)
+  }
+
+  test("4-probe IVF search recalls most of the brute-force top-5") {
+    val model = IvfIndex.fit(corpus, k = 10)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfIndex.search(model, queries, corpus, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.7, s"recall@5 = $recall with 4/10 buckets probed")
+  }
+
+  test("search output ranks are dense per query and self-matches excluded") {
+    val model = IvfIndex.fit(corpus, k = 10)
+    val out = IvfIndex.search(model, corpus.filter(col("vec_id") < 5), corpus, k = 3, nProbe = 2)
+    val rows = out.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length))
+    }
+  }
+}
