@@ -30,10 +30,12 @@ object Text {
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(4.0)).cast("long")))
 
   /** BPE-style pre-tokenization regex: letter runs, digit runs, single
-    * punctuation marks. Identical RE2/Java semantics, so oracle-checkable
-    * against DuckDB's regexp_extract_all.
+    * punctuation marks. Whitespace is an EXPLICIT class rather than `\s`
+    * because Java counts U+000B (vertical tab) as `\s` and RE2 does not —
+    * with the explicit class the pattern evaluates identically in Spark and
+    * DuckDB, keeping q41 oracle-checkable on any corpus.
     */
-  val BpeSplitPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  val BpeSplitPattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f\\x0B]"
 
   /** Subword-ish tokens of lowercased text (regexp_extract_all, codegen'd). */
   def bpeTokens(c: Column): Column =

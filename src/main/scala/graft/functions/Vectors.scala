@@ -19,6 +19,15 @@ object Vectors {
 
   def l2sq(a: Column, b: Column): Column = VectorExpressions.l2Squared(a, b)
 
+  /** Unit-normalized copy of a float/double vector (zero vectors pass
+    * through unchanged). L2 distance between unit vectors is monotone in
+    * cosine, which lets L2-trained quantizers serve cosine search.
+    */
+  def unit(a: Column): Column = {
+    val n = sqrt(VectorExpressions.dotProduct(a, a))
+    when(n > 0, transform(a, x => (x.cast("double") / n).cast("float"))).otherwise(a)
+  }
+
   /** Interpreted higher-order-function forms — kept as the pure-built-in
     * reference implementation (bit-identical results; used to cross-check
     * the codegen kernels in tests).

@@ -27,8 +27,13 @@ object IvfIndex {
 
   final case class Model(centroids: Array[Array[Float]]) {
 
-    private def dists(emb: Column): Seq[Column] =
-      centroids.toSeq.map(c => Vectors.l2sq(emb, typedlit(c.toSeq)))
+    // search ranks by cosine, so bucketing must be direction-based: compare
+    // UNIT query/corpus vectors against UNIT centroids (L2 on the unit
+    // sphere is monotone in cosine — spherical k-means assignment)
+    private def dists(emb: Column): Seq[Column] = {
+      val u = Vectors.unit(emb)
+      centroids.toSeq.map(c => Vectors.l2sq(u, typedlit(c.toSeq)))
+    }
 
     /** Nearest-centroid id (0-based) — codegen argmin over k distances. */
     def bucketOf(emb: Column): Column = {
@@ -65,9 +70,16 @@ object IvfIndex {
       maxIter: Int = 20): Model = {
     val sample =
       (if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed))
-        .select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
+        .select(array_to_vector(
+          Vectors.unit(col(embCol)).cast("array<double>")).as("features"))
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(sample)
-    Model(km.clusterCenters.map(_.toArray.map(_.toFloat)))
+    // re-normalize: a mean of unit vectors is inside the sphere, and unequal
+    // centroid norms would skew the argmin-L2 assignment away from cosine
+    Model(km.clusterCenters.map { c =>
+      val a = c.toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      (if (n > 0) a.map(_ / n) else a).map(_.toFloat)
+    })
   }
 
   /** Corpus side of the index: rows tagged with their bucket. At scale this
@@ -103,9 +115,6 @@ object IvfIndex {
       // a (query, neighbor) pair can match through several probed buckets
       .dropDuplicates("query_id", "neighbor_id")
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    graft.queries.Similarity.topKPerQuery(scored, k)
   }
 }

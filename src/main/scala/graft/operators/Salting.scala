@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Deterministic per-row salt: hash of the full row content. `rand()`
+    * would re-deal salts when a lost shuffle partition is recomputed
+    * (stage retry / speculation), silently duplicating or dropping rows —
+    * a content hash recomputes identically. Rows identical in EVERY column
+    * share a salt (they cannot be told apart by any deterministic
+    * function); hot keys are spread because their non-key columns differ.
+    */
+  private def saltOf(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int")
+
   /** Equi-join `fact ⋈ dim` on `key`, with the fact side salted into
     * `salts` sub-keys and the dim side replicated `salts`×. The dim
     * replication bounds the memory of any one task's build side to
@@ -34,7 +44,7 @@ object Salting {
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(Seq("inner", "left").contains(joinType), s"unsupported join type $joinType")
-    val saltedFact = fact.withColumn("__salt", floor(rand(42) * salts).cast("int"))
+    val saltedFact = fact.withColumn("__salt", saltOf(fact, salts))
     val repDim = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedFact
       .join(repDim, saltedFact("__salt") === repDim("__salt") &&
@@ -59,7 +69,8 @@ object Salting {
       partials: Seq[(String, Column)],
       merge: String => Column => Column = n => c => sum(c).as(n)): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val salted = df.withColumn("__salt", floor(rand(42) * salts).cast("int"))
+    require(partials.nonEmpty, "at least one partial aggregate required")
+    val salted = df.withColumn("__salt", saltOf(df, salts))
     val partial = salted
       .groupBy(col(key), col("__salt"))
       .agg(partials.head._2.as(partials.head._1),

@@ -21,6 +21,17 @@ object Similarity {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
+  /** Shared ranking tail of every ANN/kNN variant: per-query top-k of a
+    * (query_id, neighbor_id, sim) frame, deterministically tie-broken.
+    * Plans as WindowGroupLimit — the rank filter is pushed into the sort.
+    */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Brute-force top-k neighbors for `queries` among `corpus` (self-matches
     * excluded). Output: (query_id, neighbor_id, rank, sim).
     */
@@ -28,14 +39,12 @@ object Similarity {
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), col("embedding").as("qv")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .select(
-        col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    topKPerQuery(
+      c.join(q, col("query_id") =!= col("neighbor_id"))
+        .select(
+          col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qv"), col("cv")).as("sim")),
+      k)
   }
 
   /** LSH-bucketed ANN: candidates share the probe's sign-bucket. */
@@ -46,14 +55,12 @@ object Similarity {
     val c = corpus.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       Vectors.signBucket(col("embedding"), bits).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    topKPerQuery(
+      c.join(q, Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qv"), col("cv")).as("sim")),
+      k)
   }
 
   val all: Map[String, Q] = Map(

@@ -41,12 +41,18 @@ object Tables {
       (SparkSession, String, String, String), DataFrame]()
 
   private def memo(key: (SparkSession, String, String, String))(load: => DataFrame): DataFrame = {
-    val hit = cache.get(key)
-    if (hit != null) hit
+    // only the read-only driver testdata is safe to memoize: a user dir can
+    // be rewritten mid-session (stale plan/schema), and caching for
+    // arbitrary sessions would pin them (and their plans) forever
+    if (!key._2.startsWith("/root/testdata")) load
     else {
-      val df = load
-      cache.putIfAbsent(key, df)
-      df
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val df = load
+        cache.putIfAbsent(key, df)
+        df
+      }
     }
   }
 
