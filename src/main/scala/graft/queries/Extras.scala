@@ -45,5 +45,45 @@ object Extras {
         date_format(col("created_time_dt"), "yyyy-MM-dd HH:mm:ss").as("created"),
         date_format(col("meta.inner.deep_dt"), "yyyy-MM-dd HH:mm:ss").as("nested_created"))
         .orderBy("o_orderkey")
+    },
+
+    "q43_term_df" -> Q(
+      "Vocabulary building: per-term document frequency (explode + distinct-count)",
+      """SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 10
+        |ORDER BY term""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 10)
+        .orderBy("term")
+    },
+
+    "q44_profile" -> Q(
+      "Column profiling: min/max/median/mean document length per source",
+      """SELECT source,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  median(CAST(n_chars AS DOUBLE)) AS med_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          median(col("n_chars").cast("double")).as("med_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
+        .orderBy("source")
+    },
+
+    "q45_media_meta" -> Q.noOracle(
+      "Multimodal decode pipeline: binary payload → typed metadata, partition-local") {
+      (s, dir) =>
+        Multimodal.decodeMeta(Multimodal.withPayload(Tables(s, dir, "documents")))
+          .toDF()
+          .orderBy("doc_id")
     })
 }
