@@ -33,18 +33,22 @@ object Bench {
     catch { case _: Throwable => () }
 
     // best-of-2: single-run numbers at this scale are dominated by GC /
-    // scheduling jitter, not by the plan under test
+    // scheduling jitter, not by the plan under test. Only successful runs
+    // count — a fast failure must not masquerade as a fast timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = runs.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else runs.map(_._1).max)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -22,10 +22,16 @@ object Vectors {
   /** Unit-normalized copy of a float/double vector (zero vectors pass
     * through unchanged). L2 distance between unit vectors is monotone in
     * cosine, which lets L2-trained quantizers serve cosine search.
+    *
+    * The norm rides in via `array_repeat` (evaluated ONCE) rather than
+    * being referenced inside a `transform` lambda, where Catalyst would
+    * re-evaluate the whole dot product per element (O(d²) per row).
     */
   def unit(a: Column): Column = {
     val n = sqrt(VectorExpressions.dotProduct(a, a))
-    when(n > 0, transform(a, x => (x.cast("double") / n).cast("float"))).otherwise(a)
+    when(n > 0,
+      zip_with(a, array_repeat(n, size(a)), (x, nn) => (x.cast("double") / nn).cast("float")))
+      .otherwise(a)
   }
 
   /** Interpreted higher-order-function forms — kept as the pure-built-in

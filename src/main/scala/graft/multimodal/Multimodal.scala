@@ -51,7 +51,11 @@ object Multimodal {
     * — all decode/feature stages below are partition-local).
     */
   def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    docs.select(
+      col("doc_id"),
+      // null text → empty payload: the decode stage must never NPE on a
+      // legal nullable column
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
 
   /** Partition-local decode: binary payload → typed metadata. */
   def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {

