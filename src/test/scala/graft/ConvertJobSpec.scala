@@ -71,6 +71,29 @@ class ConvertJobSpec extends SparkSpec {
     assert(Findings.record(7, seed = 1).render != Findings.record(7, seed = 2).render)
   }
 
+  test("sorted write is a permutation: multiset of rows preserved exactly") {
+    import scala.util.Random
+    val rnd = new Random(17)
+    // duplicate keys + duplicate full rows so the multiset check is strict
+    val rows = (0 until 2000).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(10)))
+    import spark.implicits._
+    val df = rows.toDF("time", "v").repartition(8)
+    val out = s"$dir/out5/perm.parquet"
+    graft.ops.SortedWrite.write(df, out, sortCol = "time")
+    val back = spark.read.parquet(out).as[(Long, Int)].collect()
+    assert(back.length == rows.length)
+    assert(back.groupBy(identity).view.mapValues(_.length).toMap ==
+      rows.groupBy(identity).view.mapValues(_.length).toMap,
+      "output must be exactly the input multiset")
+    val perFile = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("time"))
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { fr =>
+      val ts = fr.map(_.getLong(1))
+      assert(ts.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
   test("sorting_columns footer metadata is stamped and the file stays readable") {
     import graft.ops.SortingColumnsStamp
     val out = s"$dir/out3/stamped.parquet"
