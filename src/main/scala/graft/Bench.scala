@@ -48,13 +48,28 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val good = runs.filter(_._2).map(_._1)
-      name -> (if (good.nonEmpty) good.min else runs.map(_._1).max)
+      // A query with zero successful runs still reports a duration (the
+      // slower failure) but is flagged in the emitted `failed` list so a
+      // consistently-broken query can't silently distort the benchmark.
+      (name,
+       if (good.nonEmpty) good.min else runs.map(_._1).max,
+       good.nonEmpty)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // stdout is wrapped by sbt's logger ([info] prefix), which breaks the
+    // driver's JSON extraction — ALSO write the bare line to a file the
+    // driver (or a human) can read without log-scraping.
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -26,11 +26,15 @@ object Vectors {
     * The norm rides in via `array_repeat` (evaluated ONCE) rather than
     * being referenced inside a `transform` lambda, where Catalyst would
     * re-evaluate the whole dot product per element (O(d²) per row).
+    *
+    * `elemType` must name the INPUT's element type ("float" or "double") —
+    * a hardcoded float cast would silently round double vectors through
+    * 24-bit mantissas before type coercion widened them back.
     */
-  def unit(a: Column): Column = {
+  def unit(a: Column, elemType: String = "float"): Column = {
     val n = sqrt(VectorExpressions.dotProduct(a, a))
     when(n > 0,
-      zip_with(a, array_repeat(n, size(a)), (x, nn) => (x.cast("double") / nn).cast("float")))
+      zip_with(a, array_repeat(n, size(a)), (x, nn) => (x.cast("double") / nn).cast(elemType)))
       .otherwise(a)
   }
 

@@ -43,9 +43,12 @@ object AsOfJoin {
       probe.columns.filterNot(Set(key, time, tiebreak)).map(col)).toSeq: _*)
       .unionByName(b, allowMissingColumns = true)
 
-    // build rows sort before probe rows at identical (time, tiebreak): __side 0 < 1
+    // probe rows (__side 1) sort BEFORE build rows (__side 0) at identical
+    // (time, tiebreak), so an exactly-tied build row falls outside the
+    // [unboundedPreceding, -1] frame — "prior" stays strictly-before even
+    // at exact ties.
     val w = Window.partitionBy(key)
-      .orderBy(col(time).asc, col(tiebreak).asc, col("__side").asc)
+      .orderBy(col(time).asc, col(tiebreak).asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
 
     u.withColumn(s"asof_$valueCol", last(col("__v"), ignoreNulls = true).over(w))

@@ -72,10 +72,23 @@ object Tables {
     if (df.rdd.getNumPartitions < math.max(2, p / 2)) df.repartition(p) else df
   }
 
+  /** The nanosAsLong flag is scoped to a CLONED session (`newSession`
+    * shares the SparkContext but owns its conf) so unrelated parquet reads
+    * in the caller's session keep normal TIMESTAMP(NANOS) handling. The
+    * file relation captures its creating session, so later executions of
+    * plans containing this scan resolve the flag from the clone.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
+    val scoped = eventsSessions.computeIfAbsent(spark, s => {
+      val c = s.newSession()
+      c.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      c
+    })
+    scoped.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  private val eventsSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 }

@@ -31,6 +31,14 @@ object SessionizeStream {
       end: Timestamp,
       n_events: Long)
 
+  /** Epoch micros of a Timestamp. `getTime` alone truncates to millis
+    * (sub-ms digits live in the separate nanos field), which would let the
+    * streaming gap test disagree with the batch twin (q25, `unix_micros`)
+    * for events within 1 ms of an exact gap boundary.
+    */
+  private def microsOf(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Split one user's new events against the open-session state. Events are
     * micro-batch-buffered by the engine, so sort within the group; gaps >
     * `gapUs` close the current session.
@@ -48,12 +56,12 @@ object SessionizeStream {
         new Timestamp(s.start / 1000), new Timestamp(s.last / 1000), s.n))
     }
 
-    val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = events.toArray.sortBy(e => (microsOf(e.ts), e.event_id))
     val closed = Seq.newBuilder[ClosedSession]
     var open = state.getOption
 
     sorted.foreach { e =>
-      val tUs = e.ts.getTime * 1000
+      val tUs = microsOf(e.ts)
       open match {
         case Some(s) if tUs - s.last <= gapUs =>
           open = Some(s.copy(last = tUs, n = s.n + 1))
