@@ -55,6 +55,20 @@ object Text {
         i => concat_ws(" ", slice(ts, i, lit(k)))))
   }
 
+  /** Word k-shingles over plain single-space-split tokens. Unlike
+    * [[shingles]] (regex `\s+` tokens), this splits on the literal space
+    * character only, which evaluates identically in DuckDB
+    * (`string_split(text, ' ')` + list slicing) — used by the
+    * oracle-checked exact-Jaccard query (q35).
+    */
+  def shinglesSpaceSplit(c: Column, k: Int = 3): Column = {
+    val ts = split(c, " ", -1)
+    when(size(ts) < k, array(concat_ws(" ", ts)))
+      .otherwise(transform(
+        sequence(lit(1), size(ts) - (k - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(k)))))
+  }
+
   /** MinHash signature: `numPerm` independent min-hashes over the distinct
     * shingle set. Permutation i is `xxhash64(shingle, i)` — independent
     * 64-bit hash families keyed by the literal seed position.

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side mechanics are real and tested — schema, encoders,
   * partition-preserving execution (no shuffle: `mapPartitions` over the
   * typed Dataset keeps each batch on its executor, which is exactly how a
-  * Pandas-UDF/`mapInPandas` decode stage behaves on a cluster). The actual
-  * media decode is a STUB (no image/audio libs in this container): a
-  * deterministic fake that derives "decoded" properties from the bytes.
-  * Swap [[decodeStub]] for a real codec (JavaCV / TwelveMonkeys / ffmpeg
-  * via Process) without touching the plumbing.
+  * Pandas-UDF/`mapInPandas` decode stage behaves on a cluster).
+  *
+  * Image payloads decode for REAL via JDK-builtin `javax.imageio`
+  * ([[decodeImage]]: PNG/JPEG/GIF/BMP format + dimensions, header-only).
+  * Audio/video payloads fall back to the deterministic stub
+  * ([[decodeStub]] — those codecs aren't in the JDK); swap it for JavaCV /
+  * ffmpeg-via-Process without touching the plumbing.
   */
 object Multimodal {
 
@@ -27,9 +29,56 @@ object Multimodal {
       height: Int,
       checksum: Long)
 
+  /** Real image decode via `javax.imageio` (JDK-builtin — no external
+    * codec libs needed for PNG/JPEG/GIF/BMP): returns format + pixel
+    * dimensions when the payload is a decodable image, None otherwise.
+    * Runs headless (no AWT display required: ImageIO decodes to a
+    * BufferedImage raster in memory).
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.length < 8) return None
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          // header-only: width/height come from the metadata blocks, the
+          // full raster is never materialized — at 100 TB the decode stage
+          // reads O(header) bytes per blob unless features need pixels
+          Some(MediaMeta(
+            doc_id = id,
+            byte_len = bytes.length.toLong,
+            format = "image/" + r.getFormatName.toLowerCase,
+            width = r.getWidth(0),
+            height = r.getHeight(0),
+            checksum = checksumOf(bytes)))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally if (in != null) in.close()
+  }
+
+  private def checksumOf(bytes: Array[Byte]): Long = {
+    var ck = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { ck = 31 * ck + bytes(i); i += 1 }
+    ck
+  }
+
+  /** Full decode: real image decode when the payload IS an image, else the
+    * deterministic stub (text/audio/video payloads — codecs for those are
+    * not in the JDK; the stub keeps the pipeline total and deterministic).
+    */
+  def decode(id: Long, bytes: Array[Byte]): MediaMeta =
+    decodeImage(id, bytes).getOrElse(decodeStub(id, bytes))
+
   /** STUB decode: deterministic fake media properties from raw bytes.
-    * Replace with a real decoder; the signature (bytes → typed meta) and the
-    * partition-local batch execution are the production shape.
+    * Used when no real codec applies; the signature (bytes → typed meta)
+    * and the partition-local batch execution are the production shape.
     */
   def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
     val len = bytes.length.toLong
@@ -44,6 +93,14 @@ object Multimodal {
       width = 16 + (head % 64),
       height = 16 + ((len % 64)).toInt,
       checksum = ck)
+  }
+
+  /** Partition-local decode with the real-image path enabled. */
+  def decodeMetaReal(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.map(r => decode(r.doc_id, r.payload)))
   }
 
   /** documents → opaque binary payload column (UTF-8 bytes stand in for

@@ -100,16 +100,31 @@ object Dedup {
         .orderBy("a", "b")
     },
 
-    "q35_ngram_jaccard" -> Q.noOracle(
-      "Exact word-3-gram Jaccard between consecutive doc ids (linear self-join)") {
-      (s, dir) =>
-        val sh = shingled(Tables(s, dir, "documents"))
-        sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-          .join(
-            sh.select((col("doc_id") - 1).as("a"), col("doc_id").as("b"), col("sh").as("sh_b")),
-            "a")
-          .select(col("a"), col("b"),
-            HashExpressions.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-          .orderBy("a")
+    // STRING shingles here (not the hashed kernel q33 uses) so DuckDB can
+    // compute the identical sets and hash-check the values; the hashed form
+    // stays the scale path (8-byte hashes through the shuffle) and is
+    // cross-checked against this one in ExpressionsSpec.
+    "q35_ngram_jaccard" -> Q(
+      "Exact word-3-gram Jaccard between consecutive doc ids (linear self-join)",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(len(list_intersect(list_distinct(x.sh), list_distinct(y.sh))) AS DOUBLE)
+        |    / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) AS jaccard
+        |FROM s x JOIN s y ON y.doc_id = x.doc_id + 1
+        |ORDER BY a""".stripMargin) { (s, dir) =>
+      val sh = Tables(s, dir, "documents").select(
+        col("doc_id"), Text.shinglesSpaceSplit(col("text"), k = 3).as("sh"))
+      sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+        .join(
+          sh.select((col("doc_id") - 1).as("a"), col("doc_id").as("b"), col("sh").as("sh_b")),
+          "a")
+        .select(col("a"), col("b"),
+          Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .orderBy("a")
     })
 }

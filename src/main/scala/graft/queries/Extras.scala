@@ -2,8 +2,11 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.gen.Findings
 import graft.multimodal.Multimodal
+import graft.operators.Salting
 import graft.ops.DtCoercion
+import graft.pipeline.ConvertJob
 
 /** Multimodal plumbing + reference-parity coercion exercised over the driver
   * tables (the full NDJSON pipeline parity is covered by ScalaTest golden
@@ -11,6 +14,27 @@ import graft.ops.DtCoercion
   * operators under the DuckDB oracle).
   */
 object Extras {
+
+  /** Per-source length profile. `approxMedian = false` (oracle mode) uses
+    * exact `median` — a full per-group sort, fine at verification SF;
+    * `approxMedian = true` is the 100 TB path: `percentile_approx` is a
+    * single-pass mergeable KLL-style sketch (map-side partials, no
+    * per-group sort), at the cost of bounded rank error (1/`accuracy`).
+    */
+  def profile(docs: org.apache.spark.sql.DataFrame, approxMedian: Boolean = false,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+    val med =
+      if (approxMedian)
+        percentile_approx(col("n_chars").cast("double"), lit(0.5), lit(accuracy))
+      else median(col("n_chars").cast("double"))
+    docs.groupBy("source")
+      .agg(
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"),
+        med.as("med_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
+      .orderBy("source")
+  }
 
   val all: Map[String, Q] = Map(
     "q39_multimodal_bytes" -> Q(
@@ -61,30 +85,82 @@ object Extras {
         .orderBy("term")
     },
 
-    // exact median (full per-group sort) for oracle parity; at 100 TB swap
-    // to approx_percentile(col, 0.5, accuracy) — one pass, mergeable sketch
     "q44_profile" -> Q(
-      "Column profiling: min/max/median/mean document length per source",
+      "Column profiling: min/max/median/mean document length per source " +
+        "(exact median for the oracle; approxMedian=true is the scale knob)",
       """SELECT source,
         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
         |  median(CAST(n_chars AS DOUBLE)) AS med_chars,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "documents")
-        .groupBy("source")
-        .agg(
-          min(col("n_chars")).cast("long").as("min_chars"),
-          max(col("n_chars")).cast("long").as("max_chars"),
-          median(col("n_chars").cast("double")).as("med_chars"),
-          (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
-        .orderBy("source")
+      profile(Tables(s, dir, "documents"), approxMedian = false)
+    },
+
+    // The flagship reference pipeline under the hash oracle in ONE row:
+    // gzipped-NDJSON scan (S1) → inferred union schema → deep _dt coercion
+    // (P1/P3/P4) → global sort (O1) → tuned zstd parquet (K1). The query
+    // RUNS the pipeline on a deterministic generated fixture, then reads
+    // the written parquet back; DuckDB reads the very same file, so a
+    // value/schema/sort defect anywhere in the chain breaks the hash.
+    "q46_convert_e2e" -> Q(
+      "End-to-end convert pipeline: fixture NDJSON.gz → ConvertJob → readback vs " +
+        "DuckDB over the written parquet",
+      """SELECT time,
+        |  strftime(time_dt, '%Y-%m-%d %H:%M:%S') AS t_iso,
+        |  strftime(metadata.product.my_dt, '%Y-%m-%d %H:%M:%S') AS product_dt,
+        |  "desc" AS description,
+        |  strftime(finding_info_list[1].created_time_dt, '%Y-%m-%d %H:%M:%S') AS first_created,
+        |  strftime(finding_info_list[1].related_events[1].modified_time_dt,
+        |           '%Y-%m-%d %H:%M:%S') AS first_mod,
+        |  strftime(finding_info_list[1].first_seen_time_dt, '%Y-%m-%d %H:%M:%S') AS first_seen,
+        |  CAST(len(finding_info_list) AS BIGINT) AS n_findings
+        |FROM read_parquet('/tmp/graft_q46/out/finding-unsorted.zst.parquet')
+        |ORDER BY time""".stripMargin) { (s, dir) =>
+      val out = "/tmp/graft_q46/out/finding-unsorted.zst.parquet"
+      // deterministic fixture + overwrite-in-place: every invocation
+      // regenerates and reconverts, so the readback (and the oracle's
+      // read of the same file) always reflects THIS run of the pipeline
+      Extras.synchronized {
+        val (_, unsorted) = Findings.writeFixtures("/tmp/graft_q46/src", n = 400, seed = 42L)
+        ConvertJob.run(s, unsorted, out, sortCol = "time", singleFile = true)
+      }
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      val fi1 = element_at(col("finding_info_list"), 1)
+      s.read.parquet(out).select(
+        col("time"),
+        date_format(col("time_dt"), fmt).as("t_iso"),
+        date_format(col("metadata.product.my_dt"), fmt).as("product_dt"),
+        col("desc").as("description"),
+        date_format(fi1.getField("created_time_dt"), fmt).as("first_created"),
+        date_format(element_at(fi1.getField("related_events"), 1)
+          .getField("modified_time_dt"), fmt).as("first_mod"),
+        date_format(fi1.getField("first_seen_time_dt"), fmt).as("first_seen"),
+        size(col("finding_info_list")).cast("long").as("n_findings"))
+        .orderBy("time")
+    },
+
+    // Salting must be RESULT-INVISIBLE — which is precisely what a value
+    // hash against an unsalted plain-SQL oracle proves. The plan is the
+    // two-phase shape: partial agg on (key, salt) → merge agg on key.
+    "q47_salted_hotkey" -> Q(
+      "Skew-safe two-phase salted aggregation over events (count + exact decimal sum)",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Salting.saltedAgg(
+        Tables(s, dir, "events"), "event_type", salts = 16,
+        Seq("n" -> count(lit(1)), "total" -> sum(col("value").cast("decimal(18,6)"))))
+        .select(col("event_type"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("event_type")
     },
 
     "q45_media_meta" -> Q.noOracle(
-      "Multimodal decode pipeline: binary payload → typed metadata, partition-local") {
+      "Multimodal decode pipeline: binary payload → typed metadata, partition-local " +
+        "(real javax.imageio decode for image payloads, deterministic stub otherwise)") {
       (s, dir) =>
-        Multimodal.decodeMeta(Multimodal.withPayload(Tables(s, dir, "documents")))
+        Multimodal.decodeMetaReal(Multimodal.withPayload(Tables(s, dir, "documents")))
           .toDF()
           .orderBy("doc_id")
     })

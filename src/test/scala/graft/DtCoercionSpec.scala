@@ -72,6 +72,21 @@ class DtCoercionSpec extends SparkSpec {
     intercept[Exception] { strict.collect() }
   }
 
+  test("strict/lenient semantics hold for malformed values in NESTED paths too") {
+    // malformed timestamp buried in struct and in list<struct> (§1.4.2:
+    // pyarrow ISO8601 raise vs pandas errors='coerce' null)
+    val df = spark.read.json(Seq(
+      s"""{"id":1,"m":{"my_dt":"not-a-time"},"xs":[{"c_dt":"$ISO"},{"c_dt":"02/31/2025 nope"}]}"""
+    ).toDS)
+    val lenient = DtCoercion.coerceDtFields(df)
+    val row = lenient.select($"m.my_dt", $"xs").head
+    assert(row.isNullAt(0), "nested malformed value must coerce to null in lenient mode")
+    val elems = row.getSeq[Row](1)
+    assert(elems(0).getTimestamp(0) == isoTs)
+    assert(elems(1).isNullAt(0), "malformed list element must coerce to null in lenient mode")
+    intercept[Exception] { DtCoercion.coerceDtFields(df, strict = true).collect() }
+  }
+
   test("field order is preserved through struct rebuilds") {
     val df = spark.read.json(Seq(
       s"""{"m":{"z":1,"a_dt":"$ISO","b":"keep","a":2}}""").toDS)

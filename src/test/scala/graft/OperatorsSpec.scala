@@ -39,6 +39,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).getDouble(out(0).fieldIndex("asof_v")) == 9.5)
     assert(out(1).isNullAt(out(1).fieldIndex("asof_v")))
   }
+
+  test("generic asOf excludes a build row tied EXACTLY on (time, tiebreak)") {
+    // documented semantics are strictly-before: an exact (t, pid) tie on the
+    // build side must NOT match — only the genuinely earlier row does
+    val probe = Seq((1L, ts(20), 10L)).toDF("k", "t", "pid")
+    val build = Seq((1L, ts(10), 5L, 1.0), (1L, ts(20), 10L, 2.0)).toDF("k", "t", "pid", "v")
+    val out = AsOfJoin.asOf(probe, build, "k", "t", "pid", "v").collect()
+    assert(out.head.getDouble(out.head.fieldIndex("asof_v")) == 1.0,
+      "exactly-tied build row leaked into the strictly-before frame")
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -91,6 +101,25 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(Multimodal.withPayload(docs), everyN = 64)
     assert(frames.count() == 4) // offsets 0,64,128,192
   }
+
+  test("real PNG bytes decode via javax.imageio; non-image bytes fall back to stub") {
+    // a genuine 13x7 PNG produced by the JDK's own encoder
+    val img = new java.awt.image.BufferedImage(13, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val direct = Multimodal.decode(7L, png)
+    assert(direct.format == "image/png" && direct.width == 13 && direct.height == 7)
+    assert(Multimodal.decode(8L, "just text".getBytes("UTF-8")).format.startsWith("fake/"))
+
+    // and through the distributed partition-local path
+    val media = Seq((7L, png), (8L, "just text".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeMetaReal(media).collect().sortBy(_.doc_id)
+    assert(out(0).format == "image/png" && out(0).width == 13 && out(0).height == 7)
+    assert(out(1).format.startsWith("fake/"))
+  }
 }
 
 class RegistrySpec extends SparkSpec {
@@ -115,5 +144,17 @@ class RegistrySpec extends SparkSpec {
   test("spot-check: as-of join returns purchases with nullable prior click at sf0.001") {
     val df = SparkEntry.queries("q26_asof_join")(spark, "/root/testdata/sf0.001")
     assert(df.count() > 0)
+  }
+
+  test("events scan works when executed from a session WITHOUT the nanos flag") {
+    // Tables.events scopes nanosAsLong to a cloned session; a plan that
+    // joins events from the main session must still read TIMESTAMP(NANOS)
+    val events = graft.queries.Tables(spark, "/root/testdata/sf0.001", "events")
+    import spark.implicits._
+    val users = Seq(events.select("user_id").head.getLong(0)).toDF("user_id")
+    val joined = users.join(events, "user_id") // left side owns the main session
+    assert(joined.count() > 0)
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ == "false"),
+      "the caller session's conf must stay untouched")
   }
 }
