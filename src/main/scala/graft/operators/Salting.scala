@@ -27,16 +27,18 @@ object Salting {
     * keys are spread because their non-key columns differ. Map-typed
     * columns are excluded (xxhash64 rejects MapType).
     */
-  private def saltOf(df: DataFrame, salts: Int): Column = {
+  private def saltOf(df: DataFrame, salts: Int, saltCols: Seq[String]): Column = {
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
-    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val cols =
+      if (saltCols.nonEmpty) saltCols.map(col)
+      else df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
     require(cols.nonEmpty, "no hashable columns to derive a deterministic salt from")
-    pmod(xxhash64(cols.toSeq: _*), lit(salts.toLong)).cast("int")
+    pmod(xxhash64(cols: _*), lit(salts.toLong)).cast("int")
   }
 
   /** Equi-join `fact ⋈ dim` on `key`, with the fact side salted into
@@ -51,10 +53,11 @@ object Salting {
       dim: DataFrame,
       key: String,
       salts: Int,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(Seq("inner", "left").contains(joinType), s"unsupported join type $joinType")
-    val saltedFact = fact.withColumn("__salt", saltOf(fact, salts))
+    val saltedFact = fact.withColumn("__salt", saltOf(fact, salts, saltCols))
     val repDim = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedFact
       .join(repDim, saltedFact("__salt") === repDim("__salt") &&
@@ -71,16 +74,23 @@ object Salting {
     *
     * `partials` maps output column name → partial aggregate expression;
     * `merge` maps output column name → merge function over the partial col.
+    *
+    * `saltCols`: columns the deterministic salt hashes. Default (empty) =
+    * every hashable column — always safe, but forces a full-width scan.
+    * Pass a narrow high-cardinality subset (e.g. a unique id) to keep
+    * parquet column pruning effective; determinism only needs the chosen
+    * columns to be stable row content.
     */
   def saltedAgg(
       df: DataFrame,
       key: String,
       salts: Int,
       partials: Seq[(String, Column)],
-      merge: String => Column => Column = n => c => sum(c).as(n)): DataFrame = {
+      merge: String => Column => Column = n => c => sum(c).as(n),
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(partials.nonEmpty, "at least one partial aggregate required")
-    val salted = df.withColumn("__salt", saltOf(df, salts))
+    val salted = df.withColumn("__salt", saltOf(df, salts, saltCols))
     val partial = salted
       .groupBy(col(key), col("__salt"))
       .agg(partials.head._2.as(partials.head._1),
