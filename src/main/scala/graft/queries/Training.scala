@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity: embedding
+  * quantization, deterministic dataset splits, and TF-IDF term scoring.
+  * All pure codegen expressions; every query here is DuckDB-oracled.
+  */
+object Training {
+
+  /** Per-element symmetric int8 quantization of a float vector:
+    * `q = clamp(floor(x*127 + 0.5), -127, 127)` — floor arithmetic (not
+    * `round`) because HALF_UP vs banker's rounding differs across engines,
+    * while `floor(x + 0.5)` is bit-identical everywhere.
+    */
+  def quantizeInt8(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(v, x =>
+      greatest(lit(-127d), least(lit(127d), floor(x.cast("double") * 127 + 0.5))))
+
+  val all: Map[String, Q] = Map(
+    // Storage-shrink path for 100 TB embedding lakes: int8 quantization is
+    // 4x smaller than float32 and dot products stay SIMD-able. The query
+    // verifies the codec numerically: saturation count + worst-case
+    // reconstruction error per vector (max is order-independent, so the
+    // doubles hash identically on both engines).
+    "q48_embed_quantize" -> Q(
+      "Int8 embedding quantization audit: per-vector saturation count and max " +
+        "reconstruction error",
+      """SELECT vec_id,
+        |  CAST(len(list_filter(q, x -> abs(x) >= 127)) AS BIGINT) AS n_sat,
+        |  list_aggregate(list_transform(list_zip(embedding, q),
+        |    p -> abs(CAST(p[1] AS DOUBLE) - p[2] / 127.0)), 'max') AS max_err
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) * 127 + 0.5)))) AS q
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), quantizeInt8(col("embedding")).as("q"))
+        .select(
+          col("vec_id"),
+          size(filter(col("q"), x => abs(x) >= 127)).cast("long").as("n_sat"),
+          array_max(zip_with(col("embedding"), col("q"),
+            (x, q) => abs(x.cast("double") - q / lit(127.0)))).as("max_err"))
+        .orderBy("vec_id")
+    },
+
+    // Reproducible train/val/test assignment: a deterministic function of
+    // the row id, NOT rand() — a retried task must re-deal identical
+    // splits (same invariant as Salting's content-hash salts). The Knuth
+    // multiplicative hash is portable arithmetic both engines compute
+    // exactly in int64 (doc_id is small; at scale swap in xxhash64 on the
+    // Spark side and keep the split fractions).
+    "q49_train_split" -> Q(
+      "Deterministic 80/10/10 train/val/test split audit per source",
+      """SELECT source, split, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT source, n_chars,
+        |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, dir) =>
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      Tables(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("source", "split")
+    },
+
+    // TF-IDF with a RATIONAL idf (tf * N / df, no log): log() libm
+    // implementations can differ in the last ulp across engines, while
+    // integer ratio arithmetic hashes identically. Top-3 terms per doc,
+    // ties broken by term — fully deterministic.
+    "q50_tfidf_top_terms" -> Q(
+      "Top-3 TF-IDF terms per document (rational idf; first 50 docs)",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, rnk FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.term) AS rnk
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |  WHERE tf.doc_id < 50) t
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+      val tf = toks.filter(col("doc_id") < 50)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfTbl = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(((col("tf") * col("n_docs")).cast("double") / col("df")).desc, col("term"))
+      tf.join(broadcast(dfTbl), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "term", "rnk")
+        .orderBy("doc_id", "rnk")
+    },
+
+    // HLL++ approximate distinct: the 100 TB replacement for q08's exact
+    // expand+two-phase count-distinct (constant memory, one pass, mergeable
+    // sketch). Sketch internals are engine-specific, so no value oracle —
+    // TrainingSpec pins the estimate within 5% of exact instead.
+    "q51_approx_distinct" -> Q.noOracle(
+      "approx_count_distinct (HLL++) users+sessions per event_type; " +
+        "5%-of-exact asserted in TrainingSpec") { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    })
+}

@@ -110,4 +110,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((h0, "view", 1L, 5.0)))
     q.stop()
   }
+
+  test("streaming dedup collapses redelivered events within the watermark") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DedupStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Timestamp)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP)
+
+    val t0 = 1700000000000L
+    def ev(id: Long, minutes: Long) = (id, new Timestamp(t0 + minutes * 60000))
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = DedupStream.start(
+      input.toDF().toDF("event_id", "ts"), queryName = "dedup_t",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    // id=1 delivered three times (same batch AND a later batch), id=2 once
+    input.addData(ev(1, 0), ev(1, 0), ev(2, 1))
+    q.processAllAvailable()
+    input.addData(ev(1, 2), ev(3, 3)) // redelivery within the 10-min watermark
+    q.processAllAvailable()
+
+    val ids = spark.table("dedup_t").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L),
+      s"each event id must survive exactly once, got ${ids.mkString(",")}")
+    q.stop()
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Tables, Training}
+
+class TrainingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("int8 quantization bounds reconstruction error by half a step") {
+    val out = SparkEntry.queries("q48_embed_quantize")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // |x| <= 1 inputs: max_err <= 0.5/127 (half quantization step); saturated
+    // elements may exceed that only when |x| > 1
+    out.foreach { r =>
+      val (nSat, maxErr) = (r.getLong(1), r.getDouble(2))
+      if (nSat == 0)
+        assert(maxErr <= 0.5 / 127 + 1e-12, s"vec ${r.getLong(0)}: err $maxErr")
+    }
+  }
+
+  test("train/val/test split is deterministic and fractions are near 80/10/10") {
+    val a = SparkEntry.queries("q49_train_split")(spark, sf).collect()
+    val b = SparkEntry.queries("q49_train_split")(spark, sf).collect()
+    assert(a.sameElements(b), "split assignment must be retry-deterministic")
+    val byc = a.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = byc.values.sum.toDouble
+    assert(math.abs(byc("train") / total - 0.8) < 0.1, s"train frac ${byc("train") / total}")
+    assert(byc.keySet == Set("train", "val", "test"))
+  }
+
+  test("tfidf top terms are dense-ranked and deterministic") {
+    val rows = SparkEntry.queries("q50_tfidf_top_terms")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("approx_count_distinct lands within 5% of exact per event_type") {
+    val approx = SparkEntry.queries("q51_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sf, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (t, e) =>
+      assert(math.abs(approx(t) - e).toDouble / e <= 0.05,
+        s"$t: approx ${approx(t)} vs exact $e")
+    }
+  }
+}
