@@ -108,6 +108,30 @@ object Training {
         .orderBy("doc_id", "rnk")
     },
 
+    // Range join via bounded bucket expansion — Spark's native plan for a
+    // time-interval join is a BroadcastNestedLoopJoin; this is the
+    // equi-join reformulation (see operators/RangeJoin.scala). The oracle
+    // is the naive BETWEEN join, so the hash check proves the bucketing
+    // loses and invents nothing.
+    "q52_range_join" -> Q(
+      "Range join: count clicks in the hour before each error event " +
+        "(bucketed equi-join, no nested-loop)",
+      """SELECT e.event_id, COUNT(*) AS n_recent_clicks
+        |FROM events e JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        | AND c.ts >= e.ts - INTERVAL 60 MINUTE AND c.ts < e.ts
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts")
+      graft.operators.RangeJoin
+        .recentWithin(errors, clicks, "user_id", "ts", windowUs = 60L * 60 * 1000000)
+        .groupBy("event_id").agg(count(lit(1)).as("n_recent_clicks"))
+        .orderBy("event_id")
+    },
+
     // HLL++ approximate distinct: the 100 TB replacement for q08's exact
     // expand+two-phase count-distinct (constant memory, one pass, mergeable
     // sketch). Sketch internals are engine-specific, so no value oracle —
