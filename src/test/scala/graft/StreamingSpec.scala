@@ -141,4 +141,44 @@ class StreamingSpec extends SparkSpec {
       s"each event id must survive exactly once, got ${ids.mkString(",")}")
     q.stop()
   }
+
+  test("stream-stream range join pairs events within the window only") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.RangeJoinStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long, Timestamp)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP)
+
+    val t0 = 1700000000000L
+    def at(minutes: Long) = new Timestamp(t0 + minutes * 60000)
+
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = RangeJoinStream.recentWithin(
+      errors.toDF().toDF("user_id", "event_id", "ts"),
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      key = "user_id", ts = "ts", windowSeconds = 3600)
+    val q = joined
+      .select(col("event_id"), col("b_event_id"))
+      .writeStream.format("memory").queryName("rj_t").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    // click 30 min before the error (in window), click 2h before (out),
+    // click from another user (out), click AFTER the error (out)
+    clicks.addData((1L, 100L, at(0)), (1L, 101L, at(90)), (2L, 102L, at(110)),
+      (1L, 103L, at(125)))
+    errors.addData((1L, 500L, at(120)))
+    q.processAllAvailable()
+
+    val pairs = spark.table("rj_t").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((500L, 101L)),
+      s"only the in-window same-user click must join, got $pairs")
+    q.stop()
+  }
 }
