@@ -34,4 +34,27 @@ object Bucketing {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Hive-layout partitioned write: one directory per distinct value tuple
+    * of `partitionCols` (`.../source=web/part-*.parquet`). The other half
+    * of the 100 TB layout story next to bucketing: a filter on a partition
+    * column becomes PARTITION PRUNING — whole directories skipped at
+    * planning time, so a day/source/tenant-scoped query over a petabyte
+    * lake reads only its slice (asserted via `PartitionFilters` +
+    * `inputFiles` in BucketingSpec).
+    *
+    * Choose low-cardinality columns (date, source, tenant); a
+    * high-cardinality partition column creates millions of small files —
+    * that's what bucketing is for instead.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      codec: String = "zstd"): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", codec)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

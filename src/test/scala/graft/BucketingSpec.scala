@@ -83,4 +83,28 @@ class BucketingSpec extends SparkSpec {
     assert(shuffles(agg) == 0,
       "groupBy on the bucketing key must reuse the bucket partitioning")
   }
+
+  test("partitioned write prunes whole directories on a partition-column filter") {
+    val path = "/tmp/graft_part_docs"
+    val docs = Tables.raw(spark, "/root/testdata/sf0.001", "documents")
+    Bucketing.writePartitioned(docs, path, Seq("source"))
+
+    val one = docs.select("source").head.getString(0)
+    val pruned = spark.read.parquet(path).filter(col("source") === one)
+
+    // planning-time pruning: the scan's SELECTED partitions (inputFiles on
+    // the DataFrame lists the whole relation pre-filter) are only source=one
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${scan.selectedPartitions.partitionCount}")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("source"),
+      plan.linesIterator.take(10).mkString("\n"))
+
+    // values round-trip (partition col comes back from the directory name)
+    val n = docs.filter(col("source") === one).count()
+    assert(pruned.count() == n)
+  }
 }
