@@ -69,7 +69,11 @@ object GraftExtensions {
         if (args.length > 1) intArg(args(1), "k") else 3)),
     fn("jaccard_sorted",
       "jaccard_sorted(a, b) - jaccard similarity of two sorted-distinct array<bigint>",
-      args => JaccardSorted(args(0), args(1))))
+      args => JaccardSorted(args(0), args(1))),
+    // raw AggregateFunction: the analyzer wraps it in an AggregateExpression
+    fn("bottom_k_distinct",
+      "bottom_k_distinct(expr, k) - k smallest distinct string values, sorted (KMV sketch core)",
+      args => BottomKDistinct(args(0), intArg(args(1), "k"))))
 
   /** Register every engine function on a live session. */
   def register(spark: SparkSession): Unit = {

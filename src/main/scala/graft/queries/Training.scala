@@ -132,6 +132,27 @@ object Training {
         .orderBy("event_id")
     },
 
+    // Custom TypedImperativeAggregate under the value oracle: bottom-k
+    // distinct md5 hashes per group (the KMV sketch core — deterministic
+    // uniform group sample + mergeable distinct estimator; k-sized partial
+    // buffers through the shuffle, never the values). md5 hex sorts
+    // identically as bytes in both engines, and the sketch is
+    // order/partitioning-independent, so the hash check pins the custom
+    // update/merge/serialize path exactly.
+    "q53_kmv_sketch" -> Q(
+      "KMV sketch: 5 smallest distinct md5(text) per source via a custom " +
+        "TypedImperativeAggregate",
+      """SELECT source,
+        |  array_to_string(list_sort(list(DISTINCT md5(text)))[1:5], ',') AS bottom5
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(concat_ws(",",
+          graft.functions.BottomKExpressions.bottomKDistinct(md5(col("text")), 5))
+          .as("bottom5"))
+        .orderBy("source")
+    },
+
     // HLL++ approximate distinct: the 100 TB replacement for q08's exact
     // expand+two-phase count-distinct (constant memory, one pass, mergeable
     // sketch). Sketch internals are engine-specific, so no value oracle —

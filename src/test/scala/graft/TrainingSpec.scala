@@ -39,6 +39,39 @@ class TrainingSpec extends SparkSpec {
     }
   }
 
+  test("bottom-k sketch is partitioning-independent and KMV estimate tracks exact") {
+    import graft.functions.BottomKExpressions._
+    // sf0.01: sf0.001 has only 15 distinct users — fewer than k, which
+    // degenerates the sketch to the exact set
+    val ev = Tables(spark, "/root/testdata/sf0.01", "events")
+      .select(col("user_id").cast("string").as("u"))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.agg(bottomKDistinct(md5(col("u")), 64).as("sk"))
+    // same sketch regardless of physical partitioning (update/merge paths)
+    val a = sketch(ev).head.getSeq[String](0)
+    val b = sketch(ev.repartition(13)).head.getSeq[String](0)
+    val c = sketch(ev.coalesce(1)).head.getSeq[String](0)
+    assert(a == b && b == c, "sketch must not depend on partitioning")
+    assert(a.length == 64 && a == a.sorted)
+
+    val est = sketch(ev).select(kmvEstimate(col("sk"), 64).as("e")).head.getDouble(0)
+    val exact = ev.distinct().count().toDouble
+    assert(math.abs(est - exact) / exact < 0.3,
+      s"KMV estimate $est vs exact $exact (k=64 → ~12.5% expected error)")
+  }
+
+  test("bottom_k_distinct is callable from SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    Tables(spark, sf, "documents").createOrReplaceTempView("docs_bk")
+    val viaSql = spark.sql(
+      "SELECT source, bottom_k_distinct(md5(text), 5) AS s FROM docs_bk GROUP BY source")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val viaApi = Tables(spark, sf, "documents").groupBy("source")
+      .agg(graft.functions.BottomKExpressions.bottomKDistinct(md5(col("text")), 5).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaSql == viaApi)
+  }
+
   test("approx_count_distinct lands within 5% of exact per event_type") {
     val approx = SparkEntry.queries("q51_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
