@@ -66,10 +66,17 @@ object Bench {
     // driver's JSON extraction — ALSO write the bare line to a file the
     // driver (or a human) can read without log-scraping.
     println(json)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // best-effort: a bad output path must not turn a finished benchmark
+    // into a nonzero exit after the fact
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(
+        out, (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception => System.err.println(s"[bench] could not write bench file: $e")
+    }
     spark.stop()
   }
 }

@@ -131,13 +131,14 @@ object BottomKExpressions {
 
   /** KMV distinct-cardinality estimate from a bottom-k of md5-hex hashes:
     * `(k-1) / fraction-of-hash-space-below-kth`. Plain Column arithmetic
-    * over the sketch output (first 15 hex chars = 60 uniform bits — fits a
-    * double exactly).
+    * over the sketch output. 13 hex chars = 52 uniform bits — the widest
+    * prefix a double mantissa (53 bits) represents exactly; wider prefixes
+    * would silently round and break the exactness invariant.
     */
   def kmvEstimate(sketch: Column, k: Int): Column = {
     import org.apache.spark.sql.functions._
     val kth = element_at(sketch, k)
-    val frac = conv(substring(kth, 1, 15), 16, 10).cast("double") / math.pow(16.0, 15)
+    val frac = conv(substring(kth, 1, 13), 16, 10).cast("double") / math.pow(16.0, 13)
     when(size(sketch) < k, size(sketch).cast("double"))
       .otherwise(lit((k - 1).toDouble) / frac)
   }

@@ -47,13 +47,14 @@ object Text {
   /** Word k-shingles (k consecutive tokens joined by one space). Short texts
     * (< k tokens) yield a single whole-text shingle.
     */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val ts = tokens(c)
+  def shingles(c: Column, k: Int = 3): Column = shinglesOf(tokens(c), k)
+
+  /** Shared shingle windowing over a pre-split token array. */
+  private def shinglesOf(ts: Column, k: Int): Column =
     when(size(ts) < k, array(concat_ws(" ", ts)))
       .otherwise(transform(
         sequence(lit(1), size(ts) - (k - 1)),
         i => concat_ws(" ", slice(ts, i, lit(k)))))
-  }
 
   /** Word k-shingles over plain single-space-split tokens. Unlike
     * [[shingles]] (regex `\s+` tokens), this splits on the literal space
@@ -61,13 +62,8 @@ object Text {
     * (`string_split(text, ' ')` + list slicing) — used by the
     * oracle-checked exact-Jaccard query (q35).
     */
-  def shinglesSpaceSplit(c: Column, k: Int = 3): Column = {
-    val ts = split(c, " ", -1)
-    when(size(ts) < k, array(concat_ws(" ", ts)))
-      .otherwise(transform(
-        sequence(lit(1), size(ts) - (k - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(k)))))
-  }
+  def shinglesSpaceSplit(c: Column, k: Int = 3): Column =
+    shinglesOf(split(c, " ", -1), k)
 
   /** MinHash signature: `numPerm` independent min-hashes over the distinct
     * shingle set. Permutation i is `xxhash64(shingle, i)` — independent

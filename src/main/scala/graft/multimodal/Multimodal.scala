@@ -37,7 +37,10 @@ object Multimodal {
     */
   def decodeImage(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
     if (!looksLikeImage(bytes)) return None
-    val in = javax.imageio.ImageIO.createImageInputStream(
+    // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream: the
+    // latter defaults to a DISK-backed cache — one temp-file create/delete
+    // per row in the decode hot path (and decode failure on a full tmpdir)
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -52,7 +55,7 @@ object Multimodal {
           Some(MediaMeta(
             doc_id = id,
             byte_len = bytes.length.toLong,
-            format = "image/" + r.getFormatName.toLowerCase,
+            format = "image/" + r.getFormatName.toLowerCase(java.util.Locale.ROOT),
             width = r.getWidth(0),
             height = r.getHeight(0),
             checksum = checksumOf(bytes)))
@@ -98,16 +101,13 @@ object Multimodal {
   def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
     val len = bytes.length.toLong
     val head = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-    var ck = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) { ck = 31 * ck + bytes(i); i += 1 }
     MediaMeta(
       doc_id = id,
       byte_len = len,
       format = if (head % 2 == 0) "fake/png" else "fake/jpeg",
       width = 16 + (head % 64),
       height = 16 + ((len % 64)).toInt,
-      checksum = ck)
+      checksum = checksumOf(bytes))
   }
 
   /** Partition-local decode with the real-image path enabled. */

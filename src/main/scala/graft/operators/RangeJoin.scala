@@ -37,7 +37,6 @@ object RangeJoin {
       windowUs: Long): DataFrame = {
     require(windowUs > 0, "window must be positive")
     val pU = unix_micros(col(ts))
-    val bU = unix_micros(col(ts))
     val p = probe
       .withColumn("__pu", pU)
       .withColumn("__bucket",

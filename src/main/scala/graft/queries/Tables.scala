@@ -79,16 +79,23 @@ object Tables {
     * plans containing this scan resolve the flag from the clone.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val scoped = eventsSessions.computeIfAbsent(spark, s => {
-      val c = s.newSession()
-      c.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scoped = eventsSessions.synchronized {
+      var c = eventsSessions.get(spark)
+      if (c == null) {
+        c = spark.newSession()
+        c.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        eventsSessions.put(spark, c)
+      }
       c
-    })
+    }
     scoped.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  private val eventsSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // WeakHashMap, not ConcurrentHashMap: a strong key would pin every caller
+  // session (and its SessionState) for the process lifetime. The clone
+  // holds no reference back to its parent (`newSession` shares only
+  // context/sharedState), so entries clear when the parent is collected.
+  private val eventsSessions = new java.util.WeakHashMap[SparkSession, SparkSession]()
 }

@@ -158,7 +158,7 @@ object Training {
     // sketch). Sketch internals are engine-specific, so no value oracle —
     // TrainingSpec pins the estimate within 5% of exact instead.
     "q51_approx_distinct" -> Q.noOracle(
-      "approx_count_distinct (HLL++) users+sessions per event_type; " +
+      "approx_count_distinct (HLL++) distinct users per event_type; " +
         "5%-of-exact asserted in TrainingSpec") { (s, dir) =>
       Tables(s, dir, "events")
         .groupBy("event_type")
