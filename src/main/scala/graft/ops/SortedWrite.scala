@@ -99,6 +99,38 @@ object SortedWrite {
     WriteResult(outPath, rows, sortable, sortCol, codec)
   }
 
+  /** Partitioned variant of [[write]] — the 100 TB layout: hive-style
+    * directories per `partitionCols` value (partition pruning on read, see
+    * [[Bucketing.writePartitioned]]), with rows inside every output file
+    * sorted by `sortCol`. One shuffle (repartition on the partition
+    * columns) co-locates each partition's rows, then a partition-local
+    * sort orders them — no global range exchange, fully parallel write.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      outPath: String,
+      partitionCols: Seq[String],
+      sortCol: String = "time",
+      codec: String = "zstd",
+      pageSizeBytes: Int = 1048576): WriteResult = {
+    require(partitionCols.nonEmpty, "at least one partition column required")
+    val sortable = df.columns.contains(sortCol)
+    val arranged = {
+      val co = df.repartition(partitionCols.map(col): _*)
+      if (sortable)
+        co.sortWithinPartitions((partitionCols :+ sortCol).map(col): _*)
+      else co
+    }
+    arranged.write
+      .mode("overwrite")
+      .option("compression", codec)
+      .option("parquet.page.size", pageSizeBytes.toString)
+      .partitionBy(partitionCols: _*)
+      .parquet(outPath)
+    val rows = df.sparkSession.read.parquet(outPath).count()
+    WriteResult(outPath, rows, sortable, sortCol, codec)
+  }
+
   /** Stamp `sorting_columns` into footers of local files (in-place rewrite
     * needs a seekable file; object-store outputs keep sorted ORDER without
     * the footer hint — same stance as the reference, which stamps its local

@@ -59,6 +59,41 @@ object ConvertJob {
     runOn(raw, outPath, sortCol, codec, strict, singleFile)
   }
 
+  /** Scale-path variant: same read → coerce chain, but the output is a
+    * DATE-PARTITIONED parquet lake (`date=yyyy-MM-dd/` directories derived
+    * from the epoch-ms sort column) instead of one globally-sorted file.
+    * Rows stay sorted by `sortCol` within every file; readers filtering on
+    * `date` get planning-time partition pruning. This is how the same
+    * conversion runs over 100 TB of findings: parallel writes, no
+    * `coalesce(1)`, no global range exchange.
+    */
+  def runPartitionedByDate(
+      spark: SparkSession,
+      srcPath: String,
+      outPath: String,
+      sortCol: String = "time",
+      codec: String = "zstd",
+      strict: Boolean = false): ConvertResult = {
+    val raw = spark.read.json(srcPath)
+    val original = raw.schema
+    val coerced = DtCoercion.coerceDtFields(raw, strict)
+    require(coerced.columns.contains(sortCol),
+      s"date partitioning needs the epoch-ms column '$sortCol'")
+    val dated = coerced.withColumn("date",
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.col(sortCol)), "yyyy-MM-dd"))
+    val res = SortedWrite.writePartitioned(dated, outPath, Seq("date"), sortCol, codec)
+    ConvertResult(
+      outputPath = res.path,
+      rows = res.rows,
+      sorted = res.sorted,
+      codec = res.codec,
+      originalSchema = SchemaJson.render(original),
+      updatedSchema = SchemaJson.render(coerced.schema),
+      coercedFields = DtCoercion.hitPaths(original))
+  }
+
   /** Same pipeline over an already-loaded DataFrame (for tests / streaming). */
   def runOn(
       raw: DataFrame,

@@ -139,4 +139,42 @@ class ConvertJobSpec extends SparkSpec {
     // range-partitioned sort: reading the directory back is still globally sorted per file
     assert(spark.read.parquet(out).count() == 10000)
   }
+
+  test("date-partitioned convert: hive dirs per day, sorted within, prunable") {
+    // hand-written NDJSON spanning 3 days, deliberately out of order
+    val day = 86400000L
+    val t0 = Findings.BaseMs
+    val times = Seq(t0 + 2 * day + 5000, t0 + 100, t0 + day + 7000,
+      t0 + 50, t0 + 2 * day + 1000, t0 + day + 3000)
+    val src = s"$dir/multi_day.json"
+    val w = new java.io.PrintWriter(src)
+    try times.foreach { t =>
+      w.println(s"""{"time": $t, "time_dt": "${Findings.iso(t)}", "x": 1}""")
+    } finally w.close()
+
+    val out = s"$dir/out_dated"
+    val res = ConvertJob.runPartitionedByDate(spark, src, out)
+    assert(res.rows == 6 && res.sorted)
+
+    val dirs = new java.io.File(out).listFiles.filter(_.getName.startsWith("date="))
+    assert(dirs.map(_.getName).sorted.toSeq ==
+      Seq("date=2025-01-01", "date=2025-01-02", "date=2025-01-03"))
+
+    val back = spark.read.parquet(out)
+    assert(back.schema("time_dt").dataType == TimestampType, "coercion must survive")
+    // per-file sort within each date partition
+    dirs.foreach { d =>
+      d.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val ts = spark.read.parquet(f.getPath).select("time").collect().map(_.getLong(0))
+        assert(ts.sameElements(ts.sorted), s"unsorted file ${f.getName}")
+      }
+    }
+    // partition pruning on the derived date column
+    val pruned = back.filter(col("date") === "2025-01-02")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case fs: org.apache.spark.sql.execution.FileSourceScanExec => fs
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1)
+    assert(pruned.count() == 2)
+  }
 }
