@@ -118,6 +118,30 @@ object Text {
     size(array_intersect(da, db)).cast("double") / size(array_union(da, db)).cast("double")
   }
 
+  /** Masking patterns shared with the DuckDB oracle — RE2-safe (no
+    * backrefs/lookaround), explicit whitespace class (see
+    * [[BpeSplitPattern]] for why `\s` is a cross-engine trap). Applied to
+    * LOWERCASED text so the case-sensitive classes suffice.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlPattern = "https?://[^ \\t\\n\\r]+"
+  private val WsRun = "[ \\t\\n\\r]+"
+
+  /** Normalization pass for training corpora: lowercase, mask emails and
+    * URLs, collapse whitespace runs, trim. Pure `regexp_replace` chain —
+    * codegen'd, shuffle-free, linear.
+    */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(c), EmailPattern, "<email>"),
+        UrlPattern, "<url>"),
+      WsRun, " "))
+
+  /** Count of pattern matches (codegen'd; for masking audits). */
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(c), lit(pattern), lit(0))).cast("long")
+
   /** Content fingerprint: stable 128-bit hex digest of normalized text. */
   def fingerprint(c: Column): Column = md5(lower(trim(c)))
 

@@ -111,5 +111,32 @@ object TextAnalysis {
           col("doc_id"),
           Text.bpeTokenCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")
+    },
+
+    // Corpus normalization — the first stage of every training-data
+    // pipeline: lowercase, mask emails/URLs, collapse whitespace. Pure
+    // regexp_replace chain (codegen, linear, shuffle-free); the shared
+    // RE2-safe patterns make the full cleaned STRING hash-comparable
+    // against DuckDB, so the oracle pins every masking rule exactly.
+    "q54_clean_text" -> Q(
+      "Text normalization: lowercase + email/URL masking + whitespace collapse, " +
+        "with masking audit counts",
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |    '${Text.EmailPattern}', '<email>', 'g'),
+         |    '${Text.UrlPattern}', '<url>', 'g'),
+         |    '[ \\t\\n\\r]+', ' ', 'g')) AS cleaned,
+         |  CAST(LEN(regexp_extract_all(lower(text), '${Text.EmailPattern}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(LEN(regexp_extract_all(lower(text), '${Text.UrlPattern}')) AS BIGINT)
+         |    AS n_urls
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Text.cleanText(col("text")).as("cleaned"),
+          Text.matchCount(col("text"), Text.EmailPattern).as("n_emails"),
+          Text.matchCount(col("text"), Text.UrlPattern).as("n_urls"))
+        .orderBy("doc_id")
     })
 }

@@ -16,6 +16,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Long](Text.tokenCountPortable($"t"), "") == 0L)
   }
 
+  test("cleanText masks emails and urls, collapses whitespace, lowercases") {
+    val in = "Contact Bob.Smith+x@Example.ORG  or   https://a.example/path?q=1 \t NOW"
+    assert(one[String](Text.cleanText($"t"), in) == "contact <email> or <url> now")
+    assert(one[Long](Text.matchCount($"t", Text.EmailPattern), in) == 1L)
+    assert(one[Long](Text.matchCount($"t", Text.UrlPattern), in) == 1L)
+    assert(one[Long](Text.matchCount($"t", Text.EmailPattern), "no pii here") == 0L)
+  }
+
   test("shingles: 3-word windows; short text → whole-text shingle") {
     def shing(s: String): Seq[String] =
       Seq(s).toDF("t").select(Text.shingles($"t", 3)).head.getSeq[String](0).toSeq
