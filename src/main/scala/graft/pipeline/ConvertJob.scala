@@ -45,6 +45,18 @@ object ConvertJob {
     s"$stem.$tag.parquet"
   }
 
+  /** Parse-mode parity: `paj.read_json` RAISES on a malformed NDJSON line
+    * (`/root/reference/pyarrow/main.py:59`, default ParseOptions), while
+    * Spark's default PERMISSIVE mode silently nulls the row and pollutes
+    * the inferred schema with `_corrupt_record`. FAILFAST reproduces the
+    * reference's raise; pass `parseMode = "PERMISSIVE"` explicitly to opt
+    * into Spark's lenient behavior.
+    */
+  val DefaultParseMode = "FAILFAST"
+
+  private def readNdjson(spark: SparkSession, srcPath: String, parseMode: String) =
+    spark.read.option("mode", parseMode).json(srcPath)
+
   /** Read NDJSON → coerce `_dt` → sort → write parquet. */
   def run(
       spark: SparkSession,
@@ -53,9 +65,10 @@ object ConvertJob {
       sortCol: String = "time",
       codec: String = "zstd",
       strict: Boolean = false,
-      singleFile: Boolean = false): ConvertResult = {
+      singleFile: Boolean = false,
+      parseMode: String = DefaultParseMode): ConvertResult = {
 
-    val raw = spark.read.json(srcPath)
+    val raw = readNdjson(spark, srcPath, parseMode)
     runOn(raw, outPath, sortCol, codec, strict, singleFile)
   }
 
@@ -73,8 +86,9 @@ object ConvertJob {
       outPath: String,
       sortCol: String = "time",
       codec: String = "zstd",
-      strict: Boolean = false): ConvertResult = {
-    val raw = spark.read.json(srcPath)
+      strict: Boolean = false,
+      parseMode: String = DefaultParseMode): ConvertResult = {
+    val raw = readNdjson(spark, srcPath, parseMode)
     val original = raw.schema
     val coerced = DtCoercion.coerceDtFields(raw, strict)
     require(coerced.columns.contains(sortCol),

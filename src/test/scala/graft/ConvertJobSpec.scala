@@ -140,6 +140,25 @@ class ConvertJobSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 10000)
   }
 
+  test("malformed NDJSON line: FAILFAST raises (pyarrow parity), PERMISSIVE opts out") {
+    val src = s"$dir/corrupt.json"
+    val w = new java.io.PrintWriter(src)
+    try {
+      w.println("""{"time": 1, "ok": "yes"}""")
+      w.println("""{"time": 2, "ok": BROKEN""")
+    } finally w.close()
+
+    intercept[Exception] {
+      ConvertJob.run(spark, src, s"$dir/out_ff", singleFile = true)
+    }
+    // explicit opt-in to Spark's lenient mode keeps the good row
+    val res = ConvertJob.run(spark, src, s"$dir/out_perm.zst.parquet",
+      singleFile = true, parseMode = "PERMISSIVE")
+    assert(res.rows == 2, "permissive mode keeps rows (corrupt one nulled)")
+    val cols = spark.read.parquet(s"$dir/out_perm.zst.parquet").columns
+    assert(cols.contains("_corrupt_record"), "lenient mode surfaces the corrupt line")
+  }
+
   test("date-partitioned convert: hive dirs per day, sorted within, prunable") {
     // hand-written NDJSON spanning 3 days, deliberately out of order
     val day = 86400000L
