@@ -110,6 +110,80 @@ object Multimodal {
       checksum = checksumOf(bytes))
   }
 
+  /** Real image resize via JDK Graphics2D (bilinear), re-encoded as PNG.
+    * None for non-image payloads. Pure-JVM per-row transform — the
+    * partition-local map stage of a thumbnail/normalize-resolution
+    * pipeline; at scale this is exactly the shape of a `mapInPandas`
+    * resize stage, minus the Python worker round-trip.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    if (!looksLikeImage(bytes)) return None
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Real feature extraction: 16-bin grayscale-luminance histogram of a
+    * decoded image (None for non-images). The feature vector shape a
+    * downstream embedding/quality model consumes; partition-local like
+    * every stage here.
+    */
+  def grayHistogram(bytes: Array[Byte], bins: Int = 16): Option[Array[Long]] = {
+    if (!looksLikeImage(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val hist = new Array[Long](bins)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            hist((lum * bins) / 256) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(hist)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  final case class MediaFrame(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, histogram: Array[Long])
+
+  /** Partition-local resize stage: image payloads are resized to (w, h),
+    * non-image payloads pass through unchanged.
+    */
+  def resizeStage(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        MediaFrame(r.doc_id, resizeImage(r.payload, w, h).getOrElse(r.payload))
+      })
+      .toDF()
+  }
+
   /** Partition-local decode with the real-image path enabled. */
   def decodeMetaReal(media: DataFrame): Dataset[MediaMeta] = {
     val spark = media.sparkSession

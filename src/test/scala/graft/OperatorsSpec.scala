@@ -120,6 +120,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).format == "image/png" && out(0).width == 13 && out(0).height == 7)
     assert(out(1).format.startsWith("fake/"))
   }
+
+  test("resize stage rescales real images and passes non-images through") {
+    val img = new java.awt.image.BufferedImage(64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(x => img.setRGB(x, 0, 0xffffff)) // half-bright top row
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val resized = Multimodal.resizeImage(png, 16, 8).get
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 16 && back.getHeight == 8)
+    assert(Multimodal.resizeImage("text".getBytes, 16, 8).isEmpty)
+
+    val media = Seq((1L, png), (2L, "plain".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val staged = Multimodal.resizeStage(media, 16, 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val dims = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(staged(1L)))
+    assert(dims.getWidth == 16 && dims.getHeight == 8)
+    assert(staged(2L).sameElements("plain".getBytes("UTF-8")), "non-image passes through")
+  }
+
+  test("grayscale histogram features: mass in the right bins, none for non-images") {
+    val img = new java.awt.image.BufferedImage(10, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 10).foreach(y => (0 until 10).foreach(x =>
+      img.setRGB(x, y, if (y < 5) 0x000000 else 0xffffff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val hist = Multimodal.grayHistogram(bos.toByteArray).get
+    assert(hist.length == 16 && hist.sum == 100)
+    assert(hist(0) == 50 && hist(15) == 50, s"bimodal image → edge bins: ${hist.mkString(",")}")
+    assert(Multimodal.grayHistogram("nope".getBytes).isEmpty)
+  }
 }
 
 class RegistrySpec extends SparkSpec {
