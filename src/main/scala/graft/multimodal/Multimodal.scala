@@ -145,6 +145,7 @@ object Multimodal {
     * every stage here.
     */
   def grayHistogram(bytes: Array[Byte], bins: Int = 16): Option[Array[Long]] = {
+    require(bins > 0, "bins must be positive")
     if (!looksLikeImage(bytes)) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -168,18 +169,23 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  final case class MediaFrame(doc_id: Long, payload: Array[Byte])
+  final case class MediaFrame(doc_id: Long, payload: Array[Byte], resized: Boolean)
   final case class MediaFeatures(doc_id: Long, histogram: Array[Long])
 
-  /** Partition-local resize stage: image payloads are resized to (w, h),
-    * non-image payloads pass through unchanged.
+  /** Partition-local resize stage. Image payloads are resized to (w, h);
+    * non-image OR undecodable payloads pass through unchanged and carry
+    * `resized = false` — a downstream stage expecting uniform frames must
+    * filter on the flag instead of discovering mixed dimensions later.
     */
   def resizeStage(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(_.map { r =>
-        MediaFrame(r.doc_id, resizeImage(r.payload, w, h).getOrElse(r.payload))
+        resizeImage(r.payload, w, h) match {
+          case Some(b) => MediaFrame(r.doc_id, b, resized = true)
+          case None    => MediaFrame(r.doc_id, r.payload, resized = false)
+        }
       })
       .toDF()
   }

@@ -102,9 +102,16 @@ object SortedWrite {
   /** Partitioned variant of [[write]] — the 100 TB layout: hive-style
     * directories per `partitionCols` value (partition pruning on read, see
     * [[Bucketing.writePartitioned]]), with rows inside every output file
-    * sorted by `sortCol`. One shuffle (repartition on the partition
-    * columns) co-locates each partition's rows, then a partition-local
-    * sort orders them — no global range exchange, fully parallel write.
+    * sorted by `sortCol`.
+    *
+    * The exchange is a RANGE partitioning on (partitionCols, sortCol), NOT
+    * a hash repartition on the partition columns: hashing would funnel
+    * each distinct partition value through exactly ONE task (a 1 TB day →
+    * one sorting, spilling task and one giant file), while range splits a
+    * large date across many tasks by sort-key range. The dynamic-partition
+    * writer still routes every row to its directory, and each task's range
+    * is contiguous in (date, time) so files stay internally sorted.
+    * `maxRecordsPerFile` additionally caps file size when set.
     */
   def writePartitioned(
       df: DataFrame,
@@ -112,21 +119,22 @@ object SortedWrite {
       partitionCols: Seq[String],
       sortCol: String = "time",
       codec: String = "zstd",
-      pageSizeBytes: Int = 1048576): WriteResult = {
+      pageSizeBytes: Int = 1048576,
+      maxRecordsPerFile: Long = 0L): WriteResult = {
     require(partitionCols.nonEmpty, "at least one partition column required")
     val sortable = df.columns.contains(sortCol)
-    val arranged = {
-      val co = df.repartition(partitionCols.map(col): _*)
-      if (sortable)
-        co.sortWithinPartitions((partitionCols :+ sortCol).map(col): _*)
-      else co
-    }
-    arranged.write
+    val arranged =
+      if (sortable) df.orderBy((partitionCols :+ sortCol).map(col): _*)
+      else df.repartition(partitionCols.map(col): _*)
+    val base = arranged.write
       .mode("overwrite")
       .option("compression", codec)
       .option("parquet.page.size", pageSizeBytes.toString)
-      .partitionBy(partitionCols: _*)
-      .parquet(outPath)
+    val sized =
+      if (maxRecordsPerFile > 0)
+        base.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      else base
+    sized.partitionBy(partitionCols: _*).parquet(outPath)
     val rows = df.sparkSession.read.parquet(outPath).count()
     WriteResult(outPath, rows, sortable, sortCol, codec)
   }

@@ -42,15 +42,20 @@ object ZOrder {
       floor((c.cast("double") - lit(lo)) / span * maxV).cast("long")))
   }
 
-  /** Z-value for two numeric columns; domain bounds from one agg pass. */
-  def zValueOf(df: DataFrame, colA: String, colB: String, bits: Int = 16): Column = {
+  /** Z-value for two numeric columns; domain bounds from one agg pass.
+    * None when bounds are unavailable (empty input, or all-null /
+    * non-castable columns) — callers fall back to an unclustered write
+    * rather than NPE-ing on a null min/max.
+    */
+  def zValueOf(df: DataFrame, colA: String, colB: String, bits: Int = 16): Option[Column] = {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
-    interleave(
+    if ((0 until 4).exists(r.isNullAt)) None
+    else Some(interleave(
       normalize(col(colA), r.getDouble(0), r.getDouble(1), bits),
       normalize(col(colB), r.getDouble(2), r.getDouble(3), bits),
-      bits)
+      bits))
   }
 
   /** Write `df` parquet, z-order-clustered on (colA, colB). `maxRecordsPerFile`
@@ -63,13 +68,15 @@ object ZOrder {
       colB: String,
       maxRecordsPerFile: Int = 0,
       codec: String = "zstd"): Unit = {
-    val z = zValueOf(df, colA, colB)
-    val w = df.withColumn("__z", z)
-      .orderBy(col("__z"))
-      .drop("__z")
-      // orderBy on a dropped column survives as the write ordering because
-      // drop projects AFTER the sort in the same plan
-      .write.mode("overwrite").option("compression", codec)
+    require(!df.columns.contains("__z"), "input already has a '__z' column")
+    val arranged = zValueOf(df, colA, colB) match {
+      case Some(z) =>
+        // orderBy on the dropped column survives as the write ordering
+        // because drop projects AFTER the sort in the same plan
+        df.withColumn("__z", z).orderBy(col("__z")).drop("__z")
+      case None => df // empty / all-null bounds: nothing to cluster
+    }
+    val w = arranged.write.mode("overwrite").option("compression", codec)
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
      else w).parquet(outPath)
   }

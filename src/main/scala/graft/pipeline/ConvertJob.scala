@@ -87,26 +87,36 @@ object ConvertJob {
       sortCol: String = "time",
       codec: String = "zstd",
       strict: Boolean = false,
-      parseMode: String = DefaultParseMode): ConvertResult = {
+      parseMode: String = DefaultParseMode,
+      dateCol: String = "date"): ConvertResult = {
+    import org.apache.spark.sql.functions.{col, date_format, timestamp_millis}
     val raw = readNdjson(spark, srcPath, parseMode)
     val original = raw.schema
     val coerced = DtCoercion.coerceDtFields(raw, strict)
     require(coerced.columns.contains(sortCol),
       s"date partitioning needs the epoch-ms column '$sortCol'")
-    val dated = coerced.withColumn("date",
-      org.apache.spark.sql.functions.date_format(
-        org.apache.spark.sql.functions.timestamp_millis(
-          org.apache.spark.sql.functions.col(sortCol)), "yyyy-MM-dd"))
-    val res = SortedWrite.writePartitioned(dated, outPath, Seq("date"), sortCol, codec)
+    // never clobber source data: the derived partition column must not
+    // shadow an existing field (rename via dateCol when the input has one)
+    require(!coerced.columns.contains(dateCol),
+      s"input already has a '$dateCol' column; pass a different dateCol")
+    val dated = coerced.withColumn(dateCol,
+      date_format(timestamp_millis(col(sortCol)), "yyyy-MM-dd"))
+    val res = SortedWrite.writePartitioned(dated, outPath, Seq(dateCol), sortCol, codec)
+    result(original, coerced.schema, res)
+  }
+
+  private def result(
+      original: org.apache.spark.sql.types.StructType,
+      updated: org.apache.spark.sql.types.StructType,
+      res: SortedWrite.WriteResult): ConvertResult =
     ConvertResult(
       outputPath = res.path,
       rows = res.rows,
       sorted = res.sorted,
       codec = res.codec,
       originalSchema = SchemaJson.render(original),
-      updatedSchema = SchemaJson.render(coerced.schema),
+      updatedSchema = SchemaJson.render(updated),
       coercedFields = DtCoercion.hitPaths(original))
-  }
 
   /** Same pipeline over an already-loaded DataFrame (for tests / streaming). */
   def runOn(
@@ -120,13 +130,6 @@ object ConvertJob {
     val original = raw.schema
     val coerced = DtCoercion.coerceDtFields(raw, strict)
     val res = SortedWrite.write(coerced, outPath, sortCol, codec, singleFile)
-    ConvertResult(
-      outputPath = res.path,
-      rows = res.rows,
-      sorted = res.sorted,
-      codec = res.codec,
-      originalSchema = SchemaJson.render(original),
-      updatedSchema = SchemaJson.render(coerced.schema),
-      coercedFields = DtCoercion.hitPaths(original))
+    result(original, coerced.schema, res)
   }
 }

@@ -27,8 +27,12 @@ object ConvertStream {
   /** Start watching `srcDir` for NDJSON(.gz) files; convert each arriving
     * file to `outDir/<stem>.zst.parquet`.
     *
-    * @param schema  required by streaming file sources (no inference mid-
-    *                stream); derive once via `spark.read.json(sample).schema`
+    * @param schema    required by streaming file sources (no inference mid-
+    *                  stream); derive once via `spark.read.json(sample).schema`
+    * @param parseMode FAILFAST by default for batch-path parity
+    *                  ([[ConvertJob.DefaultParseMode]]): a malformed line
+    *                  fails its micro-batch instead of silently becoming an
+    *                  all-null row
     */
   def start(
       spark: SparkSession,
@@ -38,11 +42,13 @@ object ConvertStream {
       sortCol: String = "time",
       codec: String = "zstd",
       checkpoint: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      parseMode: String = ConvertJob.DefaultParseMode): StreamingQuery = {
 
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "16")
+      .option("mode", parseMode)
       .json(srcDir)
       .withColumn("__src_file", input_file_name())
 

@@ -135,10 +135,12 @@ class MultimodalSpec extends SparkSpec {
 
     val media = Seq((1L, png), (2L, "plain".getBytes("UTF-8"))).toDF("doc_id", "payload")
     val staged = Multimodal.resizeStage(media, 16, 8).collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-    val dims = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(staged(1L)))
+      .map(r => r.getLong(0) -> ((r.getAs[Array[Byte]](1), r.getBoolean(2)))).toMap
+    val dims = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(staged(1L)._1))
     assert(dims.getWidth == 16 && dims.getHeight == 8)
-    assert(staged(2L).sameElements("plain".getBytes("UTF-8")), "non-image passes through")
+    assert(staged(1L)._2, "image row must be flagged resized")
+    assert(staged(2L)._1.sameElements("plain".getBytes("UTF-8")), "non-image passes through")
+    assert(!staged(2L)._2, "pass-through row must be flagged unresized")
   }
 
   test("grayscale histogram features: mass in the right bins, none for non-images") {
