@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Compact
+import graft.queries.Tables
+
+class CompactSpec extends SparkSpec {
+
+  test("compaction shrinks file count, preserves content, restores sort") {
+    val dir = "/tmp/graft_compact_test"
+    val ev = Tables.raw(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts")
+      .withColumn("time", unix_micros(col("ts")))
+      .drop("ts")
+
+    // simulate a streaming lake: many tiny unsorted files
+    ev.orderBy(rand(7)).repartition(40)
+      .write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val expect = before.orderBy("event_id").collect()
+
+    val res = Compact.compact(spark, dir, sortCol = "time", targetBytes = 256 * 1024)
+    assert(res.filesBefore == 40)
+    assert(res.filesAfter < 40, s"expected fewer files, got ${res.filesAfter}")
+    assert(res.rows == expect.length)
+
+    // content identical
+    val after = spark.read.parquet(dir)
+    assert(after.orderBy("event_id").collect().sameElements(expect))
+    // every compacted file internally sorted by the sort column
+    new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val ts = spark.read.parquet(f.getPath).select("time").collect().map(_.getLong(0))
+        assert(ts.sameElements(ts.sorted), s"unsorted compacted file ${f.getName}")
+      }
+    // no temp/backup residue
+    assert(!new java.io.File(dir + ".__compact__").exists)
+    assert(!new java.io.File(dir + ".__old__").exists)
+  }
+}
