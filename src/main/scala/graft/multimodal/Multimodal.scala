@@ -170,7 +170,6 @@ object Multimodal {
   }
 
   final case class MediaFrame(doc_id: Long, payload: Array[Byte], resized: Boolean)
-  final case class MediaFeatures(doc_id: Long, histogram: Array[Long])
 
   /** Partition-local resize stage. Image payloads are resized to (w, h);
     * non-image OR undecodable payloads pass through unchanged and carry

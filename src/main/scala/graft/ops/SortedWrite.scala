@@ -126,18 +126,23 @@ object SortedWrite {
     val arranged =
       if (sortable) df.orderBy((partitionCols :+ sortCol).map(col): _*)
       else df.repartition(partitionCols.map(col): _*)
-    val base = arranged.write
-      .mode("overwrite")
-      .option("compression", codec)
-      .option("parquet.page.size", pageSizeBytes.toString)
-    val sized =
-      if (maxRecordsPerFile > 0)
-        base.option("maxRecordsPerFile", maxRecordsPerFile.toString)
-      else base
-    sized.partitionBy(partitionCols: _*).parquet(outPath)
+    withMaxRecords(
+      arranged.write
+        .mode("overwrite")
+        .option("compression", codec)
+        .option("parquet.page.size", pageSizeBytes.toString),
+      maxRecordsPerFile)
+      .partitionBy(partitionCols: _*).parquet(outPath)
     val rows = df.sparkSession.read.parquet(outPath).count()
     WriteResult(outPath, rows, sortable, sortCol, codec)
   }
+
+  /** Apply the optional per-file record cap (0 = writer default). */
+  private[ops] def withMaxRecords[T](
+      w: org.apache.spark.sql.DataFrameWriter[T],
+      maxRecordsPerFile: Long): org.apache.spark.sql.DataFrameWriter[T] =
+    if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    else w
 
   /** Stamp `sorting_columns` into footers of local files (in-place rewrite
     * needs a seekable file; object-store outputs keep sorted ORDER without

@@ -76,8 +76,9 @@ object ZOrder {
         df.withColumn("__z", z).orderBy(col("__z")).drop("__z")
       case None => df // empty / all-null bounds: nothing to cluster
     }
-    val w = arranged.write.mode("overwrite").option("compression", codec)
-    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
-     else w).parquet(outPath)
+    SortedWrite.withMaxRecords(
+      arranged.write.mode("overwrite").option("compression", codec),
+      maxRecordsPerFile.toLong)
+      .parquet(outPath)
   }
 }

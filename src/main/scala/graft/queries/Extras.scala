@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.gen.Findings
@@ -21,8 +22,8 @@ object Extras {
     * single-pass mergeable KLL-style sketch (map-side partials, no
     * per-group sort), at the cost of bounded rank error (1/`accuracy`).
     */
-  def profile(docs: org.apache.spark.sql.DataFrame, approxMedian: Boolean = false,
-      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
+  def profile(docs: DataFrame, approxMedian: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     val med =
       if (approxMedian)
         percentile_approx(col("n_chars").cast("double"), lit(0.5), lit(accuracy))
