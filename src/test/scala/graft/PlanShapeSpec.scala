@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties PLANS.md documents,
+  * asserted so a future refactor (or Spark upgrade) that silently degrades
+  * a plan — a lost pushdown, an un-broadcast dim, a nested-loop join —
+  * fails a test instead of only showing up in the benchmark.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 filter reaches the parquet scan as a pushed filter") {
+    val p = planOf("q02_filter_like")
+    assert(p.contains("PushedFilters: ["), p.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("q04 top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(planOf("q04_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q12 star join broadcasts the dimension tables") {
+    val p = planOf("q12_join_stars")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "dimension joins must be broadcast hash joins")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q47 salted aggregation is two-phase: salt key then merge key") {
+    val p = planOf("q47_salted_hotkey")
+    assert(p.contains("__salt"), "partial phase must group by the salt")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2,
+      "expected the (key, salt) exchange AND the merge exchange")
+  }
+
+  test("no registered similarity/range query plans a nested-loop over unbounded sides") {
+    // q36 broadcasts a BOUNDED query set (10 rows) — the documented exception
+    Seq("q37_embed_neardup", "q38_knn_lsh", "q42_knn_ivf", "q52_range_join").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.linesIterator.take(12).mkString("\n")}")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+}
