@@ -31,6 +31,33 @@ class StreamingSpec extends SparkSpec {
     assert(times.sliding(2).forall(p => p(0) <= p(1)), "per-file output globally sorted")
   }
 
+  test("restarted convert stream resumes from checkpoint without reprocessing") {
+    val root = Files.createTempDirectory("graft-stream-ckpt").toString
+    val srcDir = s"$root/in"; val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(srcDir).mkdirs()
+
+    val (sortedPath, _) = Findings.writeFixtures(srcDir, n = 100)
+    val schema = spark.read.json(sortedPath).schema
+    new java.io.File(s"$srcDir/finding-unsorted.ndjson.gz").delete() // one file first
+
+    val q1 = ConvertStream.start(spark, srcDir, outDir, schema, checkpoint = Some(ckpt))
+    q1.awaitTermination(120000)
+    val outA = new java.io.File(s"$outDir/finding-sorted.zst.parquet")
+    assert(outA.exists)
+    val mtimeA = outA.lastModified()
+
+    // second file arrives while the stream is DOWN; restart from checkpoint
+    Findings.writeFixtures(srcDir, n = 100)
+    val q2 = ConvertStream.start(spark, srcDir, outDir, schema, checkpoint = Some(ckpt))
+    q2.awaitTermination(120000)
+
+    assert(spark.read.parquet(s"$outDir/finding-unsorted.zst.parquet").count() == 100,
+      "file that arrived during downtime must be converted on restart")
+    assert(outA.lastModified() == mtimeA,
+      "already-converted file must NOT be reprocessed after restart")
+  }
+
   test("stateful streaming sessionization closes sessions on gap and on watermark timeout") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
