@@ -20,9 +20,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Host-load telemetry: a loaded host inflates wall times non-uniformly
+    // (observed 4x on identical code) and nothing in a bare timing
+    // distinguishes that from a plan regression. Capture /proc/loadavg
+    // around the run so an inflated artifact is self-diagnosing.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+      catch { case _: Exception => "unavailable" }
+    val loadStart = loadavg()
+
     // JVM/codegen warm-up (not timed): run EVERY query once at the smallest
     // SF so whole-stage-codegen compilation + JIT happen outside the timed
     // region and the timings measure steady-state execution at the target SF.
+    // The warm-up wall time is itself a contention signal (pure JIT work, no
+    // data dependence on the target SF), so it is emitted too.
+    val warmT0 = System.nanoTime()
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -31,12 +44,15 @@ object Bench {
     // model for the TARGET corpus so the timed q42 run measures probing.
     try SparkEntry.queries("q42_knn_ivf")(spark, sfDir)
     catch { case _: Throwable => () }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
 
-    // best-of-2: single-run numbers at this scale are dominated by GC /
+    // best-of-3: single-run numbers at this scale are dominated by GC /
     // scheduling jitter, not by the plan under test. Only successful runs
-    // count — a fast failure must not masquerade as a fast timing.
+    // count — a fast failure must not masquerade as a fast timing. ALL run
+    // timings are emitted (not just the min): a wide min/max spread on
+    // byte-identical code is the signature of host contention.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -53,15 +69,22 @@ object Bench {
       // consistently-broken query can't silently distort the benchmark.
       (name,
        if (good.nonEmpty) good.min else runs.map(_._1).max,
-       good.nonEmpty)
+       good.nonEmpty,
+       runs.map(_._1))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val loadEnd = loadavg()
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val allRuns = results
+      .map { case (k, _, _, rs) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir",""" +
+        s""""runs":$allRuns,"warmup_sec":$warmupSec,""" +
+        s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     // stdout is wrapped by sbt's logger ([info] prefix), which breaks the
     // driver's JSON extraction — ALSO write the bare line to a file the
     // driver (or a human) can read without log-scraping.

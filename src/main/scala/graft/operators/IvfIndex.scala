@@ -116,4 +116,45 @@ object IvfIndex {
 
     TopK.perQuery(scored, k)
   }
+
+  /** Search over an ALREADY-ASSIGNED corpus: `indexed` carries the `bucket`
+    * column — in the intended layout, `assign(...)` written once via
+    * [[graft.ops.Bucketing.writePartitioned]] with `partitionCols =
+    * Seq("bucket")` and read back from disk. This is the "probed forever"
+    * half of the IVF story: the distinct probed buckets (≤ queries×nProbe,
+    * and ≤ k total — driver-bounded because the query side is the small
+    * side by contract, same bound as the broadcast below) are pushed as a
+    * static `bucket IN (...)` predicate, so the parquet scan PRUNES to
+    * exactly those partition directories at planning time instead of
+    * reading the whole index (asserted via `selectedPartitions` in
+    * IvfIndexSpec).
+    */
+  def searchIndexed(
+      model: Model,
+      queries: DataFrame,
+      indexed: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+
+    val qdf = queries.select(
+      col(idCol).as("query_id"), col(embCol).as("qv"),
+      model.probeBuckets(col(embCol), nProbe).as("bks"))
+    val probed: Array[Int] = qdf
+      .select(explode(col("bks")).as("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val q = broadcast(qdf.withColumn("bucket", explode(col("bks"))).drop("bks"))
+    val c = indexed
+      .filter(col("bucket").isin(probed.toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("cv"), col("bucket"))
+
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+
+    TopK.perQuery(scored, k)
+  }
 }

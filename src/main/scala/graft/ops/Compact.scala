@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions.col
   * ~`targetBytes`-sized files, re-sorted by `sortCol`, so both file count
   * and per-file ordering (row-group min/max pruning) are restored.
   *
-  * The rewrite goes through a temp directory + atomic-ish swap so a
-  * failure mid-compaction leaves the original directory untouched —
-  * readers never observe a half-written mix. (On a real object store this
-  * is where a table format's transaction log takes over; the temp-swap is
-  * the filesystem-level equivalent.)
+  * The rewrite goes through a temp directory + two-rename swap so a
+  * failure mid-compaction leaves the original data recoverable — but the
+  * swap is NOT atomic for concurrent readers: between rename(dir → .__old__)
+  * and rename(.__compact__ → dir) the directory briefly does not exist, and
+  * if the second rename fails the restore itself can fail, leaving the data
+  * under `<dir>.__old__` (reported in the thrown exception). Quiesce readers
+  * during compaction, or on a real lake use a table format whose
+  * transaction log provides the atomicity this filesystem swap cannot.
   */
 object Compact {
 
@@ -36,6 +39,19 @@ object Compact {
 
     val parts = fs.listStatus(path)
       .filter(s => s.getPath.getName.endsWith(".parquet"))
+    // A hive-partitioned tree (e.g. Bucketing.writePartitioned output) has
+    // its parquet files under value subdirectories, not at the top level:
+    // rewriting it here would FLATTEN the layout — fold partition columns
+    // into data files and silently destroy partition pruning. Refuse.
+    require(parts.nonEmpty, {
+      val subdirs = fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
+      s"no top-level *.parquet files in $dir" + (
+        if (subdirs.nonEmpty)
+          s"; found subdirectories (${subdirs.take(3).mkString(", ")}…) — this looks " +
+            "hive-partitioned, and compacting it flat would destroy the partition layout. " +
+            "Compact each partition directory individually."
+        else "")
+    })
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
@@ -55,8 +71,11 @@ object Compact {
     if (!fs.rename(path, bak))
       throw new IllegalStateException(s"could not move $dir aside for swap")
     if (!fs.rename(new Path(tmp), path)) {
-      fs.rename(bak, path) // restore
-      throw new IllegalStateException(s"could not move compacted files into $dir")
+      val restored = fs.rename(bak, path)
+      throw new IllegalStateException(
+        s"could not move compacted files into $dir" + (
+          if (restored) " (original restored)"
+          else s"; RESTORE ALSO FAILED — original data is at $bak"))
     }
     fs.delete(bak, true)
 

@@ -89,7 +89,7 @@ object ConvertJob {
       strict: Boolean = false,
       parseMode: String = DefaultParseMode,
       dateCol: String = "date"): ConvertResult = {
-    import org.apache.spark.sql.functions.{col, date_format, timestamp_millis}
+    import org.apache.spark.sql.functions.{col, date_add, date_format, floor, lit, to_date}
     val raw = readNdjson(spark, srcPath, parseMode)
     val original = raw.schema
     val coerced = DtCoercion.coerceDtFields(raw, strict)
@@ -99,8 +99,13 @@ object ConvertJob {
     // shadow an existing field (rename via dateCol when the input has one)
     require(!coerced.columns.contains(dateCol),
       s"input already has a '$dateCol' column; pass a different dateCol")
+    // UTC day via pure epoch arithmetic — date_format(timestamp_millis(...))
+    // renders in spark.sql.session.timeZone, so the same input would produce
+    // DIFFERENT lake layouts (and pruning results) on clusters with
+    // different session zones. floor handles pre-1970 epochs correctly.
+    val epochDay = floor(col(sortCol) / lit(86400000L)).cast("int")
     val dated = coerced.withColumn(dateCol,
-      date_format(timestamp_millis(col(sortCol)), "yyyy-MM-dd"))
+      date_format(date_add(to_date(lit("1970-01-01")), epochDay), "yyyy-MM-dd"))
     val res = SortedWrite.writePartitioned(dated, outPath, Seq(dateCol), sortCol, codec)
     result(original, coerced.schema, res)
   }

@@ -126,5 +126,40 @@ object Dedup {
         .select(col("a"), col("b"),
           Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .orderBy("a")
+    },
+
+    // Pairs → CLUSTERS: training pipelines drop whole near-dup clusters
+    // (keep one canonical doc per component), not pair lists. The pair set
+    // here is q37's EXACT cosine>=0.4 join (recall 1 ⇒ both engines compute
+    // the identical graph), so DuckDB can oracle the components with a
+    // recursive CTE. Singletons keep themselves.
+    "q55_dedup_clusters" -> Q(
+      "Near-dup clusters: connected components over exact cosine>=0.4 pairs, keep = min id",
+      """WITH RECURSIVE
+        |pairs AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |mins AS (SELECT u AS vec_id, MIN(v) AS mn FROM reach GROUP BY u)
+        |SELECT LEAST(COALESCE(m.mn, e.vec_id), e.vec_id) AS cluster_id,
+        |       e.vec_id AS doc_id,
+        |       CAST(LEAST(COALESCE(m.mn, e.vec_id), e.vec_id) = e.vec_id AS INTEGER) AS keep
+        |FROM embeddings e LEFT JOIN mins m ON m.vec_id = e.vec_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val comps = graft.operators.ConnectedComponents.run(
+        e.select(col("vec_id").as("id")),
+        Similarity.blockedNearDupPairs(e, threshold = 0.4)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      comps.select(
+        col("component").as("cluster_id"),
+        col("id").as("doc_id"),
+        when(col("component") === col("id"), 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
     })
 }

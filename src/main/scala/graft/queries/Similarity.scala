@@ -69,6 +69,13 @@ object Similarity {
     require(bits <= 20, "bits > 20 would enumerate millions of probe masks")
     val masks = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    // bound the POST-FILTER count, not just bits: bits=20 with a large
+    // probeHamming would otherwise build an explode over ~1M literal
+    // columns and blow up plan construction rather than failing fast
+    require(masks.size <= 1024,
+      s"bits=$bits, probeHamming=$probeHamming probes ${masks.size} buckets per query " +
+        "(> 1024): the probe explosion would dominate the candidate join — " +
+        "lower probeHamming or use IvfIndex")
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), col("embedding").as("qv"),
       Vectors.signBucket(col("embedding"), bits).as("b0"))
@@ -144,11 +151,15 @@ object Similarity {
         .orderBy("id_a", "id_b")
     },
 
+    // probeHamming=2 = the measured-reasonable operating point on this
+    // corpus (recall@5 0.82 probing 11/16 buckets, vs 0.56 at H<=1); the
+    // probe-count/recall trade is measured in the lshTopK scaladoc, and
+    // IvfIndex remains the blessed ANN path (0.9 probing 4/16).
     "q38_knn_lsh" -> Q.noOracle(
-      "LSH ANN top-5, multi-probe sign buckets (recall < 1 by design; see lshTopK docs)") {
+      "LSH ANN top-5, multi-probe sign buckets H<=2 (recall 0.82 measured; see lshTopK docs)") {
       (s, dir) =>
         lshTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir),
-            k = 5, bits = 4, probeHamming = 1)
+            k = 5, bits = 4, probeHamming = 2)
           .select("query_id", "neighbor_id", "rank")
           .orderBy("query_id", "rank")
     },
@@ -170,7 +181,49 @@ object Similarity {
           .search(model, corpus.filter(col("vec_id") < 10), corpus, k = 5, nProbe = 4)
           .select("query_id", "neighbor_id", "rank")
           .orderBy("query_id", "rank")
+    },
+
+    // The PERSISTED form of q42 — the actual 100 TB ANN story: the assigned
+    // corpus is written ONCE hive-partitioned by `bucket` (an offline index
+    // build), and every later search prunes the scan to its probed
+    // partition directories (pruning asserted in IvfIndexSpec). Results are
+    // identical to q42 by construction (same model, same probe set).
+    "q56_knn_ivf_persisted" -> Q.noOracle(
+      "IVF ANN top-5 over the persisted bucket-partitioned index (scan prunes to probed buckets)") {
+      (s, dir) =>
+        val corpus = emb(s, dir)
+        def build() = graft.operators.IvfIndex.fit(
+          corpus.limit(2048).coalesce(1), k = 16, maxIter = 5)
+        val model =
+          if (dir.startsWith("/root/testdata")) models.computeIfAbsent(dir, _ => build())
+          else build()
+        val path = persistedIndex(model, corpus, dir)
+        graft.operators.IvfIndex
+          .searchIndexed(model, corpus.filter(col("vec_id") < 10),
+            s.read.parquet(path), k = 5, nProbe = 4)
+          .select("query_id", "neighbor_id", "rank")
+          .orderBy("query_id", "rank")
     })
+
+  /** One-time index materialization per corpus dir (offline artifact at
+    * scale). For the read-only testdata dirs the on-disk `_SUCCESS` check
+    * makes a warm /tmp from an earlier JVM reusable — `fit` is
+    * deterministic (fixed seed + sample), so a completed index for the same
+    * dir is the same index. Any OTHER dir rebuilds its model per call
+    * (q42's staleness rule), so its index is rewritten per call too — a
+    * reused index from a different model would probe the wrong buckets.
+    */
+  private def persistedIndex(
+      model: graft.operators.IvfIndex.Model, corpus: DataFrame, dir: String): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable)
+      graft.ops.Bucketing.writePartitioned(
+        graft.operators.IvfIndex.assign(model, corpus), path, Seq("bucket"))
+    path
+  }
 
   private val models =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfIndex.Model]()

@@ -59,7 +59,10 @@ object ConvertStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val files = batch.select("__src_file").distinct().collect().map(_.getString(0))
         files.foreach { f =>
-          val stem = f.split("/").last.split("\\.", 2)(0)
+          // input_file_name() yields a percent-encoded URI: decode before
+          // deriving the stem, or "my data.ndjson.gz" writes "my%20data..."
+          val decoded = new java.net.URI(f).getPath
+          val stem = decoded.split("/").last.split("\\.", 2)(0)
           val one = batch.filter(col("__src_file") === f).drop("__src_file")
           ConvertJob.runOn(
             one,
