@@ -39,4 +39,23 @@ class CompactSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".__compact__").exists)
     assert(!new java.io.File(dir + ".__old__").exists)
   }
+
+  test("refuses to flatten a hive-partitioned directory tree") {
+    val dir = "/tmp/graft_compact_partitioned"
+    val docs = Tables.raw(spark, "/root/testdata/sf0.001", "documents")
+    graft.ops.Bucketing.writePartitioned(docs, dir, Seq("source"))
+    val layoutBefore = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("source=")).map(_.getName).sorted.toSeq
+    assert(layoutBefore.nonEmpty)
+
+    val e = intercept[IllegalArgumentException] {
+      Compact.compact(spark, dir, sortCol = "doc_id")
+    }
+    assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
+    // the refusal must happen BEFORE any move: layout untouched
+    assert(new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("source=")).map(_.getName).sorted.toSeq == layoutBefore)
+    assert(!new java.io.File(dir + ".__compact__").exists)
+    assert(!new java.io.File(dir + ".__old__").exists)
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+import graft.queries.{Similarity, Tables}
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(nodes.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a 32-node chain collapses to its minimum (worst case for propagation depth)") {
+    val res = cc(0L to 31L, (0L until 31L).map(i => (i, i + 1)))
+    assert(res.values.toSet == Set(0L), s"chain must be one component: $res")
+  }
+
+  test("components, singletons, duplicate edges, self-loops, reversed edges") {
+    val res = cc(
+      Seq(1, 2, 3, 4, 5, 6, 7),
+      Seq((2, 1), (2, 3), (3, 2), (5, 4), (4, 5), (6, 6)))
+    assert(res == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, // {1,2,3}
+      4L -> 4L, 5L -> 4L,           // {4,5}
+      6L -> 6L, 7L -> 7L))          // self-loop + isolated node
+  }
+
+  test("star with a high-id center still labels every leaf with the min leaf") {
+    // center 100 connected to leaves 1..20: min must flow leaf→center→leaves
+    val res = cc(Seq(100L) ++ (1L to 20L), (1L to 20L).map(l => (100L, l)))
+    assert(res.values.toSet == Set(1L))
+  }
+
+  test("labels are edge-consistent on the real near-dup graph (q55 machinery)") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = Similarity.blockedNearDupPairs(e, threshold = 0.4)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents.run(e.select(col("vec_id").as("id")), pairs)
+    // every edge's endpoints share a component, and each component is
+    // labeled by its own minimum member
+    val inconsistent = pairs
+      .join(comp.withColumnRenamed("id", "src").withColumnRenamed("component", "ca"), "src")
+      .join(comp.withColumnRenamed("id", "dst").withColumnRenamed("component", "cb"), "dst")
+      .filter(col("ca") =!= col("cb"))
+    assert(inconsistent.isEmpty, "near-dup pair endpoints must share a cluster")
+    val badLabel = comp.groupBy("component").agg(min("id").as("mn"))
+      .filter(col("component") =!= col("mn"))
+    assert(badLabel.isEmpty, "every cluster must be labeled by its minimum member")
+  }
+}

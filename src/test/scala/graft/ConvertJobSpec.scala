@@ -196,4 +196,27 @@ class ConvertJobSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount == 1)
     assert(pruned.count() == 2)
   }
+
+  test("date partition derivation is UTC regardless of session time zone") {
+    // 2025-01-01T00:30:00 UTC — in UTC+14 this is already Jan 2, in UTC-10
+    // still Dec 31: a timezone-dependent derivation would place the same
+    // row in three different lake partitions depending on cluster config
+    val t = 1735691400000L
+    val src = s"$dir/tz_probe.json"
+    val w = new java.io.PrintWriter(src)
+    try w.println(s"""{"time": $t, "x": 1}""") finally w.close()
+
+    val original = spark.conf.get("spark.sql.session.timeZone")
+    val layouts = Seq("Pacific/Kiritimati", "Pacific/Honolulu", "UTC").map { tz =>
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try {
+        val out = s"$dir/out_tz_${tz.replace('/', '_')}"
+        ConvertJob.runPartitionedByDate(spark, src, out)
+        new java.io.File(out).listFiles
+          .filter(_.getName.startsWith("date=")).map(_.getName).toSeq
+      } finally spark.conf.set("spark.sql.session.timeZone", original)
+    }
+    assert(layouts.forall(_ == Seq("date=2025-01-01")),
+      s"layout must be the UTC day everywhere, got $layouts")
+  }
 }

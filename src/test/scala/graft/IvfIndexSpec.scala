@@ -46,6 +46,50 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall > 0.7, s"recall@5 = $recall with 4/10 buckets probed")
   }
 
+  test("persisted index: scan prunes to exactly the probed bucket directories") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+
+    val model = IvfIndex.fit(corpus, k = 10)
+    val path = "/tmp/graft_ivf_spec_index"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    graft.ops.Bucketing.writePartitioned(IvfIndex.assign(model, corpus), path, Seq("bucket"))
+    val bucketDirs = new java.io.File(path).listFiles
+      .count(_.getName.startsWith("bucket="))
+
+    val queries = corpus.filter(col("vec_id") < 5)
+    val nProbe = 2
+    val expectedBuckets = queries
+      .select(explode(model.probeBuckets(col("embedding"), nProbe)).as("b"))
+      .distinct().count()
+    assert(expectedBuckets < bucketDirs, "test must actually exercise pruning")
+
+    val out = IvfIndex.searchIndexed(model, queries, spark.read.parquet(path), k = 3, nProbe = nProbe)
+    val rows = out.select("query_id", "neighbor_id", "rank").collect()
+    out.collect() // finalize AQE before walking the executed plan
+
+    val indexScan = scans(out.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(path)))
+    assert(indexScan.nonEmpty, "no scan over the persisted index found")
+    assert(indexScan.head.selectedPartitions.partitionCount == expectedBuckets,
+      s"expected $expectedBuckets pruned buckets of $bucketDirs, " +
+        s"got ${indexScan.head.selectedPartitions.partitionCount}")
+
+    // same results as the in-memory form (identical model + probe set)
+    val mem = IvfIndex.search(model, queries, corpus, k = 3, nProbe = nProbe)
+      .select("query_id", "neighbor_id", "rank").collect()
+    assert(rows.map(_.toString).sorted.sameElements(mem.map(_.toString).sorted))
+  }
+
   test("search output ranks are dense per query and self-matches excluded") {
     val model = IvfIndex.fit(corpus, k = 10)
     val out = IvfIndex.search(model, corpus.filter(col("vec_id") < 5), corpus, k = 3, nProbe = 2)

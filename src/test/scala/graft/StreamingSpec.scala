@@ -31,6 +31,26 @@ class StreamingSpec extends SparkSpec {
     assert(times.sliding(2).forall(p => p(0) <= p(1)), "per-file output globally sorted")
   }
 
+  test("source file names with spaces and percent signs keep their stems") {
+    val root = Files.createTempDirectory("graft-stream-uri").toString
+    val srcDir = s"$root/in"
+    val outDir = s"$root/out"
+    new java.io.File(srcDir).mkdirs()
+
+    val (sorted, unsorted) = Findings.writeFixtures(srcDir, n = 20)
+    val schema = spark.read.json(sorted).schema
+    // input_file_name() returns a percent-encoded URI: without decoding,
+    // "my data" would write "my%20data" and "a%b" would write "a%25b"
+    new java.io.File(sorted).renameTo(new java.io.File(s"$srcDir/my data.ndjson.gz"))
+    new java.io.File(unsorted).renameTo(new java.io.File(s"$srcDir/a%b.ndjson.gz"))
+
+    val q = ConvertStream.start(spark, srcDir, outDir, schema)
+    q.awaitTermination(120000)
+
+    assert(spark.read.parquet(s"$outDir/my data.zst.parquet").count() == 20)
+    assert(spark.read.parquet(s"$outDir/a%b.zst.parquet").count() == 20)
+  }
+
   test("restarted convert stream resumes from checkpoint without reprocessing") {
     val root = Files.createTempDirectory("graft-stream-ckpt").toString
     val srcDir = s"$root/in"; val outDir = s"$root/out"

@@ -40,6 +40,36 @@ class ZOrderPropertySpec extends SparkSpec {
     assert(got == pairs.map { case (a, b) => model(a, b, 12) })
   }
 
+  test("interleaveN(3) is injective and matches a bit-by-bit model; 2-col form unchanged") {
+    def model(vs: Seq[Long], bits: Int): Long = {
+      val k = vs.size
+      vs.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+        (0 until bits).foldLeft(acc)((a, i) => a | ((v >> i) & 1L) << (i * k + j))
+      }
+    }
+    val rnd = new Random(99)
+    val triples = Seq.fill(2000)(
+      (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+      .distinct
+    val zs = triples.toDF("a", "b", "c")
+      .select(ZOrder.interleaveN(Seq(col("a"), col("b"), col("c")), bits = 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs.distinct.length == triples.length, "collision would corrupt clustering order")
+    assert(zs.forall(z => z >= 0 && z < (1L << 48)), "16x3 bits must fit 48")
+    assert(zs == triples.map { case (a, b, c) => model(Seq(a, b, c), 16) })
+    // the delegating 2-column form must keep the documented bit placement
+    val two = Seq((5L, 2L)).toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), bits = 4)).head.getLong(0)
+    assert(two == 25L)
+  }
+
+  test("interleaveN rejects overflowing widths") {
+    intercept[IllegalArgumentException] {
+      ZOrder.interleaveN(Seq(col("a"), col("b"), col("c"), col("d")), bits = 16)
+    }
+    intercept[IllegalArgumentException] { ZOrder.interleaveN(Seq(col("a")), bits = 8) }
+  }
+
   test("quantizeInt8: |x| <= 1 inputs reconstruct within half a step, clamp beyond") {
     val rnd = new Random(13)
     val vecs = Seq.fill(200)(Array.fill(8)((rnd.nextFloat() * 2.4f) - 1.2f).toSeq)

@@ -59,4 +59,37 @@ class ZOrderSpec extends SparkSpec {
     assert(zEvent < 0.75 * domEvent,
       s"z-order must keep event_id clustered too: $zEvent vs domain $domEvent")
   }
+
+  test("3-column z-order narrows per-file ranges on ALL three columns") {
+    val ev = Tables.raw(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "user_id", "ts")
+      .withColumn("time", unix_micros(col("ts"))).drop("ts")
+    val cols = Seq("event_id", "user_id", "time")
+
+    def avgWidth(path: String, c: String): Double = {
+      val ws = new java.io.File(path).listFiles
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f.getPath).agg(min(col(c)), max(col(c))).head
+          r.getLong(1) - r.getLong(0)
+        }
+      ws.sum.toDouble / ws.size
+    }
+
+    val zPath = "/tmp/graft_zorder_z3"
+    ZOrder.writeClusteredN(ev, zPath, cols, maxRecordsPerFile = 1000)
+
+    val doms = cols.map { c =>
+      val r = ev.agg(max(col(c)).cast("long") - min(col(c)).cast("long")).head
+      c -> r.getLong(0)
+    }.toMap
+    // measured on this layout (10 files of 1000 rows): event_id 0.35,
+    // user_id 0.56, time 0.35 of domain — every column narrowed, vs 100%
+    // on the two non-sort columns under any linear sort
+    cols.foreach { c =>
+      val w = avgWidth(zPath, c)
+      assert(w < 0.65 * doms(c),
+        s"3-col z-order must narrow $c: avg width $w vs domain ${doms(c)}")
+    }
+  }
 }
