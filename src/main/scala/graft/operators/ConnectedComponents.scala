@@ -53,14 +53,18 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
+      // checkpoint BEFORE the self-join below: the jump references this
+      // subtree twice, and the rename defeats exchange reuse — without the
+      // materialization the edge join + aggregate would run twice per round
       val propagated = sym
         .join(labels.withColumnRenamed("id", "u"), "u")
         .select(col("v").as("id"), col("lab"))
         .union(labels)
         .groupBy("id").agg(min("lab").as("lab"))
+        .localCheckpoint()
       // jump: look the label up in the same table (labels ARE node ids and
-      // every component minimum is a node, so the left join only misses
-      // nothing — coalesce is belt-and-braces for nodes missing from `nodes`)
+      // every component minimum is a node — coalesce is belt-and-braces for
+      // nodes missing from `nodes`)
       val jumped = propagated
         .join(
           propagated.select(col("id").as("lab"), col("lab").as("lab2")),
