@@ -13,4 +13,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Rewrap a DataFrame's physical rows in a FRESH leaf plan with default
+    * statistics. `Dataset.localCheckpoint` truncates lineage but carries
+    * the pre-checkpoint plan's `sizeInBytes` into the new leaf — and join
+    * estimation multiplies child sizes, so an ITERATIVE algorithm that
+    * checkpoints every round compounds the estimate geometrically until
+    * Catalyst spends minutes multiplying million-digit BigIntegers (see
+    * [[graft.operators.ConnectedComponents]]). Re-wrapping the checkpointed
+    * RDD through `internalCreateDataFrame` (private[sql]) produces a
+    * LogicalRDD with the session-default size estimate instead — constant
+    * per round, so iterated materialization stays O(1) in planning cost.
+    * Call on an already-materialized (checkpointed) DataFrame; the RDD is
+    * reused, no data is copied or recomputed.
+    */
+  def freshStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
+  }
 }
