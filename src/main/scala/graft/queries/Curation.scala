@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Dataset-curation operators for training pipelines: per-source mixture
+  * sampling, context-window sequence packing, and eval-set decontamination.
+  * All three are pure declarative plans (window functions, equi-joins,
+  * aggregates — nothing driver-side) and all three are DuckDB-oracled.
+  */
+object Curation {
+
+  val all: Map[String, Q] = Map(
+    // Data MIXING: each source stratum keeps a different deterministic
+    // fraction of its documents — the reweighting step that turns a raw
+    // crawl into a training mixture. The keep decision is the q49
+    // multiplicative-hash-on-doc_id pattern (a retried task must re-deal
+    // identical samples — never rand()), and the per-source rate is itself
+    // a deterministic function both engines compute identically. At scale
+    // this is one codegen'd filter — no shuffle beyond the audit agg.
+    "q57_source_mixing" -> Q(
+      "Per-source mixture sampling audit: deterministic keep-rates by stratum",
+      """WITH rated AS (
+        |  SELECT source, n_chars, doc_id,
+        |    CASE length(source) % 3 WHEN 0 THEN 2500 WHEN 1 THEN 5000
+        |         ELSE 9000 END AS keep_bp
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 10000 < keep_bp
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 10000 < keep_bp
+        |           THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM rated GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val keepBp = when(pmod(length(col("source")), lit(3)) === 0, 2500)
+        .when(pmod(length(col("source")), lit(3)) === 1, 5000)
+        .otherwise(9000)
+      val kept = pmod(col("doc_id") * lit(2654435761L), lit(10000L)) < keepBp
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(kept, 1).otherwise(0)).cast("long").as("n_kept"),
+          sum(when(kept, col("n_chars")).otherwise(0)).cast("long").as("kept_chars"))
+        .orderBy("source")
+    },
+
+    // Sequence PACKING: concat-then-chunk — documents are laid out in
+    // deterministic order per source and split into fixed token-budget
+    // context windows (pack_id = exclusive-cumulative-tokens div budget),
+    // exactly the packing pretraining loaders use. One window function +
+    // one aggregate; the cumsum partitions by source so a 100 TB corpus
+    // packs in parallel per stratum with no global coordination.
+    "q58_seq_packing" -> Q(
+      "Sequence packing audit: 512-token context windows per source " +
+        "(concat-then-chunk)",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT source, CAST(off // 512 AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ", -1)).as("tok"))
+        .withColumn("off", coalesce(sum(col("tok")).over(w), lit(0)))
+        .groupBy(col("source"), floor(col("off") / 512).cast("long").as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).cast("long").as("sum_tokens"))
+        .orderBy("source", "pack_id")
+    },
+
+    // DECONTAMINATION: flag training documents sharing word-5-grams with a
+    // held-out eval set (here: doc_id < 20). The eval shingle set is tiny
+    // by construction, so the plan is explode → broadcast equi-join on the
+    // shingle → count per doc — the corpus side streams once and nothing
+    // unbounded is broadcast. String shingles (not the hashed kernel) so
+    // DuckDB computes the identical sets for the value oracle; at 100 TB
+    // swap in the 8-byte hashed-shingle kernel (q33 path) and keep the join
+    // shape.
+    "q59_decontam" -> Q(
+      "Eval-set decontamination: train docs sharing word-5-grams with docs 0-19",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3),
+        |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 20),
+        |tr AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sh
+        |       WHERE doc_id >= 20)
+        |SELECT tr.doc_id, COUNT(*) AS n_shared
+        |FROM tr JOIN ev ON tr.g = ev.g
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = Tables(s, dir, "documents").select(
+        col("doc_id"), Text.shinglesSpaceSplit(col("text"), k = 5).as("sh"))
+      val ev = sh.filter(col("doc_id") < 20)
+        .select(explode(col("sh")).as("g")).distinct()
+      val tr = sh.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+      tr.join(broadcast(ev), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    })
+}

@@ -34,12 +34,17 @@ object EventAggStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** @param trigger defaults to drain-the-backlog-and-stop (AvailableNow),
+    *                 the production posture; tests over MemoryStream must
+    *                 pass `Trigger.ProcessingTime(0)` explicitly (AvailableNow
+    *                 terminates before `addData` can feed later batches).
+    */
   def start(
       src: DataFrame,
       queryName: String = "event_windows",
       windowLength: String = "1 hour",
       watermarkDelay: String = "10 minutes",
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     windowed(src, windowLength, watermarkDelay)
       .writeStream
       .format("memory")

@@ -139,7 +139,8 @@ class StreamingSpec extends SparkSpec {
 
     val input = MemoryStream[(Timestamp, String, Double)]
     val q = EventAggStream.start(
-      input.toDF().toDF("ts", "event_type", "value"), queryName = "win_t")
+      input.toDF().toDF("ts", "event_type", "value"), queryName = "win_t",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
 
     input.addData(ev(5, "click", 1.0), ev(25, "click", 2.0), ev(40, "view", 5.0))
     q.processAllAvailable()
