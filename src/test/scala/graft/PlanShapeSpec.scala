@@ -37,10 +37,19 @@ class PlanShapeSpec extends SparkSpec {
 
   test("no registered similarity/range query plans a nested-loop over unbounded sides") {
     // q36 broadcasts a BOUNDED query set (10 rows) — the documented exception
-    Seq("q37_embed_neardup", "q38_knn_lsh", "q42_knn_ivf", "q52_range_join").foreach { q =>
+    Seq("q37_embed_neardup", "q38_knn_lsh", "q42_knn_ivf", "q52_range_join",
+      "q56_knn_ivf_persisted", "q59_decontam").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.linesIterator.take(12).mkString("\n")}")
       assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("curation singles stay shuffle-lean: one scan, no joins") {
+    Seq("q57_source_mixing", "q58_seq_packing").foreach { q =>
+      val p = planOf(q)
+      assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, q)
+      assert(!p.contains("Join"), s"$q must not join")
     }
   }
 }
