@@ -78,6 +78,7 @@ object ConnectedComponents {
       .select(col("id"), least(col("id"), col("mn")).as("lab")))
     var round = 0
     var converged = false
+    var prevRound: Option[(DataFrame, DataFrame)] = None
     while (!converged && round < maxIter) {
       // materialize BEFORE the pointer chase below: the chase references
       // this subtree four times, and the rename defeats exchange reuse —
@@ -102,12 +103,29 @@ object ConnectedComponents {
         .join(labels.select(col("id"), col("lab").as("__prev")), "id")
         .select(col("id"), col("lab"), (col("lab") =!= col("__prev")).as("__changed")))
       converged = next.filter(col("__changed")).isEmpty
+      // superseded snapshots are dead — drop their checkpoint blocks now
+      // instead of waiting for GC + ContextCleaner (at scale each round's
+      // labels are |V| rows of storage; only one round should be live).
+      // The PREVIOUS round's labels were still read by this round's plan,
+      // so each level is released exactly one round after it was built.
+      prevRound.foreach { case (a, b) =>
+        org.apache.spark.sql.graft.shims.unpersistCheckpoint(a)
+        org.apache.spark.sql.graft.shims.unpersistCheckpoint(b)
+      }
+      prevRound = Some((propagated, labels))
       labels = next.select("id", "lab")
       round += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
+    // the final round's propagated snapshot and its input level are dead
+    // too (the returned frame derives only from the final `next`); only
+    // that final level survives the call
+    prevRound.foreach { case (a, b) =>
+      org.apache.spark.sql.graft.shims.unpersistCheckpoint(a)
+      org.apache.spark.sql.graft.shims.unpersistCheckpoint(b)
+    }
     labels.select(col("id"), col("lab").as("component"))
   }
 }

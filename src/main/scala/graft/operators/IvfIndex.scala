@@ -99,21 +99,28 @@ object IvfIndex {
       nProbe: Int = 4,
       embCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-
     val q = broadcast(
       queries.select(
         col(idCol).as("query_id"), col(embCol).as("qv"),
         explode(model.probeBuckets(col(embCol), nProbe)).as("bucket")))
     val c = assign(model, corpus, embCol)
       .select(col(idCol).as("neighbor_id"), col(embCol).as("cv"), col("bucket"))
+    rankCandidates(c, q, k)
+  }
 
+  /** Shared scoring tail of [[search]] and [[searchIndexed]] — their
+    * contract is identical results for the same model/probe set, so the
+    * bucket join + self-filter + cosine + multi-bucket dedup + top-k must
+    * live in exactly one place. `q` carries (query_id, qv, bucket) exploded
+    * per probe; `c` carries (neighbor_id, cv, bucket).
+    */
+  private def rankCandidates(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Vectors.cosine(col("qv"), col("cv")).as("sim"))
       // a (query, neighbor) pair can match through several probed buckets
       .dropDuplicates("query_id", "neighbor_id")
-
     TopK.perQuery(scored, k)
   }
 
@@ -137,24 +144,18 @@ object IvfIndex {
       nProbe: Int = 4,
       embCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-
-    val qdf = queries.select(
+    // evaluate the k-distance argmin ONCE per query row: the exploded
+    // (query_id, qv, bucket) form feeds both the driver-side distinct
+    // bucket collect and the broadcast probe side
+    val qExploded = queries.select(
       col(idCol).as("query_id"), col(embCol).as("qv"),
-      model.probeBuckets(col(embCol), nProbe).as("bks"))
-    val probed: Array[Int] = qdf
-      .select(explode(col("bks")).as("bucket")).distinct()
-      .collect().map(_.getInt(0))
-    val q = broadcast(qdf.withColumn("bucket", explode(col("bks"))).drop("bks"))
+      explode(model.probeBuckets(col(embCol), nProbe)).as("bucket"))
+      .localCheckpoint()
+    val probed: Array[Int] = qExploded
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
     val c = indexed
       .filter(col("bucket").isin(probed.toSeq: _*))
       .select(col(idCol).as("neighbor_id"), col(embCol).as("cv"), col("bucket"))
-
-    val scored = c.join(q, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("cv")).as("sim"))
-      .dropDuplicates("query_id", "neighbor_id")
-
-    TopK.perQuery(scored, k)
+    rankCandidates(c, broadcast(qExploded), k)
   }
 }

@@ -168,17 +168,9 @@ object Similarity {
       "IVF ANN top-5: k-means coarse quantizer, 4-probe bucket equi-join (recall < 1)") {
       (s, dir) =>
         val corpus = emb(s, dir)
-        // index build ≠ query: memoized per corpus (offline artifact at
-        // scale); quantizer quality needs only a bounded sample + few
-        // iterations. Cache only the read-only testdata dirs — a user dir
-        // rewritten mid-session must not serve a stale quantizer.
-        def build() = graft.operators.IvfIndex.fit(
-          corpus.limit(2048).coalesce(1), k = 16, maxIter = 5)
-        val model =
-          if (dir.startsWith("/root/testdata")) models.computeIfAbsent(dir, _ => build())
-          else build()
         graft.operators.IvfIndex
-          .search(model, corpus.filter(col("vec_id") < 10), corpus, k = 5, nProbe = 4)
+          .search(modelFor(corpus, dir), corpus.filter(col("vec_id") < 10), corpus,
+            k = 5, nProbe = 4)
           .select("query_id", "neighbor_id", "rank")
           .orderBy("query_id", "rank")
     },
@@ -187,16 +179,13 @@ object Similarity {
     // corpus is written ONCE hive-partitioned by `bucket` (an offline index
     // build), and every later search prunes the scan to its probed
     // partition directories (pruning asserted in IvfIndexSpec). Results are
-    // identical to q42 by construction (same model, same probe set).
+    // identical to q42 by construction (same model via modelFor, same
+    // probe set).
     "q56_knn_ivf_persisted" -> Q.noOracle(
       "IVF ANN top-5 over the persisted bucket-partitioned index (scan prunes to probed buckets)") {
       (s, dir) =>
         val corpus = emb(s, dir)
-        def build() = graft.operators.IvfIndex.fit(
-          corpus.limit(2048).coalesce(1), k = 16, maxIter = 5)
-        val model =
-          if (dir.startsWith("/root/testdata")) models.computeIfAbsent(dir, _ => build())
-          else build()
+        val model = modelFor(corpus, dir)
         val path = persistedIndex(model, corpus, dir)
         graft.operators.IvfIndex
           .searchIndexed(model, corpus.filter(col("vec_id") < 10),
@@ -205,19 +194,34 @@ object Similarity {
           .orderBy("query_id", "rank")
     })
 
-  /** One-time index materialization per corpus dir (offline artifact at
-    * scale). For the read-only testdata dirs the on-disk `_SUCCESS` check
-    * makes a warm /tmp from an earlier JVM reusable — `fit` is
-    * deterministic (fixed seed + sample), so a completed index for the same
-    * dir is the same index. Any OTHER dir rebuilds its model per call
-    * (q42's staleness rule), so its index is rewritten per call too — a
-    * reused index from a different model would probe the wrong buckets.
+  /** Shared by q42/q56 — their contract is IDENTICAL models, so the build
+    * + staleness policy must live in exactly one place. Index build ≠
+    * query: memoized per corpus dir (offline artifact at scale); quantizer
+    * quality needs only a bounded sample + few iterations. Cache only the
+    * read-only testdata dirs — a user dir rewritten mid-session must not
+    * serve a stale quantizer.
+    */
+  private def modelFor(corpus: DataFrame, dir: String): graft.operators.IvfIndex.Model = {
+    def build() = graft.operators.IvfIndex.fit(
+      corpus.limit(2048).coalesce(1), k = 16, maxIter = 5)
+    if (dir.startsWith("/root/testdata")) models.computeIfAbsent(dir, _ => build())
+    else build()
+  }
+
+  /** One-time index materialization per (corpus dir, MODEL) — the path is
+    * keyed by a fingerprint of the centroids, so a stale /tmp index from a
+    * previous JVM whose corpus (hence model) has since changed can never be
+    * served: a different model hashes to a different path and is rebuilt.
+    * For an unchanged testdata dir, `fit` is deterministic (fixed seed +
+    * sample) ⇒ same fingerprint ⇒ a completed warm index is reusable.
     */
   private def persistedIndex(
       model: graft.operators.IvfIndex.Model, corpus: DataFrame, dir: String): String = synchronized {
+    val fp = java.util.Arrays.deepHashCode(model.centroids.asInstanceOf[Array[AnyRef]])
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    val reusable = dir.startsWith("/root/testdata") &&
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Integer.toHexString(fp)
+    val reusable =
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
     if (!reusable)
       graft.ops.Bucketing.writePartitioned(

@@ -35,8 +35,16 @@ object EventAggStream {
         col("event_type"), col("n"), col("sum_value"))
 
   /** @param trigger defaults to drain-the-backlog-and-stop (AvailableNow),
-    *                 the production posture; tests over MemoryStream must
-    *                 pass `Trigger.ProcessingTime(0)` explicitly (AvailableNow
+    *                 the incremental-batch production posture. CAVEAT of
+    *                 append-mode watermarked aggregation under ANY
+    *                 drain-and-stop trigger: windows whose end exceeds the
+    *                 final watermark stay in state and are NOT emitted by
+    *                 this run — with a durable checkpoint they finalize on
+    *                 the next scheduled run; this memory-sink demo API has
+    *                 no checkpoint, so the open tail window is simply
+    *                 absent from the table. Pass
+    *                 `Trigger.ProcessingTime(...)` for a continuously-live
+    *                 query (tests over MemoryStream must: AvailableNow
     *                 terminates before `addData` can feed later batches).
     */
   def start(

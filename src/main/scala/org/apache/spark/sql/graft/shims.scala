@@ -31,4 +31,29 @@ object shims {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
   }
+
+  /** Drop the storage blocks behind a `localCheckpoint`ed DataFrame (the
+    * checkpoint RDD is otherwise freed only when the JVM GCs the RDD
+    * object and the ContextCleaner notices). The plan's leaf RDD is
+    * typically a projection OVER the persisted checkpoint RDD, so this
+    * walks the narrow dependency chain up to the first persisted ancestor.
+    * Iterative operators call it on superseded rounds so live blocks stay
+    * bounded to one round; the unpersisted data is gone for good (local
+    * checkpoints have no lineage to recompute from) — only call on
+    * DataFrames nothing will read again. Safe no-op for non-checkpoint
+    * plans.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+    def walk(rdd: org.apache.spark.rdd.RDD[_], depth: Int): Unit =
+      if (depth < 8) {
+        if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+          rdd.unpersist(false); ()
+        } else rdd.dependencies.foreach(d => walk(d.rdd, depth + 1))
+      }
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => walk(r.rdd, 0)
+      case _ => ()
+    }
+  }
 }
