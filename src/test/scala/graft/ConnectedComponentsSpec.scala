@@ -34,6 +34,35 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(res.values.toSet == Set(1L))
   }
 
+  test("matches a union-find reference exactly on the real near-dup graph") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = Similarity.blockedNearDupPairs(e, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = e.select("vec_id").collect().map(_.getLong(0))
+    // reference: classic union-find with path compression (test-only —
+    // the operator under test must never collect the graph)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+
+    import spark.implicits._
+    val got = ConnectedComponents.run(
+      e.select(col("vec_id").as("id")),
+      pairs.toSeq.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("labels are edge-consistent on the real near-dup graph (q55 machinery)") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val pairs = Similarity.blockedNearDupPairs(e, threshold = 0.4)
