@@ -190,6 +190,48 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dup filter suppresses minhash-colliding later docs") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.NearDupStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Timestamp, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.STRING)
+
+    val t0 = 1700000000000L
+    def doc(id: Long, minutes: Long, text: String) =
+      (id, new Timestamp(t0 + minutes * 60000), text)
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different content about distributed query engines"
+    val c = "yet another unrelated document concerning parquet file layouts"
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = NearDupStream.start(
+      input.toDF().toDF("doc_id", "ts", "text"), queryName = "neardup_t",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    input.addData(doc(1, 0, a), doc(2, 1, b))
+    q.processAllAvailable()
+    // doc 3 = exact text of doc 1, arriving LATER within the watermark:
+    // collides on every band, must be suppressed; doc 4 is novel
+    input.addData(doc(3, 2, a), doc(4, 3, c))
+    q.processAllAvailable()
+    // push the watermark far past every window so the counts finalize
+    input.addData(doc(99, 100000, "push one"))
+    q.processAllAvailable()
+    input.addData(doc(98, 100001, "push two"))
+    q.processAllAvailable()
+
+    val ids = spark.table("neardup_t").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 4L),
+      s"near-dup doc 3 must be suppressed, novel docs kept; got ${ids.mkString(",")}")
+    q.stop()
+  }
+
   test("stream-stream range join pairs events within the window only") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
