@@ -82,4 +82,41 @@ object Compact {
     val after = fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
     CompactResult(parts.length, after, rows)
   }
+
+  /** Compact a hive-partitioned lake (e.g. `Bucketing.writePartitioned` /
+    * `ConvertJob.runPartitionedByDate` output) by compacting each leaf
+    * partition directory INDIVIDUALLY — the directory layout, partition
+    * values, and pruning behavior are untouched; only the files inside
+    * each partition are rewritten. Leaf partitions are compacted
+    * sequentially (each rewrite is itself a parallel Spark job; at lake
+    * scale, run one maintenance job per hot partition instead).
+    *
+    * Returns per-partition results keyed by the partition-relative path
+    * (e.g. `date=2025-01-01`). Nested partition trees recurse to leaves.
+    */
+  def compactPartitioned(
+      spark: SparkSession,
+      dir: String,
+      sortCol: String = "time",
+      targetBytes: Long = 128L * 1024 * 1024,
+      codec: String = "zstd"): Map[String, CompactResult] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    def leaves(p: Path, rel: String): Seq[(String, Path)] = {
+      val entries = fs.listStatus(p)
+      val subdirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (subdirs.isEmpty) Seq(rel -> p)
+      else subdirs.toSeq.flatMap { s =>
+        val name = s.getPath.getName
+        leaves(s.getPath, if (rel.isEmpty) name else s"$rel/$name")
+      }
+    }
+    val parts = leaves(root, "")
+    require(parts.exists(_._1.nonEmpty),
+      s"$dir has no partition subdirectories — use compact() for a flat directory")
+    parts.map { case (rel, p) =>
+      rel -> compact(spark, p.toString, sortCol, targetBytes, codec)
+    }.toMap
+  }
 }

@@ -40,6 +40,36 @@ class CompactSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".__old__").exists)
   }
 
+  test("partitioned compaction rewrites each leaf dir, preserving layout and pruning") {
+    val dir = "/tmp/graft_compact_leafwise"
+    val ev = Tables.raw(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "ts")
+      .withColumn("time", unix_micros(col("ts"))).drop("ts")
+      .withColumn("bucketed", (col("user_id") % 3).cast("int"))
+    // many tiny files inside each partition
+    ev.orderBy(rand(11)).repartition(8)
+      .write.mode("overwrite").partitionBy("bucketed").parquet(dir)
+    val expect = spark.read.parquet(dir).orderBy("event_id").collect()
+    val partsBefore = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("bucketed=")).map(_.getName).sorted.toSeq
+
+    val res = Compact.compactPartitioned(spark, dir, sortCol = "time",
+      targetBytes = 512 * 1024)
+    assert(res.keySet == partsBefore.toSet, s"one result per partition: $res")
+    assert(res.values.forall(r => r.filesAfter <= r.filesBefore))
+
+    // layout intact, content identical, pruning still works
+    assert(new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("bucketed=")).map(_.getName).sorted.toSeq == partsBefore)
+    val back = spark.read.parquet(dir)
+    assert(back.orderBy("event_id").collect().sameElements(expect))
+    val pruned = back.filter(col("bucketed") === 1)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case fs: org.apache.spark.sql.execution.FileSourceScanExec => fs
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1)
+  }
+
   test("refuses to flatten a hive-partitioned directory tree") {
     val dir = "/tmp/graft_compact_partitioned"
     val docs = Tables.raw(spark, "/root/testdata/sf0.001", "documents")
