@@ -53,9 +53,10 @@ object Bench {
 
     // best-of-3: single-run numbers at this scale are dominated by GC /
     // scheduling jitter, not by the plan under test. Only successful runs
-    // count — a fast failure must not masquerade as a fast timing. ALL run
-    // timings are emitted (not just the min): a wide min/max spread on
-    // byte-identical code is the signature of host contention.
+    // count — a fast failure must not masquerade as a fast timing. All
+    // SUCCESSFUL timings are emitted in `runs` (a wide min/max spread on
+    // byte-identical code is the signature of host contention; arrays
+    // shorter than 3 mean some runs failed — see the `failed` list).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

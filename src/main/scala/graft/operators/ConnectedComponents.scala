@@ -79,53 +79,57 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     var prevRound: Option[(DataFrame, DataFrame)] = None
-    while (!converged && round < maxIter) {
-      // materialize BEFORE the pointer chase below: the chase references
-      // this subtree four times, and the rename defeats exchange reuse —
-      // without the materialization the edge join + aggregate would run
-      // once per chase step instead of once per round
-      val propagated = snap(sym
-        .join(labels.withColumnRenamed("id", "u"), "u")
-        .select(col("v").as("id"), col("lab"))
-        .union(labels)
-        .groupBy("id").agg(min("lab").as("lab")))
-      // pointer chase: three lazy lookups against the one materialized
-      // table. The left join cannot miss (every label is a node id);
-      // coalesce is belt-and-braces for nodes absent from `nodes`.
-      val lookup = propagated.select(col("id").as("__k"), col("lab").as("__v"))
-      val chased = (1 to 3).foldLeft(propagated) { (acc, _) =>
-        acc.as("c").join(lookup, col("c.lab") === col("__k"), "left")
-          .select(col("c.id").as("id"), coalesce(col("__v"), col("c.lab")).as("lab"))
+    def free(df: DataFrame): Unit =
+      org.apache.spark.sql.graft.shims.unpersistCheckpoint(df)
+    var done = false
+    try {
+      while (!converged && round < maxIter) {
+        // materialize BEFORE the pointer chase below: the chase references
+        // this subtree four times, and the rename defeats exchange reuse —
+        // without the materialization the edge join + aggregate would run
+        // once per chase step instead of once per round
+        val propagated = snap(sym
+          .join(labels.withColumnRenamed("id", "u"), "u")
+          .select(col("v").as("id"), col("lab"))
+          .union(labels)
+          .groupBy("id").agg(min("lab").as("lab")))
+        // pointer chase: three lazy lookups against the one materialized
+        // table. The left join cannot miss (every label is a node id);
+        // coalesce is belt-and-braces for nodes absent from `nodes`.
+        val lookup = propagated.select(col("id").as("__k"), col("lab").as("__v"))
+        val chased = (1 to 3).foldLeft(propagated) { (acc, _) =>
+          acc.as("c").join(lookup, col("c.lab") === col("__k"), "left")
+            .select(col("c.id").as("id"), coalesce(col("__v"), col("c.lab")).as("lab"))
+        }
+        // the changed-vs-previous flag rides in the SAME plan so convergence
+        // needs only a scan of this round's materialization, not a join job
+        val next = snap(chased
+          .join(labels.select(col("id"), col("lab").as("__prev")), "id")
+          .select(col("id"), col("lab"), (col("lab") =!= col("__prev")).as("__changed")))
+        converged = next.filter(col("__changed")).isEmpty
+        // superseded snapshots are dead — drop their checkpoint blocks now
+        // instead of waiting for GC + ContextCleaner (at scale each round's
+        // labels are |V| rows of storage; only one round should be live).
+        // The PREVIOUS round's labels were still read by this round's plan,
+        // so each level is released exactly one round after it was built.
+        prevRound.foreach { case (a, b) => free(a); free(b) }
+        prevRound = Some((propagated, labels))
+        labels = next.select("id", "lab")
+        round += 1
       }
-      // the changed-vs-previous flag rides in the SAME plan so convergence
-      // needs only a scan of this round's materialization, not a join job
-      val next = snap(chased
-        .join(labels.select(col("id"), col("lab").as("__prev")), "id")
-        .select(col("id"), col("lab"), (col("lab") =!= col("__prev")).as("__changed")))
-      converged = next.filter(col("__changed")).isEmpty
-      // superseded snapshots are dead — drop their checkpoint blocks now
-      // instead of waiting for GC + ContextCleaner (at scale each round's
-      // labels are |V| rows of storage; only one round should be live).
-      // The PREVIOUS round's labels were still read by this round's plan,
-      // so each level is released exactly one round after it was built.
-      prevRound.foreach { case (a, b) =>
-        org.apache.spark.sql.graft.shims.unpersistCheckpoint(a)
-        org.apache.spark.sql.graft.shims.unpersistCheckpoint(b)
-      }
-      prevRound = Some((propagated, labels))
-      labels = next.select("id", "lab")
-      round += 1
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds")
+      done = true
+      labels.select(col("id"), col("lab").as("component"))
+    } finally {
+      // everything except the returned final level is dead on BOTH paths:
+      // the edge checkpoint (usually the largest artifact, O(|E|) rows),
+      // the last round's propagated snapshot, and its input level. On the
+      // failure path the final labels level is dead too.
+      prevRound.foreach { case (a, b) => free(a); free(b) }
+      free(ep)
+      if (!done) free(labels)
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds")
-    // the final round's propagated snapshot and its input level are dead
-    // too (the returned frame derives only from the final `next`); only
-    // that final level survives the call
-    prevRound.foreach { case (a, b) =>
-      org.apache.spark.sql.graft.shims.unpersistCheckpoint(a)
-      org.apache.spark.sql.graft.shims.unpersistCheckpoint(b)
-    }
-    labels.select(col("id"), col("lab").as("component"))
   }
 }

@@ -144,13 +144,14 @@ object IvfIndex {
       nProbe: Int = 4,
       embCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    // evaluate the k-distance argmin ONCE per query row: the exploded
-    // (query_id, qv, bucket) form feeds both the driver-side distinct
-    // bucket collect and the broadcast probe side
+    // the probe-bucket argmin is evaluated twice over the query side (once
+    // for the driver-side distinct collect, once in the broadcast) — the
+    // query side is tiny by contract, and the alternative (checkpointing
+    // it) would leave storage blocks pinned past the call, run an eager
+    // job the caller may never need, and lose lineage recovery
     val qExploded = queries.select(
       col(idCol).as("query_id"), col(embCol).as("qv"),
       explode(model.probeBuckets(col(embCol), nProbe)).as("bucket"))
-      .localCheckpoint()
     val probed: Array[Int] = qExploded
       .select(col("bucket")).distinct().collect().map(_.getInt(0))
     val c = indexed

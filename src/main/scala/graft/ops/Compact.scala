@@ -106,6 +106,15 @@ object Compact {
     def leaves(p: Path, rel: String): Seq[(String, Path)] = {
       val entries = fs.listStatus(p)
       val subdirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      val looseData = entries.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      // data files NEXT TO partition subdirectories can be neither compacted
+      // in place (spark.read on the mixed dir would discover the whole tree
+      // and the rewrite would flatten it) nor silently skipped (the result
+      // map would read as full coverage) — refuse loudly.
+      require(subdirs.isEmpty || !looseData,
+        s"$p mixes data files with partition subdirectories " +
+          s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…); move the " +
+          "loose files into a partition before compacting")
       if (subdirs.isEmpty) Seq(rel -> p)
       else subdirs.toSeq.flatMap { s =>
         val name = s.getPath.getName
@@ -116,7 +125,11 @@ object Compact {
     require(parts.exists(_._1.nonEmpty),
       s"$dir has no partition subdirectories — use compact() for a flat directory")
     parts.map { case (rel, p) =>
-      rel -> compact(spark, p.toString, sortCol, targetBytes, codec)
+      // an empty leaf (failed write leaving only markers, manual cleanup)
+      // is recorded as a zero result, not an abort halfway through the lake
+      val hasData = fs.listStatus(p).exists(s => s.getPath.getName.endsWith(".parquet"))
+      rel -> (if (hasData) compact(spark, p.toString, sortCol, targetBytes, codec)
+              else CompactResult(0, 0, 0L))
     }.toMap
   }
 }

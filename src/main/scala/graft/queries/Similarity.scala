@@ -208,10 +208,16 @@ object Similarity {
     else build()
   }
 
-  /** One-time index materialization per (corpus dir, MODEL) — the path is
-    * keyed by a fingerprint of the centroids, so a stale /tmp index from a
-    * previous JVM whose corpus (hence model) has since changed can never be
-    * served: a different model hashes to a different path and is rebuilt.
+  /** One-time index materialization per (corpus dir, MODEL). Two stacked
+    * staleness guards, because each covers what the other cannot:
+    *   - the path is keyed by a centroid fingerprint, so an old /tmp index
+    *     whose MODEL has since changed is never served (different model ⇒
+    *     different path ⇒ rebuilt);
+    *   - cross-call reuse is allowed ONLY for the read-only testdata dirs —
+    *     the fingerprint covers the quantizer (fit on a bounded sample),
+    *     NOT the corpus, so a user dir rewritten beyond the sampled rows
+    *     could keep the same model while the index contents go stale. Any
+    *     other dir rebuilds its index per call, matching modelFor's rule.
     * For an unchanged testdata dir, `fit` is deterministic (fixed seed +
     * sample) ⇒ same fingerprint ⇒ a completed warm index is reusable.
     */
@@ -221,7 +227,7 @@ object Similarity {
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
       java.lang.Integer.toHexString(dir.hashCode) + "_" +
       java.lang.Integer.toHexString(fp)
-    val reusable =
+    val reusable = dir.startsWith("/root/testdata") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
     if (!reusable)
       graft.ops.Bucketing.writePartitioned(

@@ -45,6 +45,9 @@ object NearDupStream {
       rowsPerBand: Int = 4,
       windowLength: String = "1 minute",
       watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(numPerm >= numBands * rowsPerBand,
+      s"banding reads $numBands*$rowsPerBand signature entries but the " +
+        s"minhash signature has only $numPerm — raise numPerm or shrink the bands")
     val banded = docs
       .withWatermark(tsCol, watermarkDelay)
       .select(
@@ -64,8 +67,13 @@ object NearDupStream {
   def start(
       src: DataFrame,
       queryName: String = "neardup_distinct",
+      tsCol: String = "ts",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      watermarkDelay: String = "10 minutes",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    distinctDocs(src)
+    distinctDocs(src, tsCol = tsCol, idCol = idCol, textCol = textCol,
+        watermarkDelay = watermarkDelay)
       .writeStream
       .format("memory")
       .queryName(queryName)
