@@ -160,6 +160,62 @@ object Extras {
         .orderBy("event_type")
     },
 
+    // Ordered funnel analysis — the classic event-analytics operator: how
+    // many users progressed signup → view → click → purchase IN ORDER,
+    // each stage within 12 hours of the previous stage's earliest
+    // qualifying event (the window is what makes the funnel discriminate:
+    // unbounded, every user in this year-long dense corpus completes it;
+    // bounded, sf0.01 measures 150 → 23 → 3 → 0). Each stage is one
+    // equi-join on user_id against the previous stage's per-user
+    // aggregate — user-level tables shrink monotonically, so at 100 TB
+    // every stage joins the full event log against an ever-smaller key
+    // set (broadcastable long before stage 4). Timestamps are only
+    // COMPARED, never emitted, so the ns-vs-µs representation difference
+    // between the engines cannot hash-diverge.
+    "q60_funnel" -> Q(
+      "Ordered funnel: signup -> view -> click -> purchase, each stage within " +
+        "12h of the previous",
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 720 MINUTE GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 720 MINUTE GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+        |         AND e.ts <= s3.t3 + INTERVAL 720 MINUTE GROUP BY e.user_id)
+        |SELECT stage, stage_ord, n_users FROM (
+        |  SELECT 'signup' AS stage, 1 AS stage_ord, COUNT(*) AS n_users FROM s1
+        |  UNION ALL SELECT 'view', 2, COUNT(*) FROM s2
+        |  UNION ALL SELECT 'click', 3, COUNT(*) FROM s3
+        |  UNION ALL SELECT 'purchase', 4, COUNT(*) FROM s4) t
+        |ORDER BY stage_ord""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events").select("user_id", "event_type", "ts")
+      def nextStage(prev: DataFrame, typ: String, tPrev: String, tCur: String) =
+        ev.filter(col("event_type") === typ)
+          .join(prev.select(col("user_id"), col(tPrev)), "user_id")
+          .filter(col("ts") > col(tPrev) &&
+            col("ts") <= col(tPrev) + expr("INTERVAL 720 MINUTE"))
+          .groupBy("user_id").agg(min(col("ts")).as(tCur))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = nextStage(s1, "view", "t1", "t2")
+      val s3 = nextStage(s2, "click", "t2", "t3")
+      val s4 = nextStage(s3, "purchase", "t3", "t4")
+      Seq(("signup", 1, s1), ("view", 2, s2), ("click", 3, s3), ("purchase", 4, s4))
+        .map { case (name, ord, df) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(name).as("stage"), lit(ord).as("stage_ord"), col("n_users"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy("stage_ord")
+    },
+
     "q45_media_meta" -> Q.noOracle(
       "Multimodal decode pipeline: binary payload → typed metadata, partition-local " +
         "(real javax.imageio decode for image payloads, deterministic stub otherwise)") {
