@@ -108,5 +108,39 @@ object Curation {
       tr.join(broadcast(ev), "g")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy("doc_id")
+    },
+
+    // Cohort retention — the companion to q60's funnel: users grouped by
+    // signup week, retention = a PURCHASE in week offset 0..4 (purchase,
+    // not any-event — on this dense corpus any-event retention is a flat
+    // 100%). Week indices are pure integer epoch arithmetic so both
+    // engines bucket identically and no timestamp is ever emitted. Scale
+    // shape: one equi-join of the purchase slice against the per-user
+    // cohort table + a distinct + a count — all keyed on user_id.
+    "q61_cohort_retention" -> Q(
+      "Weekly cohort retention matrix: signup cohorts x purchase-active week offsets 0-4",
+      """WITH su AS (SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS w0 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (SELECT DISTINCT e.user_id, su.w0,
+        |          (epoch_us(e.ts) // 604800000000) - su.w0 AS wk
+        |        FROM events e JOIN su ON e.user_id = su.user_id
+        |        WHERE e.event_type = 'purchase')
+        |SELECT w0 AS cohort_week, wk AS week_offset, COUNT(*) AS n_users
+        |FROM act WHERE wk BETWEEN 0 AND 4
+        |GROUP BY w0, wk ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events").select("user_id", "event_type", "ts")
+      val week = floor(unix_micros(col("ts")) / lit(604800000000L)).cast("long")
+      val su = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), week.as("w"))
+        .groupBy("user_id").agg(min("w").as("w0"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), week.as("wk_abs"))
+        .join(su, "user_id")
+        .select(col("user_id"), col("w0"), (col("wk_abs") - col("w0")).as("wk"))
+        .distinct()
+        .filter(col("wk").between(0, 4))
+        .groupBy(col("w0").as("cohort_week"), col("wk").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
     })
 }
