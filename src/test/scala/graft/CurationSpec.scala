@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant-level coverage for the curation/analytics queries (the driver's
+  * DuckDB oracle pins exact values; these assertions pin SEMANTICS that must
+  * survive a testdata regeneration).
+  */
+class CurationSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q57 mixture sampling: kept counts respect the per-stratum rate, deterministically") {
+    val rows = SparkEntry.queries("q57_source_mixing")(spark, dir).collect()
+    rows.foreach { r =>
+      val (total, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept <= total, s"${r.getString(0)}: kept $kept > total $total")
+    }
+    // deterministic: a second run deals the identical sample
+    val again = SparkEntry.queries("q57_source_mixing")(spark, dir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    // the three stratum rates genuinely differ across sources
+    val ratios = rows.map(r => math.round(100.0 * r.getLong(2) / r.getLong(1)))
+    assert(ratios.distinct.length > 1, s"rates must vary by stratum: ${ratios.mkString(",")}")
+  }
+
+  test("q58 sequence packing: pack ids are dense per source and tokens are conserved") {
+    val rows = SparkEntry.queries("q58_seq_packing")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (source, packs) =>
+      val ids = packs.map(_._2).sorted
+      assert(ids.sameElements(ids.head to ids.last),
+        s"$source: pack ids must be contiguous, got ${ids.mkString(",")}")
+      assert(ids.head == 0L, s"$source: first pack must be 0")
+    }
+    // total tokens across packs == total tokens in the corpus
+    val totalPacked = rows.map(_._4).sum
+    val totalCorpus = queries.Tables(spark, dir, "documents")
+      .select(sum(size(split(col("text"), " ", -1)))).head.getLong(0)
+    assert(totalPacked == totalCorpus, s"packing must conserve tokens: $totalPacked != $totalCorpus")
+  }
+
+  test("q59 decontamination: flags the planted near-dups of the eval slice and only real overlaps") {
+    val rows = SparkEntry.queries("q59_decontam")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "corpus plants near-dups of early docs — some must be flagged")
+    assert(rows.forall(_._1 >= 20), "eval docs themselves must never be flagged")
+    assert(rows.forall(_._2 >= 1))
+  }
+
+  test("q60 funnel: stage counts are monotonically non-increasing") {
+    val rows = SparkEntry.queries("q60_funnel")(spark, dir).collect()
+      .sortBy(_.getInt(1)).map(r => (r.getString(0), r.getLong(2)))
+    assert(rows.map(_._1).sameElements(Seq("signup", "view", "click", "purchase")))
+    val ns = rows.map(_._2)
+    assert(ns.sliding(2).forall(p => p(0) >= p(1)),
+      s"a later funnel stage cannot outnumber an earlier one: ${ns.mkString(",")}")
+  }
+
+  test("q61 cohort retention: every cell is bounded by its cohort's size") {
+    val rows = SparkEntry.queries("q61_cohort_retention")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, off, _) => off >= 0 && off <= 4 })
+    val cohortSizes = queries.Tables(spark, dir, "events")
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(floor(unix_micros(col("ts")) / lit(604800000000L))).as("w0"))
+      .groupBy("w0").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (cohort, off, n) =>
+      assert(n <= cohortSizes(cohort),
+        s"cohort $cohort offset $off: $n retained > ${cohortSizes(cohort)} signed up")
+    }
+  }
+}
