@@ -90,14 +90,19 @@ object Bench {
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir",""" +
-        s""""runs":$allRuns,"warmup_sec":$warmupSec,""" +
+    // Two artifacts on purpose. The driver scrapes ONE stdout line with a
+    // bounded tail capture — round 3's enriched line (per-query runs arrays +
+    // loadavg, ~4 KB) overflowed it mid-array and the round graded as
+    // parsed=null. So stdout carries only the compact contract fields, and
+    // the diagnostics (all run timings, warm-up wall time, host loadavg)
+    // live exclusively in the SPARK_GRAFT_BENCH_OUT file.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val full =
+      compact.dropRight(1) +
+        s""","runs":$allRuns,"warmup_sec":$warmupSec,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
-    // stdout is wrapped by sbt's logger ([info] prefix), which breaks the
-    // driver's JSON extraction — ALSO write the bare line to a file the
-    // driver (or a human) can read without log-scraping.
-    println(json)
+    println(compact)
     // best-effort: a bad output path must not turn a finished benchmark
     // into a nonzero exit after the fact
     try {
@@ -105,7 +110,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(
-        out, (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out, (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Exception => System.err.println(s"[bench] could not write bench file: $e")
     }

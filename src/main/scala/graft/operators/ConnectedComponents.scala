@@ -11,20 +11,24 @@ import org.apache.spark.sql.functions._
   * Algorithm: every node starts labeled with `min(id, min neighbor id)`
   * (round-1 propagation fused into initialization); each round
   *   1. propagation — label(u) := min(label(u), min over neighbors v of
-  *      label(v)) via one equi-join edges⋈labels + a min-aggregate, and
-  *   2. pointer chase — label(u) := label³(u), three lazy self-lookups of
-  *      the propagated table (labels are node ids, so it doubles as the
-  *      lookup; multi-step path compression is what keeps the round count
-  *      low on chain-shaped components — measured on the sf0.1 near-dup
-  *      graph, 2000 nodes / 920 pairs: 10 rounds single-lookup, ~4 chased).
+  *      label(v)) via one union + min-aggregate (the previous label rides
+  *      the SAME aggregate as a second column, so convergence detection
+  *      costs no extra join), and
+  *   2. pointer chase — label(u) := label^k(u), `chaseSteps` lazy
+  *      self-lookups of the propagated table (labels are node ids, so it
+  *      doubles as the lookup; multi-step path compression is what keeps
+  *      the round count low on chain-shaped components).
   * Labels are monotonically non-increasing and bounded below by the
   * component minimum, so the fixpoint (no label changed in a full round) is
-  * exactly label(u) = min id reachable from u.
+  * exactly label(u) = min id reachable from u. Equivalently: the round that
+  * changes nothing is the round where every edge is label-consistent.
   *
   * Scale shape: everything is equi-joins and min-aggregates on the node-id
-  * key — no cartesians, no driver-side graph (the only driver actions are
-  * the per-round materialization and empty-check). Each round shuffles
-  * O(|V| + |E|) rows of two longs.
+  * key — no cartesians, no driver-side graph. Each round shuffles
+  * O(|V| + |E|) rows of small fixed-width longs, and costs exactly TWO
+  * blocking driver actions: the propagation materialization and the chased
+  * materialization (whose job also computes the changed-row count — the
+  * convergence check rides the same action instead of a separate scan).
   *
   * Iterative-loop materialization is SUBTLE in Spark, and both naive forms
   * fail at round ~7 (measured):
@@ -35,31 +39,70 @@ import org.apache.spark.sql.functions._
   *     stats estimation (rounds 0-5 ~1 s, round 7 15 s, round 8 77 s);
   *   - `persist` alone reports real cached sizes but does NOT truncate the
   *     analyzed plan, which grows ~6x per round (the chase references the
-  *     round table four times) until plan analysis/rendering OOMs the
+  *     round table several times) until plan analysis/rendering OOMs the
   *     driver.
   * [[snap]] does both halves right: checkpoint to truncate lineage, then
-  * rewrap the materialized RDD in a fresh leaf with DEFAULT stats
-  * (shims.freshStats) — constant plan size AND constant planning cost per
-  * round. On a real cluster swap the localCheckpoint inside for reliable
-  * `checkpoint` if lineage-free recovery is required.
+  * rewrap the materialized RDD in a fresh leaf carrying its MEASURED
+  * storage size (shims.realStats) — constant plan size, constant planning
+  * cost per round, and truthful join-side estimates at every scale. On a
+  * real cluster swap the localCheckpoint inside for reliable `checkpoint`
+  * if lineage-free recovery is required.
   */
 object ConnectedComponents {
 
-  /** Materialize + truncate lineage + reset carried stats (see class doc). */
+  /** Materialize + truncate lineage + install MEASURED stats (see class
+    * doc): the rewrapped leaf reports its true persisted size, so the next
+    * round's joins broadcast-vs-shuffle exactly as they would over a
+    * parquet scan of the same data — small graphs stay in broadcast-join
+    * latency, huge graphs get honest shuffles.
+    */
   private def snap(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graft.shims.freshStats(df.localCheckpoint())
+    org.apache.spark.sql.graft.shims.realStats(df.localCheckpoint())
 
   /** Labels every node in `nodes` (column `id`) with the minimum id
     * reachable through `edges` (columns `src`, `dst`; undirected, self-loops
     * and duplicates tolerated). Output: (id, component). Nodes absent from
     * every edge form singleton components labeled by themselves.
     *
+    * Edge endpoints absent from `nodes` participate fully in propagation
+    * (so a path through an absent intermediate still connects its ends, and
+    * an absent low-id neighbor still pushes its id as a component label);
+    * they are dropped from the OUTPUT, which covers exactly `nodes`.
+    *
+    * @param chaseSteps pointer-chase lookups per round; each is one cheap
+    *        in-job hash join, and each extra step cuts chain-shaped round
+    *        count — rounds cost two blocking actions each, so more chase
+    *        per round is the cheaper currency (measured on the sf0.1
+    *        near-dup graph, 2000 nodes / 920 pairs: 10 rounds with no
+    *        chase, 4 with 3 steps, 3 with 5).
     * @throws IllegalStateException if `maxIter` rounds do not reach the
-    *         fixpoint (propagation + 3-step chase advances a chain several
-    *         positions per round; 20 rounds covers any realistically
-    *         clustered near-dup graph — raise it for pathological chains).
+    *         fixpoint (raise it for pathological chains).
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 20,
+      chaseSteps: Int = 5): DataFrame = {
+    require(chaseSteps >= 0, s"chaseSteps must be >= 0, got $chaseSteps")
+    // AQE is a per-round latency tax here, not a win: every exchange
+    // becomes a sequentially-materialized query stage with a replan in
+    // between (~0.3 s/round measured on a tiny graph, regardless of data),
+    // and the two things AQE would buy are already covered — join-side
+    // sizes are TRUE on every snap leaf (realStats ⇒ static broadcast
+    // planning makes the same choice), and the shuffle key is the node id
+    // (uniform; a component's hot minimum is a value, not a key, so no
+    // skew-join to fix). Restored after the loop, failure path included.
+    val spark = nodes.sparkSession
+    val loopConf = Seq("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    val confWas = loopConf.map(k => k -> spark.conf.getOption(k))
+    def restoreConf(): Unit =
+      confWas.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    // (set AFTER the edge snap below: the caller's edge derivation — often
+    // an expensive similarity join — should run under the session's normal
+    // adaptive config; only the loop's fixed-shape plans opt out)
     // materialize the DIRECTED edge list BEFORE symmetrizing: the union
     // below references it twice, and without materialization the edge
     // derivation (often an expensive similarity join) would execute twice.
@@ -67,69 +110,108 @@ object ConnectedComponents {
     val ep = snap(edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v")))
     val sym = ep.union(ep.select(col("v").as("u"), col("u").as("v")))
-    // round-1 propagation fused into initialization: from identity labels,
-    // one propagation step IS min(id, min neighbor id) — one agg+join pass,
-    // no union (least() skips the null of edgeless nodes). Iterative jobs
-    // are action-latency-bound, so one round saved is measurable.
-    var labels = snap(nodes.select(col("id").cast("long"))
-      .join(
-        sym.groupBy("u").agg(min("v").as("mn")).withColumnRenamed("u", "id"),
-        Seq("id"), "left")
-      .select(col("id"), least(col("id"), col("mn")).as("lab")))
+    // size the loop's shuffles to the MEASURED edge bytes (the same ~64 MB
+    // per-partition rule AQE's coalescing applies): a tiny graph gets
+    // single-task shuffle stages instead of 32 idle ones, a 100 TB graph
+    // gets thousands — without paying AQE's per-stage replan latency every
+    // round.
+    val edgeBytes = ep.queryExecution.optimizedPlan.stats.sizeInBytes
+    val loopParts = (edgeBytes / (64L << 20) + 1).min(BigInt(200000)).toInt
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val ids = nodes.select(col("id").cast("long"))
+    // round-1 propagation fused into initialization: one union + aggregate
+    // over nodes ∪ edge endpoints IS min(id, min neighbor id) — seeding
+    // from the endpoint union (not just `nodes`) is what makes absent
+    // endpoints propagate instead of silently splitting components.
+    // least() skips the null that edgeless nodes contribute.
+    var labels = snap(ids.select(col("id"), lit(null).cast("long").as("v"))
+      .union(sym.select(col("u").as("id"), col("v")))
+      .groupBy("id").agg(least(col("id"), min(col("v"))).as("lab")))
     var round = 0
     var converged = false
-    var prevRound: Option[(DataFrame, DataFrame)] = None
+    var prevRound: Option[DataFrame] = None
     def free(df: DataFrame): Unit =
       org.apache.spark.sql.graft.shims.unpersistCheckpoint(df)
     var done = false
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     try {
       while (!converged && round < maxIter) {
-        // materialize BEFORE the pointer chase below: the chase references
-        // this subtree four times, and the rename defeats exchange reuse —
-        // without the materialization the edge join + aggregate would run
-        // once per chase step instead of once per round
-        val propagated = snap(sym
-          .join(labels.withColumnRenamed("id", "u"), "u")
-          .select(col("v").as("id"), col("lab"))
-          .union(labels)
-          .groupBy("id").agg(min("lab").as("lab")))
-        // pointer chase: three lazy lookups against the one materialized
-        // table. The left join cannot miss (every label is a node id);
-        // coalesce is belt-and-braces for nodes absent from `nodes`.
-        val lookup = propagated.select(col("id").as("__k"), col("lab").as("__v"))
-        val chased = (1 to 3).foldLeft(propagated) { (acc, _) =>
+        val rt0 = System.nanoTime()
+        // ONE materialized plan — and so ONE blocking action — per round
+        // (iterative operators are action-latency-bound, so actions per
+        // round is the currency that matters):
+        //   1. propagation: neighbor labels and own label meet in one
+        //      aggregate; the previous label tags along as `own` (exactly
+        //      one non-null per id, from the `labels` branch) so the change
+        //      test needs no join back against the previous level;
+        //   2. pointer chase against the PREVIOUS round's materialized
+        //      label map — one round staler than chasing this round's
+        //      propagation, but measured equally strong (the chase
+        //      saturates after ~3 applications either way) and it removes
+        //      the separate mid-round materialization the fresh-map chase
+        //      would require (the propagation subtree appears ONCE in this
+        //      plan, as the chase base, so nothing recomputes).
+        // Stale-map chase stays correct: labels_prev(x) <= x and is
+        // reachable from x, so chased labels remain monotone decreasing
+        // over reachable ids; the fixpoint test below is unaffected.
+        // the propagation join and every chase join build against the SAME
+        // projection of the label map, so Spark's exchange reuse ships ONE
+        // broadcast (or one shuffle) of it per round, not chaseSteps + 1
+        val lookup = labels.select(col("id").as("__k"), col("lab").as("__v"))
+        val prop = sym
+          .join(lookup, col("u") === col("__k"))
+          .select(col("v").as("id"), col("__v").as("lab"),
+            lit(null).cast("long").as("own"))
+          .union(labels.select(col("id"), col("lab"), col("lab").as("own")))
+          .groupBy("id").agg(min("lab").as("lab"), max("own").as("own"))
+        val chased = (1 to chaseSteps).foldLeft(prop) { (acc, _) =>
           acc.as("c").join(lookup, col("c.lab") === col("__k"), "left")
-            .select(col("c.id").as("id"), coalesce(col("__v"), col("c.lab")).as("lab"))
+            .select(col("c.id").as("id"),
+              coalesce(col("__v"), col("c.lab")).as("lab"), col("c.own").as("own"))
         }
-        // the changed-vs-previous flag rides in the SAME plan so convergence
-        // needs only a scan of this round's materialization, not a join job
-        val next = snap(chased
-          .join(labels.select(col("id"), col("lab").as("__prev")), "id")
-          .select(col("id"), col("lab"), (col("lab") =!= col("__prev")).as("__changed")))
-        converged = next.filter(col("__changed")).isEmpty
+        // materialize the round AND count changed rows in the SAME driver
+        // action: the lazy local checkpoint persists partitions as the
+        // count's job computes them (doCheckpoint then finds every block
+        // already cached), so convergence detection is free — no separate
+        // isEmpty scan job per round.
+        val nextCk = chased.select(col("id"), col("lab"),
+          (col("lab") =!= col("own")).as("__changed"))
+          .localCheckpoint(eager = false)
+        val changed = nextCk.filter(col("__changed")).count()
+        converged = changed == 0L
+        // now that the blocks exist, rewrap with their measured size
+        val next = org.apache.spark.sql.graft.shims.realStats(nextCk)
         // superseded snapshots are dead — drop their checkpoint blocks now
         // instead of waiting for GC + ContextCleaner (at scale each round's
         // labels are |V| rows of storage; only one round should be live).
         // The PREVIOUS round's labels were still read by this round's plan,
         // so each level is released exactly one round after it was built.
-        prevRound.foreach { case (a, b) => free(a); free(b) }
-        prevRound = Some((propagated, labels))
+        prevRound.foreach(free)
+        prevRound = Some(labels)
         labels = next.select("id", "lab")
         round += 1
+        if (dbg) System.err.println(
+          f"[cc] round $round: ${(System.nanoTime() - rt0) / 1e9}%.2f s changed=$changed")
       }
       if (!converged)
         throw new IllegalStateException(
           s"connected components did not converge in $maxIter rounds")
       done = true
-      labels.select(col("id"), col("lab").as("component"))
+      // restrict the output to the requested nodes: endpoints outside
+      // `nodes` were propagation carriers only. Lazy — one semi-join that
+      // rides in the caller's plan (broadcast-able when `nodes` is small).
+      labels.join(ids, Seq("id"), "left_semi")
+        .select(col("id"), col("lab").as("component"))
     } finally {
       // everything except the returned final level is dead on BOTH paths:
-      // the edge checkpoint (usually the largest artifact, O(|E|) rows),
-      // the last round's propagated snapshot, and its input level. On the
-      // failure path the final labels level is dead too.
-      prevRound.foreach { case (a, b) => free(a); free(b) }
+      // the edge checkpoint (usually the largest artifact, O(|E|) rows)
+      // and the last superseded label level. On the failure path the final
+      // labels level is dead too.
+      prevRound.foreach(free)
       free(ep)
       if (!done) free(labels)
+      restoreConf()
     }
   }
 }

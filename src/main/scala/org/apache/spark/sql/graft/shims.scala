@@ -32,6 +32,41 @@ object shims {
     ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema)
   }
 
+  /** Rewrap a MATERIALIZED (checkpointed/persisted) DataFrame in a fresh
+    * leaf carrying its TRUE storage size as the plan statistics. This is
+    * [[freshStats]] upgraded from "default estimate" to "measured bytes":
+    * with default stats every join against a checkpoint leaf plans as a
+    * full shuffle (sort-merge), because default `sizeInBytes` is the
+    * don't-broadcast sentinel — for an iterative operator that's 2+ extra
+    * shuffle stages per round of pure latency. Measured bytes let the
+    * planner make the SAME decision it would make for a parquet scan of
+    * this data: broadcast when genuinely small, shuffle when genuinely
+    * big — the scale-honest behavior at every SF. Falls back to default
+    * stats when no persisted ancestor/size is found (e.g. not yet
+    * materialized), which is never wrong, only slower.
+    */
+  def realStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val session = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd
+    def persisted(r: org.apache.spark.rdd.RDD[_], depth: Int): Option[org.apache.spark.rdd.RDD[_]] =
+      if (depth >= 8) None
+      else if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Some(r)
+      else r.dependencies.iterator.flatMap(d => persisted(d.rdd, depth + 1)).take(1)
+        .toList.headOption
+    val stats = persisted(rdd, 0).flatMap { p =>
+      session.sparkContext.getRDDStorageInfo.find(_.id == p.id).map { info =>
+        org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = BigInt((info.memSize + info.diskSize).max(1L)))
+      }
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(session,
+      org.apache.spark.sql.execution.LogicalRDD(
+        ds.queryExecution.analyzed.output, rdd,
+        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
+        Nil, false, None)(session, stats, None))
+  }
+
   /** Drop the storage blocks behind a `localCheckpoint`ed DataFrame (the
     * checkpoint RDD is otherwise freed only when the JVM GCs the RDD
     * object and the ContextCleaner notices). The plan's leaf RDD is

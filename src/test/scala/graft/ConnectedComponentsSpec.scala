@@ -28,6 +28,18 @@ class ConnectedComponentsSpec extends SparkSpec {
       6L -> 6L, 7L -> 7L))          // self-loop + isolated node
   }
 
+  test("edge endpoints absent from nodes still carry connectivity (and are excluded from output)") {
+    // path 5 - 99 - 10 where 99 is not a requested node: the absent
+    // intermediate must still connect {5, 10} into one component, and the
+    // output must cover exactly the requested nodes
+    val res = cc(Seq(5L, 10L), Seq((5L, 99L), (99L, 10L)))
+    assert(res == Map(5L -> 5L, 10L -> 5L))
+    // a low-id absent neighbor is still the minimum reachable id: the
+    // contract is "min id reachable", whether or not that id is in `nodes`
+    val res2 = cc(Seq(5L, 10L), Seq((5L, 3L), (3L, 10L)))
+    assert(res2 == Map(5L -> 3L, 10L -> 3L))
+  }
+
   test("star with a high-id center still labels every leaf with the min leaf") {
     // center 100 connected to leaves 1..20: min must flow leaf→center→leaves
     val res = cc(Seq(100L) ++ (1L to 20L), (1L to 20L).map(l => (100L, l)))
