@@ -14,19 +14,36 @@ import org.apache.spark.sql.functions._
   *
   * Image payloads decode for REAL via JDK-builtin `javax.imageio`
   * ([[decodeImage]]: PNG/JPEG/GIF/BMP format + dimensions, header-only).
-  * Audio/video payloads fall back to the deterministic stub
-  * ([[decodeStub]] — those codecs aren't in the JDK); swap it for JavaCV /
-  * ffmpeg-via-Process without touching the plumbing.
+  * Audio and video metadata ALSO decode for real, codec-free: WAV/RIFF
+  * headers carry sample rate / channels / bit depth / data length in plain
+  * little-endian fields ([[decodeWav]]), and MP4's `moov/mvhd` box carries
+  * timescale + duration ([[decodeMp4]]) — both are pure byte-walks, no
+  * media library involved, which is exactly what a 100 TB metadata-profiling
+  * pass wants (O(header) bytes per blob, never a frame decode). Payloads no
+  * parser claims fall back to the deterministic stub ([[decodeStub]]);
+  * swap in JavaCV / ffmpeg-via-Process for sample-level work without
+  * touching the plumbing.
   */
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Typed metadata for any media payload. Modality-specific fields are
+    * zero outside their modality (images: sample_rate/channels/bits/
+    * duration_ms = 0; audio: width/height = 0; video duration-only:
+    * everything but duration_ms = 0) — one flat schema beats a union of
+    * per-modality tables for the downstream profiling queries.
+    */
   final case class MediaMeta(
       doc_id: Long,
       byte_len: Long,
       format: String,
       width: Int,
       height: Int,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      duration_ms: Long,
       checksum: Long)
 
   /** Real image decode via `javax.imageio` (JDK-builtin — no external
@@ -58,6 +75,7 @@ object Multimodal {
             format = "image/" + r.getFormatName.toLowerCase(java.util.Locale.ROOT),
             width = r.getWidth(0),
             height = r.getHeight(0),
+            sample_rate = 0, channels = 0, bits = 0, duration_ms = 0L,
             checksum = checksumOf(bytes)))
         } finally r.dispose()
       }
@@ -80,6 +98,148 @@ object Multimodal {
       (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||             // TIFF LE
       (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))               // TIFF BE
 
+  /** Real WAV/RIFF audio metadata, pure JDK: walks the RIFF chunk list for
+    * `fmt ` (channels, sample rate, byte rate, bit depth) and `data` (byte
+    * length ⇒ duration = dataLen / byteRate). Header-only — the sample data
+    * is never touched. None when the payload isn't a well-formed WAV.
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    if (!looksLikeWav(bytes)) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12 // past RIFF<size>WAVE
+      var channels = 0
+      var sampleRate = 0
+      var byteRate = 0
+      var bits = 0
+      var haveFmt = false
+      var dataLen = -1L
+      while (off + 8 <= bytes.length && !(haveFmt && dataLen >= 0)) {
+        val cid = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val csz = bb.getInt(off + 4).toLong & 0xffffffffL
+        if (cid == "fmt " && csz >= 16 && off + 24 <= bytes.length) {
+          channels = bb.getShort(off + 10) & 0xffff
+          sampleRate = bb.getInt(off + 12)
+          byteRate = bb.getInt(off + 16)
+          bits = bb.getShort(off + 22) & 0xffff
+          haveFmt = true
+        } else if (cid == "data") {
+          dataLen = csz
+        }
+        // chunks are word-aligned: odd sizes carry one pad byte. A declared
+        // size beyond the payload is malformed — stop instead of wrapping
+        // the Int and walking backwards forever.
+        if (csz > bytes.length) off = bytes.length
+        else off += 8 + csz.toInt + (csz.toInt & 1)
+      }
+      if (!haveFmt || dataLen < 0 || sampleRate <= 0 || byteRate <= 0) None
+      else Some(MediaMeta(
+        doc_id = id,
+        byte_len = bytes.length.toLong,
+        format = "audio/wav",
+        width = 0, height = 0,
+        sample_rate = sampleRate,
+        channels = channels,
+        bits = bits,
+        duration_ms = dataLen * 1000L / byteRate,
+        checksum = checksumOf(bytes)))
+    } catch { case _: Exception => None }
+  }
+
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Real MP4/ISO-BMFF video duration, pure JDK: walks the top-level box
+    * list for `moov`, then its children for `mvhd`, and reads timescale +
+    * duration (version 0 and 1 layouts). Header-only. None when the
+    * payload isn't an MP4 or carries no mvhd.
+    */
+  def decodeMp4(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    if (!looksLikeMp4(bytes)) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
+      // returns the BODY range of the first box named `name` in [from, to)
+      def findBox(name: String, from: Int, to: Int): Option[(Int, Int)] = {
+        var off = from
+        while (off + 8 <= to) {
+          val size0 = bb.getInt(off).toLong & 0xffffffffL
+          val typ = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val (bodyStart, size) =
+            if (size0 == 1L && off + 16 <= to) (off + 16, bb.getLong(off + 8))
+            else if (size0 == 0L) (off + 8, (to - off).toLong) // box runs to end
+            else (off + 8, size0)
+          if (size < 8 || off + size > to) return None // malformed
+          if (typ == name) return Some((bodyStart, off + size.toInt))
+          off += size.toInt
+        }
+        None
+      }
+      for {
+        (moovStart, moovEnd) <- findBox("moov", 0, bytes.length)
+        (b, e) <- findBox("mvhd", moovStart, moovEnd)
+        version = bytes(b) & 0xff
+        if (version == 0 && e - b >= 20) || (version == 1 && e - b >= 32)
+        timescale = if (version == 0) bb.getInt(b + 12) else bb.getInt(b + 20)
+        duration = if (version == 0) bb.getInt(b + 16).toLong & 0xffffffffL
+          else bb.getLong(b + 24)
+        if timescale > 0
+      } yield MediaMeta(
+        doc_id = id,
+        byte_len = bytes.length.toLong,
+        format = "video/mp4",
+        width = 0, height = 0,
+        sample_rate = 0, channels = 0, bits = 0,
+        duration_ms = duration * 1000L / timescale,
+        checksum = checksumOf(bytes))
+    } catch { case _: Exception => None }
+  }
+
+  private def looksLikeMp4(b: Array[Byte]): Boolean =
+    b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Synthesize a valid WAV payload (PCM header + zeroed sample data) —
+    * the deterministic media generator behind [[withPayload]]'s audio rows
+    * and the specs' exact-value assertions.
+    */
+  def synthWav(sampleRate: Int, channels: Int, bitsPerSample: Int, frames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && bitsPerSample > 0 && frames >= 0,
+      "wav parameters must be positive")
+    val blockAlign = channels * bitsPerSample / 8
+    val dataLen = frames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+    bb.put("data".getBytes).putInt(dataLen)
+    bb.array() // remaining bytes are zeroed samples (silence)
+  }
+
+  /** Synthesize a minimal MP4 payload (`ftyp` + `moov/mvhd` v0) with the
+    * given timescale/duration — deterministic video rows for
+    * [[withPayload]] and the specs.
+    */
+  def synthMp4(timescale: Int, duration: Long): Array[Byte] = {
+    require(timescale > 0 && duration >= 0, "timescale must be positive")
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108) // ftyp + moov(mvhd)
+    bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+    bb.putInt(8 + 108).put("moov".getBytes)
+    bb.putInt(108).put("mvhd".getBytes)
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale)
+      .putInt(duration.toInt)
+    bb.array() // rate/volume/matrix/next-track-id left zeroed
+  }
+
   private def checksumOf(bytes: Array[Byte]): Long = {
     var ck = 1125899906842597L
     var i = 0
@@ -87,12 +247,16 @@ object Multimodal {
     ck
   }
 
-  /** Full decode: real image decode when the payload IS an image, else the
-    * deterministic stub (text/audio/video payloads — codecs for those are
-    * not in the JDK; the stub keeps the pipeline total and deterministic).
+  /** Full decode: real image / WAV-audio / MP4-video metadata when a
+    * parser claims the payload (each guarded by a constant-time magic-byte
+    * sniff), else the deterministic stub — the pipeline stays total on
+    * arbitrary bytes.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaMeta =
-    decodeImage(id, bytes).getOrElse(decodeStub(id, bytes))
+    decodeImage(id, bytes)
+      .orElse(decodeWav(id, bytes))
+      .orElse(decodeMp4(id, bytes))
+      .getOrElse(decodeStub(id, bytes))
 
   /** STUB decode: deterministic fake media properties from raw bytes.
     * Used when no real codec applies; the signature (bytes → typed meta)
@@ -107,6 +271,7 @@ object Multimodal {
       format = if (head % 2 == 0) "fake/png" else "fake/jpeg",
       width = 16 + (head % 64),
       height = 16 + ((len % 64)).toInt,
+      sample_rate = 0, channels = 0, bits = 0, duration_ms = 0L,
       checksum = checksumOf(bytes))
   }
 
@@ -197,16 +362,36 @@ object Multimodal {
       .mapPartitions(_.map(r => decode(r.doc_id, r.payload)))
   }
 
-  /** documents → opaque binary payload column (UTF-8 bytes stand in for
-    * media bytes; at 100 TB this column is the large blob you NEVER shuffle
-    * — all decode/feature stages below are partition-local).
+  /** documents → opaque binary payload column (at 100 TB this column is
+    * the large blob you NEVER shuffle — all decode/feature stages below
+    * are partition-local). To exercise the real audio/video decode paths,
+    * a deterministic doc_id-keyed slice of rows carries synthesized-but-
+    * valid media bytes instead of text: doc_id ≡ 3 (mod 10) → WAV with
+    * id-derived sample rate / channels / length, doc_id ≡ 7 (mod 10) →
+    * MP4 with id-derived duration; all other rows carry the document's
+    * UTF-8 bytes (null text → empty payload: the decode stage must never
+    * NPE on a legal nullable column).
     */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      // null text → empty payload: the decode stage must never NPE on a
-      // legal nullable column
-      encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+  def withPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload =
+          if (id % 10 == 3)
+            synthWav(
+              sampleRate = (8000 * (1 + id % 3)).toInt,
+              channels = (1 + id % 2).toInt,
+              bitsPerSample = 16,
+              frames = (800 + id % 1600).toInt)
+          else if (id % 10 == 7)
+            synthMp4(timescale = 600, duration = 600 + id % 9000)
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id, payload)
+      })
+      .toDF("doc_id", "payload")
+  }
 
   /** Partition-local decode: binary payload → typed metadata. */
   def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {

@@ -121,6 +121,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).format.startsWith("fake/"))
   }
 
+  test("WAV header parse: exact sample rate, channels, bits, duration from a synthesized header") {
+    // 16 kHz stereo 16-bit, 1600 frames => 100 ms; byteRate = 16000*4
+    val wav = Multimodal.synthWav(sampleRate = 16000, channels = 2, bitsPerSample = 16, frames = 1600)
+    assert(wav.length == 44 + 1600 * 4)
+    val m = Multimodal.decode(3L, wav)
+    assert(m.format == "audio/wav")
+    assert(m.sample_rate == 16000 && m.channels == 2 && m.bits == 16)
+    assert(m.duration_ms == 100L, s"1600 frames at 16 kHz must be 100 ms, got ${m.duration_ms}")
+    assert(m.width == 0 && m.height == 0)
+    // 8 kHz mono 8-bit, 4000 frames => 500 ms
+    val m2 = Multimodal.decode(4L,
+      Multimodal.synthWav(sampleRate = 8000, channels = 1, bitsPerSample = 8, frames = 4000))
+    assert(m2.sample_rate == 8000 && m2.channels == 1 && m2.bits == 8 && m2.duration_ms == 500L)
+    // truncated header and bogus chunk sizes fall back to the stub, never throw
+    assert(Multimodal.decode(5L, wav.take(20)).format.startsWith("fake/"))
+    val corrupt = wav.clone()
+    corrupt(16) = 0xff.toByte; corrupt(17) = 0xff.toByte // fmt chunk size -> garbage
+    corrupt(18) = 0xff.toByte; corrupt(19) = 0x7f.toByte
+    assert(Multimodal.decode(6L, corrupt).format.startsWith("fake/"))
+  }
+
+  test("MP4 mvhd parse: exact duration from a synthesized moov box") {
+    // timescale 600, duration 1500 ticks => 2500 ms
+    val mp4 = Multimodal.synthMp4(timescale = 600, duration = 1500L)
+    val m = Multimodal.decode(7L, mp4)
+    assert(m.format == "video/mp4")
+    assert(m.duration_ms == 2500L, s"1500/600 s must be 2500 ms, got ${m.duration_ms}")
+    assert(m.sample_rate == 0 && m.width == 0)
+    // ftyp without a moov box falls back to the stub
+    assert(Multimodal.decode(8L, mp4.take(16)).format.startsWith("fake/"))
+  }
+
+  test("withPayload plants decodable wav/mp4 rows on the doc_id-keyed slice (q45 path)") {
+    val docs = Seq((3L, "text a"), (7L, "text b"), (13L, "text c"), (21L, "text d"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeMetaReal(Multimodal.withPayload(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(3L).format == "audio/wav" && out(13L).format == "audio/wav")
+    // id-derived parameters: doc 3 -> 8000*(1+3%3)=8000 Hz, 1+3%2=2 ch; doc 13 -> 16000 Hz, 2 ch
+    assert(out(3L).sample_rate == 8000 && out(3L).channels == 2 && out(3L).bits == 16)
+    assert(out(13L).sample_rate == 16000 && out(13L).channels == 2)
+    assert(out(3L).duration_ms > 0 && out(13L).duration_ms > 0)
+    assert(out(7L).format == "video/mp4" && out(7L).duration_ms == (600L + 7) * 1000 / 600)
+    assert(out(21L).format.startsWith("fake/"), "non-planted rows keep text payloads")
+  }
+
   test("resize stage rescales real images and passes non-images through") {
     val img = new java.awt.image.BufferedImage(64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
     (0 until 32).foreach(x => img.setRGB(x, 0, 0xffffff)) // half-bright top row
