@@ -49,6 +49,9 @@ object Bench {
     try SparkEntry.queries("q56_knn_ivf_persisted")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    try SparkEntry.queries("q62_knn_ivf_quantized")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
 
     // best-of-3: single-run numbers at this scale are dominated by GC /

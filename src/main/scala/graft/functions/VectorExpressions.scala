@@ -22,27 +22,38 @@ import org.apache.spark.sql.types._
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // array<tinyint> is accepted alongside float/double so the SAME kernels
+  // serve asymmetric quantized scoring (float query × int8 corpus): bytes
+  // widen to double losslessly, so mixing element types stays deterministic
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) | ArrayType(ByteType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float|double> inputs, got " +
+        s"$prettyName requires array<float|double|tinyint> inputs, got " +
           s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
-  protected def elemIsDouble(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
 
   protected def getter(e: Expression, arr: String, i: String): String =
-    if (elemIsDouble(e)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+    elemType(e) match {
+      case DoubleType => s"$arr.getDouble($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
+      case _ => s"(double) $arr.getFloat($i)"
+    }
 
   protected def getElem(e: Expression, a: ArrayData, i: Int): Double =
-    if (elemIsDouble(e)) a.getDouble(i) else a.getFloat(i).toDouble
+    elemType(e) match {
+      case DoubleType => a.getDouble(i)
+      case ByteType => a.getByte(i).toDouble
+      case _ => a.getFloat(i).toDouble
+    }
 }
 
 /** cosine(a, b) = a·b / (|a|·|b|), one fused loop. */

@@ -53,6 +53,18 @@ object Vectors {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / (norm2Hof(a) * norm2Hof(b))
 
+  /** Per-element symmetric int8 quantization of a float vector:
+    * `q = clamp(floor(x*127 + 0.5), -127, 127)` — floor arithmetic (not
+    * `round`) because HALF_UP vs banker's rounding differs across engines,
+    * while `floor(x + 0.5)` is bit-identical everywhere. Returns
+    * `array<double>` (cast to `array<tinyint>` for 4×-smaller storage);
+    * quantize [[unit]] vectors when the consumer ranks by cosine — unit
+    * components never saturate the clamp.
+    */
+  def quantizeInt8(v: Column): Column =
+    transform(v, x =>
+      greatest(lit(-127d), least(lit(127d), floor(x.cast("double") * 127 + 0.5))))
+
   /** Sign-bit LSH bucket code from the first `bits` components: a cheap,
     * deterministic coarse partitioner for ANN (IVF-style candidate pruning).
     * At scale this is the partition key that keeps each similarity probe on

@@ -159,4 +159,81 @@ object IvfIndex {
       .select(col(idCol).as("neighbor_id"), col(embCol).as("cv"), col("bucket"))
     rankCandidates(c, broadcast(qExploded), k)
   }
+
+  /** Int8-QUANTIZED corpus side of the index: (id, q8, bucket), where
+    * `q8 = round(127 · unit(embedding))` as `array<tinyint>` — 4× smaller
+    * than the float corpus, which at 100 TB is the difference between an
+    * index you can afford to probe and one you can't. Quantizing the UNIT
+    * vector means no component saturates the clamp and cosine ranking is
+    * preserved (cosine is scale-invariant, so scoring against `q8` directly
+    * ≈ scoring against the corpus vector, to quantization error).
+    */
+  def assignQuantized(
+      model: Model,
+      corpus: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    corpus.select(
+      col(idCol),
+      graft.functions.Vectors.quantizeInt8(Vectors.unit(col(embCol)))
+        .cast("array<tinyint>").as("q8"),
+      model.bucketOf(col(embCol)).as("bucket"))
+
+  /** ANN over the PERSISTED QUANTIZED index, with exact float rerank —
+    * the full IVF-quantization story at scale:
+    *   1. candidate generation scans only the probed `bucket=` partitions
+    *      of the int8 index (4× fewer bytes than the float index for the
+    *      same candidates);
+    *   2. candidates are scored with the ASYMMETRIC kernel — float query ×
+    *      int8 corpus in one codegen cosine loop (bytes widen to double in
+    *      the kernel; no dequantized array is ever materialized);
+    *   3. the per-query top `k · rerankFactor` shortlist — queries×k×factor
+    *      rows, tiny by contract — is re-scored EXACTLY against the float
+    *      corpus and re-ranked, which repairs quantization-induced rank
+    *      inversions near the cut.
+    * Pass the float-index DataFrame (with its `bucket` column) as `corpus`
+    * and the rerank fetch prunes to the same probed partitions; any
+    * (id, embedding) frame works at reduced pruning.
+    */
+  def searchIndexedQuantized(
+      model: Model,
+      queries: DataFrame,
+      indexedQ: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      rerankFactor: Int = 4,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val qExploded = queries.select(
+      col(idCol).as("query_id"), col(embCol).as("qv"),
+      explode(model.probeBuckets(col(embCol), nProbe)).as("bucket"))
+    val probed: Array[Int] = qExploded
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    val cand = indexedQ
+      .filter(col("bucket").isin(probed.toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col("q8"), col("bucket"))
+    val scored8 = cand.join(broadcast(qExploded), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("q8")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val shortlist = TopK.perQuery(scored8, k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    // exact rerank: fetch float vectors for the shortlist only; when the
+    // rerank side is the bucket-partitioned float index, prune it to the
+    // probed partitions too (every shortlist candidate came from one)
+    val floats = (if (corpus.columns.contains("bucket"))
+        corpus.filter(col("bucket").isin(probed.toSeq: _*))
+      else corpus)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("cv"))
+    val exact = shortlist
+      .join(floats, Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("qv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("sim"))
+    TopK.perQuery(exact, k)
+  }
 }

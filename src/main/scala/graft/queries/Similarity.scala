@@ -192,6 +192,29 @@ object Similarity {
             s.read.parquet(path), k = 5, nProbe = 4)
           .select("query_id", "neighbor_id", "rank")
           .orderBy("query_id", "rank")
+    },
+
+    // The QUANTIZED index made load-bearing: q48 defines the int8 codec,
+    // this query searches with it — candidates come from the persisted
+    // int8 index (4× fewer bytes scanned than q56's float index, same
+    // partition pruning), scored by the asymmetric float×int8 codegen
+    // kernel, then the shortlist is reranked exactly against the float
+    // index (also pruned to the probed buckets). Recall vs the float path
+    // is bounded ≥ 0.9 in IvfIndexSpec; with a full-width shortlist the
+    // result is asserted IDENTICAL to q56's.
+    "q62_knn_ivf_quantized" -> Q.noOracle(
+      "IVF ANN top-5 over the persisted int8-quantized index, asymmetric scoring + " +
+        "exact float rerank (recall >= 0.9 vs float path asserted in IvfIndexSpec)") {
+      (s, dir) =>
+        val corpus = emb(s, dir)
+        val model = modelFor(corpus, dir)
+        val qPath = persistedQuantizedIndex(model, corpus, dir)
+        val fPath = persistedIndex(model, corpus, dir)
+        graft.operators.IvfIndex
+          .searchIndexedQuantized(model, corpus.filter(col("vec_id") < 10),
+            s.read.parquet(qPath), s.read.parquet(fPath), k = 5, nProbe = 4)
+          .select("query_id", "neighbor_id", "rank")
+          .orderBy("query_id", "rank")
     })
 
   /** Shared by q42/q56 — their contract is IDENTICAL models, so the build
@@ -232,6 +255,24 @@ object Similarity {
     if (!reusable)
       graft.ops.Bucketing.writePartitioned(
         graft.operators.IvfIndex.assign(model, corpus), path, Seq("bucket"))
+    path
+  }
+
+  /** The int8 twin of [[persistedIndex]] — same path-by-fingerprint and
+    * testdata-only-reuse staleness rules (see there), distinct path suffix
+    * so the two artifacts can never shadow each other.
+    */
+  private def persistedQuantizedIndex(
+      model: graft.operators.IvfIndex.Model, corpus: DataFrame, dir: String): String = synchronized {
+    val fp = java.util.Arrays.deepHashCode(model.centroids.asInstanceOf[Array[AnyRef]])
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_q8_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Integer.toHexString(fp)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable)
+      graft.ops.Bucketing.writePartitioned(
+        graft.operators.IvfIndex.assignQuantized(model, corpus), path, Seq("bucket"))
     path
   }
 

@@ -10,14 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object Training {
 
-  /** Per-element symmetric int8 quantization of a float vector:
-    * `q = clamp(floor(x*127 + 0.5), -127, 127)` — floor arithmetic (not
-    * `round`) because HALF_UP vs banker's rounding differs across engines,
-    * while `floor(x + 0.5)` is bit-identical everywhere.
+  /** Int8 quantization codec — see [[graft.functions.Vectors.quantizeInt8]]
+    * (moved there so the IVF operators can share the exact codec q48
+    * audits).
     */
   def quantizeInt8(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(v, x =>
-      greatest(lit(-127d), least(lit(127d), floor(x.cast("double") * 127 + 0.5))))
+    graft.functions.Vectors.quantizeInt8(v)
 
   val all: Map[String, Q] = Map(
     // Storage-shrink path for 100 TB embedding lakes: int8 quantization is

@@ -90,6 +90,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(mem.map(_.toString).sorted))
   }
 
+  test("quantized index + asymmetric scoring + float rerank: recall >= 0.9 vs the float path") {
+    val model = IvfIndex.fit(corpus, k = 10)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val floatPath = IvfIndex.search(model, queries, corpus, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quantized = IvfIndex.searchIndexedQuantized(
+      model, queries, IvfIndex.assignQuantized(model, corpus), corpus,
+      k = 5, nProbe = 4, rerankFactor = 4)
+    val got = quantized.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (floatPath & got).size.toDouble / floatPath.size
+    assert(recall >= 0.9,
+      s"int8 shortlist (factor 4) + exact rerank must keep >= 0.9 of the float path, got $recall")
+    // the quantized kernel really scored int8: q8 column is array<tinyint>
+    val q8Type = IvfIndex.assignQuantized(model, corpus).schema("q8").dataType
+    assert(q8Type.simpleString == "array<tinyint>", s"index must store int8, got $q8Type")
+  }
+
+  test("quantized search with a full-width shortlist equals the float path exactly") {
+    // rerankFactor covering every candidate makes the exact rerank rank the
+    // SAME candidate pool as the float search — the two must be identical,
+    // which pins the asymmetric-scoring plumbing (join keys, dedup, rerank
+    // fetch) independent of quantization error
+    val model = IvfIndex.fit(corpus, k = 10)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val n = corpus.count().toInt
+    val full = IvfIndex.searchIndexedQuantized(
+      model, queries, IvfIndex.assignQuantized(model, corpus), corpus,
+      k = 5, nProbe = 4, rerankFactor = n)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toString).sorted
+    val float = IvfIndex.search(model, queries, corpus, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toString).sorted
+    assert(full.sameElements(float))
+  }
+
   test("search output ranks are dense per query and self-matches excluded") {
     val model = IvfIndex.fit(corpus, k = 10)
     val out = IvfIndex.search(model, corpus.filter(col("vec_id") < 5), corpus, k = 3, nProbe = 2)
