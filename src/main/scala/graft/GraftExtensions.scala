@@ -70,10 +70,17 @@ object GraftExtensions {
     fn("jaccard_sorted",
       "jaccard_sorted(a, b) - jaccard similarity of two sorted-distinct array<bigint>",
       args => JaccardSorted(args(0), args(1))),
-    // raw AggregateFunction: the analyzer wraps it in an AggregateExpression
+    // raw AggregateFunctions: the analyzer wraps them in AggregateExpressions
     fn("bottom_k_distinct",
       "bottom_k_distinct(expr, k) - k smallest distinct string values, sorted (KMV sketch core)",
-      args => BottomKDistinct(args(0), intArg(args(1), "k"))))
+      args => BottomKDistinct(args(0), intArg(args(1), "k"))),
+    fn("top_k_frequent",
+      "top_k_frequent(expr, k[, capacity]) - k most frequent string values with error bounds " +
+        "(SpaceSaving heavy hitters; capacity counters per partial)",
+      args => TopKFrequent(
+        args(0),
+        intArg(args(1), "k"),
+        if (args.length > 2) intArg(args(2), "capacity") else 4096)))
 
   /** Register every engine function on a live session. */
   def register(spark: SparkSession): Unit = {

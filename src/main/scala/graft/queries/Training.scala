@@ -151,6 +151,36 @@ object Training {
         .orderBy("source")
     },
 
+    // Heavy hitters for vocabulary building: q43/q50 count terms EXACTLY,
+    // which shuffles every token occurrence — at 100 TB that's the corpus
+    // re-keyed by token. SpaceSaving ships one capacity-bounded buffer per
+    // partition through the shuffle instead (the BottomK/KMV partial-agg
+    // shape, with the heavy-hitter eviction rule). On this corpus the
+    // vocabulary (31 terms) is far under capacity, so the sketch is exact
+    // by construction and the DuckDB count oracle pins the whole
+    // update/merge/serialize path value-for-value; the eviction regime is
+    // pinned by FunctionsSpec bound checks instead.
+    "q63_top_tokens" -> Q(
+      "Top-20 tokens corpus-wide via a SpaceSaving heavy-hitters " +
+        "TypedImperativeAggregate (exact here: vocab << capacity)",
+      """SELECT rnk, term, cnt FROM (
+        |  SELECT term, COUNT(*) AS cnt,
+        |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rnk
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term) t
+        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("term"))
+        .agg(graft.functions.SpaceSavingExpressions
+          .topKFrequent(col("term"), k = 20, capacity = 4096).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "e")))
+        .select(
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("e.token").as("term"),
+          col("e.cnt").as("cnt"))
+        .orderBy("rnk")
+    },
+
     // HLL++ approximate distinct: the 100 TB replacement for q08's exact
     // expand+two-phase count-distinct (constant memory, one pass, mergeable
     // sketch). Sketch internals are engine-specific, so no value oracle —

@@ -60,6 +60,57 @@ class TrainingSpec extends SparkSpec {
       s"KMV estimate $est vs exact $exact (k=64 → ~12.5% expected error)")
   }
 
+  test("space-saving top-k: exact regime matches groupBy counts under any partitioning") {
+    import spark.implicits._
+    import graft.functions.SpaceSavingExpressions.topKFrequent
+    // known composition, distinct values (7) < capacity => sketch is exact
+    val stream = Seq.fill(50)("alpha") ++ Seq.fill(40)("beta") ++ Seq.fill(40)("gamma") ++
+      Seq.fill(10)("delta") ++ Seq.fill(5)("eps") ++ Seq("zeta", "eta")
+    val expected = Seq(("alpha", 50L, 0L), ("beta", 40L, 0L), ("gamma", 40L, 0L),
+      ("delta", 10L, 0L)) // beta before gamma: count ties break token-asc
+    for (parts <- Seq(1, 7)) {
+      val got = stream.toDF("t").repartition(parts)
+        .agg(topKFrequent(col("t"), 4, 16).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select("e.token", "e.cnt", "e.err")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"parts=$parts: $got")
+    }
+  }
+
+  test("space-saving top-k: eviction regime keeps the guarantee bounds and the heavy hitter") {
+    import spark.implicits._
+    import graft.functions.SpaceSavingExpressions.topKFrequent
+    // 1 heavy value + 60 singletons through capacity 8: evictions guaranteed
+    val rnd = new scala.util.Random(11)
+    val stream = rnd.shuffle(Seq.fill(30)("heavy") ++ (0 until 60).map(i => s"one_$i"))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = stream.toDF("t").repartition(3)
+      .agg(topKFrequent(col("t"), 8, 8).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select("e.token", "e.cnt", "e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // SpaceSaving guarantee: cnt - err <= f <= cnt, and any f > N/capacity
+    // survives — "heavy" (30 > 90/8) must be reported first
+    assert(got.head._1 == "heavy", s"heavy hitter must rank first: ${got.toSeq}")
+    got.foreach { case (t, cnt, err) =>
+      val f = truth(t)
+      assert(cnt - err <= f && f <= cnt, s"$t: bounds violated (cnt=$cnt err=$err f=$f)")
+    }
+  }
+
+  test("q63 sketch top-20 equals the exact term counts on the real corpus") {
+    val got = SparkEntry.queries("q63_top_tokens")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exact = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ", -1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(20).collect().zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }
+    assert(got.sameElements(exact))
+  }
+
   test("bottom_k_distinct is callable from SQL via GraftExtensions") {
     GraftExtensions.register(spark)
     Tables(spark, sf, "documents").createOrReplaceTempView("docs_bk")
