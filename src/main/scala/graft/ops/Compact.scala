@@ -52,6 +52,19 @@ object Compact {
             "Compact each partition directory individually."
         else "")
     })
+    // a MIXED directory (top-level parquet AND `col=` partition subdirs)
+    // passes the emptiness check above but is just as dangerous: the read
+    // either fails late (conflicting directory structures) or silently
+    // flattens the partitioned subtree into the rewrite. Refuse loudly,
+    // mirroring compactPartitioned's mixed-content check.
+    val partitionSubdirs = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName)
+    require(partitionSubdirs.isEmpty,
+      s"$dir mixes top-level parquet files with partition subdirectories " +
+        s"(${partitionSubdirs.take(3).mkString(", ")}…) — compacting it flat would " +
+        "destroy the partition layout. Compact the partitioned tree with " +
+        "compactPartitioned after separating the loose files.")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 

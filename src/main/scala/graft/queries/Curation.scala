@@ -12,6 +12,35 @@ import graft.functions.Text
   */
 object Curation {
 
+  /** The 100 TB form of q59's decontamination: identical plan shape
+    * (explode → broadcast tiny eval set → equi-join → per-doc count) but
+    * the join key is the 8-byte XXH64 shingle hash
+    * ([[graft.functions.HashExpressions.shingleHashSet]], one codegen
+    * kernel producing the sorted-distinct set directly) instead of the
+    * k-word string — at corpus scale that's ~an order of magnitude less
+    * shuffle/broadcast payload for the same contamination decisions.
+    * CurationSpec cross-checks it row-identical to the string form (q59)
+    * on the testdata corpora; q59 keeps the string form registered because
+    * DuckDB can only oracle what it can recompute.
+    */
+  def hashedDecontam(
+      docs: org.apache.spark.sql.DataFrame,
+      evalMaxId: Long = 20L,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    // shingleHashSet already returns the DISTINCT set, so no array_distinct
+    val sh = docs.select(
+      col("doc_id"),
+      graft.functions.HashExpressions
+        .shingleHashSet(split(col("text"), " ", -1), k).as("sh"))
+    val ev = sh.filter(col("doc_id") < evalMaxId)
+      .select(explode(col("sh")).as("g")).distinct()
+    val tr = sh.filter(col("doc_id") >= evalMaxId)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    tr.join(broadcast(ev), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     // Data MIXING: each source stratum keeps a different deterministic
     // fraction of its documents — the reweighting step that turns a raw
@@ -28,15 +57,22 @@ object Curation {
         |         ELSE 9000 END AS keep_bp
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_total,
-        |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 10000 < keep_bp
+        |  CAST(SUM(CASE WHEN ((doc_id % 2147483647) * 2654435761) % 10000 < keep_bp
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 10000 < keep_bp
+        |  CAST(SUM(CASE WHEN ((doc_id % 2147483647) * 2654435761) % 10000 < keep_bp
         |           THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM rated GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val keepBp = when(pmod(length(col("source")), lit(3)) === 0, 2500)
         .when(pmod(length(col("source")), lit(3)) === 1, 5000)
         .otherwise(9000)
-      val kept = pmod(col("doc_id") * lit(2654435761L), lit(10000L)) < keepBp
+      // the multiplicand is bounded by a Mersenne-prime mod BEFORE the Knuth
+      // multiply: (2^31-2) * 2654435761 < 2^63, so the product can never
+      // overflow int64 — Spark would silently wrap where DuckDB raises, and
+      // a keep-decision must not depend on which engine computes it. For
+      // doc_id < 2^31-1 (all testdata) the result is bit-identical to the
+      // unbounded form.
+      val kept =
+        pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L)) < keepBp
       Tables(s, dir, "documents")
         .groupBy("source")
         .agg(

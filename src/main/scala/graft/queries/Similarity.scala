@@ -58,14 +58,17 @@ object Similarity {
     * hyperplanes instead of coordinate signs score the same. That is the
     * theoretical LSH limit for neighbors this far apart — when a corpus
     * has no tight angular structure, prefer [[graft.operators.IvfIndex]]:
-    * its LEARNED centroids reach recall 0.9 probing 4/10 cells.
+    * its LEARNED centroids reach recall 0.9 probing 4/10 cells. The
+    * `probeHamming = 2` default IS the measured-reasonable operating point
+    * above (and what q38 registers) — callers trading recall for probe
+    * count should lower it explicitly, eyes open.
     */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       bits: Int = 6,
-      probeHamming: Int = 1): DataFrame = {
+      probeHamming: Int = 2): DataFrame = {
     require(bits <= 20, "bits > 20 would enumerate millions of probe masks")
     val masks = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= probeHamming)

@@ -58,12 +58,16 @@ object Training {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM (
         |  SELECT source, n_chars,
-        |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |    CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, dir) =>
-      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      // Mersenne-prime mod before the multiply keeps the product under 2^63
+      // on every engine (Spark wraps on overflow, DuckDB raises — see q57);
+      // identical assignments for doc_id < 2^31-1
+      val bucket =
+        pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(100L))
       Tables(s, dir, "documents")
         .withColumn("split",
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))

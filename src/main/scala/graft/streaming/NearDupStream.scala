@@ -28,6 +28,24 @@ import graft.functions.{HashExpressions, Text}
   * ties. Exact same-text duplicates collide on EVERY band, so the later
   * one is always fully suppressed. State for both operators is bounded by
   * rate x (watermark + window), never by corpus size.
+  *
+  * FALSE-SUPPRESSION bound (unlike batch q33, there is no Jaccard
+  * verification after the band match — a single chance band collision
+  * with an UNRELATED earlier doc suppresses): for a novel doc against one
+  * prior doc of Jaccard similarity s, P(some band agrees) ≤
+  * numBands · s^rowsPerBand, so against everything inside the state
+  * horizon the union bound is
+  *   P(false suppression) ≤ numBands · n_horizon · s̄^rowsPerBand,
+  * where n_horizon is the doc count within (watermark + window) — NOT the
+  * full stream, since claimed bands evict with the watermark — and s̄ the
+  * background (unrelated-pair) Jaccard. Defaults (8 bands, r = 4):
+  * s̄ = 0.05 ⇒ ~5·10⁻⁵ per horizon-doc — fine at thousands of docs per
+  * horizon, material at millions. The knobs, in order: raise rowsPerBand
+  * (steepens s^r fastest), shorten the watermark, or treat this stream as
+  * candidate REMOVAL and re-verify suppressed docs offline with the batch
+  * q33 shingle-Jaccard path (the streaming state never holds prior text,
+  * so in-stream verification would need a second corpus-sized state — the
+  * wrong trade at scale).
   */
 object NearDupStream {
 

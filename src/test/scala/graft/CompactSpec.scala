@@ -88,4 +88,30 @@ class CompactSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".__compact__").exists)
     assert(!new java.io.File(dir + ".__old__").exists)
   }
+
+  test("refuses a MIXED directory (top-level parquet beside partition subdirs)") {
+    val dir = "/tmp/graft_compact_mixed"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    val docs = Tables.raw(spark, "/root/testdata/sf0.001", "documents")
+    graft.ops.Bucketing.writePartitioned(docs, dir, Seq("source"))
+    // drop a loose parquet file at the top level next to the source= dirs
+    docs.limit(5).coalesce(1).write.mode("append").parquet(dir + "/__loose__")
+    val loose = new java.io.File(dir + "/__loose__").listFiles
+      .find(_.getName.endsWith(".parquet")).get
+    assert(loose.renameTo(new java.io.File(dir + "/loose.parquet")))
+    rm(new java.io.File(dir + "/__loose__"))
+
+    val e = intercept[IllegalArgumentException] {
+      Compact.compact(spark, dir, sortCol = "doc_id")
+    }
+    assert(e.getMessage.contains("mixes top-level parquet"), e.getMessage)
+    // refusal before any move: both the loose file and the layout survive
+    assert(new java.io.File(dir + "/loose.parquet").exists)
+    assert(new java.io.File(dir).listFiles.exists(_.getName.startsWith("source=")))
+    assert(!new java.io.File(dir + ".__compact__").exists)
+    assert(!new java.io.File(dir + ".__old__").exists)
+  }
 }

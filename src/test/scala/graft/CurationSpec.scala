@@ -48,6 +48,20 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 1))
   }
 
+  test("hashed-shingle decontamination matches the string-shingle form row for row") {
+    // the promised 100 TB swap: 8-byte hashed shingles must make the SAME
+    // contamination decisions (doc ids AND overlap counts) as q59's
+    // oracle-checked string shingles — on both testdata corpora
+    for (d <- Seq("/root/testdata/sf0.001", dir)) {
+      val strForm = SparkEntry.queries("q59_decontam")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val hashForm = graft.queries.Curation
+        .hashedDecontam(graft.queries.Tables(spark, d, "documents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(hashForm == strForm, s"$d: hashed=$hashForm vs string=$strForm")
+    }
+  }
+
   test("q60 funnel: stage counts are monotonically non-increasing") {
     val rows = SparkEntry.queries("q60_funnel")(spark, dir).collect()
       .sortBy(_.getInt(1)).map(r => (r.getString(0), r.getLong(2)))
