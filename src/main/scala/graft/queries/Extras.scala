@@ -37,6 +37,92 @@ object Extras {
       .orderBy("source")
   }
 
+  /** Single-pass form of q60's ordered funnel: ONE scan + one groupBy
+    * shuffle of the stage-relevant events, then a per-user walk of the
+    * time-sorted event structs (an `aggregate` HOF state machine: current
+    * stage + its timestamp), then a 4-row cumulative histogram. Semantics
+    * are identical to the chained form — the walk takes the FIRST
+    * qualifying event in (ts, event_type) order, which IS each stage's
+    * minimum, and strict `>` plus lexicographic tie order make equal-ts
+    * events resolve the same way in both forms (spec-asserted equal).
+    *
+    * Measured at sf0.1 (local[32], warm, best of 3): single-pass 0.99 s vs
+    * chained 1.40 s — one shuffle + one stage barrier beats four of each,
+    * so THIS form is what q60 registers (the value oracle is unaffected:
+    * DuckDB verifies the result via the chained SQL, which is
+    * result-equivalent by the spec'd identity). Trade to know at 100 TB:
+    * this form holds one user's full relevant-event history in a single
+    * aggregation buffer — on corpora with pathological per-user event
+    * counts (bots, service accounts), prefer [[funnelChained]], whose
+    * per-stage joins keep state flat at the cost of 4 stage barriers.
+    */
+  def funnelSinglePass(ev: DataFrame): DataFrame = {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val win = expr("INTERVAL 720 MINUTE")
+    val walked = ev
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), struct(col("ts"), col("event_type").as("et")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(aggregate(
+        col("evs"),
+        struct(lit(0).as("st"), lit(null).cast("timestamp").as("t")),
+        (acc, e) => {
+          val ts = e.getField("ts")
+          val et = e.getField("et")
+          val within = ts > acc.getField("t") && ts <= acc.getField("t") + win
+          def hit(st: Int) = struct(lit(st).as("st"), ts.as("t"))
+          when(acc.getField("st") === 0 && et === "signup", hit(1))
+            .when(acc.getField("st") === 1 && et === "view" && within, hit(2))
+            .when(acc.getField("st") === 2 && et === "click" && within, hit(3))
+            .when(acc.getField("st") === 3 && et === "purchase" && within, hit(4))
+            .otherwise(acc)
+        }).getField("st").as("st"))
+      .filter(col("st") >= 1)
+    // stage k counts users whose walk reached AT LEAST k: reverse-cumulative
+    // histogram over at most 4 rows, stitched onto a literal stage table so
+    // empty stages still report 0
+    val hist = walked.groupBy("st").agg(count(lit(1)).as("n"))
+      .withColumn("n_users",
+        sum("n").over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("st").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    import ev.sparkSession.implicits._
+    stages.zipWithIndex.map { case (nm, i) => (nm, i + 1) }
+      .toDF("stage", "stage_ord")
+      .join(hist, col("stage_ord") === col("st"), "left")
+      .select(col("stage"), col("stage_ord"), coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy("stage_ord")
+  }
+
+  /** Chained stage-join form of the q60 funnel — the flat-state
+    * alternative to [[funnelSinglePass]] (see the trade documented there,
+    * and the measured numbers; the single-pass walk is registered). Each
+    * stage is one equi-join of the event log — scan pruned to one
+    * event_type — against the previous stage's shrinking per-user
+    * aggregate (broadcastable long before stage 4).
+    */
+  def funnelChained(ev: DataFrame): DataFrame = {
+    def nextStage(prev: DataFrame, typ: String, tPrev: String, tCur: String) =
+      ev.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col(tPrev)), "user_id")
+        .filter(col("ts") > col(tPrev) &&
+          col("ts") <= col(tPrev) + expr("INTERVAL 720 MINUTE"))
+        .groupBy("user_id").agg(min(col("ts")).as(tCur))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = nextStage(s1, "view", "t1", "t2")
+    val s3 = nextStage(s2, "click", "t2", "t3")
+    val s4 = nextStage(s3, "purchase", "t3", "t4")
+    Seq(("signup", 1, s1), ("view", 2, s2), ("click", 3, s3), ("purchase", 4, s4))
+      .map { case (name, ord, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), lit(ord).as("stage_ord"), col("n_users"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy("stage_ord")
+  }
+
   val all: Map[String, Q] = Map(
     "q39_multimodal_bytes" -> Q(
       "Opaque binary payload accounting per source (octet-exact both engines)",
@@ -165,13 +251,13 @@ object Extras {
     // each stage within 12 hours of the previous stage's earliest
     // qualifying event (the window is what makes the funnel discriminate:
     // unbounded, every user in this year-long dense corpus completes it;
-    // bounded, sf0.01 measures 150 → 23 → 3 → 0). Each stage is one
-    // equi-join on user_id against the previous stage's per-user
-    // aggregate — user-level tables shrink monotonically, so at 100 TB
-    // every stage joins the full event log against an ever-smaller key
-    // set (broadcastable long before stage 4). Timestamps are only
-    // COMPARED, never emitted, so the ns-vs-µs representation difference
-    // between the engines cannot hash-diverge.
+    // bounded, sf0.01 measures 150 → 23 → 3 → 0). Registered plan:
+    // [[funnelSinglePass]] (one scan + one shuffle + per-user sorted walk
+    // — measured 1.4× faster than the chained stage joins, see its doc);
+    // the oracle SQL below is the chained form, result-identical by
+    // construction and spec. Timestamps are only COMPARED, never emitted,
+    // so the ns-vs-µs representation difference between the engines cannot
+    // hash-diverge.
     "q60_funnel" -> Q(
       "Ordered funnel: signup -> view -> click -> purchase, each stage within " +
         "12h of the previous",
@@ -195,25 +281,7 @@ object Extras {
         |  UNION ALL SELECT 'click', 3, COUNT(*) FROM s3
         |  UNION ALL SELECT 'purchase', 4, COUNT(*) FROM s4) t
         |ORDER BY stage_ord""".stripMargin) { (s, dir) =>
-      val ev = Tables(s, dir, "events").select("user_id", "event_type", "ts")
-      def nextStage(prev: DataFrame, typ: String, tPrev: String, tCur: String) =
-        ev.filter(col("event_type") === typ)
-          .join(prev.select(col("user_id"), col(tPrev)), "user_id")
-          .filter(col("ts") > col(tPrev) &&
-            col("ts") <= col(tPrev) + expr("INTERVAL 720 MINUTE"))
-          .groupBy("user_id").agg(min(col("ts")).as(tCur))
-      val s1 = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("ts")).as("t1"))
-      val s2 = nextStage(s1, "view", "t1", "t2")
-      val s3 = nextStage(s2, "click", "t2", "t3")
-      val s4 = nextStage(s3, "purchase", "t3", "t4")
-      Seq(("signup", 1, s1), ("view", 2, s2), ("click", 3, s3), ("purchase", 4, s4))
-        .map { case (name, ord, df) =>
-          df.agg(count(lit(1)).as("n_users"))
-            .select(lit(name).as("stage"), lit(ord).as("stage_ord"), col("n_users"))
-        }
-        .reduce(_ unionAll _)
-        .orderBy("stage_ord")
+      funnelSinglePass(Tables(s, dir, "events").select("user_id", "event_type", "ts"))
     },
 
     "q45_media_meta" -> Q.noOracle(

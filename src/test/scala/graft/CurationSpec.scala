@@ -71,6 +71,18 @@ class CurationSpec extends SparkSpec {
       s"a later funnel stage cannot outnumber an earlier one: ${ns.mkString(",")}")
   }
 
+  test("single-pass funnel walk (registered q60) equals the chained stage-join form exactly") {
+    for (d <- Seq("/root/testdata/sf0.001", dir)) {
+      val ev = graft.queries.Tables(spark, d, "events")
+        .select("user_id", "event_type", "ts")
+      val chained = graft.queries.Extras.funnelChained(ev).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      val onePass = SparkEntry.queries("q60_funnel")(spark, d).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(onePass == chained, s"$d: onePass=$onePass chained=$chained")
+    }
+  }
+
   test("q61 cohort retention: every cell is bounded by its cohort's size") {
     val rows = SparkEntry.queries("q61_cohort_retention")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

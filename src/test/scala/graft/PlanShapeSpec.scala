@@ -38,11 +38,29 @@ class PlanShapeSpec extends SparkSpec {
   test("no registered similarity/range query plans a nested-loop over unbounded sides") {
     // q36 broadcasts a BOUNDED query set (10 rows) — the documented exception
     Seq("q37_embed_neardup", "q38_knn_lsh", "q42_knn_ivf", "q52_range_join",
-      "q56_knn_ivf_persisted", "q59_decontam").foreach { q =>
+      "q56_knn_ivf_persisted", "q59_decontam", "q62_knn_ivf_quantized").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.linesIterator.take(12).mkString("\n")}")
       assert(!p.contains("CartesianProduct"), q)
     }
+  }
+
+  test("q63 heavy hitters never re-keys the corpus by token") {
+    val p = planOf("q63_top_tokens")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    // the only exchange may carry sketch partials (single partition /
+    // presentation sort) — a hashpartitioning exchange would mean token
+    // rows crossed the wire individually, the exact cost the sketch exists
+    // to avoid
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("ObjectHashAggregate"), "sketch must run as ObjectHashAggregate")
+  }
+
+  test("q60 single-pass funnel: one event scan, one user-key exchange") {
+    val p = planOf("q60_funnel")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("curation singles stay shuffle-lean: one scan, no joins") {
