@@ -22,6 +22,68 @@ object TextAnalysis {
     "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END"
 
   val all: Map[String, Q] = Map(
+    // Repetition-based quality filtering (the Gopher/C4 rule family):
+    // documents dominated by repeated words or one repeated bigram are
+    // boilerplate/spam signals a pretraining curation pass drops. Both
+    // metrics are computed PER ROW with array expressions — token
+    // multiset distinct + longest equal-run over the SORTED bigram array
+    // (= the max bigram multiplicity) via one `aggregate` HOF — so the
+    // corpus is never re-keyed by n-gram: at 100 TB this is a shuffle-free
+    // codegen Project, while the oracle SQL reaches the same numbers the
+    // expensive way (explode + group). Fractions are single IEEE divisions
+    // of exact integers, so both engines hash identically.
+    "q64_repetition_filter" -> Q(
+      "Gopher-style repetition quality filter: duplicate-word and top-bigram " +
+        "fractions per doc + keep flag (shuffle-free per-row metrics)",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tok,
+        |             len(list_distinct(toks)) AS n_distinct FROM t),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |                  i -> toks[i] || ' ' || toks[i+1])) AS g
+        |         FROM t) GROUP BY doc_id, g),
+        |tb AS (SELECT doc_id, MAX(c) AS top_c FROM bc GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |  CAST(m.n_tok AS BIGINT) AS n_tok,
+        |  CAST(m.n_tok - m.n_distinct AS DOUBLE) / m.n_tok AS dup_word_frac,
+        |  CASE WHEN m.n_tok > 1
+        |       THEN CAST(tb.top_c AS DOUBLE) / (m.n_tok - 1) ELSE 0.0
+        |  END AS top_bigram_frac,
+        |  CAST(CASE WHEN CAST(m.n_tok - m.n_distinct AS DOUBLE) / m.n_tok <= 0.6
+        |        AND (CASE WHEN m.n_tok > 1
+        |                  THEN CAST(tb.top_c AS DOUBLE) / (m.n_tok - 1) ELSE 0.0 END) <= 0.08
+        |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM m LEFT JOIN tb USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ", -1)
+      val nTok = size(toks)
+      val sortedBigrams = when(nTok >= 2,
+        array_sort(transform(
+          sequence(lit(1), nTok - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
+        .otherwise(array().cast("array<string>"))
+      // max bigram multiplicity = longest equal-run in the sorted array
+      val topC = aggregate(
+        sortedBigrams,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      val dupFrac = (nTok - size(array_distinct(toks))).cast("double") / nTok
+      val topFrac = when(nTok > 1, topC.cast("double") / (nTok - 1)).otherwise(lit(0.0))
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          nTok.cast("long").as("n_tok"),
+          dupFrac.as("dup_word_frac"),
+          topFrac.as("top_bigram_frac"),
+          when(dupFrac <= 0.6 && topFrac <= 0.08, 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
+    },
+
     "q27_text_stats" -> Q(
       "Per-document stats: length + whitespace token count",
       s"""SELECT doc_id, n_chars, LENGTH(text) AS len,

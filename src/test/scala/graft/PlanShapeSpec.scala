@@ -70,4 +70,15 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q must not join")
     }
   }
+
+  test("q64 repetition metrics are per-row: no n-gram re-keying, no joins") {
+    val p = planOf("q64_repetition_filter")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "metrics must not join")
+    // only the presentation sort may exchange; a hashpartitioning exchange
+    // would mean the corpus was re-keyed by token/bigram — the cost the
+    // per-row HOF formulation exists to avoid
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Generate"), "no explode — bigram stats stay inside the row")
+  }
 }
