@@ -8,8 +8,15 @@ import org.apache.spark.sql.SparkSession
   * under-measure). Prints one JSON line per the driver contract.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** The measured corpus dir and the warm-up corpus (smallest SF). */
+  val WarmupDir = "/root/testdata/sf0.001"
+
+  /** One session recipe for every benchmark entry point ([[Bench]],
+    * [[BenchOne]]) — micro-bench numbers are only comparable to driver
+    * numbers if the settings cannot drift apart.
+    */
+  def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,6 +26,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = buildSession()
 
     // Host-load telemetry: a loaded host inflates wall times non-uniformly
     // (observed 4x on identical code) and nothing in a bare timing
@@ -37,7 +50,7 @@ object Bench {
     // data dependence on the target SF), so it is emitted too.
     val warmT0 = System.nanoTime()
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      try fn(spark, WarmupDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     // Index artifacts are built offline, not per query: pre-build the IVF

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Developer micro-bench: time ONE registered query (args(0)) a few times
   * against `SPARK_GRAFT_SF_DIR` with the same session settings as [[Bench]].
   * Not part of the driver contract — a fast feedback loop for plan work.
@@ -11,18 +9,10 @@ object BenchOne {
     val name = args.headOption.getOrElse(sys.error("usage: BenchOne <query> [reps]"))
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Bench.buildSession()
     val fn = SparkEntry.queries(name)
     // warm-up at the smallest SF (codegen + JIT), as Bench does
-    try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    try fn(spark, Bench.WarmupDir).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[benchone] warmup failed: $e") }
     val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()

@@ -124,7 +124,10 @@ object Multimodal {
           byteRate = bb.getInt(off + 16)
           bits = bb.getShort(off + 22) & 0xffff
           haveFmt = true
-        } else if (cid == "data") {
+        } else if (cid == "data" && csz <= bytes.length.toLong - off - 8) {
+          // a declared data size that overruns the payload is corruption —
+          // leave dataLen unset so the decode stubs instead of reporting an
+          // hours-long duration from a bit-flipped length field
           dataLen = csz
         }
         // chunks are word-aligned: odd sizes carry one pad byte. A declared
@@ -229,6 +232,10 @@ object Multimodal {
     */
   def synthMp4(timescale: Int, duration: Long): Array[Byte] = {
     require(timescale > 0 && duration >= 0, "timescale must be positive")
+    // this synthesizer emits the v0 (32-bit) mvhd layout; a wider duration
+    // would silently wrap in the putInt below and corrupt the fixture
+    require(duration <= 0xffffffffL,
+      s"duration $duration exceeds the v0 mvhd 32-bit field")
     val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108) // ftyp + moov(mvhd)
     bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
     bb.putInt(8 + 108).put("moov".getBytes)

@@ -116,7 +116,15 @@ object ConnectedComponents {
     // gets thousands — without paying AQE's per-stage replan latency every
     // round.
     val edgeBytes = ep.queryExecution.optimizedPlan.stats.sizeInBytes
-    val loopParts = (edgeBytes / (64L << 20) + 1).min(BigInt(200000)).toInt
+    // If realStats could not find the checkpoint's storage info, the leaf
+    // reports the default don't-broadcast sentinel — treating THAT as a
+    // size would cap out at 200k partitions with AQE off (minutes of empty
+    // task scheduling per round). Unmeasured ⇒ keep the session's own
+    // shuffle parallelism instead.
+    val measured = edgeBytes < BigInt(1L << 50)
+    val loopParts =
+      if (measured) (edgeBytes / (64L << 20) + 1).min(BigInt(200000)).toInt
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val ids = nodes.select(col("id").cast("long"))

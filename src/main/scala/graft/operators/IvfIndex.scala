@@ -211,15 +211,13 @@ object IvfIndex {
       explode(model.probeBuckets(col(embCol), nProbe)).as("bucket"))
     val probed: Array[Int] = qExploded
       .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    // the int8 shortlist stage IS rankCandidates (the asymmetric kernel
+    // accepts the tinyint array as `cv` directly) — reusing it keeps every
+    // search variant's join/filter/dedup/tie-break semantics in one place
     val cand = indexedQ
       .filter(col("bucket").isin(probed.toSeq: _*))
-      .select(col(idCol).as("neighbor_id"), col("q8"), col("bucket"))
-    val scored8 = cand.join(broadcast(qExploded), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("q8")).as("sim"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val shortlist = TopK.perQuery(scored8, k * rerankFactor)
+      .select(col(idCol).as("neighbor_id"), col("q8").as("cv"), col("bucket"))
+    val shortlist = rankCandidates(cand, broadcast(qExploded), k * rerankFactor)
       .select("query_id", "neighbor_id")
     // exact rerank: fetch float vectors for the shortlist only; when the
     // rerank side is the bucket-partitioned float index, prune it to the

@@ -140,6 +140,12 @@ class MultimodalSpec extends SparkSpec {
     corrupt(16) = 0xff.toByte; corrupt(17) = 0xff.toByte // fmt chunk size -> garbage
     corrupt(18) = 0xff.toByte; corrupt(19) = 0x7f.toByte
     assert(Multimodal.decode(6L, corrupt).format.startsWith("fake/"))
+    // a data chunk DECLARING more bytes than the payload holds is corruption,
+    // not an hours-long recording: must stub, not report the inflated length
+    val overrun = wav.clone()
+    overrun(40) = 0xff.toByte; overrun(41) = 0xff.toByte // data size -> huge
+    overrun(42) = 0xff.toByte; overrun(43) = 0x0f.toByte
+    assert(Multimodal.decode(9L, overrun).format.startsWith("fake/"))
   }
 
   test("MP4 mvhd parse: exact duration from a synthesized moov box") {
