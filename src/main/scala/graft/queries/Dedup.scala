@@ -104,6 +104,38 @@ object Dedup {
     // compute the identical sets and hash-check the values; the hashed form
     // stays the scale path (8-byte hashes through the shuffle) and is
     // cross-checked against this one in ExpressionsSpec.
+    // Cross-SOURCE duplication diagnostic — the curation question "which
+    // strata are copying each other" (crawl snapshots, mirrored sites)
+    // answered as a source×source matrix of shared distinct 3-gram
+    // shingles. Scale shape: the distinct (source, shingle) table is the
+    // corpus deduped per stratum; the self-join is an equi-join keyed on
+    // the shingle whose per-key fan-out is bounded by sources² (strata
+    // counts are small by definition), and the output is at most one row
+    // per source pair. At 100 TB swap the string shingle for the 8-byte
+    // hashed kernel exactly as in q59 → hashedDecontam.
+    "q65_source_overlap" -> Q(
+      "Cross-source duplication matrix: shared distinct word-3-grams per source pair",
+      """WITH s AS (
+        |  SELECT source,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 1),
+        |                             i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)),
+        |g AS (SELECT DISTINCT source, unnest(sh) AS g FROM s)
+        |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(Text.shinglesSpaceSplit(col("text"), k = 3)).as("g"))
+        .distinct()
+      g.as("a")
+        .join(g.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("source_a", "source_b")
+    },
+
     "q35_ngram_jaccard" -> Q(
       "Exact word-3-gram Jaccard between consecutive doc ids (linear self-join)",
       """WITH s AS (

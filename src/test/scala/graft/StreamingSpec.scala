@@ -159,6 +159,49 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming top-k tokens: SpaceSaving partials merge across batches per window") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.TopTokensStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Timestamp, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.STRING)
+
+    val m0 = 1700000000000L - (1700000000000L % 60000) // aligned minute start
+    def doc(sec: Long, text: String) = (new Timestamp(m0 + sec * 1000), text)
+
+    val input = MemoryStream[(Timestamp, String)]
+    val q = TopTokensStream.start(
+      input.toDF().toDF("ts", "text"), queryName = "toptok_t", k = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    // the SAME window fed across TWO batches: counts must merge, not reset
+    input.addData(doc(5, "alpha alpha beta"), doc(10, "alpha gamma"))
+    q.processAllAvailable()
+    input.addData(doc(20, "beta beta beta alpha"))
+    q.processAllAvailable()
+    // advance the watermark (10 min) past the window end to finalize it
+    input.addData(doc(800, "later"))
+    q.processAllAvailable()
+    input.addData(doc(801, "later"))
+    q.processAllAvailable()
+
+    val rows = spark.table("toptok_t").collect()
+    assert(rows.nonEmpty, "minute-0 window must have finalized")
+    val top = rows.find(_.getTimestamp(0).getTime == m0).get
+      .getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exact regime: alpha 4 (3 in batch 1 + 1 in batch 2), beta 4 (1 + 3),
+    // gamma 1 — zero error, merged across batches; the 4-count tie breaks
+    // token-asc (alpha first)
+    assert(top == Seq(("alpha", 4L, 0L), ("beta", 4L, 0L), ("gamma", 1L, 0L)),
+      s"got $top")
+    q.stop()
+  }
+
   test("streaming dedup collapses redelivered events within the watermark") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
