@@ -24,19 +24,26 @@ object Dedup {
       col("doc_id"),
       HashExpressions.shingleHashSet(Text.tokens(col("text")), k = 3).as("sh"))
 
+  /** The (doc_id, band, bhash) LSH band table — the join key of every
+    * minhash path (whole-corpus [[minhashPairs]] AND the incremental
+    * [[incrementalMinhashPairs]]; both MUST band identically or the
+    * incremental candidates diverge from the batch-restricted full run).
+    * numPerm=32, 8 bands × 4 rows; the minhash is one codegen'd kernel.
+    */
+  def minhashBands(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(Text.lshBands(
+        HashExpressions.shingleMinHash(Text.tokens(col("text")), k = 3, numPerm = 32),
+        numBands = 8, rowsPerBand = 4)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bhash").as("bhash"))
+
   /** Candidate near-dup pairs via MinHash LSH (numPerm=32, 8 bands × 4 rows),
     * verified with exact shingle-set Jaccard >= `threshold`.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled(docs)
-    // codegen'd kernel: shingles + 32 permutations in one primitive loop
-    val sig = docs.select(
-      col("doc_id"),
-      HashExpressions.shingleMinHash(Text.tokens(col("text")), k = 3, numPerm = 32).as("sig"))
-    val bands = sig.select(
-      col("doc_id"),
-      explode(Text.lshBands(col("sig"), numBands = 8, rowsPerBand = 4)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bhash").as("bhash"))
+    val bands = minhashBands(docs)
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
@@ -49,6 +56,84 @@ object Dedup {
       .select(col("a"), col("b"),
         HashExpressions.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** One-time OFFLINE build of the incremental near-dup index: the corpus
+    * band table hive-partitioned by `band` (8 directories, each an
+    * equi-joinable (bhash, doc_id) run) plus the per-doc hashed shingle
+    * sets needed to jaccard-verify candidates. Together they are
+    * self-contained — a later batch is dedup-checked against the corpus
+    * WITHOUT rescanning or re-minhashing a single old document, the same
+    * build-once/probe-many contract as [[graft.queries.Similarity]]'s
+    * persisted IVF index. Index size is O(corpus docs × 8 bands + corpus
+    * shingle sets) — far smaller than the text it replaces rescanning.
+    */
+  def persistBandIndex(docs: DataFrame, path: String): Unit = {
+    graft.ops.Bucketing.writePartitioned(minhashBands(docs), s"$path/bands", Seq("band"))
+    shingled(docs).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(s"$path/shingles")
+  }
+
+  /** Incremental near-dup: (new_id, existing_id, jaccard) pairs between a
+    * NEW batch and the corpus behind a [[persistBandIndex]] artifact —
+    * daily-ingest dedup without touching old documents. Plan shape at
+    * scale: the batch's band table is tiny by contract (batch ≪ corpus),
+    * so it BROADCASTS against the stored band partitions (corpus side
+    * streams once, no shuffle); the surviving candidate set (≤ batch ×
+    * band fan-out, distinct) broadcasts against the stored shingle sets
+    * for the exact-jaccard verify — again one corpus-side stream. Bands
+    * here and in the stored table come from [[minhashBands]], so the
+    * candidate condition is bit-identical to a whole-corpus [[minhashPairs]]
+    * run restricted to (old, new) crossings — DedupSpec asserts exactly
+    * that identity.
+    */
+  def incrementalMinhashPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      indexPath: String,
+      threshold: Double): DataFrame = {
+    val newBands = minhashBands(newDocs).withColumnRenamed("doc_id", "new_id")
+    val newSh = shingled(newDocs)
+      .select(col("doc_id").as("new_id"), col("sh").as("sh_new"))
+    val candidates = spark.read.parquet(s"$indexPath/bands")
+      .join(broadcast(newBands), Seq("band", "bhash"))
+      .select(col("new_id"), col("doc_id").as("existing_id"))
+      .distinct()
+    spark.read.parquet(s"$indexPath/shingles")
+      .select(col("doc_id").as("existing_id"), col("sh").as("sh_old"))
+      .join(broadcast(candidates), "existing_id")
+      .join(broadcast(newSh), "new_id")
+      .select(col("new_id"), col("existing_id"),
+        HashExpressions.jaccardSorted(col("sh_new"), col("sh_old")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The 100 TB form of q65's cross-source overlap matrix: identical plan
+    * shape (per-source distinct shingles → self equi-join on the shingle →
+    * source×source count) but the join/shuffle key is the 8-byte XXH64
+    * shingle hash ([[graft.functions.HashExpressions.shingleHashSet]])
+    * instead of the k-word string — the distinct and the self-join move
+    * fixed-width longs instead of arbitrary-length text, the same
+    * payload-size win [[graft.queries.Curation.hashedDecontam]] buys q59.
+    * DedupSpec cross-checks it row-identical to the oracle-checked string
+    * form (q65) on both testdata corpora; q65 keeps the string form
+    * registered because DuckDB can only oracle what it can recompute.
+    */
+  def hashedOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    // shingleHashSet already returns the per-doc DISTINCT set; the distinct
+    // here dedups across docs of the same source
+    val g = docs.select(
+      col("source"),
+      explode(graft.functions.HashExpressions
+        .shingleHashSet(split(col("text"), " ", -1), k)).as("g"))
+      .distinct()
+    g.as("a")
+      .join(g.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
   }
 
   /** SimHash near-dup pairs: 4×16-bit band blocking on the 64-bit simhash,
@@ -94,6 +179,22 @@ object Dedup {
           .orderBy("a", "b")
     },
 
+    // Daily-ingest dedup: the corpus (doc_id%5 != 0) is indexed ONCE
+    // offline (band table + shingle sets, persistBandIndex); the "new
+    // batch" (doc_id%5 == 0) probes it — no old document is rescanned.
+    // rows-only like q33 (DuckDB cannot recompute the minhash banding);
+    // the value-level check is DedupSpec's identity assertion against the
+    // whole-corpus q33 pair set restricted to (old, new) crossings.
+    "q66_dedup_incremental" -> Q.noOracle(
+      "Incremental near-dup: new batch vs persisted corpus band index, jaccard-verified >= 0.7") {
+      (s, dir) =>
+        val docs = Tables(s, dir, "documents")
+        val path = bandIndexFor(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
+        incrementalMinhashPairs(
+            s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), path, threshold = 0.7)
+          .orderBy("new_id", "existing_id")
+    },
+
     "q34_dedup_simhash" -> Q.noOracle(
       "SimHash near-dup pairs (64-bit, 4×16 bands), hamming-verified <= 8") { (s, dir) =>
       simhashPairs(Tables(s, dir, "documents"), maxHamming = 8)
@@ -111,8 +212,8 @@ object Dedup {
     // corpus deduped per stratum; the self-join is an equi-join keyed on
     // the shingle whose per-key fan-out is bounded by sources² (strata
     // counts are small by definition), and the output is at most one row
-    // per source pair. At 100 TB swap the string shingle for the 8-byte
-    // hashed kernel exactly as in q59 → hashedDecontam.
+    // per source pair. At 100 TB use [[hashedOverlap]] — the same plan over
+    // 8-byte hashed shingle keys, spec-asserted row-identical to this form.
     "q65_source_overlap" -> Q(
       "Cross-source duplication matrix: shared distinct word-3-grams per source pair",
       """WITH s AS (
@@ -194,4 +295,21 @@ object Dedup {
         when(col("component") === col("id"), 1).otherwise(0).as("keep"))
         .orderBy("doc_id")
     })
+
+  /** One-time band-index materialization per corpus dir — the q66 analogue
+    * of [[Similarity]]'s persistedIndex rules: index build ≠ query (an
+    * offline artifact at scale), so cross-call reuse is allowed ONLY for
+    * the read-only testdata dirs; any other dir rebuilds per call (a user
+    * dir rewritten mid-session must not serve stale bands). The band table
+    * is a deterministic function of the corpus, so for an unchanged
+    * testdata dir a completed warm index is reusable as-is.
+    */
+  private def bandIndexFor(corpus: DataFrame, dir: String): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_band_index_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS"))
+    if (!reusable) persistBandIndex(corpus, path)
+    path
+  }
 }
