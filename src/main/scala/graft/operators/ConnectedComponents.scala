@@ -54,10 +54,14 @@ object ConnectedComponents {
     * doc): the rewrapped leaf reports its true persisted size, so the next
     * round's joins broadcast-vs-shuffle exactly as they would over a
     * parquet scan of the same data — small graphs stay in broadcast-join
-    * latency, huge graphs get honest shuffles.
+    * latency, huge graphs get honest shuffles. The checkpoint job runs
+    * under the INPUT frame's session (the caller's normal conf — right for
+    * the often-expensive edge derivation); the rewrapped leaf is rooted in
+    * `target` so every later read plans under the loop session's conf.
     */
-  private def snap(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graft.shims.realStats(df.localCheckpoint())
+  private def snapIn(
+      target: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.shims.realStatsIn(target, df.localCheckpoint())
 
   /** Labels every node in `nodes` (column `id`) with the minimum id
     * reachable through `edges` (columns `src`, `dst`; undirected, self-loops
@@ -91,23 +95,20 @@ object ConnectedComponents {
     // sizes are TRUE on every snap leaf (realStats ⇒ static broadcast
     // planning makes the same choice), and the shuffle key is the node id
     // (uniform; a component's hot minimum is a value, not a key, so no
-    // skew-join to fix). Restored after the loop, failure path included.
-    val spark = nodes.sparkSession
-    val loopConf = Seq("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
-    val confWas = loopConf.map(k => k -> spark.conf.getOption(k))
-    def restoreConf(): Unit =
-      confWas.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    // (set AFTER the edge snap below: the caller's edge derivation — often
-    // an expensive similarity join — should run under the session's normal
-    // adaptive config; only the loop's fixed-shape plans opt out)
+    // skew-join to fix). The opt-outs live in a CLONED session (same
+    // SparkContext + cached data, independent SQLConf), so concurrent
+    // queries/streams on the caller's session never plan under AQE-off or
+    // the loop's shuffle parallelism — nothing global is mutated and
+    // nothing needs restoring.
+    val caller = nodes.sparkSession
+    val loop = org.apache.spark.sql.graft.shims.cloneSession(caller)
     // materialize the DIRECTED edge list BEFORE symmetrizing: the union
     // below references it twice, and without materialization the edge
     // derivation (often an expensive similarity join) would execute twice.
-    // The symmetrized view stays lazy — re-scanning a checkpoint is cheap.
-    val ep = snap(edges
+    // (The checkpoint job itself runs under the caller's normal adaptive
+    // conf — only the loop's fixed-shape plans opt out.) The symmetrized
+    // view stays lazy — re-scanning a checkpoint is cheap.
+    val ep = snapIn(loop, edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v")))
     val sym = ep.union(ep.select(col("v").as("u"), col("u").as("v")))
     // size the loop's shuffles to the MEASURED edge bytes (the same ~64 MB
@@ -124,16 +125,19 @@ object ConnectedComponents {
     val measured = edgeBytes < BigInt(1L << 50)
     val loopParts =
       if (measured) (edgeBytes / (64L << 20) + 1).min(BigInt(200000)).toInt
-      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    val ids = nodes.select(col("id").cast("long"))
+      else caller.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // snapped ONCE: the seed union below and the final output semi-join
+    // both read `ids`, and an expensive caller-side node derivation must
+    // not pay its cost twice (the edge plan gets the same treatment above)
+    val ids = snapIn(loop, nodes.select(col("id").cast("long").as("id")))
     // round-1 propagation fused into initialization: one union + aggregate
     // over nodes ∪ edge endpoints IS min(id, min neighbor id) — seeding
     // from the endpoint union (not just `nodes`) is what makes absent
     // endpoints propagate instead of silently splitting components.
     // least() skips the null that edgeless nodes contribute.
-    var labels = snap(ids.select(col("id"), lit(null).cast("long").as("v"))
+    var labels = snapIn(loop, ids.select(col("id"), lit(null).cast("long").as("v"))
       .union(sym.select(col("u").as("id"), col("v")))
       .groupBy("id").agg(least(col("id"), min(col("v"))).as("lab")))
     var round = 0
@@ -207,19 +211,22 @@ object ConnectedComponents {
           s"connected components did not converge in $maxIter rounds")
       done = true
       // restrict the output to the requested nodes: endpoints outside
-      // `nodes` were propagation carriers only. Lazy — one semi-join that
-      // rides in the caller's plan (broadcast-able when `nodes` is small).
-      labels.join(ids, Seq("id"), "left_semi")
-        .select(col("id"), col("lab").as("component"))
+      // `nodes` were propagation carriers only (both sides are snapped
+      // levels, so the semi-join is broadcast-able when `nodes` is small).
+      // The result crosses back into the CALLER's session — downstream
+      // plans over it use the caller's conf, not the loop's opt-outs.
+      org.apache.spark.sql.graft.shims.realStatsIn(caller,
+        labels.join(ids, Seq("id"), "left_semi")
+          .select(col("id"), col("lab").as("component")))
     } finally {
       // everything except the returned final level is dead on BOTH paths:
       // the edge checkpoint (usually the largest artifact, O(|E|) rows)
       // and the last superseded label level. On the failure path the final
-      // labels level is dead too.
+      // labels level and the ids snap are dead too. The loop session needs
+      // no teardown — its conf dies with it and its cached state is shared.
       prevRound.foreach(free)
       free(ep)
-      if (!done) free(labels)
-      restoreConf()
+      if (!done) { free(labels); free(ids) }
     }
   }
 }

@@ -45,9 +45,23 @@ object shims {
     * stats when no persisted ancestor/size is found (e.g. not yet
     * materialized), which is never wrong, only slower.
     */
-  def realStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def realStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    realStatsIn(df.sparkSession, df)
+
+  /** [[realStats]] rewrapping into a TARGET session (which must share the
+    * source's SparkContext — RDDs are context-scoped, not session-scoped).
+    * This is how an iterative operator hands a materialized level across a
+    * session boundary: compute under one session's conf, plan every later
+    * read under another's. See [[graft.operators.ConnectedComponents]],
+    * which isolates its loop-only conf overrides (AQE off, edge-sized
+    * shuffle parallelism) in a cloned session so concurrent work on the
+    * caller's session never plans under them.
+    */
+  def realStatsIn(
+      target: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-    val session = ds.sparkSession
+    val session = target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rdd = ds.queryExecution.toRdd
     def persisted(r: org.apache.spark.rdd.RDD[_], depth: Int): Option[org.apache.spark.rdd.RDD[_]] =
       if (depth >= 8) None
@@ -66,6 +80,18 @@ object shims {
         org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
         Nil, false, None)(session, stats, None))
   }
+
+  /** An isolated twin of `session`: same SparkContext, cached data and
+    * registered state (a full `cloneSession`, so extensions/UDFs/temp views
+    * survive — unlike `newSession`, which resets runtime conf to defaults),
+    * but an INDEPENDENT SQLConf. `cloneSession` is `private[sql]`, hence
+    * the bridge. Operators that must override planning conf for a bounded
+    * region (iterative loops) run their plans in a clone instead of
+    * mutating the caller's session-global conf under concurrent work.
+    */
+  def cloneSession(
+      session: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    session.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
   /** Drop the storage blocks behind a `localCheckpoint`ed DataFrame (the
     * checkpoint RDD is otherwise freed only when the JVM GCs the RDD
