@@ -43,7 +43,13 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled(docs)
-    val bands = minhashBands(docs)
+    val sig = docs.select(
+      col("doc_id"),
+      HashExpressions.shingleMinHash(Text.tokens(col("text")), k = 3, numPerm = 32).as("sig"))
+    val bands = sig.select(
+      col("doc_id"),
+      explode(Text.lshBands(col("sig"), numBands = 8, rowsPerBand = 4)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bhash").as("bhash"))
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
