@@ -15,6 +15,35 @@ import graft.functions.{HashExpressions, Text}
   */
 object Dedup {
 
+  /** THE banding contract — the single source of every minhash parameter.
+    * Both [[minhashPairs]] (which bands inline, see there) and
+    * [[minhashBands]] (the persisted-index form) read these vals, so the
+    * two paths cannot drift apart; the persisted-index path fingerprints
+    * them into its artifact location ([[indexPathFor]]) so a binary with
+    * different values can never deserialize a stale index.
+    */
+  val ShingleK = 3
+  val NumPerm = 32
+  val NumBands = 8
+  val RowsPerBand = 4
+
+  /** Bump when the shingle/minhash KERNEL semantics change without a
+    * parameter change (tokenizer, hash function, band packing) — the
+    * persisted band index is only reusable by the binary that wrote it.
+    */
+  val KernelVersion = 1
+
+  /** Ceiling (bytes, Catalyst size estimate) under which the incremental
+    * dedup path may FORCE broadcasts of batch-derived tables. A daily
+    * batch is usually ≪ corpus and the forced broadcast saves re-shuffling
+    * the stored index — but "usually small" is a contract the engine must
+    * check, not assume: a backfill batch at 100 TB scale would OOM the
+    * driver if the hints were unconditional. 256 MB is conservative for
+    * any driver sized to run this engine; above it the joins fall back to
+    * plain equi-joins and AQE picks the strategy from runtime sizes.
+    */
+  val IncrementalBroadcastCeiling: Long = 256L << 20
+
   /** documents + sorted-distinct HASHED word-3-shingle set per doc
     * (codegen'd; jaccard over two of these is a linear merge, and the
     * shuffle moves 8-byte hashes instead of shingle strings).
@@ -22,33 +51,41 @@ object Dedup {
   private def shingled(df: DataFrame): DataFrame =
     df.select(
       col("doc_id"),
-      HashExpressions.shingleHashSet(Text.tokens(col("text")), k = 3).as("sh"))
+      HashExpressions.shingleHashSet(Text.tokens(col("text")), k = ShingleK).as("sh"))
 
   /** The (doc_id, band, bhash) LSH band table — the join key of every
     * minhash path (whole-corpus [[minhashPairs]] AND the incremental
     * [[incrementalMinhashPairs]]; both MUST band identically or the
     * incremental candidates diverge from the batch-restricted full run).
-    * numPerm=32, 8 bands × 4 rows; the minhash is one codegen'd kernel.
+    * The guarantee comes from the shared constants above: minhashPairs
+    * re-states this pipeline inline (signature projected once, then
+    * exploded — the plan shape its benchmark is pinned to) but reads the
+    * SAME (ShingleK, NumPerm, NumBands, RowsPerBand), so the band values
+    * are bit-identical across both forms.
     */
   def minhashBands(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       explode(Text.lshBands(
-        HashExpressions.shingleMinHash(Text.tokens(col("text")), k = 3, numPerm = 32),
-        numBands = 8, rowsPerBand = 4)).as("b"))
+        HashExpressions.shingleMinHash(Text.tokens(col("text")), k = ShingleK, numPerm = NumPerm),
+        numBands = NumBands, rowsPerBand = RowsPerBand)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bhash").as("bhash"))
 
   /** Candidate near-dup pairs via MinHash LSH (numPerm=32, 8 bands × 4 rows),
-    * verified with exact shingle-set Jaccard >= `threshold`.
+    * verified with exact shingle-set Jaccard >= `threshold`. Bands are
+    * computed inline (not via [[minhashBands]]) so the signature is
+    * projected exactly once before the explode — the q33 plan shape — but
+    * from the same shared banding constants, so the values are identical.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled(docs)
     val sig = docs.select(
       col("doc_id"),
-      HashExpressions.shingleMinHash(Text.tokens(col("text")), k = 3, numPerm = 32).as("sig"))
+      HashExpressions.shingleMinHash(
+        Text.tokens(col("text")), k = ShingleK, numPerm = NumPerm).as("sig"))
     val bands = sig.select(
       col("doc_id"),
-      explode(Text.lshBands(col("sig"), numBands = 8, rowsPerBand = 4)).as("b"))
+      explode(Text.lshBands(col("sig"), numBands = NumBands, rowsPerBand = RowsPerBand)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bhash").as("bhash"))
     val candidates = bands.as("x")
       .join(bands.as("y"),
@@ -82,38 +119,80 @@ object Dedup {
       .parquet(s"$path/shingles")
   }
 
-  /** Incremental near-dup: (new_id, existing_id, jaccard) pairs between a
-    * NEW batch and the corpus behind a [[persistBandIndex]] artifact —
-    * daily-ingest dedup without touching old documents. Plan shape at
-    * scale: the batch's band table is tiny by contract (batch ≪ corpus),
-    * so it BROADCASTS against the stored band partitions (corpus side
-    * streams once, no shuffle); the surviving candidate set (≤ batch ×
-    * band fan-out, distinct) broadcasts against the stored shingle sets
-    * for the exact-jaccard verify — again one corpus-side stream. Bands
-    * here and in the stored table come from [[minhashBands]], so the
-    * candidate condition is bit-identical to a whole-corpus [[minhashPairs]]
-    * run restricted to (old, new) crossings — DedupSpec asserts exactly
-    * that identity.
+  /** Absorb a checked batch into a [[persistBandIndex]] artifact so the
+    * NEXT batch dedups against it too — the day-N+1-sees-day-N half of the
+    * incremental contract. Appends only (no old partition is rewritten):
+    * the batch's band rows land in their existing `band=` directories and
+    * its shingle sets append to the shingle store, so the append cost is
+    * O(batch), never O(corpus). Call AFTER acting on
+    * [[incrementalMinhashPairs]] — an appended-then-probed batch would
+    * match itself through the index.
+    */
+  def appendToBandIndex(newDocs: DataFrame, path: String): Unit = {
+    minhashBands(newDocs).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .partitionBy("band")
+      .parquet(s"$path/bands")
+    shingled(newDocs).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .parquet(s"$path/shingles")
+  }
+
+  /** Incremental near-dup: jaccard-verified pairs with AT LEAST ONE
+    * endpoint in a NEW batch, against the corpus behind a
+    * [[persistBandIndex]] artifact — daily-ingest dedup without touching
+    * old documents. Two pair classes, both required (a batch carrying two
+    * copies of a brand-new document is the common ingest accident):
+    *   - (new, existing) crossings: batch bands probe the stored index;
+    *   - (new, new) within-batch: a [[minhashPairs]] run over the batch
+    *     alone (batch-sized, cheap relative to the probe).
+    * Output is (new_id, existing_id, jaccard); for within-batch pairs both
+    * ids are batch docs with new_id < existing_id.
+    *
+    * Plan shape at scale: when Catalyst's size estimate for the batch is
+    * under `broadcastCeiling`, the batch band table broadcasts against the
+    * stored band partitions (corpus side streams once, no shuffle) and the
+    * surviving candidate set (≤ batch × band fan-out, distinct) broadcasts
+    * against the stored shingle sets for the verify. Above the ceiling —
+    * a backfill-sized batch — the hints are withheld and the joins plan as
+    * ordinary equi-joins under AQE, because force-broadcasting an
+    * unbounded batch is a driver OOM, not an optimization. Bands on both
+    * sides derive from the shared banding constants, so the candidate
+    * condition is bit-identical to a whole-corpus [[minhashPairs]] run
+    * restricted to batch-touching pairs — DedupSpec asserts exactly that
+    * identity, and PlanShapeSpec pins both join shapes.
     */
   def incrementalMinhashPairs(
       spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame,
       indexPath: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      broadcastCeiling: Long = IncrementalBroadcastCeiling): DataFrame = {
     val newBands = minhashBands(newDocs).withColumnRenamed("doc_id", "new_id")
     val newSh = shingled(newDocs)
       .select(col("doc_id").as("new_id"), col("sh").as("sh_new"))
+    // plan-time estimate, no job: parquet file bytes through whatever
+    // filters Catalyst can reason about. Overestimates (a filter without
+    // CBO stats keeps the scan's size) only make the gate MORE cautious.
+    val batchSmall =
+      newDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(broadcastCeiling)
+    def hinted(df: DataFrame): DataFrame = if (batchSmall) broadcast(df) else df
     val candidates = spark.read.parquet(s"$indexPath/bands")
-      .join(broadcast(newBands), Seq("band", "bhash"))
+      .join(hinted(newBands), Seq("band", "bhash"))
       .select(col("new_id"), col("doc_id").as("existing_id"))
       .distinct()
-    spark.read.parquet(s"$indexPath/shingles")
+    val crossings = spark.read.parquet(s"$indexPath/shingles")
       .select(col("doc_id").as("existing_id"), col("sh").as("sh_old"))
-      .join(broadcast(candidates), "existing_id")
-      .join(broadcast(newSh), "new_id")
+      .join(hinted(candidates), "existing_id")
+      .join(hinted(newSh), "new_id")
       .select(col("new_id"), col("existing_id"),
         HashExpressions.jaccardSorted(col("sh_new"), col("sh_old")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    val withinBatch = minhashPairs(newDocs, threshold)
+      .select(col("a").as("new_id"), col("b").as("existing_id"), col("jaccard"))
+    crossings.unionByName(withinBatch)
   }
 
   /** The 100 TB form of q65's cross-source overlap matrix: identical plan
@@ -187,12 +266,14 @@ object Dedup {
 
     // Daily-ingest dedup: the corpus (doc_id%5 != 0) is indexed ONCE
     // offline (band table + shingle sets, persistBandIndex); the "new
-    // batch" (doc_id%5 == 0) probes it — no old document is rescanned.
-    // rows-only like q33 (DuckDB cannot recompute the minhash banding);
-    // the value-level check is DedupSpec's identity assertion against the
-    // whole-corpus q33 pair set restricted to (old, new) crossings.
+    // batch" (doc_id%5 == 0) probes it for (new, existing) crossings AND
+    // self-checks for within-batch duplicates — no old document is
+    // rescanned. rows-only like q33 (DuckDB cannot recompute the minhash
+    // banding); the value-level check is DedupIndexSpec's identity
+    // assertion against the whole-corpus q33 pair set restricted to pairs
+    // touching the batch.
     "q66_dedup_incremental" -> Q.noOracle(
-      "Incremental near-dup: new batch vs persisted corpus band index, jaccard-verified >= 0.7") {
+      "Incremental near-dup: new batch vs persisted corpus band index + within-batch, jaccard >= 0.7") {
       (s, dir) =>
         val docs = Tables(s, dir, "documents")
         val path = bandIndexFor(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
@@ -302,17 +383,38 @@ object Dedup {
         .orderBy("doc_id")
     })
 
+  /** Artifact location for a corpus dir's band index, fingerprinted by
+    * EVERY parameter the stored bytes depend on — the same staleness rule
+    * as [[Similarity]]'s persistedIndex: a binary whose banding parameters
+    * (or kernel version) differ from the writer's computes a different
+    * path, so it can never warm-reuse an incompatible index across JVM
+    * restarts; it rebuilds at its own path instead. DedupIndexSpec proves
+    * any single-parameter change moves the path.
+    */
+  def indexPathFor(
+      dir: String,
+      k: Int = ShingleK,
+      numPerm: Int = NumPerm,
+      numBands: Int = NumBands,
+      rowsPerBand: Int = RowsPerBand,
+      kernelVersion: Int = KernelVersion): String = {
+    val fp = s"k${k}p${numPerm}b${numBands}r${rowsPerBand}v$kernelVersion"
+    s"${sys.props("java.io.tmpdir")}/graft_band_index_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + fp
+  }
+
   /** One-time band-index materialization per corpus dir — the q66 analogue
     * of [[Similarity]]'s persistedIndex rules: index build ≠ query (an
     * offline artifact at scale), so cross-call reuse is allowed ONLY for
     * the read-only testdata dirs; any other dir rebuilds per call (a user
     * dir rewritten mid-session must not serve stale bands). The band table
-    * is a deterministic function of the corpus, so for an unchanged
-    * testdata dir a completed warm index is reusable as-is.
+    * is a deterministic function of (corpus, banding parameters) and the
+    * parameters are baked into [[indexPathFor]]'s fingerprint, so for an
+    * unchanged testdata dir a completed warm index at the fingerprinted
+    * path is reusable as-is.
     */
   private def bandIndexFor(corpus: DataFrame, dir: String): String = synchronized {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_band_index_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val path = indexPathFor(dir)
     val reusable = dir.startsWith("/root/testdata") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS"))
     if (!reusable) persistBandIndex(corpus, path)

@@ -26,16 +26,18 @@ class DedupIndexSpec extends SparkSpec {
 
   test("incremental band-index dedup equals the whole-corpus pair set restricted to the batch") {
     // q66's contract: probing the persisted index with the new batch finds
-    // EXACTLY the (old, new) crossings a full q33-style run over the whole
-    // corpus finds — same bands, same verify threshold, no old doc rescanned.
+    // EXACTLY the pairs a full q33-style run over the whole corpus finds
+    // that touch the batch — (old, new) crossings AND (new, new)
+    // within-batch duplicates — with no old doc rescanned. Old-old pairs
+    // are excluded by construction (they were the PREVIOUS dedup's job).
     for (d <- dirs) {
       val docs = graft.queries.Tables(spark, d, "documents")
       val newIds = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val full = graft.queries.Dedup.minhashPairs(docs, threshold = 0.7).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        // exactly one endpoint in the new batch — the crossings q66 can see
-        .filter { case (a, b, _) => newIds.contains(a) ^ newIds.contains(b) }
+        // at least one endpoint in the new batch — everything q66 must see
+        .filter { case (a, b, _) => newIds.contains(a) || newIds.contains(b) }
         .map { case (a, b, j) => ((a min b, a max b), j) }.toMap
       val inc = SparkEntry.queries("q66_dedup_incremental")(spark, d).collect()
         .map { r =>
@@ -44,7 +46,58 @@ class DedupIndexSpec extends SparkSpec {
         }.toMap
       assert(inc == full, s"$d: incremental=$inc vs restricted-full=$full")
       assert(inc.keySet.forall { case (a, b) =>
-        newIds.contains(a) ^ newIds.contains(b) }, "every pair must cross the batch boundary")
+        newIds.contains(a) || newIds.contains(b) }, "every pair must touch the batch")
     }
+  }
+
+  test("appendToBandIndex: day-N+1 sees day-N docs without a rebuild") {
+    // Three-day lifecycle on sf0.001: index day-0 corpus, absorb day-1's
+    // batch via APPEND (no rewrite), then probe with day-2. Day-2's pairs
+    // must cover crossings into BOTH day-0 and day-1 plus day-2's own
+    // within-batch duplicates — i.e. the whole-corpus pair set restricted
+    // to pairs touching day-2.
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables(spark, d, "documents")
+    val day0 = docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))
+    val day1 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val day2 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val day2Ids = day2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_append_idx").toString + "/idx"
+    graft.queries.Dedup.persistBandIndex(day0, path)
+    graft.queries.Dedup.appendToBandIndex(day1, path)
+    val inc = graft.queries.Dedup
+      .incrementalMinhashPairs(spark, day2, path, threshold = 0.7)
+      .collect()
+      .map { r =>
+        val (n, e) = (r.getLong(0), r.getLong(1))
+        ((n min e, n max e), r.getDouble(2))
+      }.toMap
+    val full = graft.queries.Dedup.minhashPairs(docs, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => day2Ids.contains(a) || day2Ids.contains(b) }
+      .map { case (a, b, j) => ((a min b, a max b), j) }.toMap
+    assert(inc == full, s"after append: incremental=$inc vs restricted-full=$full")
+  }
+
+  test("index path fingerprints every banding parameter: any change forces a rebuild") {
+    // the staleness guard: a binary with different banding parameters (or
+    // kernel version) computes a DIFFERENT artifact path, so it can never
+    // warm-reuse an incompatible on-disk index — it rebuilds at its own path
+    val base = graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001")
+    val variants = Seq(
+      graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001", k = 4),
+      graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001", numPerm = 64),
+      graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001", numBands = 16),
+      graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001", rowsPerBand = 2),
+      graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001", kernelVersion = 2))
+    variants.foreach(v => assert(v != base, s"parameter change must move the path: $v"))
+    assert(variants.distinct.size == variants.size)
+    // and the default path is where the warm q66 artifact actually lives
+    // (after any q66 run): the existence check and the write target agree
+    SparkEntry.queries("q66_dedup_incremental")(spark, "/root/testdata/sf0.001").collect()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "shingles", "_SUCCESS")),
+      s"warm artifact must live at the fingerprinted path $base")
   }
 }

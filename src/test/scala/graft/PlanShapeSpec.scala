@@ -71,6 +71,45 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q66 incremental dedup gates its broadcasts on the batch size estimate") {
+    // small batch (under the ceiling): the batch-derived tables are forced
+    // broadcasts so the stored index streams once with no shuffle ...
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val batch = docs.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(5)) === 0)
+    val path = graft.queries.Dedup.indexPathFor(sf)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS")))
+      graft.queries.Dedup.persistBandIndex(
+        docs.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(5)) =!= 0), path)
+    val small = graft.queries.Dedup
+      .incrementalMinhashPairs(spark, batch, path, threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin"),
+      "under the ceiling the batch side must broadcast")
+    // ... and a batch estimated OVER the ceiling must NOT force broadcasts:
+    // at backfill scale those hints are a driver OOM. (AQE may still pick a
+    // broadcast from RUNTIME sizes at this sf — the assertion is on the
+    // static plan, where withheld hints leave equi-joins to the planner.)
+    val big = graft.queries.Dedup
+      .incrementalMinhashPairs(spark, batch, path, threshold = 0.7, broadcastCeiling = 0L)
+      .queryExecution.optimizedPlan.toString
+    // the optimizer folds broadcast() hints into the join nodes as
+    // `strategy=broadcast`; above the ceiling none may be present
+    assert(!big.contains("strategy=broadcast"),
+      "no broadcast hint may survive above the ceiling")
+    // identical results on both shapes — the gate is a plan decision only
+    val a = graft.queries.Dedup
+      .incrementalMinhashPairs(spark, batch, path, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = graft.queries.Dedup
+      .incrementalMinhashPairs(spark, batch, path, threshold = 0.7, broadcastCeiling = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "both join shapes must produce the identical pair set")
+  }
+
   test("q64 repetition metrics are per-row: no n-gram re-keying, no joins") {
     val p = planOf("q64_repetition_filter")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
