@@ -29,6 +29,29 @@ object Bench {
     spark
   }
 
+  /** Strip per-JVM/session artifacts so byte-identical code hashes
+    * identically: ExprIds, anonymous lambda class names with their JVM
+    * address + identity hash, and object addresses generally. Shared by
+    * the hash and the `SPARK_GRAFT_PLAN_DUMP` text (so a dump diff
+    * explains exactly the hash's verdict).
+    */
+  def normalizePlan(plan: String): String = plan
+    .replaceAll("#\\d+", "#")
+    .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "\\$\\$Lambda")
+    .replaceAll("@[0-9a-f]{6,}", "@")
+
+  /** When `SPARK_GRAFT_PLAN_DUMP` is set, the normalized plan text behind
+    * every emitted hash is written there as `<query>.txt` — the bisect
+    * artifact: diff two dumps and the exact plan delta behind a hash
+    * change is visible, instead of just the changed hash.
+    */
+  private lazy val planDumpDir: Option[java.nio.file.Path] =
+    sys.env.get("SPARK_GRAFT_PLAN_DUMP").map { d =>
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(p)
+      p
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = buildSession()
@@ -78,10 +101,24 @@ object Bench {
     // byte-identical code is the signature of host contention; arrays
     // shorter than 3 mean some runs failed — see the `failed` list).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // The plan hash is taken from a DataFrame built INSIDE a timed run —
+      // re-invoking the builder after timing looked free but wasn't: eager
+      // builders (the q55 CC loop, IVF fits, the q66 index build) re-ran
+      // heavy work post-loadavg_end, and their fresh session state churned
+      // hashes on byte-identical code (11 untouched queries flapped between
+      // r5 and r6 judge runs). optimizedPlan is a lazy val the timed save
+      // already forced, so hashing the stashed frame costs nothing and
+      // fingerprints the exact plan that was measured.
+      var timedDf: org.apache.spark.sql.DataFrame = null
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          try {
+            val df = fn(spark, sfDir)
+            df.write.format("noop").mode("overwrite").save()
+            timedDf = df
+            true
+          }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -90,6 +127,23 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val good = runs.filter(_._2).map(_._1)
+      // Per-session noise is normalized away before hashing — byte-identical
+      // code must hash identically run to run: ExprIds (`name#123`), JVM
+      // lambda class names + identity hashes in typed operators
+      // (`Multimodal$$$Lambda$123/0x7f..@1a2b`), and checkpoint RDD ids.
+      val planHash =
+        if (timedDf == null) "error"
+        else try {
+          val norm = normalizePlan(timedDf.queryExecution.optimizedPlan.toString)
+          planDumpDir.foreach { dir =>
+            java.nio.file.Files.write(
+              dir.resolve(s"$name.txt"),
+              norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString.take(16)
+        } catch { case _: Throwable => "error" }
       // A query with zero successful runs still reports a duration (the
       // slower failure) but is flagged in the emitted `failed` list so a
       // consistently-broken query can't silently distort the benchmark.
@@ -99,32 +153,24 @@ object Bench {
       (name,
        if (good.nonEmpty) good.min else runs.map(_._1).max,
        good.nonEmpty,
-       good)
+       good,
+       planHash)
     }
     val loadEnd = loadavg()
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val allRuns = results
-      .map { case (k, _, _, rs) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
+      .map { case (k, _, _, rs, _) => "\"" + k + "\":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // Per-query plan fingerprint (untimed): a changed hash on a changed
-    // timing is a plan regression; an unchanged hash isolates host noise.
-    // ExprIds (`name#123`) vary per session, so they are normalized away
-    // before hashing — byte-identical code must hash identically run to run.
-    val planHashes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val h =
-        try {
-          val norm = fn(spark, sfDir).queryExecution.optimizedPlan.toString
-            .replaceAll("#\\d+", "#")
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .map("%02x".format(_)).mkString.take(16)
-        } catch { case _: Throwable => "error" }
-      "\"" + name + "\":\"" + h + "\""
-    }.mkString("{", ",", "}")
+    // Per-query plan fingerprint of the MEASURED plan (captured during the
+    // timed runs, see above): a changed hash on a changed timing is a plan
+    // regression; an unchanged hash isolates host noise.
+    val planHashes = results
+      .map { case (k, _, _, _, h) => "\"" + k + "\":\"" + h + "\"" }
+      .mkString("{", ",", "}")
     // Two artifacts on purpose. The driver scrapes ONE stdout line with a
     // BOUNDED tail capture: round 3's line (~4 KB with runs/loadavg) and
     // round 4's line (~2.3 KB — the per-query map alone) BOTH overflowed it
