@@ -113,6 +113,58 @@ object HashKernels {
     if (w == sh.length) sh else java.util.Arrays.copyOf(sh, w)
   }
 
+  /** One-pass Gopher-repetition statistics over a token array:
+    * `[n_tokens, n_distinct_tokens, max_bigram_multiplicity]`.
+    *
+    * The q64 metrics need the distinct-token count and the modal bigram
+    * count per row. The HOF form (array_sort over bigram STRINGS + an
+    * `aggregate` run-length scan) is interpreted — higher-order functions
+    * are CodegenFallback in Spark — and sorts with per-element string
+    * compares. Here both reduce to sorting primitive longs: tokens hash
+    * once (XXH64, the shared kernel seed), bigrams are the chained
+    * 2-shingle hash (identical chaining to [[shingleHashSet]]'s k>1 path),
+    * and multiplicities fall out of run-lengths in the sorted arrays.
+    * Distinctness via 64-bit hashes admits collisions in principle; within
+    * one document (n ≤ ~10⁴ tokens) the collision probability is ~n²/2⁶⁵
+    * < 10⁻¹¹ per doc — far below any curation decision threshold.
+    */
+  def repetitionStats(tokens: ArrayData): Array[Long] = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else hashToken(tokens.getUTF8String(i))
+      i += 1
+    }
+    val ts = java.util.Arrays.copyOf(th, n)
+    java.util.Arrays.sort(ts)
+    var distinct = 0L
+    i = 0
+    while (i < n) {
+      if (i == 0 || ts(i) != ts(i - 1)) distinct += 1
+      i += 1
+    }
+    var top = 0L
+    if (n >= 2) {
+      val bg = new Array[Long](n - 1)
+      i = 0
+      while (i < n - 1) {
+        bg(i) = chain(chain(42L, th(i)), th(i + 1))
+        i += 1
+      }
+      java.util.Arrays.sort(bg)
+      top = 1L
+      var run = 1L
+      i = 1
+      while (i < bg.length) {
+        if (bg(i) == bg(i - 1)) { run += 1; if (run > top) top = run }
+        else run = 1
+        i += 1
+      }
+    }
+    Array(n.toLong, distinct, top)
+  }
+
   /** Jaccard of two sorted-distinct long arrays: two-pointer intersection. */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -226,6 +278,30 @@ case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** array<string> tokens → [n_tok, n_distinct, top_bigram_count] (codegen'd). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "repetition_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      HashKernels.repetitionStats(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashKernels.repetitionStats($c))")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** (sorted-distinct array<long>) × 2 → jaccard similarity (codegen'd). */
 case class JaccardSorted(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -266,4 +342,7 @@ object HashExpressions {
 
   def jaccardSorted(a: Column, b: Column): Column =
     S.column(JaccardSorted(S.expression(a), S.expression(b)))
+
+  def repetitionStats(tokens: Column): Column =
+    S.column(RepetitionStats(S.expression(tokens)))
 }

@@ -25,11 +25,14 @@ object TextAnalysis {
     // Repetition-based quality filtering (the Gopher/C4 rule family):
     // documents dominated by repeated words or one repeated bigram are
     // boilerplate/spam signals a pretraining curation pass drops. Both
-    // metrics are computed PER ROW with array expressions — token
-    // multiset distinct + longest equal-run over the SORTED bigram array
-    // (= the max bigram multiplicity) via one `aggregate` HOF — so the
-    // corpus is never re-keyed by n-gram: at 100 TB this is a shuffle-free
-    // codegen Project, while the oracle SQL reaches the same numbers the
+    // metrics come from ONE codegen'd kernel pass per row
+    // ([[graft.functions.HashKernels.repetitionStats]]: hash tokens once,
+    // sort longs, read run-lengths) — the corpus is never re-keyed by
+    // n-gram, so at 100 TB this is a shuffle-free codegen Project. The
+    // earlier `aggregate`-HOF form computed the same numbers but
+    // interpreted (HOFs are CodegenFallback) over sorted bigram STRINGS —
+    // the kernel swap is a pure perf change, value-identical (spec-pinned
+    // in FunctionsSpec). The oracle SQL reaches the same numbers the
     // expensive way (explode + group). Fractions are single IEEE divisions
     // of exact integers, so both engines hash identically.
     "q64_repetition_filter" -> Q(
@@ -54,30 +57,17 @@ object TextAnalysis {
         |                  THEN CAST(tb.top_c AS DOUBLE) / (m.n_tok - 1) ELSE 0.0 END) <= 0.08
         |       THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM m LEFT JOIN tb USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = split(col("text"), " ", -1)
-      val nTok = size(toks)
-      val sortedBigrams = when(nTok >= 2,
-        array_sort(transform(
-          sequence(lit(1), nTok - 1),
-          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
-        .otherwise(array().cast("array<string>"))
-      // max bigram multiplicity = longest equal-run in the sorted array
-      val topC = aggregate(
-        sortedBigrams,
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-            .otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
-      val dupFrac = (nTok - size(array_distinct(toks))).cast("double") / nTok
-      val topFrac = when(nTok > 1, topC.cast("double") / (nTok - 1)).otherwise(lit(0.0))
+      val st = graft.functions.HashExpressions
+        .repetitionStats(split(col("text"), " ", -1))
+      val nTok = element_at(col("st"), 1)
+      val dupFrac = (nTok - element_at(col("st"), 2)).cast("double") / nTok
+      val topFrac = when(nTok > 1,
+        element_at(col("st"), 3).cast("double") / (nTok - 1)).otherwise(lit(0.0))
       Tables(s, dir, "documents")
+        .select(col("doc_id"), st.as("st"))
         .select(
           col("doc_id"),
-          nTok.cast("long").as("n_tok"),
+          nTok.as("n_tok"),
           dupFrac.as("dup_word_frac"),
           topFrac.as("top_bigram_frac"),
           when(dupFrac <= 0.6 && topFrac <= 0.08, 1).otherwise(0).as("keep"))

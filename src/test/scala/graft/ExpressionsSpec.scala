@@ -79,6 +79,40 @@ class ExpressionsSpec extends SparkSpec {
     assert(diff == 0, "hashed-set jaccard must match exact string-shingle jaccard")
   }
 
+  test("repetitionStats kernel == aggregate-HOF form on real documents") {
+    // the q64 kernel swap contract: [n_tok, n_distinct, top_bigram_count]
+    // from the one-pass hashed kernel must equal the numbers the original
+    // interpreted form computed (string array_distinct + sorted-bigram
+    // longest-equal-run) on every testdata document
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.queries.Tables(spark, d, "documents")
+      val toks = split($"text", " ", -1)
+      val nTok = size(toks)
+      val sortedBigrams = when(nTok >= 2,
+        array_sort(transform(
+          sequence(lit(1), nTok - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
+        .otherwise(array().cast("array<string>"))
+      val topC = aggregate(
+        sortedBigrams,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      val st = HashExpressions.repetitionStats(toks)
+      val diff = docs.select(
+        st.as("fast"),
+        array(nTok.cast("long"), size(array_distinct(toks)).cast("long"), topC).as("ref"))
+        .filter($"fast" =!= $"ref")
+        .count()
+      assert(diff == 0, s"$d: kernel stats must equal the HOF reference form")
+    }
+  }
+
   test("jaccardSorted edge cases") {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 1.0),
