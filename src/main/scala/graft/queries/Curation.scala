@@ -146,6 +146,17 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // The registered, BENCHED form of [[hashedDecontam]] — the declared
+    // 100 TB scale path for q59. rows-only (DuckDB cannot recompute the
+    // XXH64 shingle keys); the value-level check is CurationSpec's
+    // row-identity against the oracle-checked string form. Registering it
+    // puts a timing and a plan hash on the path a petabyte deployment
+    // would actually run.
+    "q68_decontam_hashed" -> Q.noOracle(
+      "Eval-set decontamination over 8-byte hashed shingle keys (q59's scale twin)") {
+      (s, dir) => hashedDecontam(Tables(s, dir, "documents"))
+    },
+
     // Cohort retention — the companion to q60's funnel: users grouped by
     // signup week, retention = a PURCHASE in week offset 0..4 (purchase,
     // not any-event — on this dense corpus any-event retention is a flat

@@ -324,6 +324,17 @@ object Dedup {
         .orderBy("source_a", "source_b")
     },
 
+    // The registered, BENCHED form of [[hashedOverlap]] — the declared
+    // 100 TB scale path for q65. rows-only (DuckDB cannot recompute the
+    // XXH64 shingle keys); the value-level check is DedupIndexSpec's
+    // row-identity against the oracle-checked string form on both testdata
+    // corpora. Registering it puts a timing and a plan hash on the path a
+    // petabyte deployment would actually run.
+    "q67_overlap_hashed" -> Q.noOracle(
+      "Cross-source duplication matrix over 8-byte hashed shingle keys (q65's scale twin)") {
+      (s, dir) => hashedOverlap(Tables(s, dir, "documents"))
+    },
+
     "q35_ngram_jaccard" -> Q(
       "Exact word-3-gram Jaccard between consecutive doc ids (linear self-join)",
       """WITH s AS (
