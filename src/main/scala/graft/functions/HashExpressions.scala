@@ -165,6 +165,36 @@ object HashKernels {
     Array(n.toLong, distinct, top)
   }
 
+  /** One BPE merge step over a symbol array: replace adjacent (left, right)
+    * occurrences with their concatenation, greedy LEFT-TO-RIGHT and
+    * non-overlapping — `[a,a,a]` with merge (a,a) → `[aa,a]`, exactly the
+    * classic BPE trainer's apply rule. One codegen call per row per round;
+    * the trainer's correctness spec pins this against a plain-Scala exact
+    * reference implementation.
+    */
+  def bpeMergePair(syms: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    var w = 0
+    while (i < n) {
+      val cur = if (syms.isNullAt(i)) null else syms.getUTF8String(i)
+      val canMerge = cur != null && cur.equals(l) && i + 1 < n && !syms.isNullAt(i + 1) &&
+        syms.getUTF8String(i + 1).equals(r)
+      if (canMerge) {
+        out(w) = UTF8String.concat(cur, syms.getUTF8String(i + 1))
+        w += 1
+        i += 2
+      } else {
+        out(w) = cur
+        w += 1
+        i += 1
+      }
+    }
+    new GenericArrayData(
+      if (w == n) out else java.util.Arrays.copyOf(out, w))
+  }
+
   /** Jaccard of two sorted-distinct long arrays: two-pointer intersection. */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -302,6 +332,37 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** array<string> symbols → array<string> with one BPE merge applied
+  * (codegen'd; the merge pair rides along as constants per training round).
+  */
+case class BpeMergePair(child: Expression, mergeLeft: String, mergeRight: String)
+    extends UnaryExpression {
+
+  override def prettyName: String = "bpe_merge_pair"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val lU = UTF8String.fromString(mergeLeft)
+  @transient private lazy val rU = UTF8String.fromString(mergeRight)
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.bpeMergePair(v.asInstanceOf[ArrayData], lU, rU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeMergeLeft", lU)
+    val rRef = ctx.addReferenceObj("bpeMergeRight", rU)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.bpeMergePair($c, $lRef, $rRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** (sorted-distinct array<long>) × 2 → jaccard similarity (codegen'd). */
 case class JaccardSorted(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -345,4 +406,7 @@ object HashExpressions {
 
   def repetitionStats(tokens: Column): Column =
     S.column(RepetitionStats(S.expression(tokens)))
+
+  def bpeMergePair(syms: Column, left: String, right: String): Column =
+    S.column(BpeMergePair(S.expression(syms), left, right))
 }

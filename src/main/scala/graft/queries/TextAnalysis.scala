@@ -165,6 +165,22 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // BPE vocabulary INDUCTION (not just application): learn the merge
+    // table from the corpus — the tokenizer-training step q41's fixed
+    // vocab presupposed. One corpus pass reduces to the distinct-word
+    // frequency table; each merge round is an aggregate over THAT table
+    // plus one driver-bound row (see [[graft.operators.BpeTrainer]]).
+    // rows-only: DuckDB has no iterative trainer to recompute the merges;
+    // the value-level check is BpeSpec's bit-exact identity against the
+    // plain-Scala reference trainer on real testdata word counts.
+    "q69_bpe_learn" -> Q.noOracle(
+      "BPE vocabulary induction: learn 16 merges from the corpus " +
+        "(distinct-word table + one bounded driver row per round)") { (s, dir) =>
+      graft.operators.BpeTrainer
+        .learn(Tables(s, dir, "documents"), numMerges = 16)
+        .orderBy("rank")
+    },
+
     // Corpus normalization — the first stage of every training-data
     // pipeline: lowercase, mask emails/URLs, collapse whitespace. Pure
     // regexp_replace chain (codegen, linear, shuffle-free); the shared
