@@ -341,6 +341,140 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** 64-bit perceptual difference hash (dHash) of an image payload: decode,
+    * downsample to a 9×8 grayscale grid (bilinear — the [[resizeImage]]
+    * kernel, drawn straight into a gray raster), then bit (y*8+x) = 1 iff
+    * gray(x+1, y) > gray(x, y). None for non-image payloads.
+    *
+    * Why this hash for image dedup: it fingerprints the GRADIENT STRUCTURE
+    * after heavy downsampling, so the re-encodings that hide duplicates
+    * from byte-level hashes — format change, rescale, uniform
+    * brightness/contrast shifts (row-monotone transforms preserve every
+    * x+1 > x comparison) — move few or no bits, while unrelated images
+    * land ~32 bits apart (each comparison is a coin flip). Near-dup pairs
+    * then come from the same 16-bit band blocking + hamming verify the
+    * text simhash path (q34) uses.
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (!looksLikeImage(bytes)) return None
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        val raster = dst.getRaster
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (raster.getSample(x + 1, y, 0) > raster.getSample(x, y, 0))
+              h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(h)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic 64×64 block-pattern PNG (8×8 blocks, each block's gray
+    * level a pure hash of (block coords, seed), plus a uniform brightness
+    * offset) — the image fixture generator: same seed ⇒ the same pattern
+    * at any render, different seeds ⇒ structurally unrelated patterns.
+    */
+  def synthImage(seed: Long, brightness: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var v = bx * 73856093L ^ by * 19349663L ^ seed * 83492791L
+        v = java.lang.Long.rotateLeft(v * 0x9e3779b97f4a7c15L, 31) * 0xbf58476d1ce4e5b9L
+        val base = ((v >>> 40) & 0xff).toInt
+        val gray = math.max(0, math.min(255, base + brightness))
+        val rgb = (gray << 16) | (gray << 8) | gray
+        var y = by * 8
+        while (y < by * 8 + 8) {
+          var x = bx * 8
+          while (x < bx * 8 + 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents → synthesized IMAGE payloads with a known duplicate
+    * structure (the image analogue of [[withPayload]]'s audio/video rows):
+    * docs are grouped in families of 4 by doc_id; variants 0/1/2 are the
+    * same base pattern as rendered PNG, a 48×48 bilinear re-encode, and a
+    * brightness-shifted render — the three re-encodings a byte-level hash
+    * cannot connect — while variant 3 carries a doc-unique unrelated
+    * pattern (the control row every dedup fixture needs).
+    */
+  def imagePayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val family = id / 4
+        val payload = (id % 4) match {
+          case 0 => synthImage(family)
+          case 1 => resizeImage(synthImage(family), 48, 48).get
+          case 2 => synthImage(family, brightness = 14)
+          case _ => synthImage(-(id * 2862933555777941757L) | 1L)
+        }
+        (id, payload)
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Perceptual near-dup image pairs: per-payload [[dHash64]]
+    * (partition-local — the payload bytes never shuffle), then the q34
+    * simhash blocking shape: 4×16-bit bands equi-joined, hamming-verified
+    * <= `maxHamming`. Shuffle payload per image is 8 bytes of hash + the
+    * id — the 100 TB-safe property — and candidates only ever come from a
+    * band-key equi-join, never a cross join.
+    */
+  def dhashPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.flatMap(r => dHash64(r.payload).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "dh")
+    val bands = hashes.select(
+      col("doc_id"), col("dh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dh"), b * 16).bitwiseAND(lit(0xffffL)).as("bhash"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("dh"), col("b.band").as("band"), col("b.bhash").as("bhash"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        graft.functions.Text.hamming64(col("x.dh"), col("y.dh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   final case class MediaFrame(doc_id: Long, payload: Array[Byte], resized: Boolean)
 
   /** Partition-local resize stage. Image payloads are resized to (w, h);

@@ -291,5 +291,22 @@ object Extras {
         Multimodal.decodeMetaReal(Multimodal.withPayload(Tables(s, dir, "documents")))
           .toDF()
           .orderBy("doc_id")
+    },
+
+    // Perceptual image dedup — the re-encoded/resized duplicates a
+    // byte-level checksum cannot connect (q45's checksum catches only
+    // bit-identical payloads). Payloads synthesize with a KNOWN duplicate
+    // structure (families of re-encodings + unrelated controls,
+    // [[Multimodal.imagePayloads]]); each image hashes partition-local to
+    // a 64-bit dHash and pairs come from the q34 banding shape — only the
+    // 8-byte hash ever shuffles, never pixels. rows-only (DuckDB has no
+    // image decoder); the value-level check is DHashSpec's planted-family
+    // recall/precision assertion.
+    "q70_image_neardup" -> Q.noOracle(
+      "Perceptual image near-dup pairs: dHash64 + 4×16-bit banding, hamming-verified <= 8") {
+      (s, dir) =>
+        Multimodal.dhashPairs(
+          Multimodal.imagePayloads(Tables(s, dir, "documents")), maxHamming = 8)
+          .orderBy("a", "b")
     })
 }
