@@ -142,6 +142,34 @@ object Text {
   def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(lower(c), lit(pattern), lit(0))).cast("long")
 
+  /** PII scrubbing patterns, RE2-safe like [[EmailPattern]] (shared with
+    * the DuckDB oracle). The shapes are deliberately disjoint ON THE SAME
+    * TEXT — an SSN-shaped id (3-2-4 digit groups) can never match inside a
+    * phone-shaped run (3-3-4) or an IPv4 and vice versa — so the per-type
+    * audit counts are order-independent even though the redaction chain
+    * itself applies them in a fixed order.
+    */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val SsnPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Training-corpus PII redaction: emails, IPv4s, SSN-shaped and
+    * phone-shaped identifiers replaced by type tokens. One
+    * `regexp_replace` chain over lowercased text — codegen'd, linear,
+    * shuffle-free, exactly [[cleanText]]'s execution shape. Replacement
+    * tokens contain no digits or `@`, so no later pattern can match inside
+    * an earlier rewrite. Audit counts belong with [[matchCount]] over the
+    * SAME pattern constants, so a scrub and its report cannot disagree.
+    */
+  def piiScrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(c), EmailPattern, "<email>"),
+          Ipv4Pattern, "<ip>"),
+        SsnPattern, "<ssn>"),
+      PhonePattern, "<phone>")
+
   /** Content fingerprint: stable 128-bit hex digest of normalized text. */
   def fingerprint(c: Column): Column = md5(lower(trim(c)))
 

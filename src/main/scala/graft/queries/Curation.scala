@@ -189,5 +189,72 @@ object Curation {
         .groupBy(col("w0").as("cohort_week"), col("wk").as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // PII redaction under the value oracle. The testdata corpus is
+    // synthetic word-soup with no organic PII, so the query INJECTS
+    // deterministic PII-shaped strings from customer rows (email + IPv4
+    // always; a second email on custkey%3==0, a phone on custkey%2==0 —
+    // varying counts so the audit columns carry information), then scrubs
+    // with [[graft.functions.Text.piiScrub]] and reports per-type counts
+    // from the SAME shared patterns. Both engines build the identical raw
+    // string, so DuckDB value-checks the full redacted text AND every
+    // count. Scale shape: one scan, one codegen regexp chain, no shuffle
+    // beyond the presentation sort — identical to q54.
+    "q72_pii_scrub" -> Q(
+      "PII scrub audit: injected emails/IPs/SSNs/phones redacted with per-type counts " +
+        "(regex chain shared with the oracle; one pass, shuffle-free)",
+      s"""WITH raw AS (
+        |  SELECT c_custkey,
+        |    'reach customer' || CAST(c_custkey AS VARCHAR) || '@corp.example'
+        |    || CASE WHEN c_custkey % 3 = 0
+        |            THEN ' or customer' || CAST(c_custkey AS VARCHAR) || '@backup.example'
+        |            ELSE '' END
+        |    || ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+        |    || CAST(c_nationkey AS VARCHAR)
+        |    || ' ssn ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+        |    || lpad(CAST(c_nationkey % 100 AS VARCHAR), 2, '0') || '-'
+        |    || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |    || CASE WHEN c_custkey % 2 = 0
+        |            THEN ' tel 800-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+        |                 || '-' || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+        |            ELSE '' END AS txt
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(txt),
+        |    '${graft.functions.Text.EmailPattern}', '<email>', 'g'),
+        |    '${graft.functions.Text.Ipv4Pattern}', '<ip>', 'g'),
+        |    '${graft.functions.Text.SsnPattern}', '<ssn>', 'g'),
+        |    '${graft.functions.Text.PhonePattern}', '<phone>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(lower(txt), '${graft.functions.Text.EmailPattern}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(lower(txt), '${graft.functions.Text.Ipv4Pattern}')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(lower(txt), '${graft.functions.Text.SsnPattern}')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(lower(txt), '${graft.functions.Text.PhonePattern}')) AS BIGINT) AS n_phone
+        |FROM raw ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val key = col("c_custkey")
+      val txt = concat(
+        lit("reach customer"), key.cast("string"), lit("@corp.example"),
+        when(key % 3 === 0,
+          concat(lit(" or customer"), key.cast("string"), lit("@backup.example")))
+          .otherwise(lit("")),
+        lit(" from 10.0."), (key % 256).cast("string"), lit("."),
+        col("c_nationkey").cast("string"),
+        lit(" ssn "), lpad((key % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("c_nationkey") % 100).cast("string"), 2, "0"), lit("-"),
+        lpad((key % 10000).cast("string"), 4, "0"),
+        when(key % 2 === 0,
+          concat(lit(" tel 800-"), lpad((key % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad(((key * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), txt.as("txt"))
+        .select(
+          col("c_custkey"),
+          Text.piiScrub(col("txt")).as("clean"),
+          Text.matchCount(col("txt"), Text.EmailPattern).cast("long").as("n_email"),
+          Text.matchCount(col("txt"), Text.Ipv4Pattern).cast("long").as("n_ip"),
+          Text.matchCount(col("txt"), Text.SsnPattern).cast("long").as("n_ssn"),
+          Text.matchCount(col("txt"), Text.PhonePattern).cast("long").as("n_phone"))
+        .orderBy("c_custkey")
     })
 }

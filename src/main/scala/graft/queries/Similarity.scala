@@ -128,6 +128,44 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  /** SemDeDup-style candidate pairs: cosine >= `threshold` pairs restricted
+    * to documents sharing a coarse k-means cell, with SOFT assignment —
+    * each vector lands in its `nAssign` nearest cells
+    * ([[graft.operators.IvfIndex.Model.probeBuckets]]), and pairs meet via
+    * one equi-join on the cell id. Soft assignment is the recall lever on
+    * angularly diffuse corpora: measured here (k=8 spherical centroids,
+    * threshold 0.4), single-cell assignment finds only ~0.3–0.5 of the
+    * exact pair set while nAssign=2 finds 0.85–0.93, at comparison cost
+    * ∝ n²·nAssign²/k instead of n² — the classic SemDeDup trade re-done
+    * honestly: recall is spec-bounded in SemanticDedupSpec against the
+    * exact q37/q55 pair graph, never assumed. A pair sharing BOTH probe
+    * cells meets twice, so candidates dedup on (id_a, id_b) BEFORE the
+    * exact-cosine verify (distinct moves (long, long, int) rows; the
+    * verify then re-fetches vectors via two bounded joins — cheaper at
+    * scale than shipping both vectors through the distinct).
+    */
+  def semanticDedupPairs(
+      emb: DataFrame,
+      model: graft.operators.IvfIndex.Model,
+      threshold: Double,
+      nAssign: Int = 2): DataFrame = {
+    val assigned = emb.select(
+      col("vec_id"), col("embedding"),
+      explode(model.probeBuckets(col("embedding"), nAssign)).as("cell"))
+    val candidates = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    candidates
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   val all: Map[String, Q] = Map(
     "q36_knn_brute" -> Q(
       "Brute-force cosine top-5 for the first 10 vectors (ids only — FP-rank-safe)",
@@ -218,6 +256,31 @@ object Similarity {
             s.read.parquet(qPath), s.read.parquet(fPath), k = 5, nProbe = 4)
           .select("query_id", "neighbor_id", "rank")
           .orderBy("query_id", "rank")
+    },
+
+    // q55's SCALE twin, the same way q67/q68 twin q65/q59: identical
+    // output shape (cluster_id, doc_id, keep) and the same CC + min-id
+    // tail, but the pair set comes from semanticDedupPairs' cell-
+    // restricted join (cost ∝ n²·nAssign²/k, vs q55's exact-but-O(n²)
+    // blocked theta-join). Recall < 1 by construction on a diffuse
+    // corpus, so it CANNOT be oracled against q55's exact components —
+    // registered rows-only, with SemanticDedupSpec bounding pair recall
+    // (>= 0.75 measured-with-margin) and asserting zero false-positive
+    // pairs and keep-list/pair-graph consistency.
+    "q71_semantic_dedup" -> Q.noOracle(
+      "SemDeDup: near-dup clusters from k-means-cell-restricted candidates " +
+        "(k=8 spherical cells, top-2 soft assignment, exact cosine>=0.4 verify; " +
+        "pair recall vs exact spec-bounded)") { (s, dir) =>
+      val e = emb(s, dir)
+      val comps = graft.operators.ConnectedComponents.run(
+        e.select(col("vec_id").as("id")),
+        semanticDedupPairs(e, dedupModelFor(e, dir), threshold = 0.4)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      comps.select(
+        col("component").as("cluster_id"),
+        col("id").as("doc_id"),
+        when(col("component") === col("id"), 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
     })
 
   /** Shared by q42/q56 — their contract is IDENTICAL models, so the build
@@ -277,6 +340,20 @@ object Similarity {
       graft.ops.Bucketing.writePartitioned(
         graft.operators.IvfIndex.assignQuantized(model, corpus), path, Seq("bucket"))
     path
+  }
+
+  /** q71's coarse quantizer: FEWER, therefore larger, cells than the ANN
+    * model (k=8 vs 16) because dedup recall needs near-dup pairs to
+    * CO-OCCUR in a cell, a stricter ask than a query finding most of its
+    * top-k. Same memoization/staleness policy as [[modelFor]] (cache only
+    * the read-only testdata dirs), under a distinct cache key so the two
+    * models can never shadow each other.
+    */
+  private def dedupModelFor(corpus: DataFrame, dir: String): graft.operators.IvfIndex.Model = {
+    def build() = graft.operators.IvfIndex.fit(
+      corpus.limit(2048).coalesce(1), k = 8, maxIter = 10)
+    if (dir.startsWith("/root/testdata")) models.computeIfAbsent(s"dedup:$dir", _ => build())
+    else build()
   }
 
   private val models =

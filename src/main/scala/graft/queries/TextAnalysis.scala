@@ -206,5 +206,66 @@ object TextAnalysis {
           Text.matchCount(col("text"), Text.EmailPattern).as("n_emails"),
           Text.matchCount(col("text"), Text.UrlPattern).as("n_urls"))
         .orderBy("doc_id")
+    },
+
+    // CCNet-style LM quality scoring: train an add-one-smoothed bigram LM
+    // on the corpus itself, score every document by its mean bigram
+    // log-likelihood — the standard "does this text look like the rest of
+    // the corpus" curation signal (outliers → boilerplate/garbage). Scale
+    // shape: the LM is TWO aggregates over the exploded bigram stream
+    // (map-side partials carry the weight; the count table is vocab²-
+    // bounded, the prefix table vocab-bounded), and scoring is one
+    // equi-join of the doc-bigram stream against those bounded tables —
+    // the only corpus-sized shuffle is the score join's (w1, w2) re-key,
+    // the same key the hashed-twin pattern (q67/q68) shrinks to 8 bytes
+    // when vocab strings get long. V rides a broadcast 1-row crossJoin
+    // (the q49 precedent). avg(ln) is rounded to 4 decimals on both
+    // engines: each ln agrees to ~1 ulp cross-engine and the sum to
+    // ~n·ulp, so the rounded value is hash-stable while still pinning the
+    // whole smoothing formula value-for-value.
+    "q73_lm_score" -> Q(
+      "Bigram-LM quality score: per-doc mean add-one-smoothed log-likelihood " +
+        "under a corpus-trained LM (bounded LM tables; one score join)",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+        |       FROM toks),
+        |bgc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+        |pref AS (SELECT w1, SUM(c) AS cp FROM bgc GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+        |scored AS (SELECT b.doc_id,
+        |             ln((bgc.c + 1.0) / (pref.cp + v.v)) AS lp
+        |           FROM bg b JOIN bgc USING (w1, w2) JOIN pref USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(lp), 4) AS avg_logp
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      bigramLmScores(Tables(s, dir, "documents"))
     })
+
+  /** The q73 plan — see the registration comment above for the scale
+    * shape. Factored out so the spec can run it on fixture corpora with
+    * hand-computable LM tables.
+    */
+  def bigramLmScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+    val bg = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val pref = bgc.groupBy("w1").agg(sum("c").as("cp"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg.join(bgc, Seq("w1", "w2"))
+      .join(pref, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c") + lit(1.0)) / (col("cp") + col("v")))), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
 }
