@@ -256,5 +256,112 @@ object Curation {
           Text.matchCount(col("txt"), Text.SsnPattern).cast("long").as("n_ssn"),
           Text.matchCount(col("txt"), Text.PhonePattern).cast("long").as("n_phone"))
         .orderBy("c_custkey")
+    },
+
+    // The COMPOSED curation pipeline — the run a training-data team
+    // actually ships, proving the stages fit together: Gopher quality
+    // rules (q64) → exact dedup among survivors (q32's fingerprint,
+    // min-id canonical) → eval decontamination (q59's 5-gram join) →
+    // mixture sampling (q57's deterministic keep-rule). Output is the
+    // per-doc DISPOSITION (kept, or the FIRST stage that dropped it) —
+    // the audit manifest, not just the surviving rows. Every stage is the
+    // exact arithmetic of its stand-alone query, so DuckDB value-checks
+    // the whole composition end-to-end. Scale shape: stage predicates are
+    // per-row codegen except (a) the canonical-id aggregate keyed on the
+    // 16-byte fingerprint and (b) the decontam broadcast join — both
+    // bounded the same way their stand-alone forms are.
+    "q74_curation_pipeline" -> Q(
+      "End-to-end curation manifest: quality filter -> exact dedup -> " +
+        "decontamination -> mixture sampling; per-doc kept/drop_reason",
+      """WITH train AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 20),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM train),
+        |m AS (SELECT doc_id, len(toks) AS n_tok,
+        |             len(list_distinct(toks)) AS n_distinct FROM t),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |                  i -> toks[i] || ' ' || toks[i+1])) AS g
+        |         FROM t) GROUP BY doc_id, g),
+        |tb AS (SELECT doc_id, MAX(c) AS top_c FROM bc GROUP BY doc_id),
+        |qual AS (SELECT m.doc_id,
+        |    (CAST(m.n_tok - m.n_distinct AS DOUBLE) / m.n_tok <= 0.6 AND
+        |     (CASE WHEN m.n_tok > 1
+        |           THEN CAST(tb.top_c AS DOUBLE) / (m.n_tok - 1) ELSE 0.0 END) <= 0.08)
+        |      AS ok
+        |  FROM m LEFT JOIN tb USING (doc_id)),
+        |fp AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM train),
+        |canon AS (SELECT f, MIN(fp.doc_id) AS keep_id
+        |          FROM fp JOIN qual ON fp.doc_id = qual.doc_id
+        |          WHERE qual.ok GROUP BY f),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3),
+        |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 20),
+        |contam AS (SELECT DISTINCT tr.doc_id FROM
+        |             (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sh
+        |              WHERE doc_id >= 20) tr
+        |           JOIN ev ON tr.g = ev.g),
+        |disp AS (
+        |  SELECT tr.doc_id, tr.source,
+        |    CASE WHEN NOT qual.ok THEN 'quality'
+        |         WHEN fp.doc_id <> canon.keep_id THEN 'duplicate'
+        |         WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+        |         WHEN NOT (((tr.doc_id % 2147483647) * 2654435761) % 10000 <
+        |                   CASE length(tr.source) % 3 WHEN 0 THEN 2500
+        |                        WHEN 1 THEN 5000 ELSE 9000 END)
+        |           THEN 'sampled'
+        |         ELSE '' END AS drop_reason
+        |  FROM train tr
+        |  JOIN qual ON tr.doc_id = qual.doc_id
+        |  JOIN fp ON tr.doc_id = fp.doc_id
+        |  LEFT JOIN canon ON fp.f = canon.f
+        |  LEFT JOIN contam ON tr.doc_id = contam.doc_id)
+        |SELECT doc_id, source,
+        |  CAST(CASE WHEN drop_reason = '' THEN 1 ELSE 0 END AS INTEGER) AS kept,
+        |  drop_reason
+        |FROM disp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 20)
+      val st = graft.functions.HashExpressions
+        .repetitionStats(split(col("text"), " ", -1))
+      val nTok = element_at(col("st"), 1)
+      val dupFrac = (nTok - element_at(col("st"), 2)).cast("double") / nTok
+      val topFrac = when(nTok > 1,
+        element_at(col("st"), 3).cast("double") / (nTok - 1)).otherwise(lit(0.0))
+      val staged = train
+        .select(col("doc_id"), col("source"), col("text"), st.as("st"))
+        .select(col("doc_id"), col("source"),
+          (dupFrac <= 0.6 && topFrac <= 0.08).as("quality_ok"),
+          Text.fingerprint(col("text")).as("f"))
+      val canon = staged.filter(col("quality_ok"))
+        .groupBy("f").agg(min("doc_id").as("keep_id"))
+      val sh = docs.select(
+        col("doc_id"), Text.shinglesSpaceSplit(col("text"), k = 5).as("sh"))
+      val ev = sh.filter(col("doc_id") < 20)
+        .select(explode(col("sh")).as("g")).distinct()
+      val contam = sh.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+        .join(broadcast(ev), "g")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      val keepBp = when(pmod(length(col("source")), lit(3)) === 0, 2500)
+        .when(pmod(length(col("source")), lit(3)) === 1, 5000)
+        .otherwise(9000)
+      val sampled =
+        pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L)) < keepBp
+      val reason = when(!col("quality_ok"), "quality")
+        .when(col("doc_id") =!= col("keep_id"), "duplicate")
+        .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+        .when(!sampled, "sampled")
+        .otherwise("")
+      staged
+        .join(canon, Seq("f"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), reason.as("drop_reason"))
+        .select(col("doc_id"), col("source"),
+          (col("drop_reason") === "").cast("int").as("kept"),
+          col("drop_reason"))
+        .orderBy("doc_id")
     })
 }

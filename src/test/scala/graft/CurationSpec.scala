@@ -98,4 +98,42 @@ class CurationSpec extends SparkSpec {
         s"cohort $cohort offset $off: $n retained > ${cohortSizes(cohort)} signed up")
     }
   }
+
+  test("q74 pipeline dispositions agree with every stand-alone stage query") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q74_curation_pipeline")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getInt(2), r.getString(3)))).toMap
+
+    // stage 1: 'quality' ⟺ q64 says drop (for train docs)
+    val q64Drop = SparkEntry.queries("q64_repetition_filter")(spark, dir).collect()
+      .filter(r => r.getInt(4) == 0).map(_.getLong(0)).filter(_ >= 20).toSet
+    assert(out.filter(_._2._2 == "quality").keySet == q64Drop)
+
+    // stage 3: 'contaminated' docs all carry >= 1 shared shingle per q59
+    val q59Flagged = SparkEntry.queries("q59_decontam")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val contaminated = out.filter(_._2._2 == "contaminated").keySet
+    assert(contaminated.subsetOf(q59Flagged))
+
+    // stage 4: every kept doc passes q57's keep rule; every 'sampled' drop fails it
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val keepBp = when(pmod(length(col("source")), lit(3)) === 0, 2500)
+      .when(pmod(length(col("source")), lit(3)) === 1, 5000).otherwise(9000)
+    val keepRule =
+      pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L)) < keepBp
+    val passes = docs.select(col("doc_id"), keepRule.as("k")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.foreach { case (id, (kept, reason)) =>
+      if (kept == 1) assert(passes(id), s"kept doc $id fails the sampling rule")
+      if (reason == "sampled") assert(!passes(id), s"doc $id dropped as sampled but passes")
+    }
+
+    // disposition partitions the train set; reasons come from the fixed vocabulary
+    assert(out.keySet ==
+      docs.filter(col("doc_id") >= 20).select("doc_id").collect().map(_.getLong(0)).toSet)
+    val vocab = Set("", "quality", "duplicate", "contaminated", "sampled")
+    assert(out.values.map(_._2).toSet.subsetOf(vocab))
+    assert(out.values.exists(_._1 == 1), "pipeline must keep something")
+    assert(out.values.exists(_._1 == 0), "pipeline must drop something")
+  }
 }

@@ -120,4 +120,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Generate"), "no explode — bigram stats stay inside the row")
   }
+
+  test("q72 PII scrub is a single-scan codegen pass: no joins, no re-keying") {
+    val p = planOf("q72_pii_scrub")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "scrub must not join")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q73 LM scoring joins only hash-equi: no BNLJ beyond the 1-row V broadcast") {
+    val p = planOf("q73_lm_score")
+    // the vocab-size crossJoin is a broadcast of ONE aggregated row (the
+    // q49 precedent); anything nested-loop beyond that is a regression
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "LM tables are vocab-bounded — the score joins must stay hash joins")
+  }
 }
