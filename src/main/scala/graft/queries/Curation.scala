@@ -41,7 +41,85 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Bloom-gated decontamination — what replaces [[hashedDecontam]] when
+    * the eval/reference shingle inventory is itself too big to broadcast
+    * as an exact set (full benchmark-suite sweeps, url blocklists). The
+    * exact set is summarized into a fixed-size Bloom filter (a distributed
+    * `stat.bloomFilter` aggregation — the corpus never sees the exact set);
+    * the corpus-side pass becomes a shuffle-free codegen'd `filter` via
+    * [[graft.functions.BloomExpressions.mightContainLong]], and only the
+    * SURVIVING (doc, shingle) candidates — O(contamination + fpp·corpus),
+    * not O(corpus) — enter the exact-verify equi-join that removes the
+    * bloom's false positives. One-sided error ⇒ the final counts are
+    * bit-identical to [[hashedDecontam]]'s (CurationSpec asserts exactly
+    * that, plus at fpp=0.5 where false positives are guaranteed present
+    * pre-verify). Eval-side scans run twice (count + bloom build) — the
+    * eval corpus is the small side by definition, and doc_id pushdown
+    * prunes the parquet scan to it.
+    */
+  def bloomDecontam(
+      docs: org.apache.spark.sql.DataFrame,
+      evalMaxId: Long = 20L,
+      k: Int = 5,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(
+      col("doc_id"),
+      graft.functions.HashExpressions
+        .shingleHashSet(split(col("text"), " ", -1), k).as("sh"))
+    val ev = sh.filter(col("doc_id") < evalMaxId)
+      .select(explode(col("sh")).as("g")).distinct()
+    val bloom = ev.stat.bloomFilter("g", ev.count().max(1L), fpp)
+    val tr = sh.filter(col("doc_id") >= evalMaxId)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    tr.filter(graft.functions.BloomExpressions.mightContainLong(col("g"), bloom))
+      .join(ev, "g") // exact verify: survivors only; AQE sizes the join
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    // RAG/context-window CHUNKING: every doc split into overlapping
+    // 32-token windows on a 24-token stride (chunk i covers tokens
+    // [24i+1, 24i+32]; the last chunk is short). Pure per-row expression
+    // work — sequence → transform → explode inside one codegen stage, no
+    // shuffle but the presentation sort — so at 100 TB it's a single
+    // corpus pass that parallelizes per input split. Deterministic
+    // (position-derived ids, no rand), and the oracle recomputes the
+    // identical windows via list_transform + slicing.
+    "q78_doc_chunking" -> Q(
+      "Overlapping 32-token chunks, stride 24: per-chunk token count + head/tail",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, unnest(list_transform(
+        |        range(0, (len(toks) - 1) // 24 + 1),
+        |        i -> {'idx': i, 'c': toks[i*24+1 : i*24+32]})) AS ch FROM t)
+        |SELECT doc_id, CAST(ch.idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(ch.c) AS BIGINT) AS n_tok,
+        |  ch.c[1] AS head_tok, ch.c[-1] AS tail_tok
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val toks = col("toks")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), floor((size(toks) - 1) / 24).cast("int")),
+          i => struct(i.cast("long").as("idx"),
+            slice(toks, i * 24 + 1, lit(32)).as("c")))).as("ch"))
+        .select(col("doc_id"),
+          col("ch.idx").as("chunk_idx"),
+          size(col("ch.c")).cast("long").as("n_tok"),
+          element_at(col("ch.c"), 1).as("head_tok"),
+          element_at(col("ch.c"), -1).as("tail_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // The bloom-gated decontam path, registered so the claimed scale shape
+    // carries a bench timing and a plan hash. rows-only: the bloom build
+    // and XXH64 keys aren't DuckDB-recomputable; the value-level check is
+    // CurationSpec's bit-identity to hashedDecontam (itself spec-identical
+    // to the oracle-checked q59).
+    "q77_decontam_bloom" -> Q.noOracle(
+      "Bloom-gated decontamination: fixed-size filter prune + exact verify join") {
+      (s, dir) => bloomDecontam(Tables(s, dir, "documents"))
+    },
     // Data MIXING: each source stratum keeps a different deterministic
     // fraction of its documents — the reweighting step that turns a raw
     // crawl into a training mixture. The keep decision is the q49

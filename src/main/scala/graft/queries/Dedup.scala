@@ -335,6 +335,48 @@ object Dedup {
       (s, dir) => hashedOverlap(Tables(s, dir, "documents"))
     },
 
+    // Duplicated-SPAN statistics (the signal behind substring-level dedup,
+    // e.g. "Deduplicating Training Data Makes Language Models Better"-style
+    // span removal): for every doc, how many of its distinct word-5-gram
+    // windows also occur in some OTHER doc (or elsewhere in itself — a
+    // window is "shared" iff ≥2 docs contain it), and what fraction of the
+    // doc that is. Plan: ONE distinct (doc, window) exchange, reused by
+    // both sides — the per-window doc-frequency aggregate and the per-doc
+    // rollup join back onto the SAME canonical subplan, so Spark computes
+    // the corpus-sized shuffle once. At 100 TB the window keys should be
+    // the 8-byte shingleHashSet hashes (the q67/q68 twin pattern); the
+    // string form stays registered because DuckDB can recompute it.
+    "q75_dup_spans" -> Q(
+      "Per-doc duplicated-span stats: distinct word-5-gram windows shared with >=2 docs",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(1, len(toks) - 3),
+        |                                 i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+        |      FROM t),
+        |g AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+        |d AS (SELECT g, COUNT(*) AS nd FROM g GROUP BY g)
+        |SELECT g.doc_id,
+        |  COUNT(*) AS n_win,
+        |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+        |FROM g JOIN d USING (g) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val g = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(Text.shinglesSpaceSplit(col("text"), k = 5)).as("g"))
+          .distinct()
+        val d = g.groupBy("g").agg(count(lit(1)).as("nd"))
+        g.join(d, "g")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_win"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_win"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_win")).as("dup_frac"))
+          .orderBy("doc_id")
+    },
+
     "q35_ngram_jaccard" -> Q(
       "Exact word-3-gram Jaccard between consecutive doc ids (linear self-join)",
       """WITH s AS (

@@ -158,6 +158,36 @@ object Extras {
         .orderBy("o_orderkey")
     },
 
+    // Full quantile profile — q44's median generalized to the quartile+tail
+    // points a length-filtering curation pass actually tunes against. Both
+    // engines compute the SAME linear-interpolation estimator (rank
+    // p·(n−1), interpolate between floor/ceil neighbors: Spark `percentile`
+    // ≡ DuckDB `quantile_cont`), so the doubles hash-match; the ROUND(…,4)
+    // on both sides guards the one place engine arithmetic could diverge
+    // (interpolation term ordering). Exact percentile is a per-group sort —
+    // correct at verification SF; the 100 TB swap is `percentile_approx`
+    // (mergeable KLL-style sketch, map-side partials, bounded rank error),
+    // the same knob [[profile]] exposes for q44's median.
+    "q76_length_quantiles" -> Q(
+      "Per-source exact length quantiles p25/p50/p75/p95 (linear interpolation)",
+      """SELECT source, COUNT(*) AS n,
+        |  ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.50), 4) AS p50,
+        |  ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS p75,
+        |  ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS p95
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val x = col("n_chars").cast("double")
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n"),
+          round(percentile(x, lit(0.25)), 4).as("p25"),
+          round(percentile(x, lit(0.50)), 4).as("p50"),
+          round(percentile(x, lit(0.75)), 4).as("p75"),
+          round(percentile(x, lit(0.95)), 4).as("p95"))
+        .orderBy("source")
+    },
+
     "q43_term_df" -> Q(
       "Vocabulary building: per-term document frequency (explode + distinct-count)",
       """SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (

@@ -62,6 +62,64 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bloom-gated decontamination (q77) is bit-identical to the exact hashed form") {
+    // one-sided error + exact verify ⇒ the bloom path must reproduce
+    // hashedDecontam EXACTLY — including at fpp=0.5, where the pre-verify
+    // candidate set is guaranteed polluted with false positives the verify
+    // join must fully remove.
+    for (d <- Seq(dir, "/root/testdata/sf0.01"); fpp <- Seq(0.01, 0.5)) {
+      val docs = graft.queries.Tables(spark, d, "documents")
+      val exact = graft.queries.Curation.hashedDecontam(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val bloomed = graft.queries.Curation.bloomDecontam(docs, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(bloomed == exact, s"$d fpp=$fpp: bloom=$bloomed exact=$exact")
+    }
+  }
+
+  test("q75 duplicated-span stats reproduce an exhaustive reference computation") {
+    val texts = queries.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def windows(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 5) Set(toks.mkString(" "))
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val perDoc = texts.map { case (id, t) => id -> windows(t) }
+    val docFreq = perDoc.flatMap { case (id, ws) => ws.map(_ -> id) }
+      .groupBy(_._1).map { case (w, hits) => w -> hits.map(_._2).toSet.size }
+    val expected = perDoc.map { case (id, ws) =>
+      val shared = ws.count(w => docFreq(w) >= 2)
+      (id, ws.size.toLong, shared.toLong, shared.toDouble / ws.size)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q75_dup_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // the testdata near-dup plants must actually light the signal up
+    assert(got.count(_._4 > 0) > 0, "corpus plants near-dups — some spans must be shared")
+    assert(got.count(_._4 == 1.0) > 0, "fully-duplicated span docs must exist")
+  }
+
+  test("q78 chunking reproduces an exhaustive per-doc reference chunker exactly") {
+    val texts = queries.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = texts.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val nChunks = (toks.length - 1) / 24 + 1
+      (0 until nChunks).map { i =>
+        val c = toks.slice(i * 24, math.min(i * 24 + 32, toks.length))
+        (id, i.toLong, c.length.toLong, c.head, c.last)
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = SparkEntry.queries("q78_doc_chunking")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSeq
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
   test("q60 funnel: stage counts are monotonically non-increasing") {
     val rows = SparkEntry.queries("q60_funnel")(spark, dir).collect()
       .sortBy(_.getInt(1)).map(r => (r.getString(0), r.getLong(2)))

@@ -137,4 +137,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "LM tables are vocab-bounded — the score joins must stay hash joins")
   }
+
+  test("q75 dup-span rollup computes its corpus-sized distinct exchange once") {
+    val df = SparkEntry.queries("q75_dup_spans")(spark, sf)
+    df.collect() // materialize so AQE resolves the final (reused) plan
+    val p = df.queryExecution.executedPlan.toString
+    // the (doc, window) distinct feeds BOTH the doc-frequency aggregate and
+    // the per-doc rollup; if reuse breaks, the corpus shuffles (and the
+    // parquet scan + explode run) twice — the dominant cost at 100 TB
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q77 bloom decontam probes inside codegen and joins only hash-equi") {
+    val p = planOf("q77_decontam_bloom")
+    assert(p.contains("bloom_might_contain_long"),
+      "the bloom prune must be in the corpus-side filter")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q78 chunking is a single-scan explode: no joins, no re-keying") {
+    val p = planOf("q78_doc_chunking")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "chunking must not join")
+    // only the presentation sort may exchange — chunks derive per row
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
