@@ -221,6 +221,32 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** q75's 100 TB twin: identical duplicated-span statistics over 8-byte
+    * XXH64 window hashes instead of k-word strings (the q65→hashedOverlap
+    * move). Two structural wins at scale: the shuffle keys are fixed-width
+    * longs, and the per-doc DISTINCT is free — `shingleHashSet` emits each
+    * doc's distinct window set directly, so the string form's explicit
+    * distinct exchange disappears (its job is done inside the codegen
+    * kernel) and the doc-frequency aggregate's exchange is the plan's one
+    * corpus-sized shuffle, reused by the join. DedupIndexSpec pins this
+    * row-identical to the oracle-checked q75 on both testdata corpora.
+    */
+  def hashedDupSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    val g = docs.select(
+      col("doc_id"),
+      explode(graft.functions.HashExpressions
+        .shingleHashSet(split(col("text"), " ", -1), k)).as("g"))
+    val d = g.groupBy("g").agg(count(lit(1)).as("nd"))
+    g.join(d, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_win"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_win"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_win")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band blocking on the 64-bit simhash,
     * verified by Hamming distance <= `maxHamming`.
     */
@@ -375,6 +401,14 @@ object Dedup {
           .select(col("doc_id"), col("n_win"), col("n_shared"),
             (col("n_shared").cast("double") / col("n_win")).as("dup_frac"))
           .orderBy("doc_id")
+    },
+
+    // q75's scale twin, registered for a bench timing + plan hash
+    // (rows-only: DuckDB can't recompute XXH64 window keys; the value
+    // check is DedupIndexSpec's row-identity to the oracled q75).
+    "q81_dup_spans_hashed" -> Q.noOracle(
+      "Per-doc duplicated-span stats over 8-byte hashed windows (q75's scale twin)") {
+      (s, dir) => hashedDupSpans(Tables(s, dir, "documents"))
     },
 
     "q35_ngram_jaccard" -> Q(

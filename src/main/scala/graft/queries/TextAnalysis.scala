@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -72,6 +73,75 @@ object TextAnalysis {
           topFrac.as("top_bigram_frac"),
           when(dupFrac <= 0.6 && topFrac <= 0.08, 1).otherwise(0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Vocabulary-health diagnostic #1: the Zipf slope. A natural-language
+    // stratum fits ln(count) ≈ α + s·ln(rank) with s ≈ −1; templated/
+    // machine-generated strata flatten or steepen it, so the per-source
+    // slope is a cheap corpus-quality screen. Scale shape: the corpus-sized
+    // work is ONE token explode collapsing straight into the (source, term)
+    // count aggregate (map-side partials); everything after — rank window,
+    // OLS sums — runs on the VOCAB-sized table. Cross-engine hashing needs
+    // care on two fronts, both handled the established way: ranks are total
+    // (count desc, term asc tie-break = binary collation in both engines),
+    // and the OLS sums use the q05 decimal trick (per-value DECIMAL(18,6)
+    // cast of the ln values, exact order-independent decimal sums, one
+    // deterministic double formula at the end).
+    "q79_zipf_slope" -> Q(
+      "Per-source Zipf slope: OLS of ln(term count) on ln(rank), decimal-exact sums",
+      """WITH tc AS (SELECT source, term, COUNT(*) AS c FROM (
+        |       SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |     GROUP BY source, term),
+        |rk AS (SELECT source, c, ROW_NUMBER() OVER (
+        |         PARTITION BY source ORDER BY c DESC, term) AS r FROM tc),
+        |v AS (SELECT source, CAST(ln(r) AS DECIMAL(18,6)) AS lx,
+        |             CAST(ln(c) AS DECIMAL(18,6)) AS ly FROM rk),
+        |a AS (SELECT source, COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+        |             SUM(lx*ly) AS sxy, SUM(lx*lx) AS sxx FROM v GROUP BY source)
+        |SELECT source, n,
+        |  ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4)
+        |    AS zipf_slope
+        |FROM a ORDER BY source""".stripMargin) { (s, dir) =>
+      val tc = Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      val rankW = Window.partitionBy("source").orderBy(col("c").desc, col("term"))
+      val v = tc.withColumn("r", row_number().over(rankW))
+        .select(col("source"),
+          log(col("r").cast("double")).cast("decimal(18,6)").as("lx"),
+          log(col("c").cast("double")).cast("decimal(18,6)").as("ly"))
+      val a = v.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"), sum(col("lx") * col("lx")).as("sxx"))
+      def d(c: String) = col(c).cast("double")
+      a.select(col("source"), col("n"),
+          round((d("n") * d("sxy") - d("sx") * d("sy"))
+            / (d("n") * d("sxx") - d("sx") * d("sx")), 4).as("zipf_slope"))
+        .orderBy("source")
+    },
+
+    // Vocabulary-health diagnostic #2: the document-frequency histogram
+    // (how much of the vocab is hapax/rare vs stopword-grade). Buckets are
+    // ⌊log2(df)⌋ computed INTEGER-EXACTLY as length(bin(df))−1 — both
+    // engines agree bit-for-bit, where float log2 could straddle a floor
+    // boundary at exact powers of two. One corpus-sized explode into the
+    // per-term distinct-doc count; the histogram itself is vocab-sized.
+    "q80_df_histogram" -> Q(
+      "Vocabulary DF histogram: log2 buckets (integer-exact), term and occurrence mass",
+      """WITH tf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |    GROUP BY term)
+        |SELECT CAST(LENGTH(bin(df)) - 1 AS BIGINT) AS df_bucket,
+        |       COUNT(*) AS n_terms, CAST(SUM(df) AS BIGINT) AS total_df
+        |FROM tf GROUP BY df_bucket ORDER BY df_bucket""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+        .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        .groupBy((length(bin(col("df"))) - 1).cast("long").as("df_bucket"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("df")).cast("long").as("total_df"))
+        .orderBy("df_bucket")
     },
 
     "q27_text_stats" -> Q(

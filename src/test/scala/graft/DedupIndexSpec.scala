@@ -24,6 +24,20 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("hashed duplicated-span stats match the string-window form (q75) row for row") {
+    // same contract as the overlap/decontam twins: 8-byte window hashes
+    // must reproduce the oracle-checked q75 numbers exactly (n_win AND
+    // n_shared — a hash collision would break either)
+    for (d <- dirs) {
+      val strForm = SparkEntry.queries("q75_dup_spans")(spark, d).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val hashForm = graft.queries.Dedup
+        .hashedDupSpans(graft.queries.Tables(spark, d, "documents"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(hashForm == strForm, s"$d: hashed and string span stats diverge")
+    }
+  }
+
   test("incremental band-index dedup equals the whole-corpus pair set restricted to the batch") {
     // q66's contract: probing the persisted index with the new batch finds
     // EXACTLY the pairs a full q33-style run over the whole corpus finds

@@ -156,6 +156,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q79/q80 vocabulary diagnostics: one corpus scan, no joins, agg-first") {
+    Seq("q79_zipf_slope", "q80_df_histogram").foreach { q =>
+      val p = planOf(q)
+      assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, q)
+      assert(!p.contains("Join"), s"$q must not join")
+      // the corpus-sized explode must collapse into the (…, term) aggregate
+      // immediately — the window/OLS/histogram stages run vocab-sized
+      assert(p.contains("HashAggregate"), q)
+    }
+  }
+
   test("q78 chunking is a single-scan explode: no joins, no re-keying") {
     val p = planOf("q78_doc_chunking")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)

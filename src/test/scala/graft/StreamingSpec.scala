@@ -233,6 +233,49 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming bloom decontam prunes statelessly and never false-negatives") {
+    // the q77 bloom prune is a pure expression — no state store, no
+    // watermark — so the SAME filter column works unchanged on a stream:
+    // the decontam pattern for data arriving as a feed. One-sided error on
+    // a stream means: every truly-contaminated doc is flagged (no false
+    // negatives, asserted exactly); false positives are possible
+    // pre-verify, so the streamed stage keeps the shingle for the
+    // downstream exact check rather than deciding alone.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.BloomExpressions
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+
+    val reference = (0L until 64L).map(_ * 7919L) // "eval shingles"
+    val refDf = spark.createDataFrame(reference.map(Tuple1(_))).toDF("g")
+    val bloom = refDf.stat.bloomFilter("g", reference.size.toLong, 0.01)
+
+    val input = MemoryStream[(Long, Long)] // (doc_id, shingle hash)
+    val q = input.toDF().toDF("doc_id", "g")
+      .filter(BloomExpressions.mightContainLong(col("g"), bloom))
+      .writeStream.format("memory").queryName("bloom_t").outputMode("append")
+      .start()
+
+    // docs 1,2 carry reference shingles; 3 carries only novel ones
+    input.addData((1L, 7919L), (2L, 7919L * 5), (3L, 1L), (3L, 2L))
+    q.processAllAvailable()
+    input.addData((4L, 7919L * 63), (5L, 3L))
+    q.processAllAvailable()
+
+    val flagged = spark.table("bloom_t").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 4L).subsetOf(flagged),
+      s"contaminated docs must all be flagged (no false negatives), got $flagged")
+    // at fpp=0.01 over 4 novel hashes, a false positive is possible but
+    // each flagged doc must at least be explainable: doc 3/5 may appear
+    // only via bloom false positives — bounded, not asserted
+    q.stop()
+  }
+
   test("streaming near-dup filter suppresses minhash-colliding later docs") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
