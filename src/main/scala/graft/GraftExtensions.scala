@@ -80,7 +80,11 @@ object GraftExtensions {
       args => TopKFrequent(
         args(0),
         intArg(args(1), "k"),
-        if (args.length > 2) intArg(args(2), "capacity") else 4096)))
+        if (args.length > 2) intArg(args(2), "capacity") else 4096)),
+    fn("bloom_might_contain_long",
+      "bloom_might_contain_long(filter_bytes, hash) - bloom membership probe; filter_bytes " +
+        "is a foldable binary (serialized spark BloomFilter), false = definitive absence",
+      args => BloomMightContainBytes(args(0), args(1))))
 
   /** Register every engine function on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -49,6 +49,47 @@ case class BloomMightContainLong(child: Expression, filter: BloomFilter)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** SQL-surface twin of [[BloomMightContainLong]]:
+  * `bloom_might_contain_long(filter_bytes, hash)` where `filter_bytes` is a
+  * FOLDABLE binary expression holding the serialized filter
+  * ([[BloomExpressions.serialize]] / `BloomFilter.writeTo`). The bytes fold
+  * once per plan on the driver (lazy deserialize); per row it's the same
+  * branch-free probe as the object-embedding form. This is what makes the
+  * probe usable from pure SQL via [[graft.GraftExtensions]] — pass the
+  * serialized filter as a parameter/literal.
+  */
+case class BloomMightContainBytes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "bloom_might_contain_long"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) if left.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName filter bytes must be foldable (a literal/parameter)")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, bigint), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  @transient private lazy val filter: BloomFilter = BloomFilter.readFrom(
+    new java.io.ByteArrayInputStream(left.eval().asInstanceOf[Array[Byte]]))
+
+  override def nullSafeEval(bytes: Any, hash: Any): Any =
+    filter.mightContainLong(hash.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, (_, h) => s"${ev.value} = $ref.mightContainLong($h);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object BloomExpressions {
   import org.apache.spark.sql.graft.{shims => S}
 
@@ -57,4 +98,11 @@ object BloomExpressions {
     */
   def mightContainLong(hash: Column, filter: BloomFilter): Column =
     S.column(BloomMightContainLong(S.expression(hash), filter))
+
+  /** The filter's wire form for the SQL surface / persistence. */
+  def serialize(filter: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    out.toByteArray
+  }
 }

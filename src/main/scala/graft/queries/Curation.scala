@@ -77,15 +77,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** RAG/context-window chunking: every doc split into overlapping
+    * `window`-token chunks on a `stride`-token stride (chunk i covers token
+    * positions [i·stride+1, i·stride+window]; the last chunk is short).
+    * Pure per-row expression work — sequence → transform → explode inside
+    * one codegen stage, no shuffle but the caller's presentation sort — so
+    * at 100 TB it's a single corpus pass that parallelizes per input
+    * split. Deterministic (position-derived ids, no rand). Requires
+    * `stride ≥ 1` (progress) — `stride ≤ window` gives gap-free coverage,
+    * `stride < window` the usual overlap; ChunkingPropertySpec proves the
+    * coverage/reconstruction invariants across random (window, stride).
+    */
+  def chunkDocs(
+      docs: org.apache.spark.sql.DataFrame,
+      window: Int = 32,
+      stride: Int = 24): org.apache.spark.sql.DataFrame = {
+    require(stride >= 1 && window >= 1, s"window=$window stride=$stride")
+    val toks = col("toks")
+    docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor((size(toks) - 1) / stride).cast("int")),
+        i => struct(i.cast("long").as("idx"),
+          slice(toks, i * stride + 1, lit(window)).as("c")))).as("ch"))
+      .select(col("doc_id"),
+        col("ch.idx").as("chunk_idx"),
+        size(col("ch.c")).cast("long").as("n_tok"),
+        element_at(col("ch.c"), 1).as("head_tok"),
+        element_at(col("ch.c"), -1).as("tail_tok"))
+  }
+
   val all: Map[String, Q] = Map(
-    // RAG/context-window CHUNKING: every doc split into overlapping
-    // 32-token windows on a 24-token stride (chunk i covers tokens
-    // [24i+1, 24i+32]; the last chunk is short). Pure per-row expression
-    // work — sequence → transform → explode inside one codegen stage, no
-    // shuffle but the presentation sort — so at 100 TB it's a single
-    // corpus pass that parallelizes per input split. Deterministic
-    // (position-derived ids, no rand), and the oracle recomputes the
-    // identical windows via list_transform + slicing.
+    // [[chunkDocs]] at the registered (32, 24) setting; the oracle
+    // recomputes the identical windows via list_transform + slicing.
     "q78_doc_chunking" -> Q(
       "Overlapping 32-token chunks, stride 24: per-chunk token count + head/tail",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -96,18 +120,7 @@ object Curation {
         |  CAST(len(ch.c) AS BIGINT) AS n_tok,
         |  ch.c[1] AS head_tok, ch.c[-1] AS tail_tok
         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
-      val toks = col("toks")
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), floor((size(toks) - 1) / 24).cast("int")),
-          i => struct(i.cast("long").as("idx"),
-            slice(toks, i * 24 + 1, lit(32)).as("c")))).as("ch"))
-        .select(col("doc_id"),
-          col("ch.idx").as("chunk_idx"),
-          size(col("ch.c")).cast("long").as("n_tok"),
-          element_at(col("ch.c"), 1).as("head_tok"),
-          element_at(col("ch.c"), -1).as("tail_tok"))
+      chunkDocs(Tables(s, dir, "documents"), window = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")
     },
 

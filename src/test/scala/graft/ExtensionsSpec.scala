@@ -31,6 +31,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(j((1, 3)) == 0.0)
   }
 
+  test("bloom_might_contain_long from SQL agrees with the object-embedding Column form") {
+    import graft.functions.BloomExpressions
+    import org.apache.spark.sql.functions.col
+
+    val member = (0L until 256L).map(_ * 31L)
+    val bloom = spark.createDataFrame(member.map(Tuple1(_))).toDF("g")
+      .stat.bloomFilter("g", member.size.toLong, 0.01)
+    val probes = member.take(40) ++ (1L to 40L).map(_ * 31L + 7L)
+    val df = spark.createDataFrame(probes.map(Tuple1(_))).toDF("h")
+
+    val viaObject = df.select(col("h"),
+      BloomExpressions.mightContainLong(col("h"), bloom).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    // the SQL caller inlines the serialized filter as a foldable
+    // unhex literal — the wire form a pure-SQL deployment would ship
+    val hex = BloomExpressions.serialize(bloom).map("%02x".format(_)).mkString
+    df.createOrReplaceTempView("bloom_probes")
+    val viaSql = spark.sql(
+      s"SELECT h, bloom_might_contain_long(unhex('$hex'), h) AS m FROM bloom_probes")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    assert(member.take(40).forall(viaSql(_)), "no false negatives via SQL")
+    assert(viaSql == viaObject, "SQL and Column forms must agree on every probe")
+  }
+
   test("simhash64 and shingle_minhash SQL forms run and agree with the Column API") {
     import graft.functions.{HashExpressions, Text}
     import org.apache.spark.sql.functions.col
