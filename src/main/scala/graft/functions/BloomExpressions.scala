@@ -74,8 +74,14 @@ case class BloomMightContainBytes(left: Expression, right: Expression)
         s"$prettyName requires (binary, bigint), got (${l.simpleString}, ${r.simpleString})")
     }
 
-  @transient private lazy val filter: BloomFilter = BloomFilter.readFrom(
-    new java.io.ByteArrayInputStream(left.eval().asInstanceOf[Array[Byte]]))
+  @transient private lazy val filter: BloomFilter = {
+    // folded once per plan; a null here means the caller's literal was bad
+    // (e.g. unhex of invalid hex) — fail with the cause, not an NPE
+    val bytes = left.eval().asInstanceOf[Array[Byte]]
+    require(bytes != null, s"$prettyName: filter bytes evaluated to null " +
+      "(invalid serialized filter literal?)")
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
 
   override def nullSafeEval(bytes: Any, hash: Any): Any =
     filter.mightContainLong(hash.asInstanceOf[Long])
