@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,78 @@ object Training {
     */
   def quantizeInt8(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.Vectors.quantizeInt8(v)
+
+  /** Deterministic 80/10/10 train/val/test assignment — a pure function of
+    * the row id (never `rand()`: retried tasks must re-deal identical
+    * splits). Shared by the split audit (q49) and the cross-split
+    * contamination scan (q82/q83) so the two can never disagree on what
+    * "train" means. Mersenne-prime mod before the Knuth multiply keeps the
+    * product under 2^63 on every engine (Spark wraps on overflow, DuckDB
+    * raises — see q57); identical assignments for doc_id < 2^31-1.
+    */
+  def splitOf(docId: Column): Column = {
+    val bucket = pmod(pmod(docId, lit(2147483647L)) * lit(2654435761L), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  /** Cross-split contamination audit: for every val/test document, how many
+    * of its DISTINCT word-k-gram windows also occur in ANY train-split
+    * document. This is the canonical "did near-dups leak across the split"
+    * check (run it after q49-style splitting and BEFORE training; a nonzero
+    * `contam_frac` on an eval doc means its loss is partly memorization).
+    * Exact duplicates are invisible to an exact-hash audit when the leak is
+    * a near-dup — the n-gram form catches partial copies too.
+    *
+    * Plan shape (PLANS.md "q82"): the split predicate is a deterministic
+    * function of a grouping column, so Catalyst pushes it BELOW the
+    * distinct — each branch scans, explodes, and shuffles only its own
+    * split's share of the corpus (~80%/20%), never the whole corpus twice.
+    * The train-window set joins as a plain equi-join on the window key with
+    * no broadcast hint: its size estimate is corpus-proportional, so the
+    * planner/AQE picks SMJ at scale and broadcast only when it measures
+    * small. At 100 TB swap the string keys for the 8-byte hashed twin
+    * [[hashedSplitContam]] (q83).
+    */
+  def splitContam(docs: DataFrame, k: Int = 5): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+        explode(graft.functions.Text.shinglesSpaceSplit(col("text"), k)).as("g"))
+      .distinct()
+    val trainWindows = g.filter(col("split") === "train").select("g").distinct()
+    g.filter(col("split") =!= "train")
+      .join(trainWindows.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id", "split")
+      .agg(
+        count(lit(1)).as("n_win"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("split"), col("n_win"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_win")).as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** q82's 100 TB twin (the q75→q81 move): identical contamination stats
+    * over 8-byte XXH64 window hashes. The per-doc DISTINCT happens inside
+    * the codegen `shingleHashSet` kernel, so the string form's corpus-wide
+    * distinct exchange disappears and every shuffled key is a fixed-width
+    * long. SplitContamSpec pins this row-identical to the oracle-checked
+    * q82 on both testdata corpora.
+    */
+  def hashedSplitContam(docs: DataFrame, k: Int = 5): DataFrame = {
+    val g = docs.select(
+      col("doc_id"), splitOf(col("doc_id")).as("split"),
+      explode(graft.functions.HashExpressions
+        .shingleHashSet(split(col("text"), " ", -1), k)).as("g"))
+    val trainWindows = g.filter(col("split") === "train").select("g").distinct()
+    g.filter(col("split") =!= "train")
+      .join(trainWindows.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy("doc_id", "split")
+      .agg(
+        count(lit(1)).as("n_win"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("split"), col("n_win"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_win")).as("contam_frac"))
+      .orderBy("doc_id")
+  }
 
   val all: Map[String, Q] = Map(
     // Storage-shrink path for 100 TB embedding lakes: int8 quantization is
@@ -63,14 +135,8 @@ object Training {
         |         ELSE 'test' END AS split
         |  FROM documents)
         |GROUP BY source, split ORDER BY source, split""".stripMargin) { (s, dir) =>
-      // Mersenne-prime mod before the multiply keeps the product under 2^63
-      // on every engine (Spark wraps on overflow, DuckDB raises — see q57);
-      // identical assignments for doc_id < 2^31-1
-      val bucket =
-        pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(100L))
       Tables(s, dir, "documents")
-        .withColumn("split",
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .withColumn("split", splitOf(col("doc_id")))
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy("source", "split")
@@ -198,5 +264,43 @@ object Training {
           approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // Split-leakage audit. The corpus has ZERO exact duplicates (every
+    // MD5(lower(trim(text))) group in q32 is a singleton), so an
+    // exact-hash leakage check would return an empty — and useless —
+    // result; the word-5-gram form catches the near-dup copies that DO
+    // cross the q49 split (13 of 100 eval docs at sf0.01, several at
+    // contam_frac = 1.0). Window semantics identical to q75's.
+    "q82_split_contam" -> Q(
+      "Cross-split contamination: per val/test doc, distinct word-5-grams " +
+        "also present in train-split docs",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |s AS (SELECT doc_id, split,
+        |        CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(1, len(toks) - 3),
+        |                                 i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+        |      FROM t),
+        |g AS (SELECT DISTINCT doc_id, split, unnest(sh) AS g FROM s),
+        |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train')
+        |SELECT g.doc_id, g.split, COUNT(*) AS n_win,
+        |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contam_frac
+        |FROM g LEFT JOIN tr ON g.g = tr.g
+        |WHERE g.split <> 'train'
+        |GROUP BY g.doc_id, g.split ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      splitContam(Tables(s, dir, "documents"))
+    },
+
+    // rows-only like q81: DuckDB cannot recompute the chained XXH64 window
+    // hashes; SplitContamSpec pins row-identity to q82 instead.
+    "q83_split_contam_hashed" -> Q.noOracle(
+      "q82 over 8-byte hashed windows (per-doc distinct inside the codegen " +
+        "kernel; fixed-width shuffle keys) — the 100 TB form") { (s, dir) =>
+      hashedSplitContam(Tables(s, dir, "documents"))
     })
 }
