@@ -174,4 +174,19 @@ class PlanShapeSpec extends SparkSpec {
     // only the presentation sort may exchange — chunks derive per row
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q82/q83 split-contam pushes the split predicate below each distinct") {
+    Seq("q82_split_contam", "q83_split_contam_hashed").foreach { q =>
+      val p = planOf(q)
+      // two branches, each filtered to its own split BEFORE exploding —
+      // a single unfiltered explode+distinct would shuffle the whole
+      // corpus's windows and then throw 20%/80% of them away
+      assert(p.linesIterator.count(_.contains("Scan parquet")) == 2, s"$q:\n$p")
+      val scanOrFilter = p.linesIterator
+        .filter(l => l.contains("Filter") && l.contains("2147483647"))
+      assert(scanOrFilter.size >= 2,
+        s"$q: split predicate must appear in both branch filters")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), q)
+    }
+  }
 }
