@@ -166,6 +166,42 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Label-purity audit: assign every vector to its nearest per-label
+    * centroid (cosine, ties to the smaller label) and emit the confusion
+    * matrix — the embedding-quality check a curation pipeline runs before
+    * trusting embeddings for clustering/filtering (chance diagonal = 1/k;
+    * this corpus measures ~0.41, i.e. the labels have real geometry).
+    *
+    * Cross-engine determinism (the q36 rules): only integer counts are
+    * emitted, never floats; centroid means come from DECIMAL-exact
+    * per-dimension sums (order-independent) divided once at the end; the
+    * cosine kernel widens float elements to double and accumulates
+    * left-to-right, matching DuckDB's double-cast `list_cosine_similarity`
+    * fold. Plan shape: one posexplode→(label, dim) aggregate (dim-sized
+    * output), a 10-row broadcast of the centroids streamed against the
+    * corpus (the q36 bounded-broadcast exception), then the per-vector
+    * argmax via the partial-top-k window.
+    */
+  def labelPurity(emb: DataFrame): DataFrame = {
+    val dims = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast("double").cast("decimal(27,7)")).cast("double") /
+        count(lit(1))).as("m"))
+    val cent = dims.groupBy(col("label").as("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("clabel"))
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        Vectors.cosine(col("embedding"), col("cvec")).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_label")
+  }
+
   val all: Map[String, Q] = Map(
     "q36_knn_brute" -> Q(
       "Brute-force cosine top-5 for the first 10 vectors (ids only — FP-rank-safe)",
@@ -281,6 +317,32 @@ object Similarity {
         col("id").as("doc_id"),
         when(col("component") === col("id"), 1).otherwise(0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    "q84_label_purity" -> Q(
+      "Nearest-centroid confusion matrix over embeddings (decimal-exact " +
+        "centroids, counts only — FP-rank-safe)",
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |dims AS (
+        |  SELECT label, i AS dim,
+        |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,7))) AS DOUBLE)
+        |      / COUNT(*) AS m
+        |  FROM e, range(1, 65) r(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label AS clabel, list(m ORDER BY dim) AS cvec FROM dims GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, cent.clabel,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(
+        |                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |                 cent.cvec) DESC,
+        |               cent.clabel) AS rnk
+        |  FROM e CROSS JOIN cent)
+        |SELECT label, clabel AS pred_label, COUNT(*) AS n
+        |FROM scored WHERE rnk = 1
+        |GROUP BY label, clabel ORDER BY label, pred_label""".stripMargin) { (s, dir) =>
+      labelPurity(emb(s, dir))
     })
 
   /** Shared by q42/q56 — their contract is IDENTICAL models, so the build

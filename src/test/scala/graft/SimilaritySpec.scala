@@ -70,4 +70,34 @@ class SimilaritySpec extends SparkSpec {
         s"source=$src exact=$med approx=${approx(src)}")
     }
   }
+
+  test("label purity (q84): confusion matrix exact on a hand-computed fixture") {
+    import spark.implicits._
+    // vec 4 is a PLANTED misclassification: labeled 0 but sitting in label
+    // 1's direction. Centroids INCLUDE the point itself (standard), so
+    // c0 = mean([1,.1],[.9,-.1],[.2,.9]) = [0.7, 0.3] and c1 = [0, 0.9];
+    // cos(v4,c0) ≈ 0.58 < cos(v4,c1) ≈ 0.98 — margins far above any ulp
+    // concern.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.1f), 0),
+      (1L, Array(0.9f, -0.1f), 0),
+      (2L, Array(0.1f, 1.0f), 1),
+      (3L, Array(-0.1f, 0.8f), 1),
+      (4L, Array(0.2f, 0.9f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelPurity(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0, 0) -> 2L, (0, 1) -> 1L, (1, 1) -> 2L), s"got $got")
+  }
+
+  test("label purity (q84) has real signal on the testdata corpus") {
+    val rows = SparkEntry.queries("q84_label_purity")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val total = rows.map(_._3).sum
+    val diag = rows.collect { case (l, p, n) if l == p => n }.sum
+    // 10 labels → chance diagonal ≈ 0.1; the corpus embeddings carry label
+    // geometry (sf0.01 measures ~0.41). Loose floor: well above chance.
+    assert(total > 0 && diag.toDouble / total > 0.2,
+      s"diag=$diag total=$total")
+  }
 }
