@@ -65,6 +65,19 @@ object Training {
       .orderBy("doc_id")
   }
 
+  /** The static side of the streaming contamination guard
+    * ([[graft.streaming.ContamGuardStream]]): the distinct hashed-window
+    * set of the train split, persisted offline (bucket it on `g` at scale
+    * so per-micro-batch probes co-locate). Same hashing kernel as
+    * [[hashedSplitContam]], so batch audit and streaming guard can never
+    * disagree on what counts as a hit.
+    */
+  def trainWindowHashes(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.filter(splitOf(col("doc_id")) === "train")
+      .select(explode(graft.functions.HashExpressions
+        .shingleHashSet(split(col("text"), " ", -1), k)).as("g"))
+      .distinct()
+
   /** q82's 100 TB twin (the q75→q81 move): identical contamination stats
     * over 8-byte XXH64 window hashes. The per-doc DISTINCT happens inside
     * the codegen `shingleHashSet` kernel, so the string form's corpus-wide

@@ -357,4 +357,55 @@ class StreamingSpec extends SparkSpec {
       s"only the in-window same-user click must join, got $pairs")
     q.stop()
   }
+
+  test("streaming contamination guard: stream-static join flags train hits with exact counts") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.ContamGuardStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Timestamp, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.STRING)
+    import spark.implicits._
+
+    // static train index via the SAME kernel the batch audit uses: doc 0
+    // deals to train under splitOf (asserted in SplitContamSpec)
+    val train = graft.queries.Training.trainWindowHashes(
+      Seq((0L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"))
+
+    val m0 = 1700000000000L - (1700000000000L % 3600000)
+    def doc(id: Long, minutes: Long, text: String) =
+      (id, new Timestamp(m0 + minutes * 60000), text)
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = ContamGuardStream.start(
+      input.toDF().toDF("doc_id", "ts", "text"), train, queryName = "guard_t",
+      watermarkDelay = "10 minutes", windowLength = "1 minute",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    // doc 21 shares exactly one 5-gram window with the train doc (the
+    // SplitContamSpec fixture); doc 22 is clean — the inner join drops it
+    input.addData(
+      doc(21L, 0, "prefix quick brown fox jumps over tail"),
+      doc(22L, 0, "completely different words in this one here"))
+    q.processAllAvailable()
+    // advance the watermark past doc 21's window so append mode emits
+    input.addData(doc(23L, 30, "jumps over the lazy dog and more trailing text"))
+    q.processAllAvailable()
+    input.addData(doc(24L, 31, "nothing shared here at all truly"))
+    q.processAllAvailable()
+
+    val flagged = spark.table("guard_t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.get(21L).contains(1L),
+      s"doc 21 must flag with exactly 1 hit, got $flagged")
+    assert(!flagged.contains(22L), s"clean doc must not emit, got $flagged")
+    // doc 23 shares "jumps over the lazy dog" with train — flagged once
+    // its window finalizes; not asserted (its window may still be open)
+    q.stop()
+  }
 }
