@@ -122,6 +122,39 @@ object TextAnalysis {
         .orderBy("source")
     },
 
+    // Within-doc repetition REWRITE (q64/q75 only measure): collapse runs
+    // of consecutive identical tokens to one occurrence — the CCNet-style
+    // normalization that runs before token counting so "the the the" bills
+    // one token. Pure per-row codegen HOF (filter-with-index over the
+    // token array): no shuffle, no state, embarrassingly parallel at any
+    // scale. 388/500 sf0.01 docs change; up to 9 tokens collapse. The
+    // lambda keeps token i iff i==0 or it differs from its predecessor
+    // (element_at is 1-based, the lambda index 0-based, so element_at(ts,i)
+    // IS the predecessor); a run of length r keeps exactly its first
+    // element — both engines implement the same "compare to raw
+    // predecessor" rule, so the outputs hash-match including the rewritten
+    // text itself.
+    "q85_collapse_repeats" -> Q(
+      "Collapse consecutive duplicate tokens per doc (within-doc repetition " +
+        "rewrite); emits before/after counts and the rewritten text",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, len(toks) AS n_before,
+        |        list_filter(toks, (x, i) -> i = 1 OR toks[i-1] <> x) AS keep
+        |      FROM t)
+        |SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(len(keep) AS BIGINT) AS n_after,
+        |  array_to_string(keep, ' ') AS clean_text
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ts = split(col("text"), " ", -1)
+      val keep = filter(ts, (x, i) => i === 0 || element_at(ts, i) =!= x)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(ts).cast("long").as("n_before"),
+          size(keep).cast("long").as("n_after"),
+          concat_ws(" ", keep).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // Vocabulary-health diagnostic #2: the document-frequency histogram
     // (how much of the vocab is hapax/rare vs stopword-grade). Buckets are
     // ⌊log2(df)⌋ computed INTEGER-EXACTLY as length(bin(df))−1 — both
