@@ -175,6 +175,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("q85 repetition rewrite is a single-scan per-row pass: no joins, no re-keying") {
+    val p = planOf("q85_collapse_repeats")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "the rewrite must not join")
+    // only the presentation sort may exchange — the rewrite is per row
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q82/q83 split-contam pushes the split predicate below each distinct") {
     Seq("q82_split_contam", "q83_split_contam_hashed").foreach { q =>
       val p = planOf(q)
