@@ -107,6 +107,25 @@ object Curation {
         element_at(col("ch.c"), -1).as("tail_tok"))
   }
 
+  /** q59's oracle, shared with its hashed twin q68: the twin's output is
+    * row-identical (CurationSpec pins it), so the same ANSI statement
+    * oracles both — DuckDB never needs to reproduce the XXH64 keys, only
+    * the final per-doc counts.
+    */
+  private val decontamOracleSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 3),
+      |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 20),
+      |tr AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sh
+      |       WHERE doc_id >= 20)
+      |SELECT tr.doc_id, COUNT(*) AS n_shared
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     // [[chunkDocs]] at the registered (32, 24) setting; the oracle
     // recomputes the identical windows via list_transform + slicing.
@@ -214,18 +233,7 @@ object Curation {
     // shape.
     "q59_decontam" -> Q(
       "Eval-set decontamination: train docs sharing word-5-grams with docs 0-19",
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 3),
-        |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 20),
-        |tr AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sh
-        |       WHERE doc_id >= 20)
-        |SELECT tr.doc_id, COUNT(*) AS n_shared
-        |FROM tr JOIN ev ON tr.g = ev.g
-        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      decontamOracleSql) { (s, dir) =>
       val sh = Tables(s, dir, "documents").select(
         col("doc_id"), Text.shinglesSpaceSplit(col("text"), k = 5).as("sh"))
       val ev = sh.filter(col("doc_id") < 20)
@@ -238,13 +246,14 @@ object Curation {
     },
 
     // The registered, BENCHED form of [[hashedDecontam]] — the declared
-    // 100 TB scale path for q59. rows-only (DuckDB cannot recompute the
-    // XXH64 shingle keys); the value-level check is CurationSpec's
-    // row-identity against the oracle-checked string form. Registering it
-    // puts a timing and a plan hash on the path a petabyte deployment
-    // would actually run.
-    "q68_decontam_hashed" -> Q.noOracle(
-      "Eval-set decontamination over 8-byte hashed shingle keys (q59's scale twin)") {
+    // 100 TB scale path for q59. DuckDB cannot recompute the XXH64 shingle
+    // keys, but the twin's OUTPUT is row-identical to the string form
+    // (CurationSpec pins it), so q59's oracle statement hash-checks this
+    // path's values too — a timing, a plan hash, AND a hard value oracle on
+    // the path a petabyte deployment would actually run.
+    "q68_decontam_hashed" -> Q(
+      "Eval-set decontamination over 8-byte hashed shingle keys (q59's scale twin)",
+      decontamOracleSql) {
       (s, dir) => hashedDecontam(Tables(s, dir, "documents"))
     },
 

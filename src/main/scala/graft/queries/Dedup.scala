@@ -272,6 +272,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** q65's oracle, shared with its hashed twin q67: the twin's output is
+    * row-identical (DedupIndexSpec pins it on both testdata corpora), so the
+    * same ANSI statement oracles both — DuckDB never needs to reproduce the
+    * XXH64 keys, only the final matrix.
+    */
+  private val overlapOracleSql =
+    """WITH s AS (
+      |  SELECT source,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                             i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+      |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)),
+      |g AS (SELECT DISTINCT source, unnest(sh) AS g FROM s)
+      |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin
+
+  /** q75's oracle, shared with its hashed twin q81 (same contract as
+    * [[overlapOracleSql]]).
+    */
+  private val dupSpansOracleSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |             ELSE list_transform(range(1, len(toks) - 3),
+      |                                 i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+      |      FROM t),
+      |g AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+      |d AS (SELECT g, COUNT(*) AS nd FROM g GROUP BY g)
+      |SELECT g.doc_id,
+      |  COUNT(*) AS n_win,
+      |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+      |FROM g JOIN d USING (g) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q32_dedup_exact" -> Q(
       "Exact dedup: group by normalized-content hash, keep min doc_id",
@@ -329,16 +364,7 @@ object Dedup {
     // 8-byte hashed shingle keys, spec-asserted row-identical to this form.
     "q65_source_overlap" -> Q(
       "Cross-source duplication matrix: shared distinct word-3-grams per source pair",
-      """WITH s AS (
-        |  SELECT source,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 1),
-        |                             i -> array_to_string(toks[i:i+2], ' ')) END AS sh
-        |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)),
-        |g AS (SELECT DISTINCT source, unnest(sh) AS g FROM s)
-        |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
-        |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
-        |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      overlapOracleSql) { (s, dir) =>
       val g = Tables(s, dir, "documents")
         .select(col("source"),
           explode(Text.shinglesSpaceSplit(col("text"), k = 3)).as("g"))
@@ -351,13 +377,15 @@ object Dedup {
     },
 
     // The registered, BENCHED form of [[hashedOverlap]] — the declared
-    // 100 TB scale path for q65. rows-only (DuckDB cannot recompute the
-    // XXH64 shingle keys); the value-level check is DedupIndexSpec's
-    // row-identity against the oracle-checked string form on both testdata
-    // corpora. Registering it puts a timing and a plan hash on the path a
-    // petabyte deployment would actually run.
-    "q67_overlap_hashed" -> Q.noOracle(
-      "Cross-source duplication matrix over 8-byte hashed shingle keys (q65's scale twin)") {
+    // 100 TB scale path for q65. DuckDB cannot recompute the XXH64 shingle
+    // keys, but it doesn't have to: the twin's OUTPUT is row-identical to
+    // the string form (DedupIndexSpec pins it on both testdata corpora), so
+    // q65's oracle statement hash-checks this path's values too.
+    // Registering it puts a timing, a plan hash, and a hard value oracle on
+    // the path a petabyte deployment would actually run.
+    "q67_overlap_hashed" -> Q(
+      "Cross-source duplication matrix over 8-byte hashed shingle keys (q65's scale twin)",
+      overlapOracleSql) {
       (s, dir) => hashedOverlap(Tables(s, dir, "documents"))
     },
 
@@ -374,19 +402,7 @@ object Dedup {
     // string form stays registered because DuckDB can recompute it.
     "q75_dup_spans" -> Q(
       "Per-doc duplicated-span stats: distinct word-5-gram windows shared with >=2 docs",
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id,
-        |        CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-        |             ELSE list_transform(range(1, len(toks) - 3),
-        |                                 i -> array_to_string(toks[i:i+4], ' ')) END AS sh
-        |      FROM t),
-        |g AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
-        |d AS (SELECT g, COUNT(*) AS nd FROM g GROUP BY g)
-        |SELECT g.doc_id,
-        |  COUNT(*) AS n_win,
-        |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-        |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
-        |FROM g JOIN d USING (g) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin) {
+      dupSpansOracleSql) {
       (s, dir) =>
         val g = Tables(s, dir, "documents")
           .select(col("doc_id"),
@@ -403,11 +419,12 @@ object Dedup {
           .orderBy("doc_id")
     },
 
-    // q75's scale twin, registered for a bench timing + plan hash
-    // (rows-only: DuckDB can't recompute XXH64 window keys; the value
-    // check is DedupIndexSpec's row-identity to the oracled q75).
-    "q81_dup_spans_hashed" -> Q.noOracle(
-      "Per-doc duplicated-span stats over 8-byte hashed windows (q75's scale twin)") {
+    // q75's scale twin, registered for a bench timing + plan hash. DuckDB
+    // can't recompute XXH64 window keys, but the output is row-identical to
+    // the string form (DedupIndexSpec), so q75's oracle hash-checks it.
+    "q81_dup_spans_hashed" -> Q(
+      "Per-doc duplicated-span stats over 8-byte hashed windows (q75's scale twin)",
+      dupSpansOracleSql) {
       (s, dir) => hashedDupSpans(Tables(s, dir, "documents"))
     },
 

@@ -102,6 +102,30 @@ object Training {
       .orderBy("doc_id")
   }
 
+  /** q82's oracle, shared with its hashed twin q83: the twin's output is
+    * row-identical (SplitContamSpec pins it), so the same ANSI statement
+    * oracles both.
+    */
+  private val splitContamOracleSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+      |         WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |s AS (SELECT doc_id, split,
+      |        CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |             ELSE list_transform(range(1, len(toks) - 3),
+      |                                 i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+      |      FROM t),
+      |g AS (SELECT DISTINCT doc_id, split, unnest(sh) AS g FROM s),
+      |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train')
+      |SELECT g.doc_id, g.split, COUNT(*) AS n_win,
+      |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contam_frac
+      |FROM g LEFT JOIN tr ON g.g = tr.g
+      |WHERE g.split <> 'train'
+      |GROUP BY g.doc_id, g.split ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     // Storage-shrink path for 100 TB embedding lakes: int8 quantization is
     // 4x smaller than float32 and dot products stay SIMD-able. The query
@@ -288,32 +312,17 @@ object Training {
     "q82_split_contam" -> Q(
       "Cross-split contamination: per val/test doc, distinct word-5-grams " +
         "also present in train-split docs",
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-        |    CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
-        |         WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM documents),
-        |s AS (SELECT doc_id, split,
-        |        CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-        |             ELSE list_transform(range(1, len(toks) - 3),
-        |                                 i -> array_to_string(toks[i:i+4], ' ')) END AS sh
-        |      FROM t),
-        |g AS (SELECT DISTINCT doc_id, split, unnest(sh) AS g FROM s),
-        |tr AS (SELECT DISTINCT g FROM g WHERE split = 'train')
-        |SELECT g.doc_id, g.split, COUNT(*) AS n_win,
-        |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contam_frac
-        |FROM g LEFT JOIN tr ON g.g = tr.g
-        |WHERE g.split <> 'train'
-        |GROUP BY g.doc_id, g.split ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      splitContamOracleSql) { (s, dir) =>
       splitContam(Tables(s, dir, "documents"))
     },
 
-    // rows-only like q81: DuckDB cannot recompute the chained XXH64 window
-    // hashes; SplitContamSpec pins row-identity to q82 instead.
-    "q83_split_contam_hashed" -> Q.noOracle(
+    // DuckDB cannot recompute the chained XXH64 window hashes, but the
+    // twin's output is row-identical to q82 (SplitContamSpec pins it), so
+    // q82's oracle statement hash-checks this path's values too.
+    "q83_split_contam_hashed" -> Q(
       "q82 over 8-byte hashed windows (per-doc distinct inside the codegen " +
-        "kernel; fixed-width shuffle keys) — the 100 TB form") { (s, dir) =>
+        "kernel; fixed-width shuffle keys) — the 100 TB form",
+      splitContamOracleSql) { (s, dir) =>
       hashedSplitContam(Tables(s, dir, "documents"))
     })
 }
