@@ -247,6 +247,79 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Substring-level dedup REMOVAL — the Lee-et-al-style "deduplicate
+    * training data" transform that q75 only measures: rewrite each document
+    * by excising maximal token runs (>= `minSpan` tokens) that are covered
+    * by word-`k`-gram windows occurring in >= 2 DISTINCT documents.
+    * Within-doc-only repeats are NOT excised (q85 handles adjacent repeats);
+    * docs shorter than `k` tokens are never rewritten.
+    *
+    * Output per doc: `n_spans_removed`, `n_tokens_removed`, and the
+    * rewritten `clean_text` (uncovered + short-run tokens, space-joined).
+    *
+    * Plan shape (one corpus-sized shuffle + one doc-keyed shuffle):
+    *   1. positional window table (doc_id, pos, g) via posexplode — narrow;
+    *   2. distinct (doc_id, g) → per-window doc-frequency aggregate — THE
+    *      corpus-sized exchange (same as q75's);
+    *   3. equi-join positions to the shared-window set on g, then a per-doc
+    *      collect of the (int) start positions — only ints shuffle here;
+    *   4. left-join the per-doc position arrays back onto documents and do
+    *      ALL span geometry (coverage, run-length, excision) row-locally in
+    *      higher-order functions — no further exchange.
+    * At 100 TB the window keys should be 8-byte hashes (the q67/q81 twin
+    * move — a positional variant of `shingleHashSet`); the string form is
+    * registered so DuckDB can replay the identical geometry for the oracle.
+    */
+  def dedupSpanRewrite(docs: DataFrame, k: Int = 5, minSpan: Int = 10): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+    // (doc_id, pos, g): window g starts at 0-based token index pos
+    val wp = t
+      .select(col("doc_id"),
+        posexplode(when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            i => array_join(slice(col("toks"), i + 1, lit(k)), " ")))
+          .otherwise(array())))
+      .toDF("doc_id", "pos", "g")
+    val shared = wp.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val st = wp.join(shared, "g")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("st"))
+    val covered = t.join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("st"), array().cast("array<int>")).as("st"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("idx", sequence(lit(0), col("n") - 1))
+      // cov(j): token j lies under some shared window [s, s+k-1]
+      .withColumn("cov",
+        transform(col("idx"), j => exists(col("st"), s => s <= j && j <= s + (k - 1))))
+    val spans = covered
+      .withColumn("starts",
+        filter(col("idx"), j =>
+          element_at(col("cov"), j + 1) && (j === 0 || !element_at(col("cov"), j))))
+      .withColumn("ends",
+        filter(col("idx"), j =>
+          element_at(col("cov"), j + 1) &&
+            (j === col("n") - 1 || !element_at(col("cov"), j + 2))))
+      // maximal covered runs as (s, e); excise only runs >= minSpan tokens
+      .withColumn("qual",
+        filter(zip_with(col("starts"), col("ends"),
+            (a, b) => struct(a.as("s"), b.as("e"))),
+          p => p.getField("e") - p.getField("s") + 1 >= minSpan))
+    spans
+      .withColumn("keep",
+        filter(zip_with(col("toks"), col("idx"),
+            (tk, j) => when(exists(col("qual"),
+              p => p.getField("s") <= j && j <= p.getField("e")), lit(null))
+              .otherwise(tk)),
+          x => x.isNotNull))
+      .select(col("doc_id"),
+        size(col("qual")).cast("long").as("n_spans_removed"),
+        (col("n") - size(col("keep"))).cast("long").as("n_tokens_removed"),
+        array_join(col("keep"), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band blocking on the 64-bit simhash,
     * verified by Hamming distance <= `maxHamming`.
     */
@@ -426,6 +499,53 @@ object Dedup {
       "Per-doc duplicated-span stats over 8-byte hashed windows (q75's scale twin)",
       dupSpansOracleSql) {
       (s, dir) => hashedDupSpans(Tables(s, dir, "documents"))
+    },
+
+    // The REWRITE q75 only measures — see [[dedupSpanRewrite]]. The span
+    // geometry (coverage from sorted window starts, run-length encoding via
+    // start/end sentinels, excision of runs >= 10 tokens) is replayed
+    // identically by the oracle's list lambdas, so the rewritten text
+    // itself is value-checked, not just the counts. coalesce on the
+    // oracle's clean_text: DuckDB array_to_string([]) is NULL where Spark
+    // array_join is '' (a fully-excised doc must agree on "empty").
+    "q86_dedup_span_rewrite" -> Q(
+      "Cross-doc duplicated-span removal: excise shared word-5-gram runs >= 10 tokens",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id,
+        |        list_transform(range(0, greatest(len(toks) - 4, 0)),
+        |                       i -> array_to_string(toks[i+1:i+5], ' ')) AS ws
+        |      FROM t),
+        |p AS (SELECT doc_id, unnest(ws) AS g,
+        |             generate_subscripts(ws, 1) - 1 AS pos
+        |      FROM w),
+        |d AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY g)
+        |      WHERE nd >= 2),
+        |s AS (SELECT p.doc_id, list_sort(list(p.pos)) AS st
+        |      FROM p JOIN d ON p.g = d.g GROUP BY p.doc_id),
+        |m AS (SELECT t.doc_id, t.toks, len(t.toks) AS n, coalesce(s.st, []) AS st
+        |      FROM t LEFT JOIN s USING (doc_id)),
+        |c AS (SELECT doc_id, toks, n,
+        |        list_transform(range(0, n),
+        |          j -> len(list_filter(st, x -> x <= j AND j <= x + 4)) > 0) AS cov
+        |      FROM m),
+        |e AS (SELECT doc_id, toks, n,
+        |        list_filter(list_zip(
+        |            list_filter(range(0, n), j -> cov[j+1] AND (j = 0 OR NOT cov[j])),
+        |            list_filter(range(0, n), j -> cov[j+1] AND (j = n-1 OR NOT cov[j+2]))),
+        |          q -> q[2] - q[1] + 1 >= 10) AS qual
+        |      FROM c),
+        |r AS (SELECT doc_id, qual, n,
+        |        list_filter(list_transform(range(0, n),
+        |            j -> CASE WHEN len(list_filter(qual, q -> q[1] <= j AND j <= q[2])) > 0
+        |                      THEN NULL ELSE toks[j+1] END),
+        |          x -> x IS NOT NULL) AS keep
+        |      FROM e)
+        |SELECT doc_id,
+        |  CAST(len(qual) AS BIGINT) AS n_spans_removed,
+        |  CAST(n - len(keep) AS BIGINT) AS n_tokens_removed,
+        |  coalesce(array_to_string(keep, ' '), '') AS clean_text
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      dedupSpanRewrite(Tables(s, dir, "documents"))
     },
 
     "q35_ngram_jaccard" -> Q(
