@@ -94,6 +94,9 @@ object BpeTrainer {
     val caller = docs.sparkSession
     val loop = org.apache.spark.sql.graft.shims.cloneSession(caller)
     loop.conf.set("spark.sql.adaptive.enabled", "false")
+    // the seed checkpoint below truncates the corpus word-count pipeline
+    // out of every later plan — record it for the bench's fingerprint
+    graft.PlanEvidence.record("bpe.docs", docs)
 
     def free(df: DataFrame): Unit =
       org.apache.spark.sql.graft.shims.unpersistCheckpoint(df)

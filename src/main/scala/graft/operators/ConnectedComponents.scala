@@ -102,6 +102,11 @@ object ConnectedComponents {
     // nothing needs restoring.
     val caller = nodes.sparkSession
     val loop = org.apache.spark.sql.graft.shims.cloneSession(caller)
+    // the checkpoints below truncate these (often expensive) input
+    // pipelines out of the final frame's optimizedPlan — record them for
+    // the bench's plan fingerprint so a regression there stays visible
+    graft.PlanEvidence.record("cc.edges", edges)
+    graft.PlanEvidence.record("cc.nodes", nodes)
     // materialize the DIRECTED edge list BEFORE symmetrizing: the union
     // below references it twice, and without materialization the edge
     // derivation (often an expensive similarity join) would execute twice.

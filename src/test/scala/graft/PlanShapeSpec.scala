@@ -197,4 +197,38 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), q)
     }
   }
+
+  test("q86 span rewrite shuffles once corpus-sized, once int-only doc-keyed") {
+    val p = planOf("q86_dedup_span_rewrite")
+    // window df-filter + position join + per-doc collect + doc left-join —
+    // but never a nested loop, and the span geometry itself adds no exchange
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("iterative queries fingerprint their truncated input pipelines distinctly (q55 vs q71)") {
+    // round-7 finding: both queries' final optimizedPlan is a checkpoint
+    // leaf, so without evidence they hash IDENTICALLY and a pair-pipeline
+    // regression is invisible. Evidence must (a) exist, (b) differ between
+    // the two queries, (c) be stable across two idle same-code runs.
+    PlanEvidence.enabled = true
+    try {
+      def evidenceOf(name: String): Seq[String] = {
+        PlanEvidence.clear()
+        SparkEntry.queries(name)(spark, sf)
+        PlanEvidence.drain()
+          .map { case (tag, p) => tag + "\n" + Bench.normalizePlan(p) }
+          .distinct.sorted
+      }
+      val ev55a = evidenceOf("q55_dedup_clusters")
+      val ev71 = evidenceOf("q71_semantic_dedup")
+      val ev55b = evidenceOf("q55_dedup_clusters")
+      assert(ev55a.nonEmpty, "q55 must record its edge/node input plans")
+      assert(ev71.nonEmpty, "q71 must record its edge/node input plans")
+      assert(ev55a != ev71, "the two CC-backed queries must fingerprint differently")
+      assert(ev55a == ev55b, "evidence must be deterministic across runs")
+    } finally {
+      PlanEvidence.enabled = false
+      PlanEvidence.clear()
+    }
+  }
 }
