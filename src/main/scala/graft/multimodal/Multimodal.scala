@@ -534,14 +534,6 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
-  /** Partition-local decode: binary payload → typed metadata. */
-  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("doc_id"), col("payload")).as[MediaRow]
-      .mapPartitions(_.map(r => decodeStub(r.doc_id, r.payload)))
-  }
-
   /** Frame-sample stub: deterministic every-nth-byte "frames" from a payload,
     * the plumbing shape of video frame extraction (one row in → N rows out,
     * still partition-local via flatMap).

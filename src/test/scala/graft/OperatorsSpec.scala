@@ -84,15 +84,17 @@ class DedupSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("binary payload plumbing: decode stub is deterministic and partition-local") {
+  test("binary payload plumbing: decode is deterministic and partition-local") {
+    // text payloads take the deterministic-fake branch of the REAL decode
+    // path (no decoder claims the bytes) — same plumbing, no stub API
     val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
-    val meta = Multimodal.decodeMeta(Multimodal.withPayload(docs))
+    val meta = Multimodal.decodeMetaReal(Multimodal.withPayload(docs))
       .collect().sortBy(_.doc_id)
     assert(meta(0).byte_len == 11L)
     assert(meta(0).width >= 16 && meta(0).height >= 16)
     assert(meta(1).byte_len == 0L)
     // determinism
-    val again = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect().sortBy(_.doc_id)
+    val again = Multimodal.decodeMetaReal(Multimodal.withPayload(docs)).collect().sortBy(_.doc_id)
     assert(meta(0).checksum == again(0).checksum)
   }
 
