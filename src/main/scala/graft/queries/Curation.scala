@@ -107,6 +107,105 @@ object Curation {
         element_at(col("ch.c"), -1).as("tail_tok"))
   }
 
+  /** The deterministic low-quality boilerplate snippets [[nbQuality]]
+    * injects (the q72 precedent: the synthetic corpus is uniform word-soup
+    * with NO organic class signal — 31 distinct tokens spread evenly over
+    * every source — so a trained classifier needs planted labels to have
+    * anything learnable, and the plant must be replayable in ANSI SQL for
+    * the oracle).
+    */
+  private[queries] val SpamSnippets = Seq(
+    "click here free offer buy now limited deal exclusive winner",
+    "subscribe today cheap guarantee instant bonus prize claim reward",
+    "visit site best rates act fast discount promo urgent sale")
+
+  /** Trained quality classifier — the q73 upgrade from a fixed bigram LM to
+    * a model FIT ON THE CORPUS: multinomial Naive Bayes over space-split
+    * token counts, Laplace-smoothed, trained in ONE aggregate pass over the
+    * train split (doc_id % 5 != 0) and scored on the holdout (% 5 == 0).
+    *
+    * Labels are planted deterministically: odd doc_ids get one of three
+    * boilerplate snippets appended ([[SpamSnippets]], cycled by doc_id % 3)
+    * and are labeled `junk`; even doc_ids stay `clean`. The injected
+    * vocabulary is absent from clean docs, so per-token class odds are
+    * decisive — holdout score gaps measure in tens of nats, which is what
+    * makes the cross-engine argmax hash-safe (doubles never reach the
+    * output; near-ties would make the prediction depend on libm ulps).
+    *
+    * Plan shape (one training aggregate + one scoring join):
+    *   1. train token counts per (label, token) — the corpus-sized exchange;
+    *      class totals, vocab size, and doc priors derive from it as tiny
+    *      aggregates (broadcast);
+    *   2. holdout (doc, token, cnt) LEFT-joins the per-token count table
+    *      (unseen tokens smooth to +1) and one per-doc aggregate computes
+    *      both class scores: log prior + Σ cnt·log((n_lt+1)/(n_l+V));
+    *   3. argmax → confusion matrix (label, predicted, n_docs) — integer
+    *      counts only.
+    * At 100 TB the token strings become 8-byte hashes (the q67/q81 twin
+    * move) — the plan shape is unchanged; the string form is registered so
+    * DuckDB can replay training AND scoring exactly.
+    */
+  def nbQuality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    nbQualityScores(docs)
+      .select(col("label"),
+        when(col("s_clean") >= col("s_junk"), lit("clean")).otherwise(lit("junk"))
+          .as("predicted"))
+      .groupBy("label", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("label", "predicted")
+
+  /** Per-holdout-doc NB class scores (log-probabilities), the stage behind
+    * [[nbQuality]]'s confusion rollup — exposed so the spec can assert the
+    * decision MARGINS, not just the argmax (the hash-safety argument above
+    * rests on margins being orders of magnitude above libm ulps).
+    */
+  def nbQualityScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val snip = element_at(
+      array(SpamSnippets.map(lit): _*),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val labeled = docs.select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 1, lit("junk")).otherwise(lit("clean")).as("label"),
+      when(pmod(col("doc_id"), lit(2)) === 1, concat(col("text"), lit(" "), snip))
+        .otherwise(col("text")).as("text"))
+    val train = labeled.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val holdout = labeled.filter(pmod(col("doc_id"), lit(5)) === 0)
+
+    // ONE pass over train tokens: per-(label, token) occurrence counts
+    val tokCounts = train
+      .select(col("label"), explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy("label", "tok").agg(count(lit(1)).as("n"))
+    // per-token row: clean/junk counts side by side (the scoring join's
+    // build side — vocabulary-sized, broadcastable at any corpus scale)
+    val tokTable = tokCounts.groupBy("tok").agg(
+      sum(when(col("label") === "clean", col("n")).otherwise(0L)).as("n_clean"),
+      sum(when(col("label") === "junk", col("n")).otherwise(0L)).as("n_junk"))
+    // scalar model constants: class token totals, vocab size, doc priors
+    val consts = tokCounts.agg(
+      sum(when(col("label") === "clean", col("n")).otherwise(0L)).as("tot_clean"),
+      sum(when(col("label") === "junk", col("n")).otherwise(0L)).as("tot_junk"),
+      countDistinct(col("tok")).as("v"))
+      .crossJoin(train.agg(
+        sum(when(col("label") === "clean", 1L).otherwise(0L)).as("docs_clean"),
+        sum(when(col("label") === "junk", 1L).otherwise(0L)).as("docs_junk")))
+
+    holdout
+      .select(col("doc_id"), col("label"), explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy("doc_id", "label", "tok").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(tokTable), Seq("tok"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id", "label")
+      .agg(
+        (first(log(col("docs_clean").cast("double") / (col("docs_clean") + col("docs_junk")))) +
+          sum(col("cnt") * log(
+            (coalesce(col("n_clean"), lit(0L)) + 1).cast("double") /
+              (col("tot_clean") + col("v"))))).as("s_clean"),
+        (first(log(col("docs_junk").cast("double") / (col("docs_clean") + col("docs_junk")))) +
+          sum(col("cnt") * log(
+            (coalesce(col("n_junk"), lit(0L)) + 1).cast("double") /
+              (col("tot_junk") + col("v"))))).as("s_junk"))
+  }
+
   /** q59's oracle, shared with its hashed twin q68: the twin's output is
     * row-identical (CurationSpec pins it), so the same ANSI statement
     * oracles both — DuckDB never needs to reproduce the XXH64 keys, only
@@ -255,6 +354,55 @@ object Curation {
       "Eval-set decontamination over 8-byte hashed shingle keys (q59's scale twin)",
       decontamOracleSql) {
       (s, dir) => hashedDecontam(Tables(s, dir, "documents"))
+    },
+
+    // Trained quality classifier (see [[nbQuality]]): NB fit in one
+    // aggregate pass on the train split, holdout confusion matrix out.
+    // The oracle replays training AND scoring; the output carries integer
+    // counts only (argmax gaps are tens of nats, so engine libm ulps
+    // cannot flip a prediction).
+    "q88_nb_quality" -> Q(
+      "Trained quality classifier: multinomial NB on planted boilerplate labels, holdout confusion",
+      """WITH labeled AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN 'junk' ELSE 'clean' END AS label,
+        |    CASE WHEN doc_id % 2 = 1 THEN text || ' ' ||
+        |      CASE doc_id % 3
+        |        WHEN 0 THEN 'click here free offer buy now limited deal exclusive winner'
+        |        WHEN 1 THEN 'subscribe today cheap guarantee instant bonus prize claim reward'
+        |        ELSE 'visit site best rates act fast discount promo urgent sale' END
+        |      ELSE text END AS text
+        |  FROM documents),
+        |train AS (SELECT * FROM labeled WHERE doc_id % 5 <> 0),
+        |hold AS (SELECT * FROM labeled WHERE doc_id % 5 = 0),
+        |cnts AS (SELECT label, tok, COUNT(*) AS n
+        |         FROM (SELECT label, unnest(string_split(text, ' ')) AS tok FROM train)
+        |         GROUP BY label, tok),
+        |tt AS (SELECT tok,
+        |         SUM(CASE WHEN label = 'clean' THEN n ELSE 0 END) AS n_clean,
+        |         SUM(CASE WHEN label = 'junk' THEN n ELSE 0 END) AS n_junk
+        |       FROM cnts GROUP BY tok),
+        |consts AS (SELECT
+        |    (SELECT SUM(CASE WHEN label = 'clean' THEN n ELSE 0 END) FROM cnts) AS tot_clean,
+        |    (SELECT SUM(CASE WHEN label = 'junk' THEN n ELSE 0 END) FROM cnts) AS tot_junk,
+        |    (SELECT COUNT(DISTINCT tok) FROM cnts) AS v,
+        |    (SELECT COUNT(*) FROM train WHERE label = 'clean') AS docs_clean,
+        |    (SELECT COUNT(*) FROM train WHERE label = 'junk') AS docs_junk),
+        |ht AS (SELECT doc_id, label, tok, COUNT(*) AS cnt
+        |       FROM (SELECT doc_id, label, unnest(string_split(text, ' ')) AS tok FROM hold)
+        |       GROUP BY doc_id, label, tok),
+        |sc AS (SELECT h.doc_id, h.label,
+        |    LN(CAST(c.docs_clean AS DOUBLE) / (c.docs_clean + c.docs_junk)) +
+        |      SUM(h.cnt * LN((COALESCE(t.n_clean, 0) + 1) / CAST(c.tot_clean + c.v AS DOUBLE))) AS s_clean,
+        |    LN(CAST(c.docs_junk AS DOUBLE) / (c.docs_clean + c.docs_junk)) +
+        |      SUM(h.cnt * LN((COALESCE(t.n_junk, 0) + 1) / CAST(c.tot_junk + c.v AS DOUBLE))) AS s_junk
+        |  FROM ht h LEFT JOIN tt t ON h.tok = t.tok CROSS JOIN consts c
+        |  GROUP BY h.doc_id, h.label, c.docs_clean, c.docs_junk, c.tot_clean, c.tot_junk, c.v)
+        |SELECT label,
+        |  CASE WHEN s_clean >= s_junk THEN 'clean' ELSE 'junk' END AS predicted,
+        |  COUNT(*) AS n_docs
+        |FROM sc GROUP BY label, predicted ORDER BY label, predicted""".stripMargin) {
+      (s, dir) => nbQuality(Tables(s, dir, "documents"))
     },
 
     // Cohort retention — the companion to q60's funnel: users grouped by

@@ -577,6 +577,10 @@ object Dedup {
     // here is q37's EXACT cosine>=0.4 join (recall 1 ⇒ both engines compute
     // the identical graph), so DuckDB can oracle the components with a
     // recursive CTE. Singletons keep themselves.
+    // SCALE POLICY: like q37, this exact tier is an audit tool — at full
+    // corpus scale it runs on an id-hash sample (PLANS.md § "Exact-tier
+    // scale policy"); q71 (SemDeDup) is the registered sub-quadratic
+    // production twin for embedding-space cluster dedup.
     "q55_dedup_clusters" -> Q(
       "Near-dup clusters: connected components over exact cosine>=0.4 pairs, keep = min id",
       """WITH RECURSIVE

@@ -113,6 +113,12 @@ object Similarity {
     * reducer cells with nothing broadcast but literals. For genuine
     * near-dup thresholds (>= ~0.8) use [[graft.queries.Dedup.minhashPairs]]
     * -style banding instead — sub-quadratic candidates at high similarity.
+    *
+    * SCALE POLICY: this is an AUDIT tier, not a production path. At full
+    * corpus scale it runs on a deterministic id-hash sample to estimate
+    * the recall of the sub-quadratic paths (q33/q71); only test/oracle
+    * scales run it on the whole input. The sampling contract is written
+    * down in PLANS.md § "Exact-tier scale policy".
     */
   def blockedNearDupPairs(emb: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
     val cells = (0 until blocks).map(lit(_))
