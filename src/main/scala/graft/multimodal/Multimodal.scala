@@ -770,6 +770,198 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Frames per synthesized video and the fid packing width: frame ids
+    * pack as `doc_id * 64 + frame_idx`, so extraction truncates at 64
+    * frames — far above [[VideoFrames]] and documented on [[videoPairs]].
+    */
+  val VideoFrames = 6
+  private val FidWidth = 64L
+
+  /** Per-frame seed for a family's frame `f` — splitmix-style finalizer so
+    * adjacent families decorrelate (the audio fixture's hash-spread
+    * lesson: adjacent-integer seeds must not produce near-identical
+    * content).
+    */
+  private def frameSeed(family: Long, f: Int): Long = {
+    var z = family * 0x9e3779b97f4a7c15L + f * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Synthesize a video container: `ftyp` + `moov/mvhd` (so [[decodeMp4]]
+    * still reads a real duration) + an `mdat` box of stored PNG frames —
+    * the MJPEG storage shape with PNG standing in for JPEG so the JDK can
+    * decode frames without codec libraries. The synthetic part is ONLY the
+    * codec; everything downstream — box walking, frame-grammar splitting,
+    * per-frame decode + dHash, banded pair generation — is the real
+    * pipeline a production frame-decoder would feed.
+    */
+  def synthVideo(frameSeeds: Seq[Long], brightness: Int = 0): Array[Byte] = {
+    require(frameSeeds.nonEmpty && frameSeeds.length < FidWidth,
+      s"frame count must be in [1, $FidWidth)")
+    val frames = frameSeeds.map(s => synthImage(s, brightness))
+    val mdatLen = 8 + frames.map(_.length).sum
+    val head = synthMp4(timescale = 600, duration = frameSeeds.length * 100L)
+    val bb = java.nio.ByteBuffer.allocate(head.length + mdatLen)
+    bb.put(head)
+    bb.putInt(mdatLen).put("mdat".getBytes)
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Real frame extraction: walk the top-level ISO-BMFF box list for
+    * `mdat`, then split its body on the PNG chunk grammar (8-byte
+    * signature, then length-prefixed chunks through IEND — PNG is
+    * self-delimiting, so stored frames need no external size table).
+    * None when the payload isn't an MP4; Some(empty) when the mdat is
+    * absent or carries no well-formed frames. Truncates at 64 frames (the
+    * fid packing width in [[videoPairs]]).
+    */
+  def videoFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (!looksLikeMp4(bytes)) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      var off = 0
+      var mdat: Option[(Int, Int)] = None
+      while (off + 8 <= bytes.length && mdat.isEmpty) {
+        val size0 = bb.getInt(off).toLong & 0xffffffffL
+        val typ = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val (bodyStart, size) =
+          if (size0 == 1L && off + 16 <= bytes.length) (off + 16, bb.getLong(off + 8))
+          else if (size0 == 0L) (off + 8, (bytes.length - off).toLong)
+          else (off + 8, size0)
+        if (size < 8) return Some(Nil) // malformed box header
+        if (typ == "mdat")
+          // a torn tail clamps instead of rejecting: the frame splitter
+          // below keeps every whole frame and drops only the torn one
+          mdat = Some((bodyStart, math.min(off + size, bytes.length.toLong).toInt))
+        else if (off + size > bytes.length) return Some(Nil)
+        off += size.toInt
+      }
+      mdat match {
+        case None => Some(Nil)
+        case Some((start, end)) =>
+          val out = Seq.newBuilder[Array[Byte]]
+          var p = start
+          var n = 0
+          while (p + 8 <= end && n < FidWidth &&
+            bytes(p) == 0x89.toByte && bytes(p + 1) == 'P' &&
+            bytes(p + 2) == 'N' && bytes(p + 3) == 'G') {
+            var q = p + 8 // past the 8-byte PNG signature
+            var done = false
+            var ok = true
+            while (!done && ok) {
+              if (q + 8 > end) ok = false
+              else {
+                val len = bb.getInt(q).toLong & 0xffffffffL
+                val ctype = new String(
+                  bytes, q + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+                val next = q + 12 + len
+                if (next > end) ok = false
+                else {
+                  q = next.toInt
+                  if (ctype == "IEND") done = true
+                }
+              }
+            }
+            if (!ok) { p = end } // truncated frame: stop, keep what parsed
+            else {
+              out += java.util.Arrays.copyOfRange(bytes, p, q)
+              n += 1
+              p = q
+            }
+          }
+          Some(out.result())
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** documents → synthesized VIDEO payloads with a KNOWN duplicate
+    * structure (the video member of the [[imagePayloads]] /
+    * [[audioPayloads]] fixture family). Every fourth doc_id carries a
+    * video, in families of 4 (family = doc_id / 16, variant =
+    * (doc_id / 4) % 4): variant 0 the base render ([[VideoFrames]] frames),
+    * 1 a uniformly brightness-shifted re-render (pixel-different,
+    * gradient-identical — the re-encode a byte hash cannot connect), 2 a
+    * TRIMMED cut (first and last frame dropped — the clipped repost case),
+    * 3 an unrelated control. All other doc_ids carry the document's UTF-8
+    * text bytes, so the registered query itself exercises the non-video
+    * drop-out path.
+    */
+  def videoPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload =
+          if (id % 4 != 0) text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          else {
+            val family = id / 16
+            val base = (0 until VideoFrames).map(f => frameSeed(family, f))
+            ((id / 4) % 4) match {
+              case 0 => synthVideo(base)
+              case 1 => synthVideo(base, brightness = 14)
+              case 2 => synthVideo(base.slice(1, VideoFrames - 1))
+              case _ => synthVideo(
+                (0 until VideoFrames).map(f => frameSeed(-(id * 2862933555777941757L) | 1L, f)))
+            }
+          }
+        (id, payload)
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Video near-dup pairs: extract frames partition-local ([[videoFrames]]
+    * — payload bytes never shuffle), dHash each frame, and find videos
+    * sharing enough near-identical frames. Frame ids pack as
+    * `doc_id * 64 + frame_idx` so the per-frame banding reuses the shared
+    * 4×16-bit blocking — the shuffle carries 16 bytes per FRAME, never
+    * pixels. Frame-level matches roll up per video pair: `matched` =
+    * min over both sides of the distinct matched-frame count (robust to
+    * one frame matching several), `overlap` = matched / min(frame counts),
+    * and pairs keep when overlap >= `minOverlap` — which is what makes the
+    * tier trim-robust: a clipped cut still overlaps 1.0 on the min side.
+    */
+  def videoPairs(media: DataFrame, maxHamming: Int, minOverlap: Double): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val extracted = media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        videoFrames(r.payload).getOrElse(Nil).iterator.zipWithIndex.flatMap {
+          case (frame, idx) => dHash64(frame).map(h => (r.doc_id * FidWidth + idx, h))
+        }
+      })
+      .toDF("doc_id", "dh") // doc_id here is the packed fid
+    // The band self-join and the frame-count aggregate would each recompute
+    // frame extraction + per-frame decode — by far the dominant cost (the
+    // payload decode IS the query at any scale). Materialize the 16-byte-
+    // per-frame hash table ONCE; realStats installs the measured checkpoint
+    // size so the joins above it are planned honestly (the q55/q69 idiom).
+    graft.PlanEvidence.record("video.frameHashes", extracted)
+    val frameHashes =
+      org.apache.spark.sql.graft.shims.realStats(extracted.localCheckpoint())
+    val counts = frameHashes
+      .groupBy((col("doc_id") / FidWidth).cast("long").as("vid"))
+      .agg(count(lit(1)).as("nf"))
+    val framePairs = bandedHammingPairs(frameHashes, maxHamming)
+      .select(
+        (col("a") / FidWidth).cast("long").as("va"), col("a").as("fa"),
+        (col("b") / FidWidth).cast("long").as("vb"), col("b").as("fb"))
+      .filter(col("va") < col("vb"))
+    framePairs
+      .groupBy(col("va"), col("vb"))
+      .agg(least(countDistinct(col("fa")), countDistinct(col("fb"))).as("matched_frames"))
+      .join(counts.withColumnRenamed("vid", "va").withColumnRenamed("nf", "nf_a"), "va")
+      .join(counts.withColumnRenamed("vid", "vb").withColumnRenamed("nf", "nf_b"), "vb")
+      .select(
+        col("va").as("a"), col("vb").as("b"), col("matched_frames"),
+        (col("matched_frames").cast("double") / least(col("nf_a"), col("nf_b")))
+          .as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Frame-sample stub: deterministic every-nth-byte "frames" from a payload,
     * the plumbing shape of video frame extraction (one row in → N rows out,
     * still partition-local via flatMap).

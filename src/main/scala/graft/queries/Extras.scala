@@ -352,5 +352,23 @@ object Extras {
         Multimodal.audioPairs(
           Multimodal.audioPayloads(Tables(s, dir, "documents")), maxHamming = 6)
           .orderBy("a", "b")
+    },
+
+    // Video-content dedup — the frame-level tier that completes the media
+    // family (image q70, audio q87): re-rendered and TRIMMED cuts of the
+    // same footage share no bytes and no whole-file hash, but their frames
+    // dHash together. Frames extract partition-local (box walk + PNG
+    // grammar split, [[Multimodal.videoFrames]]); only (fid, hash) pairs
+    // shuffle — 16 bytes per frame at any corpus scale — and candidates
+    // come from the shared 4×16-bit band equi-join, never a cross join.
+    // rows-only (DuckDB has no box/image decoder); the value-level check
+    // is VideoNearDupSpec's planted-family recall/precision.
+    "q89_video_neardup" -> Q.noOracle(
+      "Video near-dup pairs: per-frame dHash64, banded frame matches, overlap >= 0.5 on min side") {
+      (s, dir) =>
+        Multimodal.videoPairs(
+          Multimodal.videoPayloads(Tables(s, dir, "documents")),
+          maxHamming = 8, minOverlap = 0.5)
+          .orderBy("a", "b")
     })
 }
