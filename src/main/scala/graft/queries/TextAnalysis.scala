@@ -22,6 +22,49 @@ object TextAnalysis {
   private val tokSql =
     "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END"
 
+  /** The pinned BPE merge artifact behind q90: q69's trained output
+    * ([[graft.operators.BpeTrainer.learn]], 16 merges on the sf0.01
+    * corpus), shipped as a constant the way a deployed tokenizer ships its
+    * merges file. BpeEncodeSpec re-trains and asserts this list is
+    * byte-identical (artifact provenance), and asserts every symbol stays
+    * inside [a-z0-9] — the property that makes the `<sym>` encode
+    * representation below unambiguous.
+    */
+  val BpeMergesPinned: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow")
+
+  /** BPE encode as a pure codegen expression chain. Representation: every
+    * character of `lower(text)` wraps as an angle-bracket token
+    * (`regexp_replace '(.)' → '<$1>'`), then each pinned merge (l, r)
+    * applies as the literal replacement `<l><r>` → `<lr>` in rank order.
+    * Why this is EXACTLY classic BPE encode: `replace` substitutes
+    * non-overlapping occurrences left-to-right — the greedy per-round rule
+    * [[graft.functions.HashKernels.bpeMergePair]] implements — and because
+    * every `<` in the string starts a token and merge symbols never
+    * contain angle brackets, a pattern can only match whole adjacent
+    * tokens (never mid-token, never across a wrapped literal `<`). Spaces
+    * wrap as the `< >` token no merge contains, so merges cannot cross
+    * word boundaries — the trainer's whitespace pre-tokenization, for
+    * free. Null text null-propagates in both engines.
+    */
+  def bpeEncode(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    BpeMergesPinned.foldLeft(
+      regexp_replace(lower(text), "(.)", "<$1>")) { case (c, (l, r)) =>
+      replace(c, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+
+  /** The identical chain as ANSI SQL for the q90 oracle (DuckDB RE2 uses
+    * `\1` for the replacement group where Java uses `$1`; `replace` is
+    * literal in both).
+    */
+  private val bpeEncodeSqlExpr: String =
+    BpeMergesPinned.foldLeft("regexp_replace(lower(text), '(.)', '<\\1>', 'g')") {
+      case (acc, (l, r)) => s"replace($acc, '<$l><$r>', '<$l$r>')"
+    }
+
   val all: Map[String, Q] = Map(
     // Repetition-based quality filtering (the Gopher/C4 rule family):
     // documents dominated by repeated words or one repeated bigram are
@@ -289,6 +332,38 @@ object TextAnalysis {
     // regexp_replace chain (codegen, linear, shuffle-free); the shared
     // RE2-safe patterns make the full cleaned STRING hash-comparable
     // against DuckDB, so the oracle pins every masking rule exactly.
+    // BPE tokenizer APPLICATION — the deploy-time half q69's training
+    // produces: encode the corpus under a PINNED merge table (a tokenizer
+    // is a shipped artifact; [[BpeMergesPinned]] is q69's 16-merge output
+    // on sf0.01, provenance spec-asserted). Classic encode semantics —
+    // merges apply in rank order, each greedily left-to-right
+    // non-overlapping — fall out of plain string replacement on an
+    // unambiguous `<sym>` token representation (see [[bpeEncode]]), so the
+    // whole encode is a codegen'd replace CHAIN: one linear pass, no
+    // shuffle, no UDF, and the oracle replays it with the identical
+    // replace chain in DuckDB. At 100 TB this is the shape you want
+    // tokenization to have: a Project over the scan, partition-parallel
+    // by construction.
+    "q90_bpe_encode" -> Q(
+      "BPE tokenizer application: encode under the pinned 16-merge artifact " +
+        "(codegen replace chain), per-doc token counts + encoded text",
+      s"""WITH enc AS (SELECT doc_id, text, $bpeEncodeSqlExpr AS e FROM documents)
+         |SELECT doc_id,
+         |  LENGTH(e) - LENGTH(REPLACE(e, '<', ''))
+         |    - (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS n_tokens,
+         |  e AS encoded
+         |FROM enc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val enc = bpeEncode(col("text"))
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          (length(enc) - length(replace(enc, lit("<"), lit(""))) -
+            (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))))
+            .as("n_tokens"),
+          enc.as("encoded"))
+        .orderBy("doc_id")
+    },
+
     "q54_clean_text" -> Q(
       "Text normalization: lowercase + email/URL masking + whitespace collapse, " +
         "with masking audit counts",
