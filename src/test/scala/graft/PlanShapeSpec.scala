@@ -231,4 +231,36 @@ class PlanShapeSpec extends SparkSpec {
       PlanEvidence.clear()
     }
   }
+
+  test("q88 NB classifier: model tables broadcast, corpus-sized exchange only for token counts") {
+    val p = planOf("q88_nb_quality")
+    // the scoring join's build side is the vocabulary-sized token table and
+    // the 1-row constants — both must broadcast; a hashpartitioning
+    // exchange of HOLDOUT tokens against the model would mean the model
+    // was treated as corpus-sized
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1,
+      "token table must join broadcast")
+    assert(!p.contains("SortMergeJoin"), "no model join may sort-merge:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      "only the 1-row constants cross join may nest")
+  }
+
+  test("q89 video near-dup: banding joins the checkpointed hash table, never payload bytes") {
+    val p = planOf("q89_video_neardup")
+    // frame extraction materializes once: both band sides and the count
+    // aggregate read the checkpoint leaf (Scan ExistingRDD), not three
+    // re-decodes of the parquet scan
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
+      "all consumers must read the checkpointed hash table:\n" +
+        p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q90 BPE encode is a single-scan codegen pass: no joins, no re-keying") {
+    val p = planOf("q90_bpe_encode")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "the encode must not join")
+    // only the presentation sort may exchange — the encode is per row
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
