@@ -380,6 +380,25 @@ object Dedup {
       |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
       |FROM g JOIN d USING (g) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shared WITH-clause prefix of the q55/q91 oracles: the exact
+    * cosine>=0.4 pair graph expanded to per-node component minima via a
+    * recursive CTE. Extracted so the two oracles can never disagree on
+    * what a component is. (Declared before [[all]] — object vals
+    * initialize in declaration order.)
+    */
+  private val ComponentCteSql =
+    """WITH RECURSIVE
+      |pairs AS (
+      |  SELECT a.vec_id AS u, b.vec_id AS v
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |mins AS (SELECT u AS vec_id, MIN(v) AS mn FROM reach GROUP BY u)""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q32_dedup_exact" -> Q(
       "Exact dedup: group by normalized-content hash, keep min doc_id",
@@ -583,33 +602,117 @@ object Dedup {
     // production twin for embedding-space cluster dedup.
     "q55_dedup_clusters" -> Q(
       "Near-dup clusters: connected components over exact cosine>=0.4 pairs, keep = min id",
-      """WITH RECURSIVE
-        |pairs AS (
-        |  SELECT a.vec_id AS u, b.vec_id AS v
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
-        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-        |mins AS (SELECT u AS vec_id, MIN(v) AS mn FROM reach GROUP BY u)
+      s"""$ComponentCteSql
         |SELECT LEAST(COALESCE(m.mn, e.vec_id), e.vec_id) AS cluster_id,
         |       e.vec_id AS doc_id,
         |       CAST(LEAST(COALESCE(m.mn, e.vec_id), e.vec_id) = e.vec_id AS INTEGER) AS keep
         |FROM embeddings e LEFT JOIN mins m ON m.vec_id = e.vec_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      val comps = graft.operators.ConnectedComponents.run(
-        e.select(col("vec_id").as("id")),
-        Similarity.blockedNearDupPairs(e, threshold = 0.4)
-          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      val comps = exactCosineComponents(e)
       comps.select(
         col("component").as("cluster_id"),
         col("id").as("doc_id"),
         when(col("component") === col("id"), 1).otherwise(0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // q55 keeps the MINIMUM id per cluster — an arbitrary survivor. Real
+    // curation keeps the BEST copy: trimmed near-dups of a long document
+    // should lose to the full text, whatever their ids. q91 re-ranks each
+    // q55 cluster by content quality (longest text wins, id breaks ties)
+    // via one row_number window over the cluster assignment joined to the
+    // doc metadata. The selection stage is LINEAR given any cluster
+    // assignment — at 100 TB it runs unchanged over the sub-quadratic
+    // q33/q71 assignments; the exact graph here is what lets DuckDB
+    // replay the components for a hash-checked oracle (vec_id and doc_id
+    // share the same id domain in the testdata contract, TESTDATA.md).
+    "q91_cluster_rep" -> Q(
+      "Canonical doc per near-dup cluster: q55's components re-ranked by " +
+        "quality (longest n_chars, then min id) in one window pass",
+      s"""$ComponentCteSql,
+        |comp AS (
+        |  SELECT LEAST(COALESCE(m.mn, e.vec_id), e.vec_id) AS cluster_id,
+        |         e.vec_id AS doc_id
+        |  FROM embeddings e LEFT JOIN mins m ON m.vec_id = e.vec_id)
+        |SELECT cluster_id, doc_id, n_chars,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |         ORDER BY n_chars DESC, doc_id) = 1 AS INTEGER) AS keep
+        |FROM comp JOIN documents USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      clusterRepresentatives(
+        Tables(s, dir, "documents"), Tables(s, dir, "embeddings"))
+    },
+
+    // The end-to-end PRODUCTION near-dup removal chain (see dedupManifest):
+    // banded minhash candidates → verified pairs → components → the SAME
+    // ranking code as q91. Minhash internals aren't ANSI SQL → rows-only;
+    // CurationGateSpec pins the contract (pairs land in one cluster, one
+    // keep per cluster, q91's ranking rule holds).
+    "q97_dedup_manifest" -> Q.noOracle(
+      "Production dedup manifest: minhash graph -> components -> " +
+        "quality-ranked representative per cluster (no quadratic stage)") { (s, dir) =>
+      dedupManifest(Tables(s, dir, "documents"))
     })
+
+  /** Connected components over the EXACT cosine>=0.4 pair graph (the
+    * q37/q55 audit tier — PLANS.md § "Exact-tier scale policy"). Shared by
+    * q55 (min-id keep) and q91 (quality-ranked keep) so both rank over the
+    * identical component assignment.
+    */
+  private def exactCosineComponents(emb: DataFrame): DataFrame =
+    graft.operators.ConnectedComponents.run(
+      emb.select(col("vec_id").as("id")),
+      Similarity.blockedNearDupPairs(emb, threshold = 0.4)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+
+  /** THE representative-selection rule, shared by q91 (exact audit graph)
+    * and q97 (production minhash graph) so the two paths cannot rank
+    * differently: one survivor per cluster by quality (`n_chars` DESC,
+    * `doc_id` ASC). One `row_number` window partitioned by cluster — the
+    * shuffle carries (cluster_id, doc_id, n_chars) triples only, never
+    * text, and Spark's WindowGroupLimit partial-ranks map-side. Linear
+    * given ANY cluster assignment.
+    */
+  def rankRepresentatives(assignment: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    assignment
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .select(col("cluster_id"), col("doc_id"), col("n_chars"),
+        when(col("rnk") === 1, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q91: canonical-document selection over the EXACT audit graph — the
+    * exact components are used so the oracle can replay them; the
+    * selection itself is [[rankRepresentatives]], unchanged at scale over
+    * sub-quadratic assignments (see [[dedupManifest]]).
+    */
+  def clusterRepresentatives(docs: DataFrame, emb: DataFrame): DataFrame =
+    rankRepresentatives(
+      exactCosineComponents(emb)
+        .select(col("component").as("cluster_id"), col("id").as("doc_id")),
+      docs)
+
+  /** q97: the END-TO-END production near-dup removal path — q33's banded
+    * minhash candidates → jaccard-verified pairs → connected components →
+    * [[rankRepresentatives]]. No quadratic stage anywhere: candidates come
+    * from band equi-joins on 8-byte keys, the CC loop shuffles ids, and
+    * selection is one cluster-keyed window. This is the chain a 100 TB
+    * pipeline actually runs; q91 is its exact-graph audit twin (same
+    * ranking code, shared by construction).
+    */
+  def dedupManifest(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val comps = graft.operators.ConnectedComponents.run(
+      docs.select(col("doc_id").as("id")),
+      minhashPairs(docs, threshold)
+        .select(col("a").as("src"), col("b").as("dst")))
+    rankRepresentatives(
+      comps.select(col("component").as("cluster_id"), col("id").as("doc_id")),
+      docs)
+  }
 
   /** Artifact location for a corpus dir's band index, fingerprinted by
     * EVERY parameter the stored bytes depend on — the same staleness rule

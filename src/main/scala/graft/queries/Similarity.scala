@@ -208,6 +208,34 @@ object Similarity {
       .orderBy("label", "pred_label")
   }
 
+  /** Shared WITH-clause prefix of the q96/q98 oracles: doubles view,
+    * first-k init, two assign+update Lloyd rounds ending at centroid
+    * table c2. Extracted so the two oracles can never disagree on the
+    * fit. (Declared before [[all]] — object vals initialize in
+    * declaration order, and [[all]]'s initializer interpolates this.)
+    */
+  private val KmeansCteSql =
+    """WITH e AS (SELECT vec_id,
+      |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |          FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |a1 AS (SELECT e.vec_id, cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |         ORDER BY list_distance(e.v, c0.cv), cid) AS rnk
+      |       FROM e CROSS JOIN c0),
+      |m1 AS (SELECT cid, i,
+      |         CAST(SUM(CAST(e.v[i] AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS m
+      |       FROM a1 JOIN e USING (vec_id), range(1, 65) r(i)
+      |       WHERE rnk = 1 GROUP BY cid, i),
+      |c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
+      |a2 AS (SELECT e.vec_id, cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |         ORDER BY list_distance(e.v, c1.cv), cid) AS rnk
+      |       FROM e CROSS JOIN c1),
+      |m2 AS (SELECT cid, i,
+      |         CAST(SUM(CAST(e.v[i] AS DECIMAL(27,7))) AS DOUBLE) / COUNT(*) AS m
+      |       FROM a2 JOIN e USING (vec_id), range(1, 65) r(i)
+      |       WHERE rnk = 1 GROUP BY cid, i),
+      |c2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid)""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q36_knn_brute" -> Q(
       "Brute-force cosine top-5 for the first 10 vectors (ids only — FP-rank-safe)",
@@ -349,7 +377,224 @@ object Similarity {
         |FROM scored WHERE rnk = 1
         |GROUP BY label, clabel ORDER BY label, pred_label""".stripMargin) { (s, dir) =>
       labelPurity(emb(s, dir))
+    },
+
+    // The Gram/second-moment matrix is the aggregation half of PCA
+    // whitening (q95 consumes it): M[i,j] = mean(e_i * e_j) over the
+    // corpus. Plan shape: each row expands to its d(d+1)/2 upper-triangle
+    // products INSIDE codegen (one flatten(transform(transform))) and the
+    // hash aggregate's map-side partial collapses them before the
+    // exchange — the shuffle carries at most 2080 decimal partials per
+    // partition regardless of corpus size. That is the canonical 100 TB
+    // moment-matrix shape: one pass, constant-width state, no driver
+    // work. Products are computed in double (IEEE-identical both engines)
+    // and summed as decimals (order-independent), so the full matrix is
+    // hash-checked.
+    "q94_embed_moments" -> Q(
+      "Upper-triangle second-moment matrix of the embedding corpus " +
+        "(decimal-exact mean products; map-side-collapsed aggregate)",
+      """SELECT i, j,
+        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+        |                AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+        |FROM embeddings, range(1, 65) r(i), range(1, 65) s(j)
+        |WHERE j >= i
+        |GROUP BY i, j ORDER BY i, j""".stripMargin) { (s, dir) =>
+      secondMoments(emb(s, dir), dim = 64)
+    },
+
+    // PCA projection: the q94 aggregate (bounded: d(d+1)/2 rows) collects
+    // to the driver, a deterministic cyclic-Jacobi eigensolver
+    // (operators/Pca.scala) extracts the top principal axes, and the
+    // projection itself is a codegen dot product against literal axis
+    // vectors — one linear scan, no shuffle, no UDF. This is how PCA runs
+    // at 100 TB: the only non-linear work is an O(d^3) driver solve on a
+    // d x d matrix that took one map-side-collapsed pass to build. Axis
+    // signs are pinned (largest-|component| coordinate positive) so the
+    // output is deterministic; sums inside the driver solve are on the
+    // decimal-exact q94 values. Eigen internals aren't ANSI-SQL, so no
+    // oracle — PcaSpec pins orthonormality, the eigen residual, explained
+    // variance ordering, and projection determinism.
+    "q95_pca_project" -> Q.noOracle(
+      "Project embeddings onto the top-2 principal axes of the q94 moment " +
+        "matrix (driver Jacobi on d x d; codegen dot-product projection)") { (s, dir) =>
+      pcaProject(emb(s, dir), dim = 64, nComponents = 2)
+    },
+
+    // Lloyd's k-means with BOTH halves of each round distributed: assign =
+    // k-row broadcast against the streaming corpus (the q36/q84
+    // bounded-broadcast exception), update = posexplode → (cid, dim)
+    // decimal-exact mean (map-side-collapsed, ≤ k·d partials per
+    // partition through the exchange). Two update rounds are UNROLLED into
+    // one plan — no driver loop, no action between rounds; at a fixed
+    // round count this is exactly how a 100 TB Lloyd pass composes (the
+    // open-iteration variant lives in IvfIndex.fit, which checkpoints per
+    // round instead). Deterministic throughout: init = first-k rule
+    // (never rand()), argmin ties break on cluster id, centroid means are
+    // decimal sums cast back to double. Every scoring fold is
+    // left-to-right over the same doubles in both engines, so the full
+    // assignment is hash-checked (the q84 precedent, L2 instead of
+    // cosine; rank by squared distance — sqrt is monotone and DuckDB's
+    // list_distance ordering agrees on ties because the radicands are
+    // bit-equal).
+    "q96_kmeans" -> Q(
+      "k-means (k=4, two unrolled Lloyd rounds, first-k init): final " +
+        "assignment per vector with decimal-exact centroid arithmetic",
+      s"""$KmeansCteSql,
+        |a3 AS (SELECT e.vec_id, cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |         ORDER BY list_distance(e.v, c2.cv), cid) AS rnk
+        |       FROM e CROSS JOIN c2)
+        |SELECT vec_id, cid AS cluster FROM a3 WHERE rnk = 1
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      kmeansAssign(emb(s, dir), k = 4, updateRounds = 2)
+    },
+
+    // Data-poisoning / far-OOD screen: a scraped-embedding batch whose
+    // vectors sit far from EVERY cluster of the corpus is suspect. Uses
+    // the SAME fitted centroids as q96 (shared kmeansCentroids — audit
+    // and clustering cannot disagree); adds one decimal-exact 1-row
+    // stats aggregate broadcast back over the assignment. Fully
+    // hash-checked: distances are bit-equal rooted values, stats are
+    // order-independent decimal sums, the 2-sigma flag is deterministic
+    // double arithmetic on both.
+    "q98_embed_outliers" -> Q(
+      "Centroid-distance outlier screen over the q96 fit: flag vectors " +
+        "with nearest-centroid distance > mean + 2*stddev",
+      s"""$KmeansCteSql,
+        |a3 AS (SELECT e.vec_id, cid, list_distance(e.v, c2.cv) AS dist,
+        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_distance(e.v, c2.cv), cid) AS rnk
+        |       FROM e CROSS JOIN c2),
+        |best AS (SELECT vec_id, cid, dist FROM a3 WHERE rnk = 1),
+        |stats AS (SELECT
+        |    CAST(SUM(CAST(dist AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mu,
+        |    CAST(SUM(CAST(dist * dist AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m2
+        |  FROM best)
+        |SELECT vec_id, cid AS cluster, dist,
+        |  CAST(dist > mu + 2 * sqrt(GREATEST(m2 - mu * mu, 0)) AS INTEGER) AS is_outlier
+        |FROM best CROSS JOIN stats ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      embedOutliers(emb(s, dir), k = 4, updateRounds = 2)
     })
+
+
+  /** Doubles view of the corpus shared by the q96/q98 k-means family. */
+  private def embDouble(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Rank-1 assignment of every vector to its nearest centroid, keeping
+    * the rooted distance. Rank on sqrt(d2), not d2: DuckDB's
+    * list_distance ranks the ROOTED value, and two distinct radicands can
+    * round to the SAME sqrt — ranking the same quantity keeps tie-breaks
+    * identical in both engines. Output: (vec_id, cid, dist).
+    */
+  private def kmeansNearest(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        sqrt(Vectors.l2sq(col("v"), col("cv"))).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "cid", "dist")
+  }
+
+  /** Centroid table after `updateRounds` unrolled Lloyd rounds from the
+    * deterministic first-k init; update = decimal-exact per-dim means of
+    * each cluster's members (q84's kernel). Shared by q96 (assignment)
+    * and q98 (outlier screen) so the two see identical centroids.
+    */
+  private def kmeansCentroids(e: DataFrame, k: Int, updateRounds: Int): DataFrame = {
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("x").cast("decimal(27,7)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv"))
+
+    val init = e.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("v").as("cv"))
+    (1 to updateRounds).foldLeft(init)((c, _) => update(kmeansNearest(e, c).drop("dist")))
+  }
+
+  /** q96: unrolled Lloyd k-means — see the registration comment. Returns
+    * the final (vec_id, cluster) assignment under the centroids after
+    * `updateRounds` decimal-exact update rounds from the deterministic
+    * first-k init.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int, updateRounds: Int): DataFrame = {
+    val e = embDouble(emb)
+    kmeansNearest(e, kmeansCentroids(e, k, updateRounds))
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** q98: centroid-distance outlier screen over the SAME fitted centroids
+    * as q96 (shared [[kmeansCentroids]] — the audit and the clustering
+    * cannot disagree). A vector is an outlier when its nearest-centroid
+    * distance exceeds mean + 2*stddev of all such distances —
+    * the data-poisoning / far-OOD screen run before training on scraped
+    * embeddings. The stats are ONE extra 1-row aggregate (decimal-exact
+    * sums ⇒ order-independent) broadcast back over the assignment; every
+    * scalar after the sums is a deterministic double op, so the flag is
+    * hash-checkable cross-engine.
+    */
+  def embedOutliers(emb: DataFrame, k: Int, updateRounds: Int): DataFrame = {
+    val e = embDouble(emb)
+    val best = kmeansNearest(e, kmeansCentroids(e, k, updateRounds))
+    val stats = best.agg(
+      (sum(col("dist").cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as("mu"),
+      (sum((col("dist") * col("dist")).cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as("m2"))
+    best.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist"),
+        when(col("dist") > col("mu") +
+          lit(2.0) * sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0))), 1)
+          .otherwise(0).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  /** q94: upper-triangle second-moment matrix, decimal-exact. Each row's
+    * d(d+1)/2 products are built in one codegen expression and collapsed
+    * map-side by the hash aggregate — see the registration comment for the
+    * scale argument. 1-based (i, j) to match the oracle's `range(1,65)`
+    * and q84's dim convention.
+    */
+  def secondMoments(emb: DataFrame, dim: Int): DataFrame = {
+    val v = col("embedding")
+    val prods = flatten(transform(sequence(lit(1), lit(dim)), i =>
+      transform(sequence(i, lit(dim)), j =>
+        struct(
+          i.cast("long").as("i"),
+          j.cast("long").as("j"),
+          (element_at(v, i).cast("double") * element_at(v, j).cast("double"))
+            .cast("decimal(27,12)").as("p")))))
+    emb.select(explode(prods).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg((sum(col("e.p")).cast("double") / count(lit(1))).as("m"))
+      .orderBy("i", "j")
+  }
+
+  /** q95: project onto the top principal axes of [[secondMoments]]. The
+    * moment matrix is BOUNDED (d(d+1)/2 rows — 2080 at d=64), so the
+    * collect is a constant-size driver step, not a data-size one; the
+    * eigensolve is [[graft.operators.Pca.jacobiEigen]] and the projection
+    * compiles to per-axis codegen dot products against literal vectors.
+    */
+  def pcaProject(emb: DataFrame, dim: Int, nComponents: Int): DataFrame = {
+    val moments = secondMoments(emb, dim).collect()
+    val m = Array.ofDim[Double](dim, dim)
+    moments.foreach { r =>
+      val (i, j, x) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getDouble(2))
+      m(i)(j) = x; m(j)(i) = x
+    }
+    val axes = graft.operators.Pca.jacobiEigen(m).take(nComponents)
+    val cols = axes.zipWithIndex.map { case ((_, vec), k) =>
+      Vectors.dot(col("embedding"),
+        array(vec.map(x => lit(x)): _*)).as(s"pc${k + 1}")
+    }
+    emb.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+  }
 
   /** Shared by q42/q56 — their contract is IDENTICAL models, so the build
     * + staleness policy must live in exactly one place. Index build ≠

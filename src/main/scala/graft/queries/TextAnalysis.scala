@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -419,7 +420,108 @@ object TextAnalysis {
         |       round(avg(lp), 4) AS avg_logp
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       bigramLmScores(Tables(s, dir, "documents"))
+    },
+
+    // Gopher-style composed rule filter — the standard pre-training gate
+    // (Rae et al. 2021 §A1 shapes, re-cut to this corpus's bands): word
+    // count band, mean-word-length band, unique-token ratio, stopword
+    // presence. One codegen Project over the scan: no shuffle, no join, no
+    // UDF — the 100 TB plan IS this plan, partition-parallel by
+    // construction. Every signal is length/replace/list arithmetic both
+    // engines evaluate identically, so the whole gate is hash-checked
+    // (unlike q28, which scores but doesn't gate). Thresholds discriminate
+    // on the testdata corpus (sf0.01: word band drops 106/500 docs,
+    // unique-ratio 281/500) so `pass` is a real decision, not a constant.
+    "q92_quality_rules" -> Q(
+      "Composed quality-rule gate: word-count band, mean word length, " +
+        "unique-token ratio, stopword hits -> per-rule flags + pass",
+      s"""SELECT doc_id, n_words, mean_wlen, uniq_ratio, stop_hits,
+         |  CAST(n_words BETWEEN 30 AND 120 AS INTEGER) AS r_len,
+         |  CAST(mean_wlen BETWEEN 3 AND 10 AS INTEGER) AS r_wlen,
+         |  CAST(uniq_ratio >= 0.5 AS INTEGER) AS r_uniq,
+         |  CAST(stop_hits >= 2 AS INTEGER) AS r_stop,
+         |  CAST(n_words BETWEEN 30 AND 120 AND mean_wlen BETWEEN 3 AND 10
+         |       AND uniq_ratio >= 0.5 AND stop_hits >= 2 AS INTEGER) AS pass
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST($tokSql AS BIGINT) AS n_words,
+         |    CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+         |      / CAST($tokSql AS DOUBLE) AS mean_wlen,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+         |    CAST((CASE WHEN POSITION(' the ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN POSITION(' a ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN POSITION(' of ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)
+         |       + (CASE WHEN POSITION(' and ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS stop_hits
+         |  FROM documents WHERE LENGTH(text) > 0)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      qualityRules(Tables(s, dir, "documents"))
+    },
+
+    // Tokenizer FERTILITY (tokens emitted per word) is the standard
+    // deploy-time audit of a trained tokenizer against a corpus mix: a
+    // source whose fertility spikes is one the vocabulary underserves
+    // (cost + truncation risk scale with it). Rides q90's pinned-artifact
+    // encode chain — every `<` in the encoded form starts exactly one
+    // token, so the token count is pure length arithmetic; per-source
+    // sums are integer-exact, the single final division is one IEEE op.
+    // One scan → one map-side-collapsed per-source aggregate.
+    "q99_bpe_fertility" -> Q(
+      "Per-source tokenizer fertility under the pinned q90 BPE artifact: " +
+        "total words, bpe tokens, tokens-per-word",
+      s"""WITH enc AS (SELECT source, text, $bpeEncodeSqlExpr AS e FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM($tokSql) AS BIGINT) AS total_words,
+         |  CAST(SUM(LENGTH(e) - LENGTH(REPLACE(e, '<', ''))) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(LENGTH(e) - LENGTH(REPLACE(e, '<', ''))) AS DOUBLE)
+         |    / SUM($tokSql) AS fertility
+         |FROM enc GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val e = bpeEncode(col("text"))
+      val nTok = (length(e) - length(replace(e, lit("<"), lit("")))).cast("long")
+      Tables(s, dir, "documents")
+        .select(col("source"), Text.tokenCountPortable(col("text")).as("w"), nTok.as("t"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("w")).as("total_words"),
+          sum(col("t")).as("total_tokens"),
+          (sum(col("t")).cast("double") / sum(col("w"))).as("fertility"))
+        .orderBy("source")
     })
+
+  /** Gopher-style quality gate (q92): per-rule flags + composed pass bit.
+    * Pure codegen expressions over one scan; see the q92 registration for
+    * the rule rationale. Rules:
+    *   r_len: 30 <= word count <= 120; r_wlen: mean word length in [3,10];
+    *   r_uniq: distinct-token ratio >= 0.5; r_stop: >= 2 distinct stopword
+    *   families present ({the, a, of, and}).
+    */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val toks = split(t, " ", -1)
+    val nWords = Text.tokenCountPortable(t)
+    val meanWlen = length(replace(t, lit(" "), lit(""))).cast("double") / nWords.cast("double")
+    val uniqRatio = size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+    val padded = concat(lit(" "), t, lit(" "))
+    val stopHits = Seq("the", "a", "of", "and")
+      .map(w => when(instr(padded, s" $w ") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    def flag(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+    val rLen = col("n_words").between(30, 120)
+    val rWlen = col("mean_wlen").between(3, 10)
+    val rUniq = col("uniq_ratio") >= 0.5
+    val rStop = col("stop_hits") >= 2
+    docs.filter(length(t) > 0)
+      .select(col("doc_id"), nWords.as("n_words"), meanWlen.as("mean_wlen"),
+        uniqRatio.as("uniq_ratio"), stopHits.as("stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("uniq_ratio"), col("stop_hits"),
+        flag(rLen).as("r_len"), flag(rWlen).as("r_wlen"),
+        flag(rUniq).as("r_uniq"), flag(rStop).as("r_stop"),
+        flag(rLen && rWlen && rUniq && rStop).as("pass"))
+      .orderBy("doc_id")
+  }
 
   /** The q73 plan — see the registration comment above for the scale
     * shape. Factored out so the spec can run it on fixture corpora with

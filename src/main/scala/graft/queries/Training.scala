@@ -126,6 +126,12 @@ object Training {
       |WHERE g.split <> 'train'
       |GROUP BY g.doc_id, g.split ORDER BY doc_id""".stripMargin
 
+  // Portable token count (q27's arithmetic): identical length/replace
+  // evaluation on both engines — the q93 budget must count tokens exactly
+  // the way the Spark side does.
+  private val tokCountSql =
+    "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END"
+
   val all: Map[String, Q] = Map(
     // Storage-shrink path for 100 TB embedding lakes: int8 quantization is
     // 4x smaller than float32 and dot products stay SIMD-able. The query
@@ -324,5 +330,51 @@ object Training {
         "kernel; fixed-width shuffle keys) — the 100 TB form",
       splitContamOracleSql) { (s, dir) =>
       hashedSplitContam(Tables(s, dir, "documents"))
+    },
+
+    // Mixture construction needs "N tokens per source", not "N docs": doc
+    // sampling over-weights verbose sources. q93 draws a deterministic
+    // per-source prefix in md5(doc_id) order (a uniform shuffle both
+    // engines replay bit-identically — never rand(): retried tasks must
+    // re-deal the same sample) and keeps docs until the budget is crossed,
+    // including the crossing doc (take-until semantics: budget is a floor
+    // on sampled tokens, the overshoot is < 1 doc). Audit form: the
+    // per-source running sum is ONE window pass; at 100 TB a per-source
+    // cumulative window serializes each source through one reducer, so the
+    // scale path replaces the exact prefix with a hash-fraction threshold
+    // (keep iff hash-position <= budget/source_total from a first
+    // aggregate pass) — same determinism, two linear passes, no window.
+    "q93_stratified_sample" -> Q(
+      "Deterministic per-source token-budget sample: md5-ordered prefix " +
+        "until 600 tokens/source (kept = take-until-crossing flag)",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST($tokCountSql AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, SUM(n_toks) OVER (
+         |      PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+         |  FROM t)
+         |SELECT source, doc_id, n_toks, cum_toks,
+         |  CAST(cum_toks - n_toks < 600 AS INTEGER) AS kept
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      stratifiedTokenSample(Tables(s, dir, "documents"), budgetPerSource = 600L)
     })
+
+  /** q93: deterministic stratified sample to a token budget per source.
+    * See the registration comment for semantics and the 100 TB
+    * hash-fraction variant of the prefix rule.
+    */
+  def stratifiedTokenSample(docs: DataFrame, budgetPerSource: Long): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        graft.functions.Text.tokenCountPortable(col("text")).as("n_toks"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .select(col("source"), col("doc_id"), col("n_toks"), col("cum_toks"),
+        when(col("cum_toks") - col("n_toks") < budgetPerSource, 1).otherwise(0).as("kept"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables
+
+/** Round-8 curation additions: q91 cluster representatives, q92 quality
+  * gate, q93 stratified token sample. All three are oracle-checked (value
+  * hashes) — this spec pins the SEMANTIC contracts the hash can't express:
+  * representative optimality, rule discrimination, and the prefix property
+  * of the budget sample.
+  */
+class CurationGateSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q91: same components as q55, exactly one keep per cluster, keep maximizes (n_chars, -doc_id)") {
+    val q55 = SparkEntry.queries("q55_dedup_clusters")(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val rep = SparkEntry.queries("q91_cluster_rep")(spark, dir).collect()
+    assert(rep.length == q55.size)
+    rep.foreach { r =>
+      assert(q55(r.getLong(1)) == r.getLong(0), s"cluster drift at doc ${r.getLong(1)}")
+    }
+    val byCluster = rep.groupBy(_.getLong(0))
+    assert(byCluster.exists(_._2.length > 1), "fixture must contain non-trivial clusters")
+    byCluster.foreach { case (cid, members) =>
+      val keeps = members.filter(_.getInt(3) == 1)
+      assert(keeps.length == 1, s"cluster $cid has ${keeps.length} keeps")
+      val kept = keeps.head
+      val best = members.maxBy(m => (m.getLong(2), -m.getLong(1)))
+      assert(kept.getLong(1) == best.getLong(1),
+        s"cluster $cid kept ${kept.getLong(1)} but best is ${best.getLong(1)}")
+    }
+    // the quality rule must actually differ from q55's min-id rule somewhere
+    val minIdKeeps = rep.filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(1)).toSet
+    val qualityKeeps = rep.filter(_.getInt(3) == 1).map(_.getLong(1)).toSet
+    assert(qualityKeeps != minIdKeeps,
+      "fixture degenerate: quality ranking picked exactly the min ids")
+  }
+
+  test("q92: flags recompute from signals, pass is the conjunction, rules discriminate") {
+    val out = SparkEntry.queries("q92_quality_rules")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nWords, meanWlen) = (r.getLong(1), r.getDouble(2))
+      val (uniq, stops) = (r.getDouble(3), r.getLong(4))
+      val flags = Seq(r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8))
+      val expect = Seq(
+        nWords >= 30 && nWords <= 120,
+        meanWlen >= 3 && meanWlen <= 10,
+        uniq >= 0.5,
+        stops >= 2).map(b => if (b) 1 else 0)
+      assert(flags == expect, s"doc ${r.getLong(0)}: flags $flags != $expect")
+      assert(r.getInt(9) == flags.product, s"doc ${r.getLong(0)}: pass is not the conjunction")
+    }
+    val passed = out.count(_.getInt(9) == 1)
+    assert(passed > 0 && passed < out.length,
+      s"gate must discriminate on the fixture corpus (passed $passed/${out.length})")
+  }
+
+  test("q97: minhash pairs share clusters, one quality-ranked keep per cluster") {
+    val docs = Tables(spark, dir, "documents")
+    val out = SparkEntry.queries("q97_dedup_manifest")(spark, dir).collect()
+    assert(out.length == docs.count())
+    val cluster = out.map(r => r.getLong(1) -> r.getLong(0)).toMap
+    // every verified minhash pair must land in the same component
+    val pairs = graft.queries.Dedup.minhashPairs(docs, threshold = 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain minhash near-dups")
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // exactly one keep per cluster, and it maximizes (n_chars, -doc_id)
+    out.groupBy(_.getLong(0)).foreach { case (cid, members) =>
+      val keeps = members.filter(_.getInt(3) == 1)
+      assert(keeps.length == 1, s"cluster $cid has ${keeps.length} keeps")
+      val best = members.maxBy(m => (m.getLong(2), -m.getLong(1)))
+      assert(keeps.head.getLong(1) == best.getLong(1), s"cluster $cid kept a non-best doc")
+    }
+  }
+
+  test("q98: cluster matches q96, flag recomputes from the distance stats") {
+    val out = SparkEntry.queries("q98_embed_outliers")(spark, dir).collect()
+    val q96 = SparkEntry.queries("q96_kmeans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == q96.size)
+    out.foreach(r => assert(q96(r.getLong(0)) == r.getLong(1),
+      s"vec ${r.getLong(0)}: q98 cluster disagrees with q96"))
+    val dists = out.map(_.getDouble(2))
+    val mu = dists.sum / dists.length
+    val m2 = dists.map(d => d * d).sum / dists.length
+    val thresh = mu + 2 * math.sqrt(math.max(m2 - mu * mu, 0))
+    out.foreach { r =>
+      // recompute with double sums: agreement within the decimal/double
+      // accumulation gap (exact only near the boundary, hence the margin)
+      val d = r.getDouble(2)
+      if (math.abs(d - thresh) > 1e-9)
+        assert((r.getInt(3) == 1) == (d > thresh), s"vec ${r.getLong(0)}: flag mismatch")
+    }
+    val n = out.count(_.getInt(3) == 1)
+    assert(n >= 1 && n <= out.length / 10,
+      s"outlier screen must discriminate sparsely, flagged $n/${out.length}")
+  }
+
+  test("q99: fertility >= 1 everywhere and totals recompute from the q90 encode") {
+    val out = SparkEntry.queries("q99_bpe_fertility")(spark, dir).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (w, t, f) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(t >= w, s"${r.getString(0)}: fewer tokens than words")
+      assert(math.abs(f - t.toDouble / w) < 1e-15)
+    }
+    // cross-check one source's totals against a direct per-doc count over
+    // the encoded strings themselves
+    val enc = Tables(spark, dir, "documents").filter(col("source") === "src0")
+      .select(graft.queries.TextAnalysis.bpeEncode(col("text")).as("e"),
+        graft.functions.Text.tokenCountPortable(col("text")).as("w"))
+      .collect()
+    assert(enc.nonEmpty)
+    val directTokens = enc.map(r => r.getString(0).count(_ == '<').toLong).sum
+    val directWords = enc.map(_.getLong(1)).sum
+    val row = out.find(_.getString(0) == "src0").get
+    assert(row.getLong(1) == enc.length)
+    assert(row.getLong(2) == directWords, s"words ${row.getLong(2)} != $directWords")
+    assert(row.getLong(3) == directTokens, s"tokens ${row.getLong(3)} != $directTokens")
+  }
+
+  test("q93: kept docs are an md5-order prefix per source and the budget is a floor") {
+    val budget = 600L
+    val out = SparkEntry.queries("q93_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    out.groupBy(_._1).foreach { case (source, rows) =>
+      val inOrder = rows.sortBy(_._4) // cum_toks ascending == md5 order
+      // cumulative sums re-add
+      inOrder.foldLeft(0L) { case (acc, (_, _, n, cum, _)) =>
+        assert(cum == acc + n, s"$source: cumulative sum drift at cum=$cum")
+        cum
+      }
+      // kept rows form a prefix
+      val keptFlags = inOrder.map(_._5)
+      assert(!keptFlags.dropWhile(_ == 1).contains(1), s"$source: kept set is not a prefix")
+      val keptToks = inOrder.filter(_._5 == 1).map(_._3).sum
+      val totalToks = inOrder.map(_._3).sum
+      assert(keptToks >= math.min(budget, totalToks), s"$source: budget not met ($keptToks)")
+      // take-until-crossing: dropping the LAST kept doc must go under budget
+      val lastKept = inOrder.filter(_._5 == 1).lastOption
+      lastKept.foreach { case (_, _, n, _, _) =>
+        if (keptToks - n >= budget) fail(s"$source: kept past the crossing doc")
+      }
+      // and the sample must be a real subset somewhere
+      assert(keptFlags.contains(0) || totalToks <= budget,
+        s"$source: nothing was excluded despite exceeding the budget")
+    }
+  }
+}

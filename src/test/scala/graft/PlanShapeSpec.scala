@@ -263,4 +263,58 @@ class PlanShapeSpec extends SparkSpec {
     // only the presentation sort may exchange — the encode is per row
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q92 quality gate is a single-scan codegen pass: no joins, no re-keying") {
+    val p = planOf("q92_quality_rules")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "the gate must not join")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q93 stratified sample: one scan, exactly the per-source window exchange") {
+    val p = planOf("q93_stratified_sample")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "the sampler must not join")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "only the partitionBy(source) window may hash-exchange:\n" + p)
+  }
+
+  test("q94 moment matrix: products collapse map-side, the exchange carries partials") {
+    val p = planOf("q94_embed_moments")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "the aggregate must not join")
+    // partial HashAggregate BELOW the exchange and final ABOVE it — the
+    // property that bounds the shuffle at d(d+1)/2 rows per partition
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.zipWithIndex.filter(_._1.contains("HashAggregate")).map(_._2)
+    val exIdx = lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning")).map(_._2)
+    assert(exIdx.size == 1, "exactly one hash exchange:\n" + p)
+    assert(aggIdx.exists(_ < exIdx.head) && aggIdx.exists(_ > exIdx.head),
+      "expected partial+final aggregate around the exchange:\n" + p)
+  }
+
+  test("q95 projection stage: single scan, codegen dot products, no joins") {
+    val p = planOf("q95_pca_project")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "the projection must not join")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q99 fertility: single scan, one per-source aggregate, no joins") {
+    val p = planOf("q99_bpe_fertility")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "the audit must not join")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1, p)
+  }
+
+  test("q96 k-means: centroid assigns broadcast; no sort-merge join anywhere") {
+    val p = planOf("q96_kmeans")
+    // assignment joins are k-row broadcasts (the bounded BNLJ exception,
+    // exactly q84's shape); the only shuffle-joins allowed are the
+    // vec_id equi-joins feeding the centroid update
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight")),
+      "centroids must be the build side:\n" + bnlj.mkString("\n"))
+  }
 }
