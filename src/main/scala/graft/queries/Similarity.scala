@@ -528,6 +528,37 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Collected k-means model for deploy-time scoring — the offline half
+    * of [[assignPinned]]. Bounded driver work: k rows of d doubles.
+    */
+  def kmeansFit(emb: DataFrame, k: Int, updateRounds: Int): Seq[(Long, Array[Double])] =
+    kmeansCentroids(embDouble(emb), k, updateRounds).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Nearest-centroid assignment under a PINNED model, as one codegen
+    * projection: per row, build the k (dist, cid) structs from literal
+    * centroid vectors and take `array_min` — struct ordering is
+    * lexicographic, so this is exactly (dist ASC, cid ASC), the q96
+    * tie-break. ZERO joins, no window, no state — which means the same
+    * column expressions run unchanged on a STREAMING DataFrame
+    * (StreamingSpec pins stream≡batch): this is the deploy-time scoring
+    * path, where the model is an artifact and the corpus (or feed) only
+    * ever streams. Input needs (vec_id, embedding).
+    */
+  def assignPinned(vecs: DataFrame, centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "pinned model must have at least one centroid")
+    val v = col("embedding").cast("array<double>")
+    val scored = centroids.map { case (cid, cv) =>
+      struct(
+        sqrt(Vectors.l2sq(v, array(cv.map(x => lit(x)): _*))).as("dist"),
+        lit(cid).as("cid"))
+    }
+    val best = array_min(array(scored: _*))
+    vecs.select(col("vec_id"), best.getField("cid").as("cluster"),
+      best.getField("dist").as("dist"))
+  }
+
   /** q98: centroid-distance outlier screen over the SAME fitted centroids
     * as q96 (shared [[kmeansCentroids]] — the audit and the clustering
     * cannot disagree). A vector is an outlier when its nearest-centroid

@@ -496,8 +496,17 @@ object TextAnalysis {
     *   r_len: 30 <= word count <= 120; r_wlen: mean word length in [3,10];
     *   r_uniq: distinct-token ratio >= 0.5; r_stop: >= 2 distinct stopword
     *   families present ({the, a, of, and}).
+    *
+    * [[qualityGate]] (everything but the presentation sort) is STATELESS —
+    * no aggregate, no window, no join — so the same projection runs
+    * unchanged on a streaming DataFrame (StreamingSpec pins it): the gate
+    * a batch curation pass applies is the gate the ingest feed applies.
     */
-  def qualityRules(docs: DataFrame): DataFrame = {
+  def qualityRules(docs: DataFrame): DataFrame =
+    qualityGate(docs).orderBy("doc_id")
+
+  /** The order-free gate body — see [[qualityRules]]. */
+  def qualityGate(docs: DataFrame): DataFrame = {
     val t = col("text")
     val toks = split(t, " ", -1)
     val nWords = Text.tokenCountPortable(t)
@@ -520,7 +529,6 @@ object TextAnalysis {
         flag(rLen).as("r_len"), flag(rWlen).as("r_wlen"),
         flag(rUniq).as("r_uniq"), flag(rStop).as("r_stop"),
         flag(rLen && rWlen && rUniq && rStop).as("pass"))
-      .orderBy("doc_id")
   }
 
   /** The q73 plan — see the registration comment above for the scale

@@ -408,4 +408,77 @@ class StreamingSpec extends SparkSpec {
     // its window finalizes; not asserted (its window may still be open)
     q.stop()
   }
+
+  test("streaming quality gate: the q92 projection is stateless and stream==batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING)
+    import spark.implicits._
+
+    val rows = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(20).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.queries.TextAnalysis.qualityGate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gate_t").outputMode("append")
+      .start()
+    input.addData(rows.take(10): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("gate_t").collect()
+      .map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+    val batch = graft.queries.TextAnalysis
+      .qualityGate(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.toVector).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (id, row) =>
+      assert(row == batch(id), s"doc $id: stream gate diverged from batch")
+    }
+  }
+
+  test("streaming pinned-centroid assignment: zero-join scoring, stream==batch q96 ranks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.queries.Tables(spark, dir, "embeddings")
+    val model = graft.queries.Similarity.kmeansFit(emb, k = 4, updateRounds = 2)
+    assert(model.length == 4 && model.forall(_._2.length == 64))
+
+    // batch reference under the SAME pinned model
+    val batchOut = graft.queries.Similarity.assignPinned(emb, model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pinned projection must agree with the registered q96 assignment
+    // (same centroids, same (dist, cid) ordering)
+    val q96 = SparkEntry.queries("q96_kmeans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchOut == q96, "pinned scoring diverged from the in-plan q96 assignment")
+
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.queries.Similarity
+      .assignPinned(input.toDF().toDF("vec_id", "embedding"), model)
+      .writeStream.format("memory").queryName("assign_t").outputMode("append")
+      .start()
+    input.addData(rows.take(25).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(25).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("assign_t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batchOut, "streamed assignment diverged from batch")
+  }
 }
