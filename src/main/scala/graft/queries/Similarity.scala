@@ -456,6 +456,42 @@ object Similarity {
     // hash-checked: distances are bit-equal rooted values, stats are
     // order-independent decimal sums, the 2-sigma flag is deterministic
     // double arithmetic on both.
+    // Cluster LABELING — the step after clustering in every curation
+    // workflow ("what IS cluster 3?"): top distinctive terms per k-means
+    // cluster by lift = within-cluster term share over corpus term share.
+    // Joins the embedding-space fit to the TEXT side (vec_id ≡ doc_id,
+    // TESTDATA contract). Shapes: the q96 assignment chain (broadcast
+    // assigns), one token explode collapsed map-side into (cluster, term)
+    // counts, a vocabulary-sized lift join, and the per-cluster top-3 via
+    // the partial-top-k window. Counts are integers, lift is one IEEE
+    // division of exact integers, rank ties break on term — fully
+    // hash-checked through the 3-level recursive replay.
+    "q100_cluster_terms" -> Q(
+      "Top-3 distinctive terms per q96 cluster by lift " +
+        "(within-cluster share / corpus share)",
+      s"""$KmeansCteSql,
+        |a3 AS (SELECT e.vec_id, cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |         ORDER BY list_distance(e.v, c2.cv), cid) AS rnk
+        |       FROM e CROSS JOIN c2),
+        |asg AS (SELECT vec_id, cid FROM a3 WHERE rnk = 1),
+        |tok AS (SELECT asg.cid, unnest(string_split(d.text, ' ')) AS term
+        |        FROM asg JOIN documents d ON d.doc_id = asg.vec_id),
+        |ct AS (SELECT cid, term, COUNT(*) AS tf FROM tok GROUP BY cid, term),
+        |tot AS (SELECT term, SUM(tf) AS cf FROM ct GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_tok FROM tok),
+        |nc AS (SELECT cid, SUM(tf) AS c_tok FROM ct GROUP BY cid),
+        |scored AS (SELECT ct.cid, ct.term, ct.tf,
+        |    (CAST(ct.tf AS DOUBLE) / nc.c_tok) / (CAST(tot.cf AS DOUBLE) / n.n_tok) AS lift,
+        |    ROW_NUMBER() OVER (PARTITION BY ct.cid ORDER BY
+        |      (CAST(ct.tf AS DOUBLE) / nc.c_tok) / (CAST(tot.cf AS DOUBLE) / n.n_tok) DESC,
+        |      ct.term) AS rnk
+        |  FROM ct JOIN tot USING (term) JOIN nc USING (cid) CROSS JOIN n)
+        |SELECT cid AS cluster, CAST(rnk AS BIGINT) AS rnk, term,
+        |       CAST(tf AS BIGINT) AS tf, lift
+        |FROM scored WHERE rnk <= 3 ORDER BY cluster, rnk""".stripMargin) { (s, dir) =>
+      clusterTerms(emb(s, dir), Tables(s, dir, "documents"))
+    },
+
     "q98_embed_outliers" -> Q(
       "Centroid-distance outlier screen over the q96 fit: flag vectors " +
         "with nearest-centroid distance > mean + 2*stddev",
@@ -526,6 +562,33 @@ object Similarity {
     kmeansNearest(e, kmeansCentroids(e, k, updateRounds))
       .select(col("vec_id"), col("cid").as("cluster"))
       .orderBy("vec_id")
+  }
+
+  /** q100: top distinctive terms per q96 cluster — see the registration
+    * comment. The per-cluster and per-term totals are vocabulary-sized
+    * aggregates; `n` is a 1-row cross join (the q73 precedent). The
+    * rank<=3 filter compiles to the map-side WindowGroupLimit.
+    */
+  def clusterTerms(emb: DataFrame, docs: DataFrame, topK: Int = 3): DataFrame = {
+    val asg = kmeansAssign(emb, k = 4, updateRounds = 2)
+      .select(col("vec_id").as("doc_id"), col("cluster").as("cid"))
+    val tok = asg.join(docs.select("doc_id", "text"), "doc_id")
+      .select(col("cid"), explode(split(col("text"), " ", -1)).as("term"))
+    val ct = tok.groupBy("cid", "term").agg(count(lit(1)).as("tf"))
+    val tot = ct.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val nc = ct.groupBy("cid").agg(sum(col("tf")).as("c_tok"))
+    val n = tok.agg(count(lit(1)).as("n_tok"))
+    val lift = (col("tf").cast("double") / col("c_tok")) /
+      (col("cf").cast("double") / col("n_tok"))
+    val w = Window.partitionBy("cid").orderBy(lift.desc, col("term"))
+    ct.join(broadcast(tot), "term")
+      .join(broadcast(nc), "cid")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("cid").as("cluster"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf"), lift.as("lift"))
+      .orderBy("cluster", "rnk")
   }
 
   /** Collected k-means model for deploy-time scoring — the offline half

@@ -307,6 +307,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1, p)
   }
 
+  test("q100 cluster terms: lift joins broadcast, top-3 is a WindowGroupLimit") {
+    val p = planOf("q100_cluster_terms")
+    assert(!p.contains("SortMergeJoin"), "vocabulary-sized joins must broadcast:\n" + p)
+    assert(p.contains("WindowGroupLimit"), "rank<=3 must partial-rank map-side:\n" + p)
+  }
+
   test("q96 k-means: centroid assigns broadcast; no sort-merge join anywhere") {
     val p = planOf("q96_kmeans")
     // assignment joins are k-row broadcasts (the bounded BNLJ exception,
