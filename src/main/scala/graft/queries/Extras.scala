@@ -188,6 +188,29 @@ object Extras {
         .orderBy("source")
     },
 
+    // The q51 pattern (sketch twin of an exact aggregate) for quantiles:
+    // q76's exact percentiles buffer every group value; percentile_approx
+    // ships capacity-bounded mergeable Greenwald-Khanna summaries through
+    // the shuffle — constant memory at any corpus size, the only viable
+    // shape when a group no longer fits an executor. Sketch internals are
+    // engine-specific → rows-only; CurationGateSpec's sketch-twin test
+    // bounds every reported quantile inside the exact neighboring order
+    // statistics, the GK rank-error contract.
+    "q102_quantile_sketch" -> Q.noOracle(
+      "Per-source length quantiles via mergeable percentile_approx " +
+        "sketches — the capacity-bounded twin of q76") { (s, dir) =>
+      val x = col("n_chars").cast("double")
+      val qs = percentile_approx(
+        x, array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(10000))
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), qs.as("qs"))
+        .select(col("source"), col("n"),
+          col("qs")(0).as("p25"), col("qs")(1).as("p50"),
+          col("qs")(2).as("p75"), col("qs")(3).as("p95"))
+        .orderBy("source")
+    },
+
     "q43_term_df" -> Q(
       "Vocabulary building: per-term document frequency (explode + distinct-count)",
       """SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM (

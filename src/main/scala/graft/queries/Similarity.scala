@@ -492,6 +492,31 @@ object Similarity {
       clusterTerms(emb(s, dir), Tables(s, dir, "documents"))
     },
 
+    // The precondition audit every embedding-space operator here assumes
+    // (q36-q98 all join text↔vectors by id): which docs have no vector,
+    // which vectors have no doc, per source. A LEFT ANTI join each way —
+    // null-safe, no payload columns through the shuffle, the id sets are
+    // what a 100 TB lake would bucket on. Output is per-source counts
+    // (FP-free integers), fully hash-checked.
+    "q104_embedding_coverage" -> Q(
+      "Embedding-coverage audit: per-source docs without vectors and " +
+        "orphan vector count (anti-joins both ways)",
+      """WITH missing AS (
+        |  SELECT d.source, COUNT(*) AS n_missing
+        |  FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE e.vec_id IS NULL GROUP BY d.source),
+        |orphans AS (
+        |  SELECT COUNT(*) AS n FROM embeddings e
+        |  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+        |SELECT d.source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(COALESCE(m.n_missing, 0) AS BIGINT) AS n_missing,
+        |  CAST((SELECT n FROM orphans) AS BIGINT) AS n_orphan_vecs
+        |FROM documents d LEFT JOIN missing m ON m.source = d.source
+        |GROUP BY d.source, m.n_missing ORDER BY d.source""".stripMargin) { (s, dir) =>
+      embeddingCoverage(Tables(s, dir, "documents"), emb(s, dir))
+    },
+
     "q98_embed_outliers" -> Q(
       "Centroid-distance outlier screen over the q96 fit: flag vectors " +
         "with nearest-centroid distance > mean + 2*stddev",
@@ -562,6 +587,27 @@ object Similarity {
     kmeansNearest(e, kmeansCentroids(e, k, updateRounds))
       .select(col("vec_id"), col("cid").as("cluster"))
       .orderBy("vec_id")
+  }
+
+  /** q104: coverage audit — see the registration comment. Only ids cross
+    * the anti-joins; the orphan count is a 1-row cross join (q73's V
+    * precedent).
+    */
+  def embeddingCoverage(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val ids = emb.select(col("vec_id"))
+    val missing = docs.select(col("doc_id"), col("source"))
+      .join(ids, col("vec_id") === col("doc_id"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_missing"))
+    val orphans = ids
+      .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_vecs"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(missing, Seq("source"), "left")
+      .crossJoin(broadcast(orphans))
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        col("n_orphan_vecs"))
+      .orderBy("source")
   }
 
   /** q100: top distinctive terms per q96 cluster — see the registration

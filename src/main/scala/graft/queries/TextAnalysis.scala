@@ -467,6 +467,23 @@ object TextAnalysis {
     // token, so the token count is pure length arithmetic; per-source
     // sums are integer-exact, the single final division is one IEEE op.
     // One scan → one map-side-collapsed per-source aggregate.
+    // The one quality signal regex arithmetic can't express: actual
+    // compressibility. Boilerplate/template/spam text deflates far below
+    // typical prose (the CCNet/Gopher "compression ratio" screen). No
+    // Catalyst expression wraps zlib, so this is the documented
+    // mapPartitions exception (the Multimodal decode precedent): one
+    // Deflater per PARTITION (reset per row, never reallocated),
+    // partition-local, no shuffle — the 100 TB shape is unchanged.
+    // zlib output depends on the zlib build, not on partitioning or row
+    // order → deterministic in-engine but not ANSI-replayable: rows-only;
+    // CompressSpec pins the discriminating property on planted fixtures
+    // and determinism across reruns.
+    "q101_compress_ratio" -> Q.noOracle(
+      "Compression-ratio quality signal: deflate(text) bytes / raw bytes " +
+        "per doc (partition-local Deflater, no shuffle)") { (s, dir) =>
+      compressionRatio(Tables(s, dir, "documents"))
+    },
+
     "q99_bpe_fertility" -> Q(
       "Per-source tokenizer fertility under the pinned q90 BPE artifact: " +
         "total words, bpe tokens, tokens-per-word",
@@ -504,6 +521,32 @@ object TextAnalysis {
     */
   def qualityRules(docs: DataFrame): DataFrame =
     qualityGate(docs).orderBy("doc_id")
+
+  /** q101: per-doc zlib compression ratio — see the registration comment.
+    * Level 6 (zlib default), no dictionary; `n_bytes` is UTF-8 length.
+    * Empty text reports ratio 0.0 (nothing to compress, nothing to flag).
+    */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, t) =>
+          val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, bytes.length.toLong, n,
+            if (bytes.length == 0) 0.0 else n.toDouble / bytes.length)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate", "ratio")
+      .orderBy("doc_id")
+  }
 
   /** The order-free gate body — see [[qualityRules]]. */
   def qualityGate(docs: DataFrame): DataFrame = {

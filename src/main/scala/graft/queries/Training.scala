@@ -332,6 +332,33 @@ object Training {
       hashedSplitContam(Tables(s, dir, "documents"))
     },
 
+    // The REPAIR step q82 only measures: a val/test doc sharing ANY
+    // word-5-gram window with the train split is a leaked near-dup — its
+    // eval loss is part memorization. The standard fix is to move it INTO
+    // train (deleting it wastes data; keeping it poisons the eval), which
+    // is exactly what this manifest encodes. Reuses splitContam WHOLE, so
+    // audit and repair cannot disagree on what "contaminated" means; the
+    // repair join is doc-keyed (fixed-width ids). At 100 TB swap in
+    // hashedSplitContam (q83 — row-identical, spec-pinned).
+    "q103_split_decontam" -> Q(
+      "Decontaminated split manifest: q82-contaminated eval docs " +
+        "reassigned to train; moved flag per doc",
+      s"""WITH contam AS ($splitContamOracleSql),
+         |s AS (SELECT doc_id,
+         |    CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+         |         WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split_orig
+         |  FROM documents)
+         |SELECT s.doc_id, s.split_orig,
+         |  CASE WHEN COALESCE(c.n_hit, 0) > 0 THEN 'train'
+         |       ELSE s.split_orig END AS split_final,
+         |  CAST(COALESCE(c.n_hit, 0) > 0 AND s.split_orig <> 'train'
+         |       AS INTEGER) AS moved
+         |FROM s LEFT JOIN contam c USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      decontaminatedSplit(Tables(s, dir, "documents"))
+    },
+
     // Mixture construction needs "N tokens per source", not "N docs": doc
     // sampling over-weights verbose sources. q93 draws a deterministic
     // per-source prefix in md5(doc_id) order (a uniform shuffle both
@@ -361,6 +388,22 @@ object Training {
          |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       stratifiedTokenSample(Tables(s, dir, "documents"), budgetPerSource = 600L)
     })
+
+  /** q103: split-repair manifest — see the registration comment. The
+    * contamination side is [[splitContam]] UNCHANGED (shared body with
+    * q82); this adds one doc-keyed left join and the reassignment CASE.
+    */
+  def decontaminatedSplit(docs: DataFrame): DataFrame = {
+    val contam = splitContam(docs).select(col("doc_id"), col("n_hit"))
+    docs.select(col("doc_id"), splitOf(col("doc_id")).as("split_orig"))
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split_orig"),
+        when(coalesce(col("n_hit"), lit(0L)) > 0, "train")
+          .otherwise(col("split_orig")).as("split_final"),
+        when(coalesce(col("n_hit"), lit(0L)) > 0 && col("split_orig") =!= "train", 1)
+          .otherwise(0).as("moved"))
+      .orderBy("doc_id")
+  }
 
   /** q93: deterministic stratified sample to a token budget per source.
     * See the registration comment for semantics and the 100 TB

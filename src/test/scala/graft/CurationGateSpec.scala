@@ -126,6 +126,80 @@ class CurationGateSpec extends SparkSpec {
     assert(row.getLong(3) == directTokens, s"tokens ${row.getLong(3)} != $directTokens")
   }
 
+  test("q101: compression ratio discriminates repetition and is deterministic") {
+    import spark.implicits._
+    val fixtures = Seq(
+      (0L, Array.fill(200)("spam").mkString(" ")), // pure repetition
+      (1L, (0 until 200).map(i => s"w${i * 7919}").mkString(" ")), // high entropy
+      (2L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextAnalysis.compressionRatio(fixtures).collect()
+    val byId = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId(0L) < byId(1L) / 2,
+      s"repetitive text must deflate far smaller: ${byId(0L)} vs ${byId(1L)}")
+    assert(byId(2L) == 0.0, "empty text reports ratio 0")
+    // deterministic across reruns and partitionings
+    val again = graft.queries.TextAnalysis
+      .compressionRatio(fixtures.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == byId, "ratio must not depend on partitioning or rerun")
+    // real corpus: every ratio positive, n_deflate consistent
+    val corpus = SparkEntry.queries("q101_compress_ratio")(spark, dir).collect()
+    assert(corpus.length == 500)
+    corpus.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0 && r.getDouble(3) > 0)
+    }
+  }
+
+  test("q102: every sketch quantile sits inside the exact neighboring order statistics") {
+    val approx = SparkEntry.queries("q102_quantile_sketch")(spark, dir).collect()
+    val exactBySource = Tables(spark, dir, "documents")
+      .select("source", "n_chars").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1).toDouble).sorted).toMap
+    assert(approx.length == exactBySource.size)
+    approx.foreach { r =>
+      val xs = exactBySource(r.getString(0))
+      assert(r.getLong(1) == xs.length)
+      Seq(0.25 -> r.getDouble(2), 0.50 -> r.getDouble(3),
+        0.75 -> r.getDouble(4), 0.95 -> r.getDouble(5)).foreach { case (p, v) =>
+        // GK contract at accuracy >> n: the reported value IS one of the
+        // order statistics adjacent to the target rank
+        val rank = (p * (xs.length - 1)).toInt
+        val lo = xs(math.max(rank - 1, 0))
+        val hi = xs(math.min(rank + 2, xs.length - 1))
+        assert(v >= lo && v <= hi,
+          s"${r.getString(0)} p$p: $v outside [$lo, $hi]")
+      }
+    }
+  }
+
+  test("q103: repair agrees with the q82 audit and only eval docs move to train") {
+    val audit = SparkEntry.queries("q82_split_contam")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> n_hit
+    val out = SparkEntry.queries("q103_split_decontam")(spark, dir).collect()
+    assert(out.length == 500)
+    var moved = 0
+    out.foreach { r =>
+      val (id, orig, fin, m) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))
+      val contaminated = audit.getOrElse(id, 0L) > 0
+      if (orig == "train") {
+        assert(fin == "train" && m == 0, s"train doc $id must not move")
+      } else {
+        assert((m == 1) == contaminated, s"doc $id: moved flag disagrees with audit")
+        assert(fin == (if (contaminated) "train" else orig))
+      }
+      moved += m
+    }
+    assert(moved > 0, "fixture corpus must contain cross-split leaks (q82 comment: 13 at sf0.01)")
+    // post-repair invariant: re-auditing the FINAL split finds zero
+    // contaminated eval docs among the moved set (they are train now)
+    val finalEval = out.filter(_.getString(2) != "train").map(_.getLong(0)).toSet
+    assert(finalEval.forall(id => audit.getOrElse(id, 0L) == 0L),
+      "a contaminated doc survived in the final eval split")
+  }
+
   test("q93: kept docs are an md5-order prefix per source and the budget is a floor") {
     val budget = 600L
     val out = SparkEntry.queries("q93_stratified_sample")(spark, dir).collect()

@@ -44,6 +44,26 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("q94 is mergeable: moments(corpus) == weighted merge of split moments") {
+    // the property that makes the moment matrix an INCREMENTAL artifact at
+    // 100 TB: a new batch's matrix merges into the stored one by weighted
+    // sum — no rescan of old data. Decimal sums make the equality exact up
+    // to the final double division.
+    val e = Tables(spark, dir, "embeddings")
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    val half2 = e.filter(col("vec_id") % 2 === 1)
+    val (n1, n2) = (half1.count(), half2.count())
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val full = toMap(Similarity.secondMoments(e, dim))
+    val m1 = toMap(Similarity.secondMoments(half1, dim))
+    val m2 = toMap(Similarity.secondMoments(half2, dim))
+    full.foreach { case (k, v) =>
+      val merged = (m1(k) * n1 + m2(k) * n2) / (n1 + n2)
+      assert(math.abs(merged - v) < 1e-12, s"moment $k: merged $merged vs full $v")
+    }
+  }
+
   test("jacobiEigen: orthonormal axes, small residual, descending eigenvalues") {
     val m = momentMatrix()
     val eig = Pca.jacobiEigen(m)

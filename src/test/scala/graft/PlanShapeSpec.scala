@@ -307,6 +307,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1, p)
   }
 
+  test("q101 compression ratio is partition-local: one scan, no re-keying, no joins") {
+    val p = planOf("q101_compress_ratio")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), "the signal must not join")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q100 cluster terms: lift joins broadcast, top-3 is a WindowGroupLimit") {
     val p = planOf("q100_cluster_terms")
     assert(!p.contains("SortMergeJoin"), "vocabulary-sized joins must broadcast:\n" + p)
