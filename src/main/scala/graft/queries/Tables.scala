@@ -5,11 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Testdata table loaders (`/root/testdata/sf&#42;/&lt;name&gt;.parquet`).
   *
-  * `events.ts` is written as Parquet TIMESTAMP(NANOS) which Spark's vectorized
-  * reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos via
-  * `spark.sql.legacy.parquet.nanosAsLong` and convert with exact integer
-  * division (`DIV 1000`, never double division — epoch-ns overflows the 53-bit
-  * double mantissa) to µs TimestampType.
+  * `events.ts` has shipped as BOTH Parquet TIMESTAMP(NANOS) and
+  * TIMESTAMP(MICROS) across testdata generations, so the loader adapts to the
+  * schema it observes rather than assuming one physical type:
+  *   - NANOS: Spark's vectorized reader rejects it ([PARQUET_TYPE_ILLEGAL]),
+  *     so we read raw nanos via `spark.sql.legacy.parquet.nanosAsLong`
+  *     (observed as LongType) and convert with exact integer division
+  *     (`DIV 1000`, never double division — epoch-ns overflows the 53-bit
+  *     double mantissa) to µs TimestampType.
+  *   - MICROS (no UTC adjustment): reads as TIMESTAMP_NTZ; cast to session-TZ
+  *     TimestampType (sessions run UTC, so the instant is preserved) so
+  *     downstream date_trunc/lag/window semantics match the DuckDB oracle.
+  * Both branches stay live — the physical type already flipped once.
   */
 object Tables {
 
@@ -88,9 +95,16 @@ object Tables {
       }
       c
     }
-    scoped.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // nanosAsLong only alters TIMESTAMP(NANOS) handling; MICROS files read
+    // identically through the scoped session, so one read path serves both.
+    val df = scoped.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // NANOS read as raw int64
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType => // MICROS, no UTC flag
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already session-TZ TimestampType
+    }
   }
 
   // WeakHashMap, not ConcurrentHashMap: a strong key would pin every caller

@@ -378,10 +378,10 @@ object Training {
          |  SELECT doc_id, source, CAST($tokCountSql AS BIGINT) AS n_toks
          |  FROM documents),
          |c AS (
-         |  SELECT *, SUM(n_toks) OVER (
+         |  SELECT *, CAST(SUM(n_toks) OVER (
          |      PARTITION BY source
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
          |  FROM t)
          |SELECT source, doc_id, n_toks, cum_toks,
          |  CAST(cum_toks - n_toks < 600 AS INTEGER) AS kept
