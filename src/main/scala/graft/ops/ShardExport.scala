@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-shard export — the data pipeline's LAST mile (the reference's
+  * whole reason to exist is tuned file output, `pyarrow/main.py:137-150`;
+  * this is the same concern at the pipeline's other end): q58's packed
+  * sequences, epoch-shuffled DETERMINISTICALLY, assigned to size-budgeted
+  * shards, written as one file set per shard plus a manifest.
+  *
+  * Determinism is the design center (a retried/re-run export must produce
+  * byte-identical shard assignment — never `rand()`):
+  *   - the epoch shuffle orders packs by `md5(source:pack_id:epoch)` — a
+  *     uniform, seedable permutation both Spark and DuckDB compute
+  *     identically (the q93 precedent);
+  *   - shard_id = exclusive-cumulative-tokens DIV budget in that order —
+  *     the q58 pack rule lifted to shard granularity, so shards fill to
+  *     the token budget with <1 pack overshoot.
+  *
+  * The global running sum is computed SCALE-SAFELY: a single unpartitioned
+  * window would serialize the corpus through one reducer, so the export
+  * two-passes it — (1) per-bucket token totals over the md5-prefix bucket
+  * (256 groups, collected: a BOUNDED 256-row driver step) become exclusive
+  * bucket offsets; (2) a window PARTITIONED by bucket computes the
+  * within-bucket exclusive cumsum in parallel, and bucket_offset +
+  * within_offset is EXACTLY the global cumsum because bucket = md5 prefix
+  * means (bucket, md5) order IS md5 order. DuckDB replays it as one plain
+  * global window — same values, which is what the oracle checks.
+  */
+object ShardExport {
+
+  /** q58's packing, re-stated at row granularity: every doc gets its pack
+    * coordinates (source, pack_id) from the per-source exclusive token
+    * cumsum in doc_id order. Window partitioned by source — parallel per
+    * stratum, the q58 scale shape.
+    */
+  def packedDocs(docs: DataFrame, packTokens: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("source"), col("doc_id"), col("text"),
+        size(split(col("text"), " ", -1)).as("n_toks"))
+      .withColumn("off", coalesce(sum(col("n_toks")).over(w), lit(0)))
+      .withColumn("pack_id", floor(col("off") / packTokens).cast("long"))
+      .drop("off")
+  }
+
+  /** Deterministic epoch-shuffled shard assignment over pack keys.
+    * Input: one row per pack with its token total. Output adds
+    * (skey, shard_id). See the object doc for the two-pass cumsum.
+    */
+  def assignShards(packs: DataFrame, epoch: Int, shardTokens: Int): DataFrame = {
+    val keyed = packs.withColumn("skey",
+      md5(concat_ws(":", col("source"), col("pack_id"), lit(epoch))))
+      .withColumn("bucket", conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
+    // pass 1: exclusive per-bucket offsets — 256 bounded rows via the driver
+    val totals = keyed.groupBy("bucket").agg(sum("pack_toks").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .tail.zip(totals).map { case ((b, end), (_, t)) => (b, end - t) }.toMap
+    val bucketOff = offsets.foldLeft(lit(0L)) { case (e, (b, off)) =>
+      when(col("bucket") === b, lit(off)).otherwise(e)
+    }
+    // pass 2: within-bucket exclusive cumsum, parallel across buckets
+    val wIn = Window.partitionBy("bucket").orderBy("skey", "source", "pack_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .withColumn("goff", bucketOff + coalesce(sum(col("pack_toks")).over(wIn), lit(0L)))
+      .withColumn("shard_id", floor(col("goff") / shardTokens).cast("long"))
+      .drop("bucket", "goff")
+  }
+
+  /** Export: write `outDir/epoch=<epoch>/shard_id=<id>/...` parquet rows
+    * (shard_id, source, pack_id, doc_id, text) and return the written
+    * root. One file set per shard via partitionBy — at 100 TB each shard
+    * directory is one training-loader unit and shards write in parallel.
+    */
+  def write(docs: DataFrame, outDir: String, epoch: Int,
+            packTokens: Int, shardTokens: Int): String = {
+    val pd = packedDocs(docs, packTokens)
+    val packs = pd.groupBy("source", "pack_id").agg(sum("n_toks").as("pack_toks"))
+    val assigned = assignShards(packs, epoch, shardTokens)
+      .select(col("source"), col("pack_id"), col("shard_id"))
+    val dir = s"$outDir/epoch=$epoch"
+    pd.join(assigned, Seq("source", "pack_id"))
+      .select(col("shard_id"), col("source"), col("pack_id"), col("doc_id"), col("text"))
+      .repartition(col("shard_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard_id").parquet(dir)
+    dir
+  }
+
+  /** Manifest computed FROM THE WRITTEN FILES (not from the plan that
+    * produced them — the manifest's job is to attest what's on disk):
+    * per shard, sequence/doc/token counts and an order-independent content
+    * fingerprint both engines can replay (Knuth multiplicative hash of
+    * doc_id, summed — the q57 keep-hash arithmetic, overflow-safe by the
+    * same Mersenne-prime bound).
+    */
+  def manifest(spark: org.apache.spark.sql.SparkSession, epochDir: String): DataFrame =
+    spark.read.parquet(epochDir)
+      .groupBy("shard_id")
+      .agg(
+        countDistinct(col("source"), col("pack_id")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ", -1))).cast("long").as("n_tokens"),
+        sum(pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+          lit(1000000007L))).cast("long").as("content_hash"))
+      .orderBy("shard_id")
+}

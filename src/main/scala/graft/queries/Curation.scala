@@ -322,6 +322,52 @@ object Curation {
         .orderBy("source", "pack_id")
     },
 
+    // Training-shard EXPORT — the pipeline's actual last mile (see
+    // [[graft.ops.ShardExport]]): q58's packs, md5-epoch-shuffled, assigned
+    // to 2048-token shards by exclusive global token cumsum (computed via
+    // the scale-safe 256-bucket two-pass; DuckDB replays it as one global
+    // window — identical values), WRITTEN as per-shard parquet file sets,
+    // manifest computed from the files on disk. The oracle replaying the
+    // whole chain against the written bytes is the end-to-end check that
+    // the export is deterministic AND complete; ShardExportSpec adds the
+    // re-run byte-identity assertion.
+    "q105_shard_export" -> Q(
+      "Tokenized shard export: epoch-shuffled 2048-token shards written to " +
+        "disk, manifest (n_seqs/n_docs/n_tokens/content_hash) from the files",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t),
+        |d AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id, n_toks FROM p),
+        |pk AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+        |       FROM d GROUP BY source, pack_id),
+        |k AS (SELECT *,
+        |        md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+        |      FROM pk),
+        |c AS (SELECT *,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k),
+        |a AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_id FROM c)
+        |SELECT a.shard_id,
+        |  COUNT(DISTINCT (d.source, d.pack_id)) AS n_seqs,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(d.n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(((d.doc_id % 2147483647) * 2654435761) % 1000000007) AS BIGINT)
+        |    AS content_hash
+        |FROM d JOIN a ON d.source = a.source AND d.pack_id = a.pack_id
+        |GROUP BY a.shard_id ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_p512s2048"
+      val epochDir = graft.ops.ShardExport.write(
+        Tables(s, dir, "documents"), out, epoch = 1, packTokens = 512, shardTokens = 2048)
+      graft.ops.ShardExport.manifest(s, epochDir)
+    },
+
     // DECONTAMINATION: flag training documents sharing word-5-grams with a
     // held-out eval set (here: doc_id < 20). The eval shingle set is tiny
     // by construction, so the plan is explode → broadcast equi-join on the

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ShardExport
+import graft.queries.Tables
+
+/** The export contract: deterministic (re-running produces byte-identical
+  * shard assignment), complete (every doc lands in exactly one shard), and
+  * budget-shaped (shards fill to the token budget, <1 pack overshoot).
+  */
+class ShardExportSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("re-running the export produces byte-identical shard assignment and manifest") {
+    val docs = Tables(spark, sfDir, "documents")
+    val d1 = Files.createTempDirectory("graft-shards-a").toString
+    val d2 = Files.createTempDirectory("graft-shards-b").toString
+    val e1 = ShardExport.write(docs, d1, epoch = 1, packTokens = 512, shardTokens = 2048)
+    val e2 = ShardExport.write(docs, d2, epoch = 1, packTokens = 512, shardTokens = 2048)
+
+    val m1 = ShardExport.manifest(spark, e1).collect().map(_.toSeq).toSeq
+    val m2 = ShardExport.manifest(spark, e2).collect().map(_.toSeq).toSeq
+    assert(m1 === m2)
+
+    // row-level identity, not just aggregate identity: every (shard, doc)
+    // assignment must re-deal identically
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("shard_id", "source", "pack_id", "doc_id")
+      .collect().map(_.toSeq).toSet
+    assert(rows(e1) === rows(e2))
+  }
+
+  test("every doc lands in exactly one shard; shards fill to budget with <1 pack overshoot") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Files.createTempDirectory("graft-shards-c").toString
+    val dir = ShardExport.write(docs, out, epoch = 1, packTokens = 512, shardTokens = 2048)
+    val written = spark.read.parquet(dir)
+
+    val nDocs = docs.count()
+    assert(written.count() === nDocs)
+    assert(written.select("doc_id").distinct().count() === nDocs)
+
+    // every shard except the last must have started BELOW budget before its
+    // final pack (exclusive-cumsum assignment): total tokens of any shard
+    // minus its largest pack is < shardTokens
+    val perShard = written
+      .groupBy("shard_id", "source", "pack_id")
+      .agg(sum(size(split(col("text"), " ", -1))).as("pt"))
+      .groupBy("shard_id")
+      .agg(sum("pt").as("toks"), max("pt").as("maxPack"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("toks") - r.getAs[Long]("maxPack") < 2048,
+        s"shard ${r.get(0)} overfilled beyond one-pack overshoot")
+    }
+  }
+
+  test("different epochs produce different shuffles of the same packs") {
+    val docs = Tables(spark, sfDir, "documents")
+    val packs = ShardExport.packedDocs(docs, 512)
+      .groupBy("source", "pack_id").agg(sum("n_toks").as("pack_toks"))
+    val a1 = ShardExport.assignShards(packs, epoch = 1, shardTokens = 2048)
+      .select("source", "pack_id", "shard_id").collect().map(_.toSeq).toSet
+    val a2 = ShardExport.assignShards(packs, epoch = 2, shardTokens = 2048)
+      .select("source", "pack_id", "shard_id").collect().map(_.toSeq).toSet
+    assert(a1 !== a2)
+  }
+}
