@@ -66,6 +66,53 @@ object TextAnalysis {
       case (acc, (l, r)) => s"replace($acc, '<$l><$r>', '<$l$r>')"
     }
 
+  /** q106's oracle: the full NB train + score + argmax replay in ANSI-ish
+    * DuckDB SQL (the q88 pattern generalized to multi-class via one
+    * candidate-class cross join + a ROW_NUMBER argmax).
+    */
+  private val langIdOracleSql =
+    """WITH lab AS (
+      |  SELECT doc_id, lang,
+      |    text || ' ' || CASE lang
+      |      WHEN 'en' THEN '0101010101' WHEN 'de' THEN '2323232323'
+      |      WHEN 'es' THEN '4545454545' WHEN 'fr' THEN '6767676767'
+      |      WHEN 'zh' THEN '8989898989' ELSE '9999999999' END AS text
+      |  FROM documents),
+      |tr AS (SELECT * FROM lab WHERE doc_id % 5 <> 0),
+      |ho AS (SELECT * FROM lab WHERE doc_id % 5 = 0),
+      |cnts AS (
+      |  SELECT lang, tok, COUNT(*) AS n
+      |  FROM (SELECT lang, unnest(list_transform(range(1, length(text)),
+      |                i -> substr(text, i, 2))) AS tok FROM tr)
+      |  GROUP BY lang, tok),
+      |tot AS (SELECT lang, SUM(n) AS tot FROM cnts GROUP BY lang),
+      |vv AS (SELECT COUNT(DISTINCT tok) AS v FROM cnts),
+      |pri AS (SELECT lang, COUNT(*) AS nd FROM tr GROUP BY lang),
+      |nt AS (SELECT COUNT(*) AS ndocs FROM tr),
+      |ht AS (
+      |  SELECT doc_id, lang, tok, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, lang, unnest(list_transform(range(1, length(text)),
+      |                i -> substr(text, i, 2))) AS tok FROM ho)
+      |  GROUP BY doc_id, lang, tok),
+      |sc AS (
+      |  SELECT h.doc_id, h.lang, c.lang AS cls,
+      |    LN(CAST(p.nd AS DOUBLE) / n.ndocs)
+      |      + SUM(h.cnt * LN((COALESCE(k.n, 0) + 1) / CAST(t.tot + v.v AS DOUBLE))) AS s
+      |  FROM ht h
+      |  CROSS JOIN (SELECT DISTINCT lang FROM tr) c
+      |  LEFT JOIN cnts k ON k.lang = c.lang AND k.tok = h.tok
+      |  JOIN tot t ON t.lang = c.lang
+      |  JOIN pri p ON p.lang = c.lang
+      |  CROSS JOIN vv v CROSS JOIN nt n
+      |  GROUP BY h.doc_id, h.lang, c.lang, p.nd, n.ndocs, t.tot, v.v),
+      |pr AS (
+      |  SELECT doc_id, lang, cls,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, cls) AS rn
+      |  FROM sc)
+      |SELECT lang, cls AS predicted, COUNT(*) AS n_docs
+      |FROM pr WHERE rn = 1
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
   val all: Map[String, Q] = Map(
     // Repetition-based quality filtering (the Gopher/C4 rule family):
     // documents dominated by repeated words or one repeated bigram are
@@ -505,7 +552,89 @@ object TextAnalysis {
           sum(col("t")).as("total_tokens"),
           (sum(col("t")).cast("double") / sum(col("w"))).as("fertility"))
         .orderBy("source")
+    },
+
+    // TRAINED language ID — the q29 heuristic upgraded to a model FIT ON
+    // THE CORPUS with the q88 one-pass NB machinery: char-BIGRAM
+    // multinomial Naive Bayes (char n-grams being what real LID models —
+    // fastText, CLD — consume), trained on doc_id%5!=0 with `lang` as the
+    // label, holdout confusion matrix out. The corpus' lang labels sit on
+    // IDENTICAL word-soup (no organic signal — the q88 precedent), so the
+    // query plants a deterministic per-language digit marker; digits are
+    // absent from the base text, which makes per-class bigram odds
+    // decisive (~60-nat margins: cross-engine argmax is hash-safe).
+    // Scale: the model (per-(lang,bigram) counts) is vocabulary-sized —
+    // broadcast; the holdout side streams once; classes fan out ×|langs|
+    // (bounded by construction).
+    "q106_lang_id" -> Q(
+      "Trained language ID: char-bigram multinomial NB on planted markers, " +
+        "holdout confusion matrix",
+      langIdOracleSql) { (s, dir) =>
+      langIdConfusion(Tables(s, dir, "documents"))
     })
+
+  /** The planted per-language markers behind q106 (the q88 SpamSnippets
+    * precedent): digit runs, disjoint bigram alphabets per language,
+    * absent from the base vocabulary — so the trained model's per-class
+    * odds on marker bigrams are decisive and SQL-replayable.
+    */
+  private[queries] val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "0101010101", "de" -> "2323232323", "es" -> "4545454545",
+    "fr" -> "6767676767", "zh" -> "8989898989")
+
+  /** Per-holdout-doc NB language scores (log-probabilities), one row per
+    * (doc, candidate class) — exposed so LangIdSpec can assert decision
+    * MARGINS, not just the argmax (same contract as nbQualityScores).
+    */
+  def langIdScores(docs: DataFrame): DataFrame = {
+    val marker = LangMarkers.tail
+      .foldLeft(when(col("lang") === LangMarkers.head._1, LangMarkers.head._2)) {
+        case (w, (l, m)) => w.when(col("lang") === l, m)
+      }.otherwise("9999999999")
+    val labeled = docs.select(
+      col("doc_id"), col("lang"),
+      concat(col("text"), lit(" "), marker).as("text"))
+    val train = labeled.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val holdout = labeled.filter(pmod(col("doc_id"), lit(5)) === 0)
+    // char bigrams via one array build per row — single-scan, codegen'd
+    def bigrams = explode(expr(
+      "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("tok")
+
+    val cnts = train.select(col("lang"), bigrams)
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    // model constants: per-class token totals + doc priors, joint vocab
+    // size, train doc count — all tiny (|langs| rows / scalars), broadcast
+    val classes = cnts.groupBy("lang").agg(sum("n").as("tot"))
+      .join(train.groupBy("lang").agg(count(lit(1)).as("nd")), "lang")
+      .crossJoin(cnts.agg(countDistinct("tok").as("v")))
+      .crossJoin(train.agg(count(lit(1)).as("ndocs")))
+      .select(col("lang").as("cls"), col("tot"), col("nd"), col("v"), col("ndocs"))
+
+    holdout.select(col("doc_id"), col("lang"), bigrams)
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(classes))
+      .join(broadcast(cnts.select(col("lang").as("cls"), col("tok"), col("n"))),
+        Seq("cls", "tok"), "left")
+      .groupBy("doc_id", "lang", "cls")
+      .agg(
+        (first(log(col("nd").cast("double") / col("ndocs"))) +
+          sum(col("cnt") * log(
+            (coalesce(col("n"), lit(0L)) + 1).cast("double") /
+              (col("tot") + col("v"))))).as("s"))
+  }
+
+  /** q106: argmax over [[langIdScores]] → (lang, predicted, n_docs)
+    * confusion matrix. Integer counts only reach the output.
+    */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("s").desc, col("cls"))
+    langIdScores(docs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
 
   /** Gopher-style quality gate (q92): per-rule flags + composed pass bit.
     * Pure codegen expressions over one scan; see the q92 registration for
