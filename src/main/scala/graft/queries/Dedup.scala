@@ -399,6 +399,90 @@ object Dedup {
       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
       |mins AS (SELECT u AS vec_id, MIN(v) AS mn FROM reach GROUP BY u)""".stripMargin
 
+  /** q97's oracle: the exact-jaccard replay of the minhash graph (equal on
+    * the testdata — see the q97 registration comment), composed from the
+    * q55-style recursive-CTE component replay and the q91 ranking replay.
+    */
+  private val manifestOracleSql =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |             ELSE list_transform(range(1, len(toks) - 1),
+      |                                 i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+      |      FROM t),
+      |g AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ninter
+      |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY u, v),
+      |pairs AS (
+      |  SELECT u, v FROM inter
+      |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v
+      |  WHERE CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) >= 0.7),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+      |comp AS (
+      |  SELECT LEAST(COALESCE(m.mn, d.doc_id), d.doc_id) AS cluster_id,
+      |         d.doc_id
+      |  FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id)
+      |SELECT cluster_id, doc_id, n_chars,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |         ORDER BY n_chars DESC, doc_id) = 1 AS INTEGER) AS keep
+      |FROM comp JOIN documents USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q107's oracle: the paragraph-granularity replay — chunk, exact-jaccard
+    * pair graph over chunk keys (equal to the banded graph on the testdata,
+    * same argument as q97), recursive-CTE component mins, keep = component
+    * min, reassemble kept chunks in order.
+    */
+  private val paragraphOracleSql =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ch AS (
+      |  SELECT doc_id, u.i AS chunk_idx,
+      |         array_to_string(toks[u.i*32+1 : u.i*32+32], ' ') AS ptext
+      |  FROM t, LATERAL (SELECT unnest(range(0, (len(toks) - 1) // 32 + 1)) AS i) u),
+      |k AS (SELECT doc_id * 1000 + chunk_idx AS ck, doc_id, chunk_idx, ptext FROM ch),
+      |ks AS (SELECT ck, string_split(ptext, ' ') AS toks FROM k),
+      |s AS (SELECT ck,
+      |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |             ELSE list_transform(range(1, len(toks) - 1),
+      |                                 i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+      |      FROM ks),
+      |g AS (SELECT DISTINCT ck, unnest(sh) AS g FROM s),
+      |sz AS (SELECT ck, COUNT(*) AS n FROM g GROUP BY ck),
+      |inter AS (
+      |  SELECT a.ck AS u, b.ck AS v, COUNT(*) AS ninter
+      |  FROM g a JOIN g b ON a.g = b.g AND a.ck < b.ck
+      |  GROUP BY u, v),
+      |pairs AS (
+      |  SELECT u, v FROM inter
+      |  JOIN sz na ON na.ck = u JOIN sz nb ON nb.ck = v
+      |  WHERE CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) >= 0.7),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |mins AS (SELECT u AS ck, MIN(v) AS mn FROM reach GROUP BY u),
+      |kept AS (
+      |  SELECT k.doc_id, k.chunk_idx, k.ptext,
+      |    CASE WHEN LEAST(COALESCE(m.mn, k.ck), k.ck) = k.ck THEN 1 ELSE 0 END AS keep
+      |  FROM k LEFT JOIN mins m ON m.ck = k.ck)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_par,
+      |  CAST(SUM(1 - keep) AS BIGINT) AS n_dropped,
+      |  COALESCE(string_agg(CASE WHEN keep = 1 THEN ptext END, ' '
+      |    ORDER BY chunk_idx), '') AS text_clean
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q32_dedup_exact" -> Q(
       "Exact dedup: group by normalized-content hash, keep min doc_id",
@@ -646,14 +730,36 @@ object Dedup {
 
     // The end-to-end PRODUCTION near-dup removal chain (see dedupManifest):
     // banded minhash candidates → verified pairs → components → the SAME
-    // ranking code as q91. Minhash internals aren't ANSI SQL → rows-only;
-    // CurationGateSpec pins the contract (pairs land in one cluster, one
-    // keep per cluster, q91's ranking rule holds).
-    "q97_dedup_manifest" -> Q.noOracle(
+    // ranking code as q91. The ORACLE replays it without minhash: every
+    // kept pair is jaccard-VERIFIED >= 0.7 against the true shingle sets,
+    // so the minhash graph ⊆ the exact-jaccard graph, and banding recall
+    // is 1.0 on the testdata (MinHashRecallSpec pins it; the corpus' true
+    // pairs are all j >= 0.9, where the 8×4 miss probability is < 2e-4
+    // and the hashes are seed-deterministic) — so the two graphs are EQUAL
+    // and DuckDB can rebuild the components from exact jaccard over string
+    // 3-shingles (the q65/q75 twin pattern) + the q55 recursive CTE, then
+    // apply q91's ranking. CurationGateSpec additionally pins the
+    // contract structurally (pairs land in one cluster, one keep per
+    // cluster, q91's ranking rule holds).
+    "q97_dedup_manifest" -> Q(
       "Production dedup manifest: minhash graph -> components -> " +
-        "quality-ranked representative per cluster (no quadratic stage)") { (s, dir) =>
+        "quality-ranked representative per cluster (no quadratic stage)",
+      manifestOracleSql) { (s, dir) =>
       dedupManifest(Tables(s, dir, "documents"))
+    },
+
+    // Paragraph-granularity near-dup removal (see [[paragraphDedup]]):
+    // drop repeated ~32-token paragraphs wherever they recur, keep the
+    // first occurrence, reassemble. Oracle = exact-jaccard replay of the
+    // chunk graph (the q97 equality argument at chunk granularity —
+    // duplicated chunks in this corpus are verbatim copies, j = 1.0).
+    "q107_paragraph_dedup" -> Q(
+      "Paragraph-level near-dup removal: 32-token chunks, banded minhash " +
+        "graph, keep first occurrence, reassembled text",
+      paragraphOracleSql) { (s, dir) =>
+      paragraphDedup(Tables(s, dir, "documents"))
     })
+
 
   /** Connected components over the EXACT cosine>=0.4 pair graph (the
     * q37/q55 audit tier — PLANS.md § "Exact-tier scale policy"). Shared by
@@ -712,6 +818,54 @@ object Dedup {
     rankRepresentatives(
       comps.select(col("component").as("cluster_id"), col("id").as("doc_id")),
       docs)
+  }
+
+  /** q107: PARAGRAPH-granularity near-dup removal (CCNet-style) — the
+    * intermediate between whole-doc dedup (q33/q97) and substring-span
+    * excision (q86): drop repeated paragraphs wherever they recur, keep
+    * the first (minimum-key) occurrence, reassemble each doc from its
+    * surviving paragraphs.
+    *
+    * "Paragraph" = non-overlapping `window`-token chunk (the q78 chunker
+    * at stride = window; the synthetic corpus has no newlines — on real
+    * text, swap the splitter, the graph machinery is unchanged). The
+    * near-dup graph REUSES [[minhashPairs]] verbatim: chunk keys
+    * (doc_id·1000 + chunk_idx — chunk_idx < 1000 by the corpus' 100-token
+    * doc bound, asserted) pose as doc_ids over chunk text, so candidates
+    * come from the same band equi-join and only 8-byte hashes shuffle.
+    * Components via the same min-label propagation; keep = component min.
+    * Reassembly is one per-doc aggregate: collect kept (chunk_idx, text)
+    * structs, array_sort (orders by chunk_idx, the struct's first field),
+    * join — deterministic, never dependent on row arrival order.
+    */
+  def paragraphDedup(docs: DataFrame, window: Int = 32, threshold: Double = 0.7): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor((size(col("t")) - 1) / window).cast("int")),
+          i => struct(i.cast("long").as("chunk_idx"),
+            array_join(slice(col("t"), i * window + 1, lit(window)), " ").as("ptext"))))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"), col("c.ptext").as("ptext"),
+        (col("doc_id") * 1000 + col("c.chunk_idx")).as("ck"))
+    val pairs = minhashPairs(
+      chunks.select(col("ck").as("doc_id"), col("ptext").as("text")), threshold)
+    val comps = graft.operators.ConnectedComponents.run(
+      chunks.select(col("ck").as("id")),
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    chunks
+      .join(comps.select(col("id").as("ck"), col("component")), "ck")
+      .withColumn("keep", (col("ck") === col("component")).cast("int"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_par"),
+        sum(lit(1) - col("keep")).cast("long").as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep") === 1,
+            struct(col("chunk_idx"), col("ptext"))))),
+          c => c.getField("ptext")), " ").as("text_clean"))
+      .orderBy("doc_id")
   }
 
   /** Artifact location for a corpus dir's band index, fingerprinted by

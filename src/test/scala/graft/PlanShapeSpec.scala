@@ -330,4 +330,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj.forall(_.contains("BuildRight")),
       "centroids must be the build side:\n" + bnlj.mkString("\n"))
   }
+
+  test("q105 shard assignment: windows partition by md5 bucket, never a global single-partition window") {
+    // the scale property the 256-bucket two-pass exists for: the token
+    // cumsum must NOT serialize through one reducer
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val packs = graft.ops.ShardExport.packedDocs(docs, 512)
+      .groupBy("source", "pack_id")
+      .agg(org.apache.spark.sql.functions.sum("n_toks").as("pack_toks"))
+    val p = graft.ops.ShardExport.assignShards(packs, epoch = 1, shardTokens = 2048)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      "cumsum window must partition by bucket:\n" + p)
+    assert(p.contains("hashpartitioning(bucket"), p)
+  }
+
+  test("q106 trained LID: model joins broadcast; candidate-class fanout is the bounded BNLJ") {
+    val p = planOf("q106_lang_id")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "vocabulary-sized model tables must broadcast:\n" + p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight")),
+      "the |langs|-row class table must be the build side:\n" + bnlj.mkString("\n"))
+  }
+
+  test("q107 paragraph dedup: candidates from band equi-joins only, never a cross join") {
+    val p = planOf("q107_paragraph_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
