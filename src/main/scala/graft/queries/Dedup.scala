@@ -399,13 +399,15 @@ object Dedup {
       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
       |mins AS (SELECT u AS vec_id, MIN(v) AS mn FROM reach GROUP BY u)""".stripMargin
 
-  /** q97's oracle: the exact-jaccard replay of the minhash graph (equal on
-    * the testdata — see the q97 registration comment), composed from the
-    * q55-style recursive-CTE component replay and the q91 ranking replay.
+  /** Shared oracle prefix: the exact word-3-shingle jaccard pair graph
+    * over `documents` (u < v, jaccard value `j` included). On the testdata
+    * this EQUALS the banded minhash graph (recall 1.0 — see the q97
+    * registration comment), so it oracles q33's pair set, q66's
+    * batch-restricted pair set, AND seeds q97's component replay — one
+    * definition, four hash checks that cannot drift apart.
     */
-  private val manifestOracleSql =
-    """WITH RECURSIVE
-      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private val ExactPairPrefixSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |s AS (SELECT doc_id,
       |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |             ELSE list_transform(range(1, len(toks) - 1),
@@ -417,10 +419,41 @@ object Dedup {
       |  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ninter
       |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY u, v),
-      |pairs AS (
-      |  SELECT u, v FROM inter
-      |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v
-      |  WHERE CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) >= 0.7),
+      |pj AS (
+      |  SELECT u, v, CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) AS j
+      |  FROM inter
+      |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v)""".stripMargin
+
+  /** q33's oracle: the exact pair set with its jaccard (one integer
+    * division — bit-identical cross-engine).
+    */
+  private val minhashPairsOracleSql =
+    s"""WITH $ExactPairPrefixSql
+      |SELECT u AS a, v AS b, j AS jaccard FROM pj
+      |WHERE j >= 0.7 ORDER BY a, b""".stripMargin
+
+  /** q66's oracle: exact pairs restricted to those touching the batch
+    * (doc_id%5==0), mapped to (new_id, existing_id) — the batch endpoint
+    * is new; within-batch pairs keep new_id < existing_id.
+    */
+  private val incrementalOracleSql =
+    s"""WITH $ExactPairPrefixSql
+      |SELECT
+      |  CASE WHEN u % 5 = 0 THEN u ELSE v END AS new_id,
+      |  CASE WHEN u % 5 = 0 THEN v ELSE u END AS existing_id,
+      |  j AS jaccard
+      |FROM pj
+      |WHERE j >= 0.7 AND (u % 5 = 0 OR v % 5 = 0)
+      |ORDER BY new_id, existing_id""".stripMargin
+
+  /** q97's oracle: the exact-jaccard replay of the minhash graph (equal on
+    * the testdata — see the q97 registration comment), composed from the
+    * q55-style recursive-CTE component replay and the q91 ranking replay.
+    */
+  private val manifestOracleSql =
+    s"""WITH RECURSIVE
+      |$ExactPairPrefixSql,
+      |pairs AS (SELECT u, v FROM pj WHERE j >= 0.7),
       |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
       |reach(u, v) AS (
       |  SELECT u, v FROM edges
@@ -494,8 +527,16 @@ object Dedup {
         .orderBy("fp")
     },
 
-    "q33_dedup_minhash" -> Q.noOracle(
-      "MinHash+LSH near-dup pairs (32 perms, 8×4 bands), jaccard-verified >= 0.7") {
+    // Oracled via the exact-jaccard pair graph (recall-1.0 equality on the
+    // testdata, the q97 argument): every kept pair is jaccard-VERIFIED, so
+    // the banded set ⊆ exact, and the deterministic 8×4 banding catches
+    // every j>=0.9 true pair (miss probability < 2e-4 each). The jaccard
+    // VALUE hash-checks too — one integer division both engines compute
+    // bit-identically (hashed shingle sets are collision-free at corpus
+    // scale, ExpressionsSpec cross-checks them against string sets).
+    "q33_dedup_minhash" -> Q(
+      "MinHash+LSH near-dup pairs (32 perms, 8×4 bands), jaccard-verified >= 0.7",
+      minhashPairsOracleSql) {
       (s, dir) =>
         minhashPairs(Tables(s, dir, "documents"), threshold = 0.7)
           .orderBy("a", "b")
@@ -505,12 +546,13 @@ object Dedup {
     // offline (band table + shingle sets, persistBandIndex); the "new
     // batch" (doc_id%5 == 0) probes it for (new, existing) crossings AND
     // self-checks for within-batch duplicates — no old document is
-    // rescanned. rows-only like q33 (DuckDB cannot recompute the minhash
-    // banding); the value-level check is DedupIndexSpec's identity
-    // assertion against the whole-corpus q33 pair set restricted to pairs
-    // touching the batch.
-    "q66_dedup_incremental" -> Q.noOracle(
-      "Incremental near-dup: new batch vs persisted corpus band index + within-batch, jaccard >= 0.7") {
+    // rescanned. Oracled by the exact pair graph restricted to
+    // batch-touching pairs (the q33 equality argument; DedupIndexSpec
+    // additionally pins identity to the whole-corpus q33 run restricted
+    // the same way).
+    "q66_dedup_incremental" -> Q(
+      "Incremental near-dup: new batch vs persisted corpus band index + within-batch, jaccard >= 0.7",
+      incrementalOracleSql) {
       (s, dir) =>
         val docs = Tables(s, dir, "documents")
         val path = bandIndexFor(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
