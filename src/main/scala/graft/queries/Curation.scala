@@ -243,12 +243,15 @@ object Curation {
     },
 
     // The bloom-gated decontam path, registered so the claimed scale shape
-    // carries a bench timing and a plan hash. rows-only: the bloom build
-    // and XXH64 keys aren't DuckDB-recomputable; the value-level check is
-    // CurationSpec's bit-identity to hashedDecontam (itself spec-identical
-    // to the oracle-checked q59).
-    "q77_decontam_bloom" -> Q.noOracle(
-      "Bloom-gated decontamination: fixed-size filter prune + exact verify join") {
+    // carries a bench timing and a plan hash. DuckDB cannot recompute the
+    // bloom or the XXH64 keys — but it doesn't need to: the bloom is a
+    // PRUNE with no false negatives and the exact-verify join removes its
+    // false positives, so the OUTPUT is exactly q59's and the same ANSI
+    // statement hash-checks it (the q67/q68 twin move; CurationSpec
+    // additionally pins bit-identity to hashedDecontam).
+    "q77_decontam_bloom" -> Q(
+      "Bloom-gated decontamination: fixed-size filter prune + exact verify join",
+      decontamOracleSql) {
       (s, dir) => bloomDecontam(Tables(s, dir, "documents"))
     },
     // Data MIXING: each source stratum keeps a different deterministic
@@ -288,6 +291,63 @@ object Curation {
           count(lit(1)).as("n_total"),
           sum(when(kept, 1).otherwise(0)).cast("long").as("n_kept"),
           sum(when(kept, col("n_chars")).otherwise(0)).cast("long").as("kept_chars"))
+        .orderBy("source")
+    },
+
+    // Mixture REBALANCING to a target distribution — q57 applies GIVEN
+    // per-source rates; this SOLVES the rates first (the DoReMi-style
+    // static reweighting step): target = equal tokens per source, so
+    // rate_s = min_source_tokens / source_tokens (basis points, floored —
+    // integer-exact cross-engine), then the q49/q57 deterministic doc-hash
+    // applies them (a retried task must re-deal identical samples). Scale
+    // shape: the solve is a source-sized aggregate (tiny) broadcast back;
+    // the apply is a second SCAN (source + token count columns only —
+    // pruned) with a codegen filter, NOT a corpus-wide shuffle: re-scanning
+    // two pruned columns beats windowing the whole corpus by source.
+    "q108_mixture_rebalance" -> Q(
+      "Solve+apply mixture rebalance: per-source keep rates for equal token " +
+        "contribution, deterministic hash application, per-source audit",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |s AS (SELECT source, COUNT(*) AS n_total, SUM(n) AS toks
+        |      FROM t GROUP BY source),
+        |m AS (SELECT MIN(toks) AS mintoks FROM s),
+        |r AS (SELECT source, n_total, toks,
+        |        CAST(FLOOR(10000.0 * m.mintoks / toks) AS BIGINT) AS rate_bp
+        |      FROM s CROSS JOIN m),
+        |k AS (SELECT t.source, t.n, r.rate_bp,
+        |        CASE WHEN ((t.doc_id % 2147483647) * 2654435761) % 10000 < r.rate_bp
+        |             THEN 1 ELSE 0 END AS kept
+        |      FROM t JOIN r USING (source))
+        |SELECT source, MIN(rate_bp) AS rate_bp,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(kept * n) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n"))
+      val totals = t.groupBy("source")
+        .agg(count(lit(1)).as("n_total"), sum("n").as("toks"))
+      val rates = totals
+        .crossJoin(broadcast(totals.agg(min("toks").as("mintoks"))))
+        .select(col("source"),
+          floor(lit(10000.0) * col("mintoks") / col("toks")).cast("long").as("rate_bp"))
+      val kept =
+        pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L)) <
+          col("rate_bp")
+      t.join(broadcast(rates), "source")
+        .select(col("source"), col("n"), col("rate_bp"),
+          when(kept, 1L).otherwise(0L).as("kept"))
+        .groupBy("source")
+        .agg(
+          min("rate_bp").as("rate_bp"),
+          count(lit(1)).as("n_total"),
+          sum(col("n")).cast("long").as("total_tokens"),
+          sum(col("kept")).cast("long").as("n_kept"),
+          sum(col("kept") * col("n")).cast("long").as("kept_tokens"))
         .orderBy("source")
     },
 
@@ -456,8 +516,14 @@ object Curation {
     // not any-event — on this dense corpus any-event retention is a flat
     // 100%). Week indices are pure integer epoch arithmetic so both
     // engines bucket identically and no timestamp is ever emitted. Scale
-    // shape: one equi-join of the purchase slice against the per-user
-    // cohort table + a distinct + a count — all keyed on user_id.
+    // shape: q60's single-pass pattern — ONE event scan, ONE user-keyed
+    // exchange. The earlier join form read events twice (signup slice ⋈
+    // purchase slice); at 100 TB the second scan is the dominant cost, so
+    // this computes both per-user facts (min signup week, distinct
+    // purchase-week set) in one conditional aggregate. The collected set
+    // holds WEEKS, not events — bounded by the corpus time span — and
+    // collect_set's partials collapse map-side, so the exchange carries
+    // per-user partial sets, not raw purchase rows.
     "q61_cohort_retention" -> Q(
       "Weekly cohort retention matrix: signup cohorts x purchase-active week offsets 0-4",
       """WITH su AS (SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS w0 FROM events
@@ -471,14 +537,14 @@ object Curation {
         |GROUP BY w0, wk ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
       val ev = Tables(s, dir, "events").select("user_id", "event_type", "ts")
       val week = floor(unix_micros(col("ts")) / lit(604800000000L)).cast("long")
-      val su = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), week.as("w"))
-        .groupBy("user_id").agg(min("w").as("w0"))
-      ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), week.as("wk_abs"))
-        .join(su, "user_id")
-        .select(col("user_id"), col("w0"), (col("wk_abs") - col("w0")).as("wk"))
-        .distinct()
+      ev.select(col("user_id"), col("event_type"), week.as("w"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("w"))).as("w0"),
+          collect_set(when(col("event_type") === "purchase", col("w"))).as("pws"))
+        .filter(col("w0").isNotNull)
+        .select(col("w0"), explode(col("pws")).as("wk_abs"))
+        .select(col("w0"), (col("wk_abs") - col("w0")).as("wk"))
         .filter(col("wk").between(0, 4))
         .groupBy(col("w0").as("cohort_week"), col("wk").as("week_offset"))
         .agg(count(lit(1)).as("n_users"))

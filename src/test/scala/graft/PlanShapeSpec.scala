@@ -63,6 +63,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q61 single-pass cohort retention: one event scan, no join") {
+    // the signup⋈purchase join form scanned events twice — at 100 TB the
+    // second scan is the dominant cost; the conditional-aggregate form
+    // must keep exactly one scan and no join at all
+    val p = planOf("q61_cohort_retention")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("curation singles stay shuffle-lean: one scan, no joins") {
     Seq("q57_source_mixing", "q58_seq_packing").foreach { q =>
       val p = planOf(q)
