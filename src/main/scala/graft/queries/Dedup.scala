@@ -33,6 +33,18 @@ object Dedup {
     */
   val KernelVersion = 1
 
+  /** Chunk-key stride for [[paragraphDedup]]: chunk keys are
+    * `doc_id * ParagraphChunkStride + chunk_idx`, so a document may carry
+    * up to 2^22 ≈ 4.2M paragraphs (134M tokens at the default 32-token
+    * window) before keys would collide with the next doc_id — and the key
+    * expression RAISES before that can happen (a runtime guard, not a
+    * testdata-coupled assumption; real web corpora do contain ≥32k-token
+    * documents, which the previous ×1000 stride silently merged).
+    * Headroom on the other side: doc_id may reach 2^41 (≈2.2e12 documents)
+    * before the product overflows a long, also guarded.
+    */
+  val ParagraphChunkStride: Long = 1L << 22
+
   /** Ceiling (bytes, Catalyst size estimate) under which the incremental
     * dedup path may FORCE broadcasts of batch-derived tables. A daily
     * batch is usually ≪ corpus and the forced broadcast saves re-shuffling
@@ -482,7 +494,7 @@ object Dedup {
       |  SELECT doc_id, u.i AS chunk_idx,
       |         array_to_string(toks[u.i*32+1 : u.i*32+32], ' ') AS ptext
       |  FROM t, LATERAL (SELECT unnest(range(0, (len(toks) - 1) // 32 + 1)) AS i) u),
-      |k AS (SELECT doc_id * 1000 + chunk_idx AS ck, doc_id, chunk_idx, ptext FROM ch),
+      |k AS (SELECT doc_id * 4194304 + chunk_idx AS ck, doc_id, chunk_idx, ptext FROM ch),
       |ks AS (SELECT ck, string_split(ptext, ' ') AS toks FROM k),
       |s AS (SELECT ck,
       |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -872,15 +884,32 @@ object Dedup {
     * at stride = window; the synthetic corpus has no newlines — on real
     * text, swap the splitter, the graph machinery is unchanged). The
     * near-dup graph REUSES [[minhashPairs]] verbatim: chunk keys
-    * (doc_id·1000 + chunk_idx — chunk_idx < 1000 by the corpus' 100-token
-    * doc bound, asserted) pose as doc_ids over chunk text, so candidates
-    * come from the same band equi-join and only 8-byte hashes shuffle.
+    * (doc_id·[[ParagraphChunkStride]] + chunk_idx, GUARDED — the key
+    * expression raises on any chunk_idx ≥ 2^22 or doc_id ≥ 2^41 rather
+    * than silently colliding with a neighboring doc's keys) pose as
+    * doc_ids over chunk text, so candidates come from the same band
+    * equi-join and only 8-byte hashes shuffle.
     * Components via the same min-label propagation; keep = component min.
     * Reassembly is one per-doc aggregate: collect kept (chunk_idx, text)
     * structs, array_sort (orders by chunk_idx, the struct's first field),
     * join — deterministic, never dependent on row arrival order.
     */
-  def paragraphDedup(docs: DataFrame, window: Int = 32, threshold: Double = 0.7): DataFrame = {
+  def paragraphDedup(
+      docs: DataFrame,
+      window: Int = 32,
+      threshold: Double = 0.7,
+      stride: Long = ParagraphChunkStride): DataFrame = {
+    // the guard lives INSIDE the ck expression (not a separate action), so
+    // it cannot be pruned away and costs one comparison per chunk; the
+    // encoding is monotone in (doc_id, chunk_idx), so component minima
+    // still mean "first occurrence in document order"
+    val ckGuarded = when(
+      col("c.chunk_idx") < stride &&
+        col("doc_id") >= 0 && col("doc_id") < Long.MaxValue / stride,
+      col("doc_id") * stride + col("c.chunk_idx"))
+      .otherwise(raise_error(format_string(
+        "paragraphDedup: chunk key overflow (doc_id=%d, chunk_idx=%d, stride=%d)",
+        col("doc_id"), col("c.chunk_idx"), lit(stride))))
     val chunks = docs
       .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
       .select(col("doc_id"),
@@ -890,7 +919,7 @@ object Dedup {
             array_join(slice(col("t"), i * window + 1, lit(window)), " ").as("ptext"))))
           .as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"), col("c.ptext").as("ptext"),
-        (col("doc_id") * 1000 + col("c.chunk_idx")).as("ck"))
+        ckGuarded.as("ck"))
     val pairs = minhashPairs(
       chunks.select(col("ck").as("doc_id"), col("ptext").as("text")), threshold)
     val comps = graft.operators.ConnectedComponents.run(

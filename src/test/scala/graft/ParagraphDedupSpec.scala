@@ -53,11 +53,44 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(out(1L) === 1L, "near-dup paragraph dropped")
   }
 
-  test("chunk-key capacity: real-corpus chunk_idx stays far below the 1000 encoding bound") {
+  test("chunk-key capacity: real-corpus chunk_idx stays far below the stride bound") {
     val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
     val maxChunks = docs
       .select((floor((size(split(col("text"), " ", -1)) - 1) / 32) + 1).as("n"))
       .agg(max("n")).collect()(0).getLong(0)
-    assert(maxChunks < 1000, s"chunk-key encoding would collide at $maxChunks chunks/doc")
+    assert(maxChunks < Dedup.ParagraphChunkStride,
+      s"chunk-key encoding would collide at $maxChunks chunks/doc")
+  }
+
+  test("a >1000-chunk document no longer collides its chunk keys into the next doc") {
+    import spark.implicits._
+    // Under the old doc_id*1000 stride, doc 5 chunk 1000 encoded to the
+    // same key as doc 6 chunk 0 — silently merging unrelated paragraphs.
+    // Doc 5: 1001 distinct paragraphs; doc 6: [copy of doc 5's chunk 500,
+    // its own unique paragraph]. Correct output: doc 5 fully intact (its
+    // paragraphs are all first occurrences), doc 6 drops only the copy.
+    val bigDoc = (0 to 1000).map(para).mkString(" ")
+    val docs = Seq(
+      (5L, bigDoc),
+      (6L, para(500) + " " + para(2000))).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+    assert(out(5L) === ((1001L, 0L, bigDoc)),
+      "the 1001-chunk doc keeps every paragraph (all first occurrences)")
+    assert(out(6L) === ((2L, 1L, para(2000))),
+      "the neighbor doc drops exactly the cross-doc duplicate, nothing else")
+  }
+
+  test("chunk-key guard raises instead of silently colliding past the stride") {
+    import spark.implicits._
+    // stride=4 makes the bound reachable with a 5-chunk doc (window=1)
+    val docs = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.paragraphDedup(docs, window = 1, stride = 4L).collect()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("chunk key overflow"), s"unexpected failure: $messages")
   }
 }
