@@ -100,7 +100,11 @@ object ShardExport {
     */
   def manifest(spark: org.apache.spark.sql.SparkSession, epochDir: String): DataFrame =
     spark.read.parquet(epochDir)
-      .groupBy("shard_id")
+      // shard_id comes back as a PARTITION column, so its type is whatever
+      // partition-column inference picks (IntegerType by default) — pin it
+      // to long explicitly like every other oracle-checked column instead
+      // of depending on spark.sql.sources.partitionColumnTypeInference
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(
         countDistinct(col("source"), col("pack_id")).as("n_seqs"),
         count(lit(1)).as("n_docs"),

@@ -421,8 +421,15 @@ object Curation {
         |    AS content_hash
         |FROM d JOIN a ON d.source = a.source AND d.pack_id = a.pack_id
         |GROUP BY a.shard_id ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      // per-PROCESS output dir: unlike the warm-reusable band/IVF indexes,
+      // this artifact is rewritten (SaveMode.Overwrite) on every call, so
+      // two concurrent processes (e.g. bench and verify) sharing one fixed
+      // path would race — one deleting files the other is reading for its
+      // manifest. The pid token isolates them; within a process, calls are
+      // sequential and the rewrite is deterministic.
       val out = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_p512s2048"
+        java.lang.Integer.toHexString(dir.hashCode) + "_p512s2048_pid" +
+        ProcessHandle.current().pid()
       val epochDir = graft.ops.ShardExport.write(
         Tables(s, dir, "documents"), out, epoch = 1, packTokens = 512, shardTokens = 2048)
       graft.ops.ShardExport.manifest(s, epochDir)

@@ -36,4 +36,39 @@ class MinHashRecallSpec extends SparkSpec {
     val recall = (truth & banded).size.toDouble / truth.size
     assert(recall >= 0.9, s"banding recall $recall < 0.9 (${truth.size} true pairs)")
   }
+
+  // The q33/q66/q97/q107 oracles assume banded recall is EXACTLY 1.0 on
+  // the testdata (their DuckDB side replays the EXACT-jaccard graph). That
+  // is corpus-coupled: a regenerated corpus could plant a true pair the
+  // deterministic 8x4 banding misses, failing four oracle hash checks
+  // spuriously. These tests make testdata drift fail ONE named spec here
+  // instead: hard set-equality on both corpora, plus a distribution margin
+  // on sf0.01 — the corpus the driver's DuckDB gate actually runs — where
+  // every true pair must sit at j >= 0.9 (banding miss prob < 2e-4 there;
+  // at j = 0.7 it is ~11%). sf0.001 gets no distribution pin: it carries a
+  // legitimate pair at j = 0.889 that the seeded banding deterministically
+  // catches (equality still asserts that), and no oracle runs over it.
+  for (sf <- Seq("sf0.001", "sf0.01"))
+    test(s"oracle-equality precondition ($sf): banded pair set EQUALS the exact-jaccard pair set") {
+      val docs = Tables(spark, s"/root/testdata/$sf", "documents")
+      val sh = docs.select(
+        col("doc_id"),
+        HashExpressions.shingleHashSet(Text.tokens(col("text")), k = 3).as("sh"))
+      val truth = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          HashExpressions.jaccardSorted(col("x.sh"), col("y.sh")).as("j"))
+        .filter(col("j") >= 0.7)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val banded = Dedup.minhashPairs(docs, threshold = 0.7)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded === truth.keySet,
+        s"testdata drift: banded != exact on $sf — the q33/q66/q97/q107 " +
+          s"oracle-equality argument no longer holds (missed: ${(truth.keySet -- banded).take(5)})")
+      if (sf == "sf0.01") {
+        val marginal = truth.filter { case (_, j) => j < 0.9 }
+        assert(marginal.isEmpty,
+          s"testdata drift: true pairs in the banding-lossy [0.7,0.9) range on the " +
+            s"DuckDB-gate corpus: ${marginal.take(5).mkString(", ")}")
+      }
+    }
 }

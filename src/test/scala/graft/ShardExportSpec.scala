@@ -69,4 +69,34 @@ class ShardExportSpec extends SparkSpec {
       .select("source", "pack_id", "shard_id").collect().map(_.toSeq).toSet
     assert(a1 !== a2)
   }
+
+  test("multi-epoch coverage: distinct permutations, identical totals, every pack once per epoch") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Files.createTempDirectory("graft-shards-e").toString
+    val e0 = ShardExport.write(docs, out, epoch = 0, packTokens = 512, shardTokens = 2048)
+    val e1 = ShardExport.write(docs, out, epoch = 1, packTokens = 512, shardTokens = 2048)
+
+    def packAssign(dir: String) = spark.read.parquet(dir)
+      .select("source", "pack_id", "shard_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Number](2).longValue()).toMap
+    val p0 = packAssign(e0)
+    val p1 = packAssign(e1)
+
+    // every pack appears EXACTLY once per epoch (same pack universe, and
+    // distinct() above + equal sizes rule out a pack in two shards)
+    assert(p0.keySet === p1.keySet, "epochs must cover the identical pack universe")
+    val nPairs0 = spark.read.parquet(e0).select("source", "pack_id", "shard_id").distinct().count()
+    assert(nPairs0 === p0.size.toLong, "a pack landed in more than one shard in epoch 0")
+
+    // the epoch reshuffle is a real permutation, not the identity
+    assert(p0 !== p1, "epoch 0 and 1 must order packs differently")
+
+    // manifest TOTALS (docs, seqs, tokens, content) are epoch-invariant
+    // even though the per-shard split differs — shuffling moves packs
+    // around, it never duplicates or drops content
+    def totals(dir: String) = ShardExport.manifest(spark, dir)
+      .agg(sum("n_seqs"), sum("n_docs"), sum("n_tokens"), sum("content_hash"))
+      .collect()(0).toSeq
+    assert(totals(e0) === totals(e1), "epoch totals must be identical")
+  }
 }
