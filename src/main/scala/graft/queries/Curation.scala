@@ -225,6 +225,60 @@ object Curation {
       |FROM tr JOIN ev ON tr.g = ev.g
       |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Temperature-weighted mixture rebalance — the α-generalization of
+    * q108's equal-token solve (the "sampling temperature" reweighting of
+    * DoReMi/Chinchilla-style data recipes): keep-rate_s ∝ toks_s^(α−1),
+    * normalized so the SMALLEST source keeps everything. α=0 reproduces
+    * q108's equal-token target exactly (rate = mintoks/toks, same floating
+    * association so the rates are bit-identical — CurationSpec pins it);
+    * α=1 is the natural distribution (rate 1 everywhere, a no-op); α in
+    * between downweights big sources progressively less aggressively.
+    *
+    * Rates are integer BASIS POINTS (floored — cross-engine exact) applied
+    * by the q49/q57 deterministic doc-hash (a retried task re-deals
+    * identical samples; never `rand()`). The registered form is α=0.5
+    * because √x is IEEE-correctly-rounded in BOTH engines (hardware sqrt),
+    * so `floor(10000·√(mintoks/toks))` hash-checks cross-engine; arbitrary
+    * α goes through libm `pow`, whose last ulp is engine-dependent — fine
+    * for production use, not for a hash oracle.
+    *
+    * Scale shape is q108's unchanged: the solve is a source-sized
+    * aggregate broadcast back; the apply is a codegen filter over a
+    * pruned second scan — no corpus-wide shuffle.
+    */
+  def temperatureMixture(
+      docs: org.apache.spark.sql.DataFrame,
+      alpha: Double): org.apache.spark.sql.DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"temperature alpha must be in [0,1], got $alpha")
+    val t = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("n"))
+    val totals = t.groupBy("source")
+      .agg(count(lit(1)).as("n_total"), sum("n").as("toks"))
+    val ratio = col("mintoks").cast("double") / col("toks")
+    val rate =
+      if (alpha == 0.0) lit(10000.0) * col("mintoks") / col("toks") // q108's exact association
+      else if (alpha == 0.5) lit(10000.0) * sqrt(ratio)
+      else if (alpha == 1.0) lit(10000.0)
+      else lit(10000.0) * pow(ratio, lit(1.0 - alpha))
+    val rates = totals
+      .crossJoin(broadcast(totals.agg(min("toks").as("mintoks"))))
+      .select(col("source"), floor(rate).cast("long").as("rate_bp"))
+    val kept =
+      pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L)) <
+        col("rate_bp")
+    t.join(broadcast(rates), "source")
+      .select(col("source"), col("n"), col("rate_bp"),
+        when(kept, 1L).otherwise(0L).as("kept"))
+      .groupBy("source")
+      .agg(
+        min("rate_bp").as("rate_bp"),
+        count(lit(1)).as("n_total"),
+        sum(col("n")).cast("long").as("total_tokens"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        sum(col("kept") * col("n")).cast("long").as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     // [[chunkDocs]] at the registered (32, 24) setting; the oracle
     // recomputes the identical windows via list_transform + slicing.
@@ -349,6 +403,36 @@ object Curation {
           sum(col("kept")).cast("long").as("n_kept"),
           sum(col("kept") * col("n")).cast("long").as("kept_tokens"))
         .orderBy("source")
+    },
+
+    // [[temperatureMixture]] at the registered α=0.5 (√ is IEEE-exact in
+    // both engines, so the floored basis-point rates hash-check; see the
+    // method doc). CurationSpec pins the endpoints: α=0 ≡ q108's rates
+    // bit-identically, α=1 ≡ keep-everything.
+    "q109_temperature_mix" -> Q(
+      "Temperature-weighted mixture rebalance (alpha=0.5): keep-rates " +
+        "proportional to toks^(alpha-1), deterministic hash application",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |s AS (SELECT source, COUNT(*) AS n_total, SUM(n) AS toks
+        |      FROM t GROUP BY source),
+        |m AS (SELECT MIN(toks) AS mintoks FROM s),
+        |r AS (SELECT source, n_total, toks,
+        |        CAST(FLOOR(10000.0 * SQRT(CAST(m.mintoks AS DOUBLE) / toks)) AS BIGINT)
+        |          AS rate_bp
+        |      FROM s CROSS JOIN m),
+        |k AS (SELECT t.source, t.n, r.rate_bp,
+        |        CASE WHEN ((t.doc_id % 2147483647) * 2654435761) % 10000 < r.rate_bp
+        |             THEN 1 ELSE 0 END AS kept
+        |      FROM t JOIN r USING (source))
+        |SELECT source, MIN(rate_bp) AS rate_bp,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(kept * n) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      temperatureMixture(Tables(s, dir, "documents"), alpha = 0.5)
     },
 
     // Sequence PACKING: concat-then-chunk — documents are laid out in
@@ -724,6 +808,146 @@ object Curation {
         .otherwise("")
       staged
         .join(canon, Seq("f"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), reason.as("drop_reason"))
+        .select(col("doc_id"), col("source"),
+          (col("drop_reason") === "").cast("int").as("kept"),
+          col("drop_reason"))
+        .orderBy("doc_id")
+    },
+
+    // q74 with the PRODUCTION dedup stage: the q97 near-dup manifest
+    // (banded minhash graph → components → quality-ranked representative,
+    // [[Dedup.rankRepresentatives]] — the SAME ranking code as q91/q97)
+    // replaces q74's exact-fingerprint dedup. Trimmed near-dups of a kept
+    // document now drop as 'duplicate' where the exact stage saw distinct
+    // fingerprints — this is the chain a 100 TB pipeline actually ships.
+    // Oracle: the quality/contam/sampling CTEs are q74's verbatim; the
+    // dedup stage is the q97 exact-jaccard component replay RESTRICTED to
+    // quality survivors (banding is per-doc deterministic, so the
+    // subset inherits the corpus' recall-1.0 equality — MinHashRecallSpec
+    // pins it) + the q91 ranking replay. CurationGateSpec asserts each
+    // disposition agrees with its stand-alone stage query.
+    "q111_neardup_curation" -> Q(
+      "Near-dup-aware curation manifest: quality filter -> q97 minhash " +
+        "manifest dedup -> decontamination -> mixture sampling",
+      """WITH RECURSIVE
+        |train AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 20),
+        |tq AS (SELECT doc_id, string_split(text, ' ') AS toks FROM train),
+        |mq AS (SELECT doc_id, len(toks) AS n_tok,
+        |              len(list_distinct(toks)) AS n_distinct FROM tq),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |                  i -> toks[i] || ' ' || toks[i+1])) AS g
+        |         FROM tq) GROUP BY doc_id, g),
+        |tb AS (SELECT doc_id, MAX(c) AS top_c FROM bc GROUP BY doc_id),
+        |qual AS (SELECT mq.doc_id,
+        |    (CAST(mq.n_tok - mq.n_distinct AS DOUBLE) / mq.n_tok <= 0.6 AND
+        |     (CASE WHEN mq.n_tok > 1
+        |           THEN CAST(tb.top_c AS DOUBLE) / (mq.n_tok - 1) ELSE 0.0 END) <= 0.08)
+        |      AS ok
+        |  FROM mq LEFT JOIN tb USING (doc_id)),
+        |surv AS (SELECT train.doc_id, train.text FROM train
+        |         JOIN qual USING (doc_id) WHERE qual.ok),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM surv),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(1, len(toks) - 1),
+        |                                 i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |      FROM t),
+        |g AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ninter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY u, v),
+        |pj AS (
+        |  SELECT u, v, CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) AS j
+        |  FROM inter
+        |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v),
+        |pairs AS (SELECT u, v FROM pj WHERE j >= 0.7),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+        |comp AS (SELECT LEAST(COALESCE(mm.mn, sv.doc_id), sv.doc_id) AS cluster_id,
+        |                sv.doc_id
+        |         FROM surv sv LEFT JOIN mins mm ON mm.doc_id = sv.doc_id),
+        |nd AS (SELECT comp.doc_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                ORDER BY d.n_chars DESC, comp.doc_id) = 1 AS INTEGER) AS keep
+        |       FROM comp JOIN documents d ON d.doc_id = comp.doc_id),
+        |sh2 AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3),
+        |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh2 WHERE doc_id < 20),
+        |contam AS (SELECT DISTINCT tr.doc_id FROM
+        |             (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sh2
+        |              WHERE doc_id >= 20) tr
+        |           JOIN ev ON tr.g = ev.g),
+        |disp AS (
+        |  SELECT train.doc_id, train.source,
+        |    CASE WHEN NOT qual.ok THEN 'quality'
+        |         WHEN nd.keep = 0 THEN 'duplicate'
+        |         WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+        |         WHEN NOT (((train.doc_id % 2147483647) * 2654435761) % 10000 <
+        |                   CASE length(train.source) % 3 WHEN 0 THEN 2500
+        |                        WHEN 1 THEN 5000 ELSE 9000 END)
+        |           THEN 'sampled'
+        |         ELSE '' END AS drop_reason
+        |  FROM train
+        |  JOIN qual USING (doc_id)
+        |  LEFT JOIN nd USING (doc_id)
+        |  LEFT JOIN contam USING (doc_id))
+        |SELECT doc_id, source,
+        |  CAST(CASE WHEN drop_reason = '' THEN 1 ELSE 0 END AS INTEGER) AS kept,
+        |  drop_reason
+        |FROM disp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val train = docs.filter(col("doc_id") >= 20)
+      val st = graft.functions.HashExpressions
+        .repetitionStats(split(col("text"), " ", -1))
+      val nTok = element_at(col("st"), 1)
+      val dupFrac = (nTok - element_at(col("st"), 2)).cast("double") / nTok
+      val topFrac = when(nTok > 1,
+        element_at(col("st"), 3).cast("double") / (nTok - 1)).otherwise(lit(0.0))
+      val staged = train
+        .select(col("doc_id"), col("source"), col("text"), st.as("st"))
+        .select(col("doc_id"), col("source"), col("text"),
+          (dupFrac <= 0.6 && topFrac <= 0.08).as("quality_ok"))
+      val surv = staged.filter(col("quality_ok")).select("doc_id", "text")
+      val comps = graft.operators.ConnectedComponents.run(
+        surv.select(col("doc_id").as("id")),
+        Dedup.minhashPairs(surv, threshold = 0.7)
+          .select(col("a").as("src"), col("b").as("dst")))
+      val manifest = Dedup.rankRepresentatives(
+          comps.select(col("component").as("cluster_id"), col("id").as("doc_id")), docs)
+        .select(col("doc_id"), col("keep").as("nd_keep"))
+      val sh = docs.select(
+        col("doc_id"), Text.shinglesSpaceSplit(col("text"), k = 5).as("sh"))
+      val ev = sh.filter(col("doc_id") < 20)
+        .select(explode(col("sh")).as("g")).distinct()
+      val contam = sh.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+        .join(broadcast(ev), "g")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      val keepBp = when(pmod(length(col("source")), lit(3)) === 0, 2500)
+        .when(pmod(length(col("source")), lit(3)) === 1, 5000)
+        .otherwise(9000)
+      val sampled =
+        pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L)) < keepBp
+      val reason = when(!col("quality_ok"), "quality")
+        .when(col("nd_keep") === 0, "duplicate")
+        .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+        .when(!sampled, "sampled")
+        .otherwise("")
+      staged
+        .join(manifest, Seq("doc_id"), "left")
         .join(contam, Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"), reason.as("drop_reason"))
         .select(col("doc_id"), col("source"),

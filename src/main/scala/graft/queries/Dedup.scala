@@ -207,6 +207,92 @@ object Dedup {
     crossings.unionByName(withinBatch)
   }
 
+  /** Persist the corpus' component ASSIGNMENT (doc_id, component) next to
+    * its band index — the third artifact of the incremental-dedup store
+    * (bands + shingles + components). Components come from the SAME banded
+    * graph as [[dedupManifest]] (minhashPairs at `threshold`), so the
+    * stored assignment is exactly what a from-scratch q97 run would
+    * compute; the threshold is baked into the subdirectory name because
+    * the assignment is a function of it (the [[indexPathFor]] staleness
+    * rule, one level down).
+    */
+  def persistComponents(docs: DataFrame, indexPath: String, threshold: Double): String = {
+    val out = componentsSubdir(indexPath, threshold)
+    graft.operators.ConnectedComponents.run(
+        docs.select(col("doc_id").as("id")),
+        minhashPairs(docs, threshold).select(col("a").as("src"), col("b").as("dst")))
+      .select(col("id").as("doc_id"), col("component"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(out)
+    out
+  }
+
+  private def componentsSubdir(indexPath: String, threshold: Double): String =
+    s"$indexPath/components_bp${math.round(threshold * 10000)}"
+
+  /** Incremental connected-component MERGE — the production daily-batch
+    * path the from-scratch [[dedupManifest]] cannot be at 100 TB: day-N's
+    * stored assignment + day-N+1's batch-touching pairs (via the persisted
+    * band index, [[incrementalMinhashPairs]]) → the UPDATED full
+    * assignment, recomputing only components that intersect the batch.
+    *
+    * Exactness argument: the corpus' documents don't change, so the full
+    * pair graph over corpus ∪ batch is (old corpus pairs) ∪ (batch-touching
+    * pairs). Contracting each old component — a connected subgraph — to its
+    * representative preserves connectivity, and since a stored component id
+    * IS the minimum member id, the min-label CC over the contracted "merge
+    * graph" (nodes: batch ids + touched representatives; edges: batch
+    * pairs with each endpoint replaced by its representative) yields
+    * exactly the from-scratch component minima. DedupIndexSpec asserts
+    * bit-identity to a from-scratch run on both testdata corpora plus a
+    * planted two-components-bridged fixture; the q110 oracle replays the
+    * whole-corpus graph in DuckDB.
+    *
+    * Scale shape (the O(batch) contract):
+    *   - the merge graph is O(batch pairs) — CC runs on it, never on the
+    *     corpus graph;
+    *   - the stored assignment is SCANNED (twice: endpoint→rep resolution
+    *     and the final remap) but never shuffled: both joins broadcast the
+    *     batch-derived side under the q66 size gate, so the corpus-sized
+    *     side streams map-side;
+    *   - output is the full updated assignment — a linear write, the same
+    *     cost as reading the store it replaces.
+    */
+  def incrementalComponentMerge(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      broadcastCeiling: Long = IncrementalBroadcastCeiling): DataFrame = {
+    val stored = spark.read.parquet(componentsSubdir(indexPath, threshold))
+    val batchSmall =
+      newDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(broadcastCeiling)
+    def hinted(df: DataFrame): DataFrame = if (batchSmall) broadcast(df) else df
+    val pairs = incrementalMinhashPairs(spark, newDocs, indexPath, threshold)
+      .select(col("new_id"), col("existing_id"))
+    val batchIds = newDocs.select(col("doc_id").as("id"))
+    // endpoint → representative: stored component for corpus docs, own id
+    // for batch docs. INNER join against the union map (not an outer join
+    // against the store) so the batch-derived side can be the broadcast
+    // build side while the corpus-sized store streams.
+    val repMap = stored.select(col("doc_id").as("existing_id"), col("component").as("rep"))
+      .unionByName(batchIds.select(col("id").as("existing_id"), col("id").as("rep")))
+    val edges = repMap.join(hinted(pairs), "existing_id")
+      .select(col("new_id").as("src"), col("rep").as("dst"))
+    // the merge graph: batch ids (isolated batch docs must come out as
+    // singletons) + every touched representative
+    val comps = graft.operators.ConnectedComponents.run(
+      batchIds.unionByName(edges.select(col("dst").as("id"))), edges)
+    val remap = comps.select(col("id").as("component"), col("component").as("newc"))
+    val updatedCorpus = stored
+      .join(hinted(remap), Seq("component"), "left")
+      .select(coalesce(col("newc"), col("component")).as("cluster_id"), col("doc_id"))
+    val batchAssign = comps.join(hinted(batchIds), "id")
+      .select(col("component").as("cluster_id"), col("id").as("doc_id"))
+    updatedCorpus.unionByName(batchAssign).orderBy("doc_id")
+  }
+
   /** The 100 TB form of q65's cross-source overlap matrix: identical plan
     * shape (per-source distinct shingles → self equi-join on the shingle →
     * source×source count) but the join/shuffle key is the 8-byte XXH64
@@ -482,6 +568,25 @@ object Dedup {
       |FROM comp JOIN documents USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q110's oracle: the FROM-SCRATCH whole-corpus component replay (the
+    * q97 CTE minus the ranking). Equality with the Spark side is the whole
+    * point: the incremental merge must reproduce exactly what a full rerun
+    * over corpus ∪ batch computes.
+    */
+  private val incrementalComponentsOracleSql =
+    s"""WITH RECURSIVE
+      |$ExactPairPrefixSql,
+      |pairs AS (SELECT u, v FROM pj WHERE j >= 0.7),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
+      |SELECT LEAST(COALESCE(m.mn, d.doc_id), d.doc_id) AS cluster_id, d.doc_id
+      |FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q107's oracle: the paragraph-granularity replay — chunk, exact-jaccard
     * pair graph over chunk keys (equal to the banded graph on the testdata,
     * same argument as q97), recursive-CTE component mins, keep = component
@@ -571,6 +676,24 @@ object Dedup {
         incrementalMinhashPairs(
             s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), path, threshold = 0.7)
           .orderBy("new_id", "existing_id")
+    },
+
+    // The production DAILY path for the q97 manifest (see
+    // [[incrementalComponentMerge]]): day-N components are stored next to
+    // the band index; the batch (doc_id%5 == 0) contributes only its
+    // touching pairs, and only components intersecting the batch are
+    // recomputed — on a contracted merge graph of batch size. The oracle
+    // is the whole-corpus from-scratch replay: values equal ⟺ the merge
+    // is exact.
+    "q110_incremental_components" -> Q(
+      "Incremental component merge: stored day-N assignment + batch pairs " +
+        "-> updated full assignment, recomputing only batch-touching components",
+      incrementalComponentsOracleSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val path = componentIndexFor(corpus, dir, threshold = 0.7)
+      incrementalComponentMerge(
+        s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), path, threshold = 0.7)
     },
 
     "q34_dedup_simhash" -> Q.noOracle(
@@ -974,6 +1097,20 @@ object Dedup {
     val reusable = dir.startsWith("/root/testdata") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS"))
     if (!reusable) persistBandIndex(corpus, path)
+    path
+  }
+
+  /** [[bandIndexFor]] plus the day-N component assignment (same warm-reuse
+    * policy; the threshold rides the subdirectory name so an incompatible
+    * assignment can never be served — see [[persistComponents]]).
+    */
+  private def componentIndexFor(
+      corpus: DataFrame, dir: String, threshold: Double): String = synchronized {
+    val path = bandIndexFor(corpus, dir)
+    val sub = componentsSubdir(path, threshold)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(sub, "_SUCCESS"))
+    if (!reusable) persistComponents(corpus, path, threshold)
     path
   }
 }

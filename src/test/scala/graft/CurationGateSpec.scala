@@ -227,4 +227,57 @@ class CurationGateSpec extends SparkSpec {
         s"$source: nothing was excluded despite exceeding the budget")
     }
   }
+
+  test("q111: every disposition agrees with its stand-alone stage query") {
+    val out = SparkEntry.queries("q111_neardup_curation")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    val docs = Tables(spark, dir, "documents")
+
+    // stage 1 — quality: same rule family as q74 (dup-word + top-bigram
+    // fractions); recompute independently from q64's registered output
+    val q64 = SparkEntry.queries("q64_repetition_filter")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("dup_word_frac") <= 0.6 && r.getAs[Double]("top_bigram_frac") <= 0.08))
+      .toMap
+    out.foreach { case (id, (_, reason)) =>
+      if (reason == "quality") assert(!q64(id), s"doc $id dropped as quality but passes q64")
+      else assert(q64(id), s"doc $id not quality-dropped but fails the q64 rule")
+    }
+
+    // stage 2 — near-dup: 'duplicate' drops are exactly the keep=0 rows of
+    // a stand-alone q97-style manifest over the quality survivors
+    val survIds = out.collect { case (id, (_, r)) if r != "quality" => id }.toSet
+    val surv = docs.filter(col("doc_id") >= 20)
+      .filter(col("doc_id").isin(survIds.toSeq: _*))
+      .select("doc_id", "text", "source", "n_chars")
+    val manifest = graft.queries.Dedup.dedupManifest(surv).collect()
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    out.foreach { case (id, (_, reason)) =>
+      if (reason == "duplicate")
+        assert(manifest(id) == 0, s"doc $id dropped as duplicate but q97 keeps it")
+      else if (reason != "quality")
+        assert(manifest(id) == 1, s"doc $id survived dedup but q97 drops it")
+    }
+    assert(out.values.exists(_._2 == "duplicate"),
+      "fixture corpus plants near-dups — the manifest stage must drop some")
+
+    // stages 3/4 — decontamination (q59's flags) and sampling (q57's rule),
+    // in disposition order
+    val contam = SparkEntry.queries("q59_decontam")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val passesSampling = docs.select(col("doc_id"),
+      (pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L)) <
+        when(pmod(length(col("source")), lit(3)) === 0, 2500)
+          .when(pmod(length(col("source")), lit(3)) === 1, 5000)
+          .otherwise(9000)).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.foreach { case (id, (kept, reason)) =>
+      reason match {
+        case "contaminated" => assert(contam.contains(id))
+        case "sampled" => assert(!contam.contains(id) && !passesSampling(id))
+        case "" => assert(kept == 1 && !contam.contains(id) && passesSampling(id))
+        case _ => ()
+      }
+    }
+  }
 }

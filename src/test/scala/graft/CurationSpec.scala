@@ -194,4 +194,35 @@ class CurationSpec extends SparkSpec {
     assert(out.values.exists(_._1 == 1), "pipeline must keep something")
     assert(out.values.exists(_._1 == 0), "pipeline must drop something")
   }
+
+  test("q109 temperature endpoints: alpha=0 equals q108 bit-identically, alpha=1 keeps everything") {
+    val docs = graft.queries.Tables(spark, dir, "documents")
+
+    // alpha=0 must reproduce the registered q108 equal-token solve EXACTLY
+    // (same floating association, same floor) — whole rows, not just rates
+    val q108 = graft.SparkEntry.registry("q108_mixture_rebalance")
+      .fn(spark, dir).collect().map(_.toSeq).toSeq
+    val alpha0 = graft.queries.Curation.temperatureMixture(docs, alpha = 0.0)
+      .collect().map(_.toSeq).toSeq
+    assert(alpha0 === q108, "alpha=0 must be q108's equal-token rebalance")
+
+    // alpha=1 is the natural distribution: rate 10000 everywhere, nothing dropped
+    val alpha1 = graft.queries.Curation.temperatureMixture(docs, alpha = 1.0).collect()
+    alpha1.foreach { r =>
+      assert(r.getAs[Long]("rate_bp") === 10000L)
+      assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_total"),
+        s"alpha=1 dropped docs in ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("kept_tokens") === r.getAs[Long]("total_tokens"))
+    }
+
+    // 0 < alpha < 1 interpolates: every source's rate sits between the
+    // alpha=0 and alpha=1 rates (monotone in alpha)
+    val r0 = alpha0.map(s => s(0) -> s(1).asInstanceOf[Long]).toMap
+    val rHalf = graft.queries.Curation.temperatureMixture(docs, alpha = 0.5).collect()
+      .map(r => (r.getString(0): Any) -> r.getAs[Long]("rate_bp")).toMap
+    rHalf.foreach { case (src, bp) =>
+      assert(bp >= r0(src) && bp <= 10000L,
+        s"alpha=0.5 rate $bp for $src outside [${r0(src)}, 10000]")
+    }
+  }
 }

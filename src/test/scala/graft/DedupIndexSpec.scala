@@ -94,6 +94,71 @@ class DedupIndexSpec extends SparkSpec {
     assert(inc == full, s"after append: incremental=$inc vs restricted-full=$full")
   }
 
+  test("incremental component merge equals a from-scratch run over corpus + batch") {
+    // q110's contract: stored day-N assignment + batch pairs → EXACTLY the
+    // assignment a full rerun over corpus ∪ batch computes. Compared
+    // against the banded from-scratch run (not the exact-jaccard oracle)
+    // so the check is independent of banding recall.
+    for (d <- dirs) {
+      val docs = graft.queries.Tables(spark, d, "documents")
+      val scratch = graft.operators.ConnectedComponents.run(
+          docs.select(col("doc_id").as("id")),
+          graft.queries.Dedup.minhashPairs(docs, threshold = 0.7)
+            .select(col("a").as("src"), col("b").as("dst")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val inc = SparkEntry.queries("q110_incremental_components")(spark, d).collect()
+        .map(r => r.getLong(1) -> r.getLong(0)).toMap
+      assert(inc == scratch, s"$d: incremental merge diverges from from-scratch " +
+        s"(first diffs: ${(inc.toSet diff scratch.toSet).take(5)})")
+    }
+  }
+
+  test("incremental merge bridges two stored components through a batch doc") {
+    import spark.implicits._
+    // The hard case a corpus-restricted equality test can miss: a batch doc
+    // near-dup of members of TWO distinct stored components must merge
+    // them into one, labeled by the global min id. Block construction
+    // (A=60, B=20, C=20 tokens): T1=A·B and T2=A·C share j≈0.59 (< 0.7,
+    // separate components); W=A·B·C has j≈0.80 with T1 and j≈0.76 with T2
+    // (both ≥ 0.7, both well inside banding recall).
+    val a = (0 until 60).map(i => s"a$i")
+    val b = (0 until 20).map(i => s"b$i")
+    val c = (0 until 20).map(i => s"c$i")
+    val t1 = (a ++ b).mkString(" ")
+    val t2 = (a ++ c).mkString(" ")
+    val w = (a ++ b ++ c).mkString(" ")
+    val uniq1 = (0 until 40).map(i => s"u$i").mkString(" ")
+    val uniq2 = (0 until 40).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2), (7L, uniq1))
+      .toDF("doc_id", "text")
+    val batch = Seq((0L, w), (5L, uniq2)).toDF("doc_id", "text")
+
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_comp_idx").toString + "/idx"
+    graft.queries.Dedup.persistBandIndex(corpus, path)
+    graft.queries.Dedup.persistComponents(corpus, path, threshold = 0.7)
+    // day-N state must be two separate components before the batch arrives
+    val stored = spark.read.parquet(s"$path/components_bp7000")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 7L -> 7L))
+
+    val merged = graft.queries.Dedup
+      .incrementalComponentMerge(spark, batch, path, threshold = 0.7)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(merged === Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 5L, 7L -> 7L),
+      s"bridge doc 0 must merge components {1,2} and {3,4} under label 0: $merged")
+
+    // and the merge equals the from-scratch run over corpus ∪ batch
+    val all = corpus.unionByName(batch)
+    val scratch = graft.operators.ConnectedComponents.run(
+        all.select(col("doc_id").as("id")),
+        graft.queries.Dedup.minhashPairs(all, threshold = 0.7)
+          .select(col("a").as("src"), col("b").as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === scratch)
+  }
+
   test("index path fingerprints every banding parameter: any change forces a rebuild") {
     // the staleness guard: a binary with different banding parameters (or
     // kernel version) computes a DIFFERENT artifact path, so it can never

@@ -369,4 +369,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q110 incremental merge: stored assignment streams against broadcast batch tables") {
+    // the O(batch) contract: the corpus-sized component store may be
+    // SCANNED but never shuffled — every join against it must build from
+    // the (gated) broadcast batch side, and the CC loop must run on the
+    // contracted merge graph, not the corpus graph
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val path = graft.queries.Dedup.indexPathFor(sf)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS")))
+      graft.queries.Dedup.persistBandIndex(corpus, path)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "components_bp7000", "_SUCCESS")))
+      graft.queries.Dedup.persistComponents(corpus, path, threshold = 0.7)
+    val df = graft.queries.Dedup
+      .incrementalComponentMerge(spark, batch, path, threshold = 0.7)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join means the component store was shuffled:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "rep resolution and the final remap must both broadcast the batch side:\n" + p)
+  }
 }
