@@ -279,6 +279,54 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Epoch-week bucket: pure integer arithmetic, identical in both engines. */
+  private def epochWeek = floor(unix_micros(col("ts")) / lit(604800000000L)).cast("long")
+
+  /** q61's SINGLE-PASS form (the q60 pattern): both per-user facts —
+    * min(signup week) and the distinct purchase-week set — in one
+    * conditional aggregate over ONE events scan, then the bounded week set
+    * explodes. One user-keyed exchange, no join; collect_set partials
+    * collapse map-side so the exchange carries per-user week sets, never
+    * raw purchase rows. See PLANS.md § "q61 settled" for the measured
+    * crossover against [[cohortChained]].
+    */
+  def cohortSinglePass(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.select(col("user_id"), col("event_type"), epochWeek.as("w"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("w"))).as("w0"),
+        collect_set(when(col("event_type") === "purchase", col("w"))).as("pws"))
+      .filter(col("w0").isNotNull)
+      .select(col("w0"), explode(col("pws")).as("wk_abs"))
+      .select(col("w0"), (col("wk_abs") - col("w0")).as("wk"))
+      .filter(col("wk").between(0, 4))
+      .groupBy(col("w0").as("cohort_week"), col("wk").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+
+  /** q61's CHAINED-JOIN form (the pre-round-9 shape): signup slice →
+    * per-user cohort week, purchase slice joined back on user_id. Two
+    * events scans, but each slice filter pushes to parquet and the rows
+    * entering the aggregate/join are only the two slices — cheaper when
+    * signup+purchase are a small fraction of events (this corpus: ~27%)
+    * and the scan is fast (local NVMe); the single-pass form wins when
+    * the scan itself dominates (remote object storage at 100 TB).
+    */
+  def cohortChained(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), epochWeek.as("w"))
+      .groupBy("user_id").agg(min("w").as("w0"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), epochWeek.as("wk_abs"))
+      .join(su, "user_id")
+      .select(col("user_id"), col("w0"), (col("wk_abs") - col("w0")).as("wk"))
+      .filter(col("wk").between(0, 4))
+      .distinct()
+      .groupBy(col("w0").as("cohort_week"), col("wk").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val all: Map[String, Q] = Map(
     // [[chunkDocs]] at the registered (32, 24) setting; the oracle
     // recomputes the identical windows via list_transform + slicing.
@@ -626,20 +674,7 @@ object Curation {
         |SELECT w0 AS cohort_week, wk AS week_offset, COUNT(*) AS n_users
         |FROM act WHERE wk BETWEEN 0 AND 4
         |GROUP BY w0, wk ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
-      val ev = Tables(s, dir, "events").select("user_id", "event_type", "ts")
-      val week = floor(unix_micros(col("ts")) / lit(604800000000L)).cast("long")
-      ev.select(col("user_id"), col("event_type"), week.as("w"))
-        .groupBy("user_id")
-        .agg(
-          min(when(col("event_type") === "signup", col("w"))).as("w0"),
-          collect_set(when(col("event_type") === "purchase", col("w"))).as("pws"))
-        .filter(col("w0").isNotNull)
-        .select(col("w0"), explode(col("pws")).as("wk_abs"))
-        .select(col("w0"), (col("wk_abs") - col("w0")).as("wk"))
-        .filter(col("wk").between(0, 4))
-        .groupBy(col("w0").as("cohort_week"), col("wk").as("week_offset"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
+      cohortSinglePass(Tables(s, dir, "events").select("user_id", "event_type", "ts"))
     },
 
     // PII redaction under the value oracle. The testdata corpus is

@@ -141,6 +141,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q61: chained-join form equals the registered single-pass form exactly") {
+    // PLANS.md § "q61 settled": the single-pass form is registered for the
+    // scan-dominated 100 TB regime, the chained form stays available for
+    // small interactive slices — they must never disagree
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = graft.queries.Tables(spark, d, "events")
+        .select("user_id", "event_type", "ts")
+      val sp = graft.queries.Curation.cohortSinglePass(ev).collect().map(_.toSeq).toSeq
+      val ch = graft.queries.Curation.cohortChained(ev).collect().map(_.toSeq).toSeq
+      assert(sp === ch, s"$d: the two cohort forms diverge")
+    }
+  }
+
   test("q61 cohort retention: every cell is bounded by its cohort's size") {
     val rows = SparkEntry.queries("q61_cohort_retention")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
