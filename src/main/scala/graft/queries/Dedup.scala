@@ -696,6 +696,12 @@ object Dedup {
         s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), path, threshold = 0.7)
     },
 
+    // ORACLE CLOSURE: rows-only is FINAL — the pair set is defined by
+    // hamming distance between xxhash-derived simhash VALUES (a custom
+    // codegen kernel DuckDB cannot recompute), and unlike q33 there is no
+    // text-level equality argument: hamming<=8 on simhash does not
+    // correspond to any exact text predicate DuckDB could replay.
+    // ExpressionsSpec pins the kernel; the banding is q33's, spec-shared.
     "q34_dedup_simhash" -> Q.noOracle(
       "SimHash near-dup pairs (64-bit, 4×16 bands), hamming-verified <= 8") { (s, dir) =>
       simhashPairs(Tables(s, dir, "documents"), maxHamming = 8)

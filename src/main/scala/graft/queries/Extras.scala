@@ -196,6 +196,9 @@ object Extras {
     // engine-specific → rows-only; CurationGateSpec's sketch-twin test
     // bounds every reported quantile inside the exact neighboring order
     // statistics, the GK rank-error contract.
+    // ORACLE CLOSURE: rows-only is FINAL — same class as q51: a GK-sketch
+    // ESTIMATE has no cross-engine-exact value; the order-statistics
+    // sandwich spec is the operator's actual contract.
     "q102_quantile_sketch" -> Q.noOracle(
       "Per-source length quantiles via mergeable percentile_approx " +
         "sketches — the capacity-bounded twin of q76") { (s, dir) =>
@@ -337,6 +340,10 @@ object Extras {
       funnelSinglePass(Tables(s, dir, "events").select("user_id", "event_type", "ts"))
     },
 
+    // ORACLE CLOSURE: rows-only is FINAL — the metadata comes from real
+    // JDK decoders (javax.imageio headers, WAV/RIFF chunk walk, MP4
+    // moov/mvhd), none of which DuckDB can recompute; MultimodalSpec pins
+    // exact planted values instead.
     "q45_media_meta" -> Q.noOracle(
       "Multimodal decode pipeline: binary payload → typed metadata, partition-local " +
         "(real javax.imageio decode for image payloads, deterministic stub otherwise)") {
@@ -355,6 +362,8 @@ object Extras {
     // 8-byte hash ever shuffles, never pixels. rows-only (DuckDB has no
     // image decoder); the value-level check is DHashSpec's planted-family
     // recall/precision assertion.
+    // ORACLE CLOSURE: rows-only is FINAL — JDK image decode (and hence
+    // every downstream hash) has no ANSI-SQL equivalent.
     "q70_image_neardup" -> Q.noOracle(
       "Perceptual image near-dup pairs: dHash64 + 4×16-bit banding, hamming-verified <= 8") {
       (s, dir) =>
@@ -369,6 +378,8 @@ object Extras {
     // q70's banding shape: payload bytes never shuffle, only 8-byte
     // fingerprints. rows-only (DuckDB has no WAV decoder); the value-level
     // check is AudioFingerprintSpec's planted-family recall/precision.
+    // ORACLE CLOSURE: rows-only is FINAL — q70's JDK-decode class, WAV
+    // sample math instead of pixels.
     "q87_audio_neardup" -> Q.noOracle(
       "Audio near-dup pairs: energy/zcr fingerprint64 + 4×16-bit banding, hamming <= 6") {
       (s, dir) =>
@@ -386,6 +397,8 @@ object Extras {
     // come from the shared 4×16-bit band equi-join, never a cross join.
     // rows-only (DuckDB has no box/image decoder); the value-level check
     // is VideoNearDupSpec's planted-family recall/precision.
+    // ORACLE CLOSURE: rows-only is FINAL — q70's JDK-decode class at
+    // frame granularity (ISO-BMFF box walk + PNG chunk grammar).
     "q89_video_neardup" -> Q.noOracle(
       "Video near-dup pairs: per-frame dHash64, banded frame matches, overlap >= 0.5 on min side") {
       (s, dir) =>

@@ -266,6 +266,10 @@ object Similarity {
     // corpus (recall@5 0.82 probing 11/16 buckets, vs 0.56 at H<=1); the
     // probe-count/recall trade is measured in the lshTopK scaladoc, and
     // IvfIndex remains the blessed ANN path (0.9 probing 4/16).
+    // ORACLE CLOSURE: rows-only is FINAL — an ANN shortlist with recall<1
+    // by design equals no exact SQL-computable answer; the bucket geometry
+    // (sign-projection hashes) is engine-specific. SimilaritySpec bounds
+    // recall against the oracled exact q36 instead.
     "q38_knn_lsh" -> Q.noOracle(
       "LSH ANN top-5, multi-probe sign buckets H<=2 (recall 0.82 measured; see lshTopK docs)") {
       (s, dir) =>
@@ -275,6 +279,10 @@ object Similarity {
           .orderBy("query_id", "rank")
     },
 
+    // ORACLE CLOSURE: rows-only is FINAL — same class as q38 (ANN
+    // shortlist, recall<1 by design; the k-means coarse quantizer is an
+    // iterative driver fit no single ANSI statement replays). IvfIndexSpec
+    // bounds recall vs the oracled exact q36.
     "q42_knn_ivf" -> Q.noOracle(
       "IVF ANN top-5: k-means coarse quantizer, 4-probe bucket equi-join (recall < 1)") {
       (s, dir) =>
@@ -292,6 +300,9 @@ object Similarity {
     // partition directories (pruning asserted in IvfIndexSpec). Results are
     // identical to q42 by construction (same model via modelFor, same
     // probe set).
+    // ORACLE CLOSURE: rows-only is FINAL — inherits q42's class (ANN
+    // shortlist over the same driver-fit model); IvfIndexSpec asserts
+    // bit-identity to q42, so one closure argument covers both.
     "q56_knn_ivf_persisted" -> Q.noOracle(
       "IVF ANN top-5 over the persisted bucket-partitioned index (scan prunes to probed buckets)") {
       (s, dir) =>
@@ -313,6 +324,10 @@ object Similarity {
     // index (also pruned to the probed buckets). Recall vs the float path
     // is bounded ≥ 0.9 in IvfIndexSpec; with a full-width shortlist the
     // result is asserted IDENTICAL to q56's.
+    // ORACLE CLOSURE: rows-only is FINAL — q56's ANN class plus int8
+    // asymmetric scoring (a custom codegen kernel); the spec chain
+    // (q62 ≡ q56 at full width, q56 ≡ q42, q42 recall-bounded vs oracled
+    // q36) is the strongest attainable check.
     "q62_knn_ivf_quantized" -> Q.noOracle(
       "IVF ANN top-5 over the persisted int8-quantized index, asymmetric scoring + " +
         "exact float rerank (recall >= 0.9 vs float path asserted in IvfIndexSpec)") {
@@ -337,6 +352,9 @@ object Similarity {
     // registered rows-only, with SemanticDedupSpec bounding pair recall
     // (>= 0.75 measured-with-margin) and asserting zero false-positive
     // pairs and keep-list/pair-graph consistency.
+    // ORACLE CLOSURE: rows-only is FINAL — recall<1 vs the exact graph is
+    // the operator's DESIGN (SemDeDup trades recall for sub-quadratic
+    // cost), so no equality argument to an oracled form can exist.
     "q71_semantic_dedup" -> Q.noOracle(
       "SemDeDup: near-dup clusters from k-means-cell-restricted candidates " +
         "(k=8 spherical cells, top-2 soft assignment, exact cosine>=0.4 verify; " +
@@ -414,6 +432,10 @@ object Similarity {
     // decimal-exact q94 values. Eigen internals aren't ANSI-SQL, so no
     // oracle — PcaSpec pins orthonormality, the eigen residual, explained
     // variance ordering, and projection determinism.
+    // ORACLE CLOSURE: rows-only is FINAL — the iterative Jacobi
+    // eigensolve is a driver-side loop no single ANSI statement can
+    // replay (its INPUT, the q94 moment matrix, is hash-oracled; its
+    // output properties are spec-pinned above).
     "q95_pca_project" -> Q.noOracle(
       "Project embeddings onto the top-2 principal axes of the q94 moment " +
         "matrix (driver Jacobi on d x d; codegen dot-product projection)") { (s, dir) =>

@@ -367,6 +367,9 @@ object TextAnalysis {
     // rows-only: DuckDB has no iterative trainer to recompute the merges;
     // the value-level check is BpeSpec's bit-exact identity against the
     // plain-Scala reference trainer on real testdata word counts.
+    // ORACLE CLOSURE: rows-only is FINAL — the per-round argmax driver
+    // loop is not expressible as one ANSI statement (each round's pair
+    // counts depend on the previous round's merge).
     "q69_bpe_learn" -> Q.noOracle(
       "BPE vocabulary induction: learn 16 merges from the corpus " +
         "(distinct-word table + one bounded driver row per round)") { (s, dir) =>
@@ -525,6 +528,8 @@ object TextAnalysis {
     // order → deterministic in-engine but not ANSI-replayable: rows-only;
     // CompressSpec pins the discriminating property on planted fixtures
     // and determinism across reruns.
+    // ORACLE CLOSURE: rows-only is FINAL — DuckDB ships no zlib deflate
+    // function, and compressed byte counts are zlib-build-specific.
     "q101_compress_ratio" -> Q.noOracle(
       "Compression-ratio quality signal: deflate(text) bytes / raw bytes " +
         "per doc (partition-local Deflater, no shuffle)") { (s, dir) =>

@@ -298,6 +298,9 @@ object Training {
     // expand+two-phase count-distinct (constant memory, one pass, mergeable
     // sketch). Sketch internals are engine-specific, so no value oracle —
     // TrainingSpec pins the estimate within 5% of exact instead.
+    // ORACLE CLOSURE: rows-only is FINAL — an HLL++ ESTIMATE has no
+    // cross-engine-exact value by definition; the 5%-of-exact spec bound
+    // is the operator's actual contract.
     "q51_approx_distinct" -> Q.noOracle(
       "approx_count_distinct (HLL++) distinct users per event_type; " +
         "5%-of-exact asserted in TrainingSpec") { (s, dir) =>
