@@ -31,14 +31,22 @@ object Bench {
 
   /** Strip per-JVM/session artifacts so byte-identical code hashes
     * identically: ExprIds, anonymous lambda class names with their JVM
-    * address + identity hash, and object addresses generally. Shared by
+    * address + identity hash, object addresses generally, `plan_id`s
+    * (a SESSION-GLOBAL counter — without stripping it, merely registering
+    * a new query shifts every alphabetically-later query's ids and flips
+    * its hash on untouched code; 26 queries "drifted" that way in the
+    * round-10 record before this normalization), and per-run artifact
+    * paths under java.io.tmpdir (q105's per-process shard dir). Shared by
     * the hash and the `SPARK_GRAFT_PLAN_DUMP` text (so a dump diff
     * explains exactly the hash's verdict).
     */
   def normalizePlan(plan: String): String = plan
     .replaceAll("#\\d+", "#")
+    .replaceAll("plan_id=\\d+", "plan_id=")
     .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "\\$\\$Lambda")
     .replaceAll("@[0-9a-f]{6,}", "@")
+    .replaceAll(java.util.regex.Pattern.quote(sys.props("java.io.tmpdir")) +
+      "\\S*", "<tmp>")
 
   /** When `SPARK_GRAFT_PLAN_DUMP` is set, the normalized plan text behind
     * every emitted hash is written there as `<query>.txt` — the bisect
