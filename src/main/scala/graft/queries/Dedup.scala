@@ -207,29 +207,67 @@ object Dedup {
     crossings.unionByName(withinBatch)
   }
 
-  /** Persist the corpus' component ASSIGNMENT (doc_id, component) next to
-    * its band index — the third artifact of the incremental-dedup store
-    * (bands + shingles + components). Components come from the SAME banded
-    * graph as [[dedupManifest]] (minhashPairs at `threshold`), so the
-    * stored assignment is exactly what a from-scratch q97 run would
-    * compute; the threshold is baked into the subdirectory name because
-    * the assignment is a function of it (the [[indexPathFor]] staleness
-    * rule, one level down).
+  /** Persist the corpus' day-N dedup MANIFEST (doc_id, component, n_chars,
+    * keep) next to its band index — the third artifact of the
+    * incremental-dedup store (bands + shingles + manifest). It is exactly
+    * a [[dedupManifest]] run (same banded graph, same
+    * [[rankRepresentatives]] ranking), so the stored state is what a
+    * from-scratch q97 computes; the threshold is baked into the
+    * subdirectory name because every stored value is a function of it
+    * (the [[indexPathFor]] staleness rule, one level down — and the
+    * subdir name doubles as the SCHEMA version: a binary writing extra
+    * columns writes a new subdir, never misreads an old one).
     */
   def persistComponents(docs: DataFrame, indexPath: String, threshold: Double): String = {
-    val out = componentsSubdir(indexPath, threshold)
-    graft.operators.ConnectedComponents.run(
-        docs.select(col("doc_id").as("id")),
-        minhashPairs(docs, threshold).select(col("a").as("src"), col("b").as("dst")))
-      .select(col("id").as("doc_id"), col("component"))
+    val out = manifestSubdir(indexPath, threshold)
+    dedupManifest(docs, threshold)
+      .select(col("doc_id"), col("cluster_id").as("component"),
+        col("n_chars"), col("keep"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd")
       .parquet(out)
     out
   }
 
-  private def componentsSubdir(indexPath: String, threshold: Double): String =
-    s"$indexPath/components_bp${math.round(threshold * 10000)}"
+  private def manifestSubdir(indexPath: String, threshold: Double): String =
+    s"$indexPath/manifest_bp${math.round(threshold * 10000)}"
+
+  /** The shared core of the incremental paths (q110/q112): CC over the
+    * CONTRACTED merge graph — batch ids + touched stored representatives,
+    * edges = batch-touching pairs with endpoints replaced by their reps.
+    * Also returns the batch id frame and the size-gated broadcast hint so
+    * both callers join the corpus-sized store the same O(batch) way.
+    */
+  private case class ContractedMerge(
+      comps: DataFrame, batchIds: DataFrame, hinted: DataFrame => DataFrame)
+
+  private def contractedComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      stored: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      broadcastCeiling: Long): ContractedMerge = {
+    val batchSmall =
+      newDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(broadcastCeiling)
+    def hinted(df: DataFrame): DataFrame = if (batchSmall) broadcast(df) else df
+    val pairs = incrementalMinhashPairs(spark, newDocs, indexPath, threshold)
+      .select(col("new_id"), col("existing_id"))
+    val batchIds = newDocs.select(col("doc_id").as("id"))
+    // endpoint → representative: stored component for corpus docs, own id
+    // for batch docs. INNER join against the union map (not an outer join
+    // against the store) so the batch-derived side can be the broadcast
+    // build side while the corpus-sized store streams.
+    val repMap = stored.select(col("doc_id").as("existing_id"), col("component").as("rep"))
+      .unionByName(batchIds.select(col("id").as("existing_id"), col("id").as("rep")))
+    val edges = repMap.join(hinted(pairs), "existing_id")
+      .select(col("new_id").as("src"), col("rep").as("dst"))
+    // the merge graph: batch ids (isolated batch docs must come out as
+    // singletons) + every touched representative
+    val comps = graft.operators.ConnectedComponents.run(
+      batchIds.unionByName(edges.select(col("dst").as("id"))), edges)
+    ContractedMerge(comps, batchIds, hinted)
+  }
 
   /** Incremental connected-component MERGE — the production daily-batch
     * path the from-scratch [[dedupManifest]] cannot be at 100 TB: day-N's
@@ -265,32 +303,56 @@ object Dedup {
       indexPath: String,
       threshold: Double,
       broadcastCeiling: Long = IncrementalBroadcastCeiling): DataFrame = {
-    val stored = spark.read.parquet(componentsSubdir(indexPath, threshold))
-    val batchSmall =
-      newDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(broadcastCeiling)
-    def hinted(df: DataFrame): DataFrame = if (batchSmall) broadcast(df) else df
-    val pairs = incrementalMinhashPairs(spark, newDocs, indexPath, threshold)
-      .select(col("new_id"), col("existing_id"))
-    val batchIds = newDocs.select(col("doc_id").as("id"))
-    // endpoint → representative: stored component for corpus docs, own id
-    // for batch docs. INNER join against the union map (not an outer join
-    // against the store) so the batch-derived side can be the broadcast
-    // build side while the corpus-sized store streams.
-    val repMap = stored.select(col("doc_id").as("existing_id"), col("component").as("rep"))
-      .unionByName(batchIds.select(col("id").as("existing_id"), col("id").as("rep")))
-    val edges = repMap.join(hinted(pairs), "existing_id")
-      .select(col("new_id").as("src"), col("rep").as("dst"))
-    // the merge graph: batch ids (isolated batch docs must come out as
-    // singletons) + every touched representative
-    val comps = graft.operators.ConnectedComponents.run(
-      batchIds.unionByName(edges.select(col("dst").as("id"))), edges)
-    val remap = comps.select(col("id").as("component"), col("component").as("newc"))
+    val stored = spark.read.parquet(manifestSubdir(indexPath, threshold))
+      .select(col("doc_id"), col("component"))
+    val ct = contractedComponents(
+      spark, newDocs, stored, indexPath, threshold, broadcastCeiling)
+    val remap = ct.comps.select(col("id").as("component"), col("component").as("newc"))
     val updatedCorpus = stored
-      .join(hinted(remap), Seq("component"), "left")
+      .join(ct.hinted(remap), Seq("component"), "left")
       .select(coalesce(col("newc"), col("component")).as("cluster_id"), col("doc_id"))
-    val batchAssign = comps.join(hinted(batchIds), "id")
+    val batchAssign = ct.comps.join(ct.hinted(ct.batchIds), "id")
       .select(col("component").as("cluster_id"), col("id").as("doc_id"))
     updatedCorpus.unionByName(batchAssign).orderBy("doc_id")
+  }
+
+  /** q112: the incremental dedup MANIFEST — [[incrementalComponentMerge]]
+    * carried through to keep flags, still O(batch) in re-ranked work:
+    * stored manifest rows of clusters the batch does NOT touch pass
+    * through verbatim (their membership is unchanged — merging only
+    * unions clusters, it never moves a doc between them — and
+    * [[rankRepresentatives]] is a pure function of membership), while
+    * touched clusters (old rep in the merge graph) and every batch doc
+    * re-rank through the SAME window. The corpus-sized store is scanned
+    * (the pass-through is a broadcast LEFT ANTI against the batch-sized
+    * touched-rep set, the update an inner join against the remap) but
+    * never shuffled; the one ranking window runs over touched members
+    * only. Oracle: the whole-table from-scratch q97 replay
+    * ([[manifestOracleSql]], shared with q97) — equality IS the
+    * incremental-equals-rebuild contract.
+    */
+  def incrementalManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      docs: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      broadcastCeiling: Long = IncrementalBroadcastCeiling): DataFrame = {
+    val store = spark.read.parquet(manifestSubdir(indexPath, threshold))
+    val stored = store.select(col("doc_id"), col("component"))
+    val ct = contractedComponents(
+      spark, newDocs, stored, indexPath, threshold, broadcastCeiling)
+    val remap = ct.comps.select(col("id").as("component"), col("component").as("newc"))
+    val untouched = store
+      .join(ct.hinted(remap.select(col("component"))), Seq("component"), "left_anti")
+      .select(col("component").as("cluster_id"), col("doc_id"),
+        col("n_chars"), col("keep"))
+    val touchedCorpus = stored.join(ct.hinted(remap), Seq("component"))
+      .select(col("newc").as("cluster_id"), col("doc_id"))
+    val batchAssign = ct.comps.join(ct.hinted(ct.batchIds), "id")
+      .select(col("component").as("cluster_id"), col("id").as("doc_id"))
+    val reranked = rankRepresentatives(touchedCorpus.unionByName(batchAssign), docs)
+    untouched.unionByName(reranked).orderBy("doc_id")
   }
 
   /** The 100 TB form of q65's cross-source overlap matrix: identical plan
@@ -702,6 +764,22 @@ object Dedup {
     // text-level equality argument: hamming<=8 on simhash does not
     // correspond to any exact text predicate DuckDB could replay.
     // ExpressionsSpec pins the kernel; the banding is q33's, spec-shared.
+    // q110 carried through to keep flags (see [[incrementalManifest]]):
+    // untouched clusters' stored keep flags pass through verbatim, only
+    // batch-touching clusters re-rank. The oracle is the SAME whole-table
+    // from-scratch replay as q97 — equality is the
+    // incremental-equals-rebuild contract at manifest granularity.
+    "q112_incremental_manifest" -> Q(
+      "Incremental dedup manifest: day-N keep flags spliced with re-ranked " +
+        "batch-touching clusters; equals the from-scratch q97 rebuild",
+      manifestOracleSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val path = componentIndexFor(corpus, dir, threshold = 0.7)
+      incrementalManifest(
+        s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), docs, path, threshold = 0.7)
+    },
+
     "q34_dedup_simhash" -> Q.noOracle(
       "SimHash near-dup pairs (64-bit, 4×16 bands), hamming-verified <= 8") { (s, dir) =>
       simhashPairs(Tables(s, dir, "documents"), maxHamming = 8)
@@ -1113,7 +1191,7 @@ object Dedup {
   private def componentIndexFor(
       corpus: DataFrame, dir: String, threshold: Double): String = synchronized {
     val path = bandIndexFor(corpus, dir)
-    val sub = componentsSubdir(path, threshold)
+    val sub = manifestSubdir(path, threshold)
     val reusable = dir.startsWith("/root/testdata") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(sub, "_SUCCESS"))
     if (!reusable) persistComponents(corpus, path, threshold)

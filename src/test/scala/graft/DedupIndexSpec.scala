@@ -113,6 +113,22 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental manifest equals the from-scratch q97 rebuild (keep flags included)") {
+    // q112's contract at manifest granularity: pass-through + re-ranked
+    // splice must be row-identical (cluster, n_chars, keep) to a full
+    // dedupManifest rebuild over corpus ∪ batch — compared against the
+    // banded rebuild so the check is independent of banding recall.
+    for (d <- dirs) {
+      val docs = graft.queries.Tables(spark, d, "documents")
+      val scratch = graft.queries.Dedup.dedupManifest(docs, threshold = 0.7)
+        .collect().map(_.toSeq).toSeq
+      val inc = SparkEntry.queries("q112_incremental_manifest")(spark, d).collect()
+        .map(_.toSeq).toSeq
+      assert(inc == scratch, s"$d: incremental manifest diverges from rebuild " +
+        s"(first diffs: ${(inc.toSet diff scratch.toSet).take(5)})")
+    }
+  }
+
   test("incremental merge bridges two stored components through a batch doc") {
     import spark.implicits._
     // The hard case a corpus-restricted equality test can miss: a batch doc
@@ -131,14 +147,16 @@ class DedupIndexSpec extends SparkSpec {
     val uniq2 = (0 until 40).map(i => s"v$i").mkString(" ")
     val corpus = Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2), (7L, uniq1))
       .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
     val batch = Seq((0L, w), (5L, uniq2)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
 
     val path = java.nio.file.Files
       .createTempDirectory("graft_comp_idx").toString + "/idx"
     graft.queries.Dedup.persistBandIndex(corpus, path)
     graft.queries.Dedup.persistComponents(corpus, path, threshold = 0.7)
     // day-N state must be two separate components before the batch arrives
-    val stored = spark.read.parquet(s"$path/components_bp7000")
+    val stored = spark.read.parquet(s"$path/manifest_bp7000")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stored === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 7L -> 7L))
 
@@ -157,6 +175,20 @@ class DedupIndexSpec extends SparkSpec {
           .select(col("a").as("src"), col("b").as("dst")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged === scratch)
+
+    // the incremental MANIFEST agrees with a from-scratch rebuild over
+    // corpus ∪ batch, and the merged cluster keeps the longest doc (W,
+    // doc 0 — which also happens to be the min id; the keep flags prove
+    // the re-rank saw the batch doc's n_chars)
+    val incManifest = graft.queries.Dedup
+      .incrementalManifest(spark, batch, all, path, threshold = 0.7)
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getInt(3))).toMap
+    val scratchManifest = graft.queries.Dedup.dedupManifest(all, threshold = 0.7)
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getInt(3))).toMap
+    assert(incManifest === scratchManifest)
+    assert(incManifest(0L) === ((0L, 1)), "the bridge doc (longest) must be the keeper")
+    assert(Seq(1L, 2L, 3L, 4L).forall(incManifest(_)._2 == 0),
+      "every other member of the merged cluster must lose")
   }
 
   test("index path fingerprints every banding parameter: any change forces a rebuild") {

@@ -394,4 +394,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
       "rep resolution and the final remap must both broadcast the batch side:\n" + p)
   }
+
+  test("q112 incremental manifest: one ranking window, anti-join pass-through, store never shuffled") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val path = graft.queries.Dedup.indexPathFor(sf)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS")))
+      graft.queries.Dedup.persistBandIndex(corpus, path)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "manifest_bp7000", "_SUCCESS")))
+      graft.queries.Dedup.persistComponents(corpus, path, threshold = 0.7)
+    val df = graft.queries.Dedup
+      .incrementalManifest(spark, batch, docs, path, threshold = 0.7)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly one Window: only the touched-cluster re-rank — a second
+    // window would mean untouched clusters were re-ranked too
+    assert(p.linesIterator.count(_.contains("Window")) == 1,
+      "exactly one ranking window (touched clusters only):\n" + p)
+    // pass-through = broadcast anti join against the touched-rep set
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "untouched rows must pass through a broadcast anti join:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join means the manifest store was shuffled:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
