@@ -355,6 +355,46 @@ object Dedup {
     untouched.unionByName(reranked).orderBy("doc_id")
   }
 
+  /** The day-boundary operation of the incremental store: compute the
+    * updated manifest ([[incrementalManifest]] — O(batch) re-ranked work),
+    * write it back as the new day-N+1 state, and absorb the batch into the
+    * band index ([[appendToBandIndex]] — O(batch) appended partitions).
+    * Ordering matters and is fixed here: the manifest is MATERIALIZED
+    * before the bands append (an appended-then-probed batch would match
+    * itself through the index). `docs` is the post-absorb corpus
+    * (old ∪ batch) — the ranking needs every member's n_chars.
+    * DedupIndexSpec's three-day lifecycle test proves day-over-day
+    * composition stays equal to a from-scratch rebuild at every step.
+    */
+  def absorbBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      docs: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      broadcastCeiling: Long = IncrementalBroadcastCeiling): Unit = {
+    // materialize the new manifest to a temp tree FIRST (a distributed
+    // write, never a driver collect — the manifest is corpus-sized): it is
+    // derived from the store it will replace AND from a band probe that
+    // must not see the batch yet
+    val sub = manifestSubdir(indexPath, threshold)
+    val next = sub + ".next"
+    incrementalManifest(spark, newDocs, docs, indexPath, threshold, broadcastCeiling)
+      .select(col("doc_id"), col("cluster_id").as("component"),
+        col("n_chars"), col("keep"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(next)
+    appendToBandIndex(newDocs, indexPath)
+    // swap (the ops.Compact pattern — metadata renames, not data copies)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val subPath = new org.apache.hadoop.fs.Path(sub)
+    val fs = subPath.getFileSystem(conf)
+    fs.delete(subPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(next), subPath))
+      throw new java.io.IOException(s"absorbBatch: could not swap $next into $sub")
+  }
+
   /** The 100 TB form of q65's cross-source overlap matrix: identical plan
     * shape (per-source distinct shingles → self equi-join on the shingle →
     * source×source count) but the join/shuffle key is the 8-byte XXH64

@@ -129,6 +129,42 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("three-day absorb lifecycle: day-over-day incremental manifests equal from-scratch rebuilds") {
+    // The full production loop: index day-0, then for each later day
+    // compute the incremental manifest, WRITE IT BACK as the new store,
+    // and absorb the batch's bands — day N+1 dedups against everything
+    // absorbed so far without any old doc rescanned. At every day
+    // boundary the store must equal a from-scratch rebuild over all docs
+    // seen so far.
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables(spark, d, "documents")
+    val day0 = docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))
+    val day1 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val day2 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val upTo1 = day0.unionByName(day1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_absorb_idx").toString + "/idx"
+    graft.queries.Dedup.persistBandIndex(day0, path)
+    graft.queries.Dedup.persistComponents(day0, path, threshold = 0.7)
+
+    graft.queries.Dedup.absorbBatch(spark, day1, upTo1, path, threshold = 0.7)
+    val afterDay1 = spark.read.parquet(s"$path/manifest_bp7000")
+      .select(col("doc_id"), col("component"), col("n_chars"), col("keep"))
+      .collect().map(_.toSeq).toSet
+    val scratch1 = graft.queries.Dedup.dedupManifest(upTo1, threshold = 0.7)
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+      .collect().map(_.toSeq).toSet
+    assert(afterDay1 === scratch1, "day-1 store must equal the from-scratch rebuild")
+
+    val m2 = graft.queries.Dedup
+      .incrementalManifest(spark, day2, docs, path, threshold = 0.7)
+      .collect().map(_.toSeq).toSeq
+    val scratch2 = graft.queries.Dedup.dedupManifest(docs, threshold = 0.7)
+      .collect().map(_.toSeq).toSeq
+    assert(m2 === scratch2,
+      "day-2 incremental manifest over the absorbed store must equal the full rebuild")
+  }
+
   test("incremental merge bridges two stored components through a batch doc") {
     import spark.implicits._
     // The hard case a corpus-restricted equality test can miss: a batch doc
