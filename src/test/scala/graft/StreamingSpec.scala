@@ -409,6 +409,70 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming index dedup: verified corpus near-dups flag, novel docs never emit") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IndexDedupStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Timestamp, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.STRING)
+    import spark.implicits._
+
+    // corpus behind a REAL persisted band index (the q66 artifact)
+    val ta = (0 until 32).map(i => s"c${i}w").mkString(" ")
+    val tb = (0 until 32).map(i => s"z${i}q").mkString(" ")
+    val corpus = Seq((10L, ta), (11L, tb)).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx").toString + "/idx"
+    graft.queries.Dedup.persistBandIndex(corpus, path)
+
+    val m0 = 1700000000000L - (1700000000000L % 3600000)
+    def doc(id: Long, minutes: Long, text: String) =
+      (id, new Timestamp(m0 + minutes * 60000), text)
+    // doc 1: verbatim copy of corpus doc 10 (j = 1.0); doc 2: novel;
+    // doc 3: one token of 32 mutated (j ≈ 0.82 ≥ 0.7 — a true near-dup)
+    val mutated = (0 until 32).map(i => if (i == 16) "XXX" else s"c${i}w").mkString(" ")
+    val novel = (0 until 32).map(i => s"n${i}x").mkString(" ")
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = IndexDedupStream.start(
+      spark, input.toDF().toDF("doc_id", "ts", "text"), path,
+      queryName = "idx_dedup_t",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    input.addData(doc(1L, 0, ta), doc(2L, 0, novel), doc(3L, 1, mutated))
+    q.processAllAvailable()
+    // advance the watermark far past the windows so append mode emits
+    input.addData(doc(98L, 30, novel))
+    q.processAllAvailable()
+    input.addData(doc(99L, 31, novel))
+    q.processAllAvailable()
+
+    val out = spark.table("idx_dedup_t").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.get(1L).exists { case (n, j) => n == 1L && j == 1.0 },
+      s"verbatim copy must flag with jaccard 1.0 against exactly doc 10: $out")
+    assert(out.get(3L).exists { case (n, j) => n == 1L && j >= 0.7 && j < 1.0 },
+      s"mutated near-dup must flag with 0.7 <= j < 1: $out")
+    assert(!out.contains(2L), s"novel doc must never emit: $out")
+
+    // stream == batch: the flags agree with incrementalMinhashPairs over
+    // the same batch against the same index (crossings only — the guard's
+    // contract excludes within-stream pairs)
+    val batchPairs = graft.queries.Dedup.incrementalMinhashPairs(
+        spark, Seq((1L, ta), (2L, novel), (3L, mutated)).toDF("doc_id", "text"),
+        path, threshold = 0.7)
+      .filter(org.apache.spark.sql.functions.col("existing_id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batchPairs.map(_._1).toSet === Set(1L, 3L),
+      s"batch incremental pairs must agree with the stream flags: ${batchPairs.toSeq}")
+    q.stop()
+  }
+
   test("streaming quality gate: the q92 projection is stateless and stream==batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
