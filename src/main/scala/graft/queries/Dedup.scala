@@ -88,17 +88,43 @@ object Dedup {
     * computed inline (not via [[minhashBands]]) so the signature is
     * projected exactly once before the explode — the q33 plan shape — but
     * from the same shared banding constants, so the values are identical.
+    *
+    * `maxBucketSize` is the DEGENERATE-BUCKET guard for web-scale corpora:
+    * a boilerplate fragment shared by millions of documents piles them all
+    * into one (band, bhash) bucket, and within-bucket candidate generation
+    * is QUADRATIC — the one place this otherwise-linear plan can blow up
+    * at 100 TB. Capping drops buckets with more than `maxBucketSize`
+    * members before the self-join (the standard production mitigation —
+    * such buckets are boilerplate collisions, and a true near-dup pair
+    * landing ONLY in an over-cap bucket still has the other 7 bands to be
+    * found through). The size count is a window over the join's own
+    * (band, bhash) hash partitioning, so the guard adds no exchange —
+    * DedupIndexSpec proves cap-above-max is a no-op and a planted boilerplate
+    * bucket is dropped. Default = no cap: the registered q33/q66/q97
+    * oracle paths keep exact banded semantics and their plan shape.
     */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashPairs(
+      docs: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sh = shingled(docs)
     val sig = docs.select(
       col("doc_id"),
       HashExpressions.shingleMinHash(
         Text.tokens(col("text")), k = ShingleK, numPerm = NumPerm).as("sig"))
-    val bands = sig.select(
+    val allBands = sig.select(
       col("doc_id"),
       explode(Text.lshBands(col("sig"), numBands = NumBands, rowsPerBand = RowsPerBand)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bhash").as("bhash"))
+    val bands =
+      if (maxBucketSize == Int.MaxValue) allBands
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")
+        allBands
+          .withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize)
+          .drop("__bsz")
+      }
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
@@ -1109,12 +1135,17 @@ object Dedup {
     * from band equi-joins on 8-byte keys, the CC loop shuffles ids, and
     * selection is one cluster-keyed window. This is the chain a 100 TB
     * pipeline actually runs; q91 is its exact-graph audit twin (same
-    * ranking code, shared by construction).
+    * ranking code, shared by construction). `maxBucketSize` passes through
+    * to [[minhashPairs]] — the degenerate-bucket guard a boilerplate-heavy
+    * web corpus needs (see there); default = exact banded semantics.
     */
-  def dedupManifest(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+  def dedupManifest(
+      docs: DataFrame,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val comps = graft.operators.ConnectedComponents.run(
       docs.select(col("doc_id").as("id")),
-      minhashPairs(docs, threshold)
+      minhashPairs(docs, threshold, maxBucketSize)
         .select(col("a").as("src"), col("b").as("dst")))
     rankRepresentatives(
       comps.select(col("component").as("cluster_id"), col("id").as("doc_id")),

@@ -227,6 +227,37 @@ class DedupIndexSpec extends SparkSpec {
       "every other member of the merged cluster must lose")
   }
 
+  test("degenerate-bucket cap: no-op above the real max, drops a planted boilerplate bucket") {
+    import spark.implicits._
+    // cap far above any real bucket: the guarded plan must produce the
+    // IDENTICAL pair set (the cap is a pure safety net on clean corpora)
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val uncapped = graft.queries.Dedup.minhashPairs(docs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = graft.queries.Dedup
+      .minhashPairs(docs, threshold = 0.7, maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === uncapped, "a cap above every bucket size must be a no-op")
+
+    // planted boilerplate: 12 IDENTICAL docs collide on every band (one
+    // 12-member bucket per band) plus one true near-dup pair elsewhere.
+    // cap=8 drops the boilerplate buckets entirely — the quadratic stage
+    // never materializes — while the ordinary pair still surfaces.
+    val boiler = (0 until 32).map(i => s"tpl${i}").mkString(" ")
+    val base = (0 until 32).map(i => s"doc${i}").mkString(" ")
+    val nearDup = (0 until 32).map(i => if (i == 16) "MUT" else s"doc${i}").mkString(" ")
+    val planted = ((0 until 12).map(i => (i.toLong, boiler)) ++
+      Seq((100L, base), (101L, nearDup))).toDF("doc_id", "text")
+    val guarded = graft.queries.Dedup
+      .minhashPairs(planted, threshold = 0.7, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((100L, 101L)),
+      s"cap=8 must drop the 12-member boilerplate buckets, keep the real pair: $guarded")
+    // and uncapped on the same data finds all 66 boilerplate pairs + 1
+    val full = graft.queries.Dedup.minhashPairs(planted, threshold = 0.7).count()
+    assert(full === 67L, s"uncapped must see 66 boilerplate pairs + 1, got $full")
+  }
+
   test("index path fingerprints every banding parameter: any change forces a rebuild") {
     // the staleness guard: a binary with different banding parameters (or
     // kernel version) computes a DIFFERENT artifact path, so it can never
