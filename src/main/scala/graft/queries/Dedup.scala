@@ -381,6 +381,85 @@ object Dedup {
     untouched.unionByName(reranked).orderBy("doc_id")
   }
 
+  /** Persist the corpus' EXACT-dedup fingerprint index: one row per
+    * distinct normalized-content fingerprint (q32's md5(lower(trim)))
+    * with its canonical keeper (min doc_id). The exact-dedup counterpart
+    * of [[persistBandIndex]] — and the artifact the most common daily
+    * path actually probes: most ingest duplicates are byte-identical
+    * reposts, caught here for the price of one hash join, before the
+    * minhash machinery ever runs.
+    */
+  def persistExactIndex(docs: DataFrame, indexPath: String): String = {
+    val out = s"$indexPath/exact_fp"
+    docs
+      .groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(out)
+    out
+  }
+
+  /** Incremental EXACT dedup: each batch doc is resolved to a canonical
+    * id — the stored keeper when its fingerprint already exists in the
+    * corpus index, else the minimum-id batch doc carrying that (new)
+    * fingerprint — with `is_dup = 1` for everything that is not its own
+    * canon. Wholly oracled (the fingerprint is plain md5, DuckDB replays
+    * it), unlike the banded paths.
+    *
+    * Scale shape: two batch-sized aggregates plus ONE scan of the
+    * fingerprint store through a join that broadcasts the batch side
+    * under the q66 size gate — the store (one narrow row per distinct
+    * corpus fingerprint) streams, never shuffles. O(batch) per day.
+    */
+  def incrementalExactDedup(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      indexPath: String,
+      broadcastCeiling: Long = IncrementalBroadcastCeiling): DataFrame = {
+    val store = spark.read.parquet(s"$indexPath/exact_fp")
+    val batchSmall =
+      newDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(broadcastCeiling)
+    def hinted(df: DataFrame): DataFrame = if (batchSmall) broadcast(df) else df
+    val batch = newDocs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+    val withinBatch = batch.groupBy("fp").agg(min(col("doc_id")).as("wmin"))
+    // store streams against the broadcast batch fingerprints (inner join
+    // on the store side of a left-outer would shuffle it — so resolve via
+    // inner join + coalesce on the batch side instead)
+    val known = store.join(hinted(batch.select("fp").distinct()), "fp")
+      .select(col("fp"), col("keep_id"))
+    batch
+      .join(hinted(withinBatch), "fp")
+      .join(hinted(known), Seq("fp"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("keep_id"), col("wmin")).as("canon_id"),
+        (coalesce(col("keep_id"), col("wmin")) =!= col("doc_id")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Absorb a checked batch into the exact-fingerprint index: only
+    * fingerprints the store has never seen append (their keeper = the
+    * within-batch minimum). O(new fingerprints) — no old row rewritten,
+    * the [[appendToBandIndex]] contract for the exact tier.
+    */
+  def appendToExactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      indexPath: String): Unit = {
+    val store = spark.read.parquet(s"$indexPath/exact_fp")
+    // eager localCheckpoint: the anti join READS the store the write
+    // appends to — materialize the (batch-sized) novel set fully before
+    // any file lands in the directory being scanned
+    val fresh = newDocs.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+      .localCheckpoint()
+    fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .parquet(s"$indexPath/exact_fp")
+  }
+
   /** The day-boundary operation of the incremental store: compute the
     * updated manifest ([[incrementalManifest]] — O(batch) re-ranked work),
     * write it back as the new day-N+1 state, and absorb the batch into the
@@ -830,6 +909,31 @@ object Dedup {
     // text-level equality argument: hamming<=8 on simhash does not
     // correspond to any exact text predicate DuckDB could replay.
     // ExpressionsSpec pins the kernel; the banding is q33's, spec-shared.
+    // Incremental EXACT dedup (see [[incrementalExactDedup]]) — the tier
+    // that catches byte-identical reposts (most ingest duplicates) for
+    // one hash join before any minhash runs. FIRST-SEEN-WINS semantics:
+    // a fingerprint already in the corpus index keeps its stored
+    // canonical even if the batch doc has a smaller id — the right rule
+    // for an append-only daily store (and the oracle replays exactly it).
+    "q113_exact_incremental" -> Q(
+      "Incremental exact dedup: batch fingerprints resolved against the " +
+        "stored corpus index (first-seen-wins), within-batch dups to min id",
+      """WITH f AS (SELECT doc_id, MD5(LOWER(TRIM(text))) AS fp FROM documents),
+        |corp AS (SELECT fp, MIN(doc_id) AS keep_id FROM f
+        |         WHERE doc_id % 5 <> 0 GROUP BY fp),
+        |batch AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0),
+        |wb AS (SELECT fp, MIN(doc_id) AS wmin FROM batch GROUP BY fp)
+        |SELECT b.doc_id,
+        |  COALESCE(c.keep_id, w.wmin) AS canon_id,
+        |  CAST(COALESCE(c.keep_id, w.wmin) <> b.doc_id AS INTEGER) AS is_dup
+        |FROM batch b LEFT JOIN corp c USING (fp) JOIN wb w USING (fp)
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val path = exactIndexFor(corpus, dir)
+      incrementalExactDedup(s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), path)
+    },
+
     // q110 carried through to keep flags (see [[incrementalManifest]]):
     // untouched clusters' stored keep flags pass through verbatim, only
     // batch-touching clusters re-rank. The oracle is the SAME whole-table
@@ -1259,6 +1363,18 @@ object Dedup {
     * policy; the threshold rides the subdirectory name so an incompatible
     * assignment can never be served — see [[persistComponents]]).
     */
+  /** [[bandIndexFor]]'s warm-reuse policy for the exact-fingerprint
+    * artifact (fingerprint = plain md5, parameterless — the banding
+    * fingerprint suffix in the path is irrelevant to it but harmless).
+    */
+  private def exactIndexFor(corpus: DataFrame, dir: String): String = synchronized {
+    val path = indexPathFor(dir)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "exact_fp", "_SUCCESS"))
+    if (!reusable) persistExactIndex(corpus, path)
+    path
+  }
+
   private def componentIndexFor(
       corpus: DataFrame, dir: String, threshold: Double): String = synchronized {
     val path = bandIndexFor(corpus, dir)

@@ -227,6 +227,36 @@ class DedupIndexSpec extends SparkSpec {
       "every other member of the merged cluster must lose")
   }
 
+  test("exact-dedup lifecycle: first-seen-wins across days, append absorbs only novel fingerprints") {
+    import spark.implicits._
+    val a = "alpha text one"; val b = "beta text two"
+    val c = "gamma text three"; val d0 = "delta text four"
+    val corpus = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_exact_idx").toString + "/idx"
+    graft.queries.Dedup.persistExactIndex(corpus, path)
+
+    // day 1: repost of A resolves to the stored keeper even though 5 > 1;
+    // two copies of novel C dedup within-batch to the min id
+    val day1 = Seq((5L, a), (6L, c), (7L, c)).toDF("doc_id", "text")
+    val r1 = graft.queries.Dedup.incrementalExactDedup(spark, day1, path)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(r1 === Map(5L -> ((1L, 1)), 6L -> ((6L, 0)), 7L -> ((6L, 1))), r1.toString)
+
+    graft.queries.Dedup.appendToExactIndex(spark, day1, path)
+    // only C appended (A was known): the store stays one row per fp
+    val store = spark.read.parquet(s"$path/exact_fp")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(store.size === 3, s"store must hold fps of A, B, C only: $store")
+
+    // day 2: a repost of C resolves to day-1's keeper (first-seen-wins
+    // across days — id 4 < 6 does NOT steal the canon); D is novel
+    val day2 = Seq((4L, c), (11L, d0)).toDF("doc_id", "text")
+    val r2 = graft.queries.Dedup.incrementalExactDedup(spark, day2, path)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(r2 === Map(4L -> ((6L, 1)), 11L -> ((11L, 0))), r2.toString)
+  }
+
   test("degenerate-bucket cap: no-op above the real max, drops a planted boilerplate bucket") {
     import spark.implicits._
     // cap far above any real bucket: the guarded plan must produce the
