@@ -101,4 +101,39 @@ object IndexDedupStream {
       .outputMode("append")
       .trigger(trigger)
       .start()
+
+  /** The EXACT tier of the same guard — the online q113: streamed docs
+    * whose q32 fingerprint already exists in the persisted
+    * [[graft.queries.Dedup.persistExactIndex]] store emit with their
+    * stored canonical id. One stream-static hash join, fully stateless
+    * (no watermark, no window — exact matching needs no rollup: a doc
+    * either hits a stored fingerprint or it doesn't). Chain BEFORE the
+    * banded [[guard]] in production: byte-identical reposts — most ingest
+    * duplicates — are settled here for the price of one md5 per doc.
+    */
+  def exactGuard(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexPath: String): DataFrame = {
+    val store = spark.read.parquet(s"$indexPath/exact_fp")
+    docs
+      .select(col("doc_id"),
+        graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .join(store, Seq("fp")) // stream-static: stateless
+      .select(col("doc_id"), col("keep_id").as("canon_id"))
+  }
+
+  def startExact(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexPath: String,
+      queryName: String = "exact_dedup_guard",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    exactGuard(spark, docs, indexPath)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
 }

@@ -395,6 +395,15 @@ class PlanShapeSpec extends SparkSpec {
       "rep resolution and the final remap must both broadcast the batch side:\n" + p)
   }
 
+  test("q113 incremental exact dedup: fingerprint store joins hash-only, never shuffled") {
+    val p = planOf("q113_exact_incremental")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join means the fingerprint store was shuffled:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "store probe and batch-side joins must broadcast the batch side:\n" + p)
+  }
+
   test("q112 incremental manifest: one ranking window, anti-join pass-through, store never shuffled") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val docs = graft.queries.Tables(spark, sf, "documents")

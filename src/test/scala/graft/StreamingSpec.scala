@@ -471,6 +471,23 @@ class StreamingSpec extends SparkSpec {
     assert(batchPairs.map(_._1).toSet === Set(1L, 3L),
       s"batch incremental pairs must agree with the stream flags: ${batchPairs.toSeq}")
     q.stop()
+
+    // the EXACT tier over the same corpus: stateless fingerprint guard —
+    // the verbatim copy resolves to its stored canonical immediately (no
+    // watermark needed); the near-dup and novel docs pass it silently
+    graft.queries.Dedup.persistExactIndex(corpus, path)
+    val input2 = MemoryStream[(Long, Timestamp, String)]
+    val q2 = graft.streaming.IndexDedupStream.startExact(
+      spark, input2.toDF().toDF("doc_id", "ts", "text"), path,
+      queryName = "exact_guard_t",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    input2.addData(doc(1L, 0, ta), doc(2L, 0, novel), doc(3L, 1, mutated))
+    q2.processAllAvailable()
+    val exact = spark.table("exact_guard_t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact === Map(1L -> 10L),
+      s"only the byte-identical repost resolves in the exact tier: $exact")
+    q2.stop()
   }
 
   test("streaming quality gate: the q92 projection is stateless and stream==batch") {
