@@ -470,6 +470,42 @@ object Similarity {
       kmeansAssign(emb(s, dir), k = 4, updateRounds = 2)
     },
 
+    // DIVERSITY sampling (SemDeDup/DCLM-style cluster-balanced curation):
+    // the q93 deterministic token-budget sampler stratified by the q96
+    // EMBEDDING CLUSTER instead of the source label — an over-represented
+    // topic contributes the same token budget as a rare one. Composes two
+    // already-oracled pieces verbatim (kmeansAssign for the strata, the
+    // md5-ordered take-until-crossing window for the sample), so the
+    // oracle is q96's k-means CTE + q93's window replay. Scale shape:
+    // the assignment join is doc-keyed, the window partitions by cluster
+    // — parallel per stratum, no global coordination (q93's shape).
+    "q114_cluster_sample" -> Q(
+      "Cluster-balanced token-budget sample: md5-ordered prefix to 600 " +
+        "tokens per q96 embedding cluster (kept = take-until-crossing)",
+      s"""$KmeansCteSql,
+        |a3 AS (SELECT e.vec_id, cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |         ORDER BY list_distance(e.v, c2.cv), cid) AS rnk
+        |       FROM e CROSS JOIN c2),
+        |asg AS (SELECT vec_id AS doc_id, cid FROM a3 WHERE rnk = 1),
+        |t AS (SELECT d.doc_id, asg.cid,
+        |        CAST(CASE WHEN LENGTH(TRIM(d.text)) = 0 THEN 0
+        |             ELSE LENGTH(TRIM(d.text)) -
+        |                  LENGTH(REPLACE(TRIM(d.text), ' ', '')) + 1 END AS BIGINT)
+        |          AS n_toks
+        |      FROM documents d JOIN asg USING (doc_id)),
+        |cw AS (
+        |  SELECT *, CAST(SUM(n_toks) OVER (
+        |      PARTITION BY cid
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+        |  FROM t)
+        |SELECT cid AS cluster_id, doc_id, n_toks, cum_toks,
+        |  CAST(cum_toks - n_toks < 600 AS INTEGER) AS kept
+        |FROM cw ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      clusterBalancedSample(
+        Tables(s, dir, "documents"), emb(s, dir), budgetPerCluster = 600L)
+    },
+
     // Data-poisoning / far-OOD screen: a scraped-embedding batch whose
     // vectors sit far from EVERY cluster of the corpus is suspect. Uses
     // the SAME fitted centroids as q96 (shared kmeansCentroids — audit
@@ -604,6 +640,30 @@ object Similarity {
     * `updateRounds` decimal-exact update rounds from the deterministic
     * first-k init.
     */
+  /** q114: cluster-balanced token-budget sampling — [[kmeansAssign]]'s
+    * strata driving q93's deterministic md5-ordered take-until-crossing
+    * sampler (`Training.stratifiedTokenSample`'s exact machinery with the
+    * cluster as the stratum; vec_id and doc_id share one id domain per
+    * the testdata contract). One doc-keyed assignment join, one window
+    * partitioned by cluster — parallel per stratum at any scale.
+    */
+  def clusterBalancedSample(
+      docs: DataFrame, emb: DataFrame, budgetPerCluster: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = kmeansAssign(emb, k = 4, updateRounds = 2)
+      .select(col("vec_id").as("doc_id"), col("cluster").as("cluster_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"),
+        graft.functions.Text.tokenCountPortable(col("text")).as("n_toks"))
+      .join(assign, "doc_id")
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .select(col("cluster_id"), col("doc_id"), col("n_toks"), col("cum_toks"),
+        when(col("cum_toks") - col("n_toks") < budgetPerCluster, 1).otherwise(0).as("kept"))
+      .orderBy("doc_id")
+  }
+
   def kmeansAssign(emb: DataFrame, k: Int, updateRounds: Int): DataFrame = {
     val e = embDouble(emb)
     kmeansNearest(e, kmeansCentroids(e, k, updateRounds))

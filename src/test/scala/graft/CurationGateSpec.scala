@@ -228,6 +228,38 @@ class CurationGateSpec extends SparkSpec {
     }
   }
 
+  test("q114: strata are exactly q96's clusters and kept docs are an md5-order prefix per cluster") {
+    val budget = 600L
+    val q96 = SparkEntry.queries("q96_kmeans")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    val out = SparkEntry.queries("q114_cluster_sample")(spark, dir).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // every doc sampled under exactly its q96 cluster, all docs covered
+    assert(out.length === q96.size)
+    out.foreach { case (cid, id, _, _, _) =>
+      assert(q96(id) === cid, s"doc $id sampled under $cid but q96 assigns ${q96(id)}")
+    }
+    // per cluster: cumulative sums re-add, kept is a prefix, budget is a
+    // floor with take-until-crossing semantics (the q93 contract verbatim)
+    out.groupBy(_._1).foreach { case (cid, rows) =>
+      val inOrder = rows.sortBy(_._4)
+      inOrder.foldLeft(0L) { case (acc, (_, _, n, cum, _)) =>
+        assert(cum == acc + n, s"cluster $cid: cumulative drift at $cum"); cum
+      }
+      val flags = inOrder.map(_._5)
+      assert(!flags.dropWhile(_ == 1).contains(1), s"cluster $cid: kept not a prefix")
+      val keptToks = inOrder.filter(_._5 == 1).map(_._3).sum
+      val totalToks = inOrder.map(_._3).sum
+      assert(keptToks >= math.min(budget, totalToks), s"cluster $cid: budget not met")
+      inOrder.filter(_._5 == 1).lastOption.foreach { case (_, _, n, _, _) =>
+        if (keptToks - n >= budget) fail(s"cluster $cid: kept past the crossing doc")
+      }
+    }
+    // the stratification must be non-trivial: >1 cluster, and some cluster excludes docs
+    assert(out.map(_._1).distinct.length > 1)
+    assert(out.exists(_._5 == 0), "some doc must be excluded somewhere")
+  }
+
   test("q111: every disposition agrees with its stand-alone stage query") {
     val out = SparkEntry.queries("q111_neardup_curation")(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
