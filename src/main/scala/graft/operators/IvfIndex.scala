@@ -160,6 +160,30 @@ object IvfIndex {
     rankCandidates(c, broadcast(qExploded), k)
   }
 
+  /** Absorb a batch of NEW vectors into a persisted [[assign]]-layout
+    * index — the embedding-side analogue of the dedup band-index append
+    * (daily vector batches join the ANN index without a rebuild). The
+    * batch is assigned with the FIXED model (the caller's index path is
+    * fingerprinted by the centroids, so an incompatible model cannot
+    * target it) and its rows land in their existing `bucket=` directories
+    * via parquet append — O(batch), no old partition rewritten, and every
+    * later [[searchIndexed]] probe sees the grown buckets automatically.
+    * The centroids are NOT refit: bucket geometry stays frozen, which is
+    * exactly the production contract (a drifting quantizer would silently
+    * re-bucket the whole corpus); refit + full rebuild is a deliberate
+    * offline operation.
+    */
+  def appendToIndex(
+      model: Model,
+      newVectors: DataFrame,
+      path: String,
+      embCol: String = "embedding"): Unit =
+    assign(model, newVectors, embCol).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .partitionBy("bucket")
+      .parquet(path)
+
   /** Int8-QUANTIZED corpus side of the index: (id, q8, bucket), where
     * `q8 = round(127 · unit(embedding))` as `array<tinyint>` — 4× smaller
     * than the float corpus, which at 100 TB is the difference between an

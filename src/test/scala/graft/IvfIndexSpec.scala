@@ -90,6 +90,41 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(mem.map(_.toString).sorted))
   }
 
+  test("appendToIndex: day-N+1 vectors join the persisted index without a rebuild") {
+    // split the corpus, index the old half, append the new half under the
+    // SAME frozen model — searches over the appended index must equal
+    // searches over an index built from the full corpus in one shot, and
+    // no day-0 file may be rewritten by the append
+    val model = IvfIndex.fit(corpus, k = 4)
+    val old = corpus.filter(col("vec_id") % 5 =!= 0)
+    val fresh = corpus.filter(col("vec_id") % 5 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString + "/idx"
+    graft.ops.Bucketing.writePartitioned(IvfIndex.assign(model, old), path, Seq("bucket"))
+    def files() = {
+      val root = java.nio.file.Paths.get(path)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .map[(String, Long)](p => (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toArray.toSeq.map(_.asInstanceOf[(String, Long)])
+      finally s.close()
+    }
+    val before = files().toSet
+    IvfIndex.appendToIndex(model, fresh, path)
+    val after = files().toSet
+    assert(before.subsetOf(after), "append must not rewrite or touch day-0 files")
+    assert(after.size > before.size, "append must add the batch's files")
+
+    val queries = corpus.filter(col("vec_id") < 10)
+    def topk(indexed: org.apache.spark.sql.DataFrame) =
+      IvfIndex.searchIndexed(model, queries, indexed, k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val appended = topk(spark.read.parquet(path))
+    val oneShot = topk(IvfIndex.assign(model, corpus))
+    assert(appended === oneShot,
+      "search over the appended index must equal the one-shot full build")
+  }
+
   test("quantized index + asymmetric scoring + float rerank: recall >= 0.9 vs the float path") {
     val model = IvfIndex.fit(corpus, k = 10)
     val queries = corpus.filter(col("vec_id") < 20)
