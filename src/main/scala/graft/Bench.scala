@@ -43,6 +43,12 @@ object Bench {
   def normalizePlan(plan: String): String = plan
     .replaceAll("#\\d+", "#")
     .replaceAll("plan_id=\\d+", "plan_id=")
+    // higher-order-function lambda variables are numbered by a
+    // session-global counter too (`lambda x_1` … `lambda x_3` for
+    // byte-identical code depending on what ran earlier in the session) —
+    // the round-10 bench showed 25 spurious per-run "drifts" from this
+    // alone after plan_id was already stripped
+    .replaceAll("\\blambda ([A-Za-z]+)_\\d+", "lambda $1_")
     .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "\\$\\$Lambda")
     .replaceAll("@[0-9a-f]{6,}", "@")
     .replaceAll(java.util.regex.Pattern.quote(sys.props("java.io.tmpdir")) +
