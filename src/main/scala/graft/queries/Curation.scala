@@ -279,6 +279,53 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q115: ADAPTIVE per-source quality filtering (the FineWeb refinement of
+    * a global cutoff) — keep the top `keepFraction` of each source by
+    * quality score, with the threshold solved PER SOURCE: a single global
+    * cutoff over-filters clean-but-plain domains and under-filters spammy
+    * ones, so production filters re-derive the cutoff inside each stratum.
+    * Semantics: the smallest per-source keep-set of size >=
+    * ceil(keepFraction * n_source) under score-descending order; boundary
+    * ties are ALL kept (determinism without an arbitrary intra-tie pick —
+    * re-deal-stable under task retries by construction, nothing random).
+    *
+    * SCALE SHAPE — the naive form is `percent_rank() OVER (PARTITION BY
+    * source ORDER BY score)`: with O(10) sources that serializes the whole
+    * corpus through O(10) reducer tasks. This form never windows the
+    * corpus. The score is INTEGER (per-mille non-space density, bounded
+    * [0, 1000]), so a per-(source, score) HISTOGRAM — <= 1001 rows per
+    * source after map-side partial aggregation — carries everything the
+    * threshold needs; the only window runs over that tiny histogram, and
+    * the per-source thresholds broadcast back into a codegen'd comparison
+    * on a second pruned scan. Two linear scans, no corpus-wide shuffle,
+    * no skew exposure however unbalanced the sources are.
+    */
+  def adaptiveQualityFilter(
+      docs: org.apache.spark.sql.DataFrame,
+      keepFraction: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0,1], got $keepFraction")
+    val t = col("text")
+    // per-mille density floors through exact small-integer double ops —
+    // bit-identical cross-engine (operands < 2^53, one multiply + divide)
+    val score =
+      floor(lit(1000.0) * length(replace(t, lit(" "), lit(""))) / length(t))
+    val sc = docs.filter(length(t) > 0)
+      .select(col("doc_id"), col("source"), score.as("score"))
+    val hist = sc.groupBy("source", "score").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("source").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("total", sum("n").over(Window.partitionBy("source")))
+      .filter(col("cum") >= ceil(lit(keepFraction) * col("total")))
+      .groupBy("source").agg(max("score").as("thr"))
+    sc.join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"), col("score"), col("thr"),
+        (col("score") >= col("thr")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Epoch-week bucket: pure integer arithmetic, identical in both engines. */
   private def epochWeek = floor(unix_micros(col("ts")) / lit(604800000000L)).cast("long")
 
@@ -989,5 +1036,33 @@ object Curation {
           (col("drop_reason") === "").cast("int").as("kept"),
           col("drop_reason"))
         .orderBy("doc_id")
+    },
+
+    // [[adaptiveQualityFilter]] at the registered keepFraction=0.7. The
+    // oracle replays the histogram-threshold rule verbatim: integer
+    // per-mille scores, per-source descending-cumulative histogram,
+    // thr = max score whose cumulative count reaches ceil(0.7·n_source) —
+    // all integer/exact-double arithmetic, hash-identical cross-engine.
+    "q115_adaptive_quality" -> Q(
+      "Adaptive per-source quality filter: keep top 70% of each source by " +
+        "per-mille density score, threshold solved per source via histogram",
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(1000.0 * LENGTH(REPLACE(text, ' ', '')) / LENGTH(text))
+        |         AS BIGINT) AS score
+        |  FROM documents WHERE LENGTH(text) > 0),
+        |h AS (SELECT source, score, COUNT(*) AS n FROM sc GROUP BY source, score),
+        |c AS (SELECT source, score, n,
+        |        SUM(n) OVER (PARTITION BY source ORDER BY score DESC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(n) OVER (PARTITION BY source) AS total
+        |      FROM h),
+        |thr AS (SELECT source, MAX(score) AS thr FROM c
+        |        WHERE cum >= CEIL(0.7 * total) GROUP BY source)
+        |SELECT sc.doc_id, sc.source, sc.score, thr.thr,
+        |  CAST(sc.score >= thr.thr AS INTEGER) AS keep
+        |FROM sc JOIN thr USING (source)
+        |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
+      adaptiveQualityFilter(Tables(s, dir, "documents"), keepFraction = 0.7)
     })
 }

@@ -751,6 +751,40 @@ object Dedup {
       |WHERE j >= 0.7 AND (u % 5 = 0 OR v % 5 = 0)
       |ORDER BY new_id, existing_id""".stripMargin
 
+  /** The q97 component-assignment replay through `comp` (cluster_id,
+    * doc_id), WITHOUT a leading WITH: callers prepend `WITH RECURSIVE` and
+    * append their own SELECT. Shared beyond this file (q116's leakage-safe
+    * split oracle in Training) so every consumer replays the IDENTICAL
+    * cluster definition — one pair graph, one reachability, one min-id
+    * rule; checks cannot drift apart.
+    */
+  private[queries] val ComponentAssignmentCteSql =
+    s"""$ExactPairPrefixSql,
+      |pairs AS (SELECT u, v FROM pj WHERE j >= 0.7),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+      |comp AS (
+      |  SELECT LEAST(COALESCE(m.mn, d.doc_id), d.doc_id) AS cluster_id,
+      |         d.doc_id
+      |  FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id)""".stripMargin
+
+  /** The production cluster assignment (q97's chain minus the ranking):
+    * banded minhash pairs → connected components over ALL doc ids
+    * (singletons keep themselves). Spark-side twin of
+    * [[ComponentAssignmentCteSql]]; shared with Training's q116.
+    */
+  private[queries] def componentAssignment(
+      docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    graft.operators.ConnectedComponents.run(
+      docs.select(col("doc_id").as("id")),
+      minhashPairs(docs, threshold)
+        .select(col("a").as("src"), col("b").as("dst")))
+      .select(col("component").as("cluster_id"), col("id").as("doc_id"))
+
   /** q97's oracle: the exact-jaccard replay of the minhash graph (equal on
     * the testdata — see the q97 registration comment), composed from the
     * q55-style recursive-CTE component replay and the q91 ranking replay.

@@ -343,6 +343,29 @@ object Similarity {
           .orderBy("query_id", "rank")
     },
 
+    // The PQ tier below q62's int8: IVFADC (coarse IVF cells + product-
+    // quantized codes + per-query ADC lookup tables + exact float rerank).
+    // At dim 64 / m=16 / 16 codes the searched payload is 8 code bytes per
+    // vector — 32× smaller than float, 8× smaller than q62's int8 — which
+    // at 100 TB of embeddings is the difference between an in-memory
+    // candidate sweep and an I/O-bound one. See [[graft.operators.PqIndex]]
+    // for the plan shape (codebooks are plan literals; encode/table/score
+    // are all built-in codegen HOFs).
+    // ORACLE CLOSURE: rows-only is FINAL — q42/q56/q62's ANN class (recall
+    // < 1 by design, double-quantized shortlist); PqIndexSpec bounds
+    // recall@5 vs the oracled-brute q36 path, asserts determinism of the
+    // driver-fit codebooks, and pins code-range/width invariants.
+    "q117_knn_ivfpq" -> Q.noOracle(
+      "IVFADC ANN top-5: product-quantized codes (m=16, 16 codes) ADC-scored " +
+        "within probed IVF cells, exact float rerank") { (s, dir) =>
+      val corpus = emb(s, dir)
+      graft.operators.PqIndex
+        .search(modelFor(corpus, dir), pqModelFor(corpus, dir),
+          corpus.filter(col("vec_id") < 10), corpus, k = 5, nProbe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+
     // q55's SCALE twin, the same way q67/q68 twin q65/q59: identical
     // output shape (cluster_id, doc_id, keep) and the same CC + min-id
     // tail, but the pair set comes from semanticDedupPairs' cell-
@@ -891,6 +914,20 @@ object Similarity {
     else build()
   }
 
+  /** q117's PQ codebooks — [[modelFor]]'s memoization/staleness policy
+    * (driver-bounded deterministic fit; cache only read-only testdata
+    * dirs), separate map because the model type differs.
+    */
+  private def pqModelFor(corpus: DataFrame, dir: String): graft.operators.PqIndex.Model = {
+    def build() = graft.operators.PqIndex.fit(
+      corpus.limit(2048).coalesce(1), m = 16, numCodes = 16, maxIter = 10)
+    if (dir.startsWith("/root/testdata")) pqModels.computeIfAbsent(dir, _ => build())
+    else build()
+  }
+
   private val models =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.IvfIndex.Model]()
+
+  private val pqModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.PqIndex.Model]()
 }

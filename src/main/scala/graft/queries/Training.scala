@@ -390,7 +390,50 @@ object Training {
          |  CAST(cum_toks - n_toks < 600 AS INTEGER) AS kept
          |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       stratifiedTokenSample(Tables(s, dir, "documents"), budgetPerSource = 600L)
+    },
+
+    // GROUP-HOLDOUT splitting: q82 measures how near-dups leak across a
+    // doc-keyed split; this PREVENTS the leak structurally. The split is
+    // keyed by the near-dup CLUSTER id (q97's minhash components), so
+    // every member of a component lands in the same split and no eval doc
+    // can have a near-twin in train. `moved` flags docs whose group split
+    // differs from the doc-keyed q49 assignment (the leakage exposure the
+    // group key just closed). Oracle: the shared q97 component replay
+    // (exact-jaccard ≡ banded graph on the testdata — MinHashRecallSpec
+    // pins the precondition) + the q49 split CASE applied to cluster_id.
+    // Scale shape: the assignment is q97's (banded equi-joins + CC id
+    // shuffles); the split itself adds ZERO exchanges — a codegen hash of
+    // cluster_id.
+    "q116_leakage_split" -> Q(
+      "Leakage-safe train/val/test split: assignment keyed by near-dup " +
+        "cluster id (group holdout), moved flag vs the doc-keyed split",
+      s"""WITH RECURSIVE
+         |${Dedup.ComponentAssignmentCteSql}
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ((cluster_id % 2147483647) * 2654435761) % 100 < 80 THEN 'train'
+         |       WHEN ((cluster_id % 2147483647) * 2654435761) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST((CASE WHEN ((cluster_id % 2147483647) * 2654435761) % 100 < 80 THEN 0
+         |             WHEN ((cluster_id % 2147483647) * 2654435761) % 100 < 90 THEN 1
+         |             ELSE 2 END) <>
+         |       (CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 80 THEN 0
+         |             WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 90 THEN 1
+         |             ELSE 2 END) AS INTEGER) AS moved
+         |FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      leakageSafeSplit(Tables(s, dir, "documents"))
     })
+
+  /** q116: group-holdout split — the assignment is the production cluster
+    * assignment ([[Dedup.componentAssignment]], q97's chain minus ranking);
+    * the split/moved columns are pure codegen over (doc_id, cluster_id).
+    */
+  def leakageSafeSplit(docs: DataFrame): DataFrame =
+    Dedup.componentAssignment(docs)
+      .select(col("doc_id"), col("cluster_id"),
+        splitOf(col("cluster_id")).as("split"),
+        (splitOf(col("cluster_id")) =!= splitOf(col("doc_id")))
+          .cast("int").as("moved"))
+      .orderBy("doc_id")
 
   /** q103: split-repair manifest — see the registration comment. The
     * contamination side is [[splitContam]] UNCHANGED (shared body with

@@ -24,6 +24,50 @@ class CurationSpec extends SparkSpec {
     assert(ratios.distinct.length > 1, s"rates must vary by stratum: ${ratios.mkString(",")}")
   }
 
+  test("q115 adaptive quality: per-source thresholds keep the smallest >=70% set") {
+    val rows = SparkEntry.queries("q115_adaptive_quality")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (source, docs) =>
+      val n = docs.length
+      val target = math.ceil(0.7 * n).toLong
+      val thr = docs.head._4
+      assert(docs.forall(_._4 == thr), s"$source: threshold must be one per source")
+      val kept = docs.count(_._5 == 1)
+      // keep-set reaches the target...
+      assert(kept >= target, s"$source: kept $kept < target $target of $n")
+      // ...and is minimal up to boundary ties: excluding the boundary
+      // score drops below target
+      val above = docs.count(d => d._3 > thr)
+      assert(above < target, s"$source: threshold not tight (above=$above target=$target)")
+      // keep flag is exactly the threshold comparison
+      docs.foreach { case (id, _, score, t, keep) =>
+        assert((keep == 1) == (score >= t), s"doc $id: keep flag != score>=thr")
+      }
+    }
+  }
+
+  test("q115 adaptive thresholds beat a global cutoff on a planted skewed corpus") {
+    import spark.implicits._
+    // source A scores high (dense text), source B low (space-padded): a
+    // global 70% cutoff would keep ~all of A and ~none of B; the adaptive
+    // filter must keep >=70% of EACH
+    val docs = ((0 until 40).map(i => (i.toLong, s"a${i}" * (i % 7 + 1), "A")) ++
+      (0 until 40).map(i => (1000L + i, ("b " * (i % 9 + 2)).trim + "  x", "B")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.queries.Curation.adaptiveQualityFilter(docs, keepFraction = 0.7)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getInt(4)))
+    val bySource = out.groupBy(_._1)
+    assert(bySource.keySet == Set("A", "B"))
+    bySource.foreach { case (s, ds) =>
+      val frac = ds.count(_._3 == 1).toDouble / ds.length
+      assert(frac >= 0.7, s"source $s keeps only $frac")
+    }
+    // adaptivity: the two sources solved genuinely different thresholds
+    assert(bySource("A").head._2 != bySource("B").head._2,
+      "planted skew must produce distinct per-source thresholds")
+  }
+
   test("q58 sequence packing: pack ids are dense per source and tokens are conserved") {
     val rows = SparkEntry.queries("q58_seq_packing")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -123,6 +123,31 @@ class TrainingSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("q116 leakage-safe split: no near-dup cluster straddles a split") {
+    val rows = SparkEntry.queries("q116_leakage_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // THE group-holdout property: every member of a cluster shares a split
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cid straddles splits: ${members.map(_._3).distinct.mkString(",")}")
+    }
+    // the split is the q49 assignment OF THE CLUSTER ID, and moved flags
+    // exactly the docs whose doc-keyed split would have differed
+    val splitOfLocal: Long => String = { id =>
+      val b = ((id % 2147483647L) * 2654435761L) % 100L
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    rows.foreach { case (doc, cid, split, moved) =>
+      assert(split == splitOfLocal(cid), s"doc $doc: split $split != split(cluster $cid)")
+      assert((moved == 1) == (splitOfLocal(doc) != splitOfLocal(cid)),
+        s"doc $doc: moved flag inconsistent")
+    }
+    // the testdata corpus has real near-dup clusters, so the guard must
+    // actually move someone — otherwise this test pins nothing
+    assert(rows.exists(_._4 == 1), "expected at least one doc moved by group holdout")
+  }
+
   test("approx_count_distinct lands within 5% of exact per event_type") {
     val approx = SparkEntry.queries("q51_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
