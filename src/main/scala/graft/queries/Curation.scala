@@ -300,18 +300,24 @@ object Curation {
     * on a second pruned scan. Two linear scans, no corpus-wide shuffle,
     * no skew exposure however unbalanced the sources are.
     */
+  /** The shared integer quality signal of q115/q118: per-mille non-space
+    * density. INTEGER (bounded [0,1000]) on purpose — that is what makes
+    * the histogram-threshold trick work at scale (a bounded-cardinality
+    * score compresses any corpus to a tiny exact histogram). Floors
+    * through exact small-integer double ops — bit-identical cross-engine
+    * (operands < 2^53, one multiply + divide).
+    */
+  private def densityScore(t: org.apache.spark.sql.Column) =
+    floor(lit(1000.0) * length(replace(t, lit(" "), lit(""))) / length(t))
+
   def adaptiveQualityFilter(
       docs: org.apache.spark.sql.DataFrame,
       keepFraction: Double = 0.7): org.apache.spark.sql.DataFrame = {
     require(keepFraction > 0.0 && keepFraction <= 1.0,
       s"keepFraction must be in (0,1], got $keepFraction")
     val t = col("text")
-    // per-mille density floors through exact small-integer double ops —
-    // bit-identical cross-engine (operands < 2^53, one multiply + divide)
-    val score =
-      floor(lit(1000.0) * length(replace(t, lit(" "), lit(""))) / length(t))
     val sc = docs.filter(length(t) > 0)
-      .select(col("doc_id"), col("source"), score.as("score"))
+      .select(col("doc_id"), col("source"), densityScore(t).as("score"))
     val hist = sc.groupBy("source", "score").agg(count(lit(1)).as("n"))
     val wCum = Window.partitionBy("source").orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -324,6 +330,88 @@ object Curation {
       .select(col("doc_id"), col("source"), col("score"), col("thr"),
         (col("score") >= col("thr")).cast("int").as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** q118: CURRICULUM staging — partition the corpus into `stages` global
+    * quality quantiles (ascending [[densityScore]]), the scheduling input
+    * for quality-ordered training (feed stage 1 early, stage `stages`
+    * late, or the reverse — the manifest is direction-agnostic). Stage
+    * boundaries come from the SAME histogram trick as q115, globally: an
+    * exact ≤1001-row score histogram replaces `ntile() OVER (ORDER BY
+    * score)`, which would serialize the whole corpus through ONE reducer
+    * at 100 TB. Boundary b_k = min score whose ascending cumulative count
+    * reaches ceil(k·n/stages); stage = 1 + #{boundaries strictly below
+    * the score}, so equal scores always share a stage (deterministic,
+    * quantile-exact up to boundary ties). The one window here runs over
+    * the histogram — bounded rows, single-partition by design.
+    */
+  def curriculumStages(
+      docs: org.apache.spark.sql.DataFrame,
+      stages: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(stages >= 2 && stages <= 100, s"stages must be in [2,100], got $stages")
+    val t = col("text")
+    val sc = docs.filter(length(t) > 0)
+      .select(col("doc_id"), densityScore(t).as("score"))
+    val h = sc.groupBy("score").agg(count(lit(1)).as("n"))
+    val wc = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = h
+      .crossJoin(broadcast(h.agg(sum("n").as("total"))))
+      .withColumn("cum", sum("n").over(wc))
+    val boundCols = (1 until stages).map { k =>
+      min(when(
+        col("cum") >= ceil(lit(k.toDouble) * col("total") / lit(stages.toDouble)),
+        col("score"))).as(s"b$k")
+    }
+    val b = c.agg(boundCols.head, boundCols.tail: _*)
+    val stageCol = (1 until stages)
+      .map(k => when(col("score") > col(s"b$k"), 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    sc.crossJoin(broadcast(b))
+      .select(col("doc_id"), col("score"), stageCol.cast("int").as("stage"))
+      .orderBy("doc_id")
+  }
+
+  /** q119: DATA-CONSTRAINED epoch allocation — the UP-sampling regime the
+    * mixture solvers (q108/q109) don't cover. Those solve keep-RATES ≤ 1;
+    * when the token budget EXCEEDS the corpus, a source is instead
+    * REPEATED for multiple epochs, and repeating indefinitely stops
+    * helping (Muennighoff et al., "Scaling Data-Constrained Language
+    * Models", 2023 — repeated tokens decay in value, hence the epoch
+    * cap). One-shot allocation: each source's target is the equal share
+    * `budget / n_sources` (floored); it contributes
+    * `alloc = min(maxEpochs · toks_s, target)` tokens — the cap binds for
+    * small sources, which show a `shortfall` (redistribution of shortfall
+    * is a deliberate second pass at the recipe level, not hidden here).
+    * `epochs_bp` is the resulting repeat factor in floored basis points —
+    * > 10000 means genuine multi-epoch repetition. All integer
+    * arithmetic; one source-sized aggregate, no corpus shuffle — the
+    * apply step is the q57/q108 deterministic doc-hash against
+    * `epochs_bp` (floor(epochs) full passes + one hash-sampled partial
+    * pass), unchanged at 100 TB.
+    */
+  def epochAllocation(
+      docs: org.apache.spark.sql.DataFrame,
+      budget: Long,
+      maxEpochs: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(budget > 0 && maxEpochs >= 1, s"bad budget=$budget maxEpochs=$maxEpochs")
+    val t = docs.select(col("source"),
+      size(split(col("text"), " ", -1)).cast("long").as("n"))
+    val totals = t.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("toks"))
+    val target = floor(lit(budget) / col("n_sources")).cast("long")
+    val alloc = least(lit(maxEpochs.toLong) * col("toks"), col("target"))
+    totals
+      .crossJoin(broadcast(totals.agg(count(lit(1)).as("n_sources"))))
+      .withColumn("target", target)
+      .select(col("source"), col("n_docs"), col("toks"), col("target"),
+        alloc.as("alloc_toks"))
+      .select(col("source"), col("n_docs"), col("toks"), col("alloc_toks"),
+        // the q108 floored-double convention: both engines run the same
+        // IEEE double multiply+divide, so the floor is hash-identical
+        floor(lit(10000.0) * col("alloc_toks") / col("toks")).cast("long").as("epochs_bp"),
+        (col("target") - col("alloc_toks")).cast("long").as("shortfall"))
+      .orderBy("source")
   }
 
   /** Epoch-week bucket: pure integer arithmetic, identical in both engines. */
@@ -1064,5 +1152,61 @@ object Curation {
         |FROM sc JOIN thr USING (source)
         |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
       adaptiveQualityFilter(Tables(s, dir, "documents"), keepFraction = 0.7)
+    },
+
+    // [[curriculumStages]] at the registered 4 stages. The oracle replays
+    // the global histogram-quantile rule: ascending cumulative histogram,
+    // boundary b_k = min score reaching ceil(k·n/4), stage = 1 + strict
+    // boundary exceedances — integer/exact-double only.
+    "q118_curriculum_stages" -> Q(
+      "Curriculum staging: 4 global quality quantiles via exact score " +
+        "histogram (no corpus-wide ntile window)",
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(1000.0 * LENGTH(REPLACE(text, ' ', '')) / LENGTH(text))
+        |         AS BIGINT) AS score
+        |  FROM documents WHERE LENGTH(text) > 0),
+        |h AS (SELECT score, COUNT(*) AS n FROM sc GROUP BY score),
+        |c AS (SELECT score,
+        |        SUM(n) OVER (ORDER BY score ASC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(n) OVER () AS total
+        |      FROM h),
+        |b AS (SELECT
+        |        MIN(CASE WHEN cum >= CEIL(1.0 * total / 4.0) THEN score END) AS b1,
+        |        MIN(CASE WHEN cum >= CEIL(2.0 * total / 4.0) THEN score END) AS b2,
+        |        MIN(CASE WHEN cum >= CEIL(3.0 * total / 4.0) THEN score END) AS b3
+        |      FROM c)
+        |SELECT sc.doc_id, sc.score,
+        |  CAST(1 + (CASE WHEN sc.score > b.b1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN sc.score > b.b2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN sc.score > b.b3 THEN 1 ELSE 0 END) AS INTEGER) AS stage
+        |FROM sc CROSS JOIN b
+        |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
+      curriculumStages(Tables(s, dir, "documents"), stages = 4)
+    },
+
+    // [[epochAllocation]] at budget=60000 tokens, epoch cap 4 — sized so
+    // the sf0.01 corpus (~25k tokens over 20 sources) genuinely exercises
+    // the multi-epoch regime. The oracle replays the one-shot waterfill:
+    // equal floored share, LEAST against the epoch cap, q108's
+    // floored-double basis points.
+    "q119_epoch_allocation" -> Q(
+      "Data-constrained epoch allocation: equal per-source token share " +
+        "under a 4-epoch repetition cap, with per-source shortfall",
+      """WITH t AS (
+        |  SELECT source, len(string_split(text, ' ')) AS n FROM documents),
+        |s AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS toks
+        |      FROM t GROUP BY source),
+        |m AS (SELECT COUNT(*) AS n_sources FROM s),
+        |r AS (SELECT source, n_docs, toks,
+        |        CAST(FLOOR(60000 / n_sources) AS BIGINT) AS target,
+        |        LEAST(4 * toks, CAST(FLOOR(60000 / n_sources) AS BIGINT)) AS alloc_toks
+        |      FROM s CROSS JOIN m)
+        |SELECT source, n_docs, toks, alloc_toks,
+        |  CAST(FLOOR(10000.0 * alloc_toks / toks) AS BIGINT) AS epochs_bp,
+        |  CAST(target - alloc_toks AS BIGINT) AS shortfall
+        |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
+      epochAllocation(Tables(s, dir, "documents"), budget = 60000L, maxEpochs = 4)
     })
 }

@@ -68,6 +68,49 @@ class CurationSpec extends SparkSpec {
       "planted skew must produce distinct per-source thresholds")
   }
 
+  test("q118 curriculum stages: monotone in score, near-quartile masses, tie-consistent") {
+    val rows = SparkEntry.queries("q118_curriculum_stages")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // stage is monotone in score and equal scores share a stage
+    rows.groupBy(_._2).foreach { case (score, ds) =>
+      assert(ds.map(_._3).distinct.length == 1, s"score $score split across stages")
+    }
+    val byStage = rows.groupBy(_._3)
+    assert(byStage.keySet.subsetOf(Set(1, 2, 3, 4)))
+    val maxScorePerStage = byStage.view.mapValues(_.map(_._2).max).toMap
+    assert(maxScorePerStage.toSeq.sortBy(_._1).map(_._2) ==
+      maxScorePerStage.toSeq.sortBy(_._1).map(_._2).sorted,
+      "stages must be score-ordered")
+    // each stage holds ~a quarter up to boundary-tie slack: the cumulative
+    // count through stage k reaches ceil(k*n/4)
+    (1 to 3).foreach { k =>
+      val through = rows.count(_._3 <= k)
+      assert(through >= math.ceil(k * n / 4.0).toInt,
+        s"cumulative through stage $k is $through < ${math.ceil(k * n / 4.0).toInt}")
+    }
+  }
+
+  test("q119 epoch allocation: caps, budget accounting, and both regimes") {
+    val rows = SparkEntry.queries("q119_epoch_allocation")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val nSources = rows.length
+    val target = 60000L / nSources
+    rows.foreach { case (src, _, toks, alloc, bp, shortfall) =>
+      assert(alloc == math.min(4 * toks, target), s"$src: alloc wrong")
+      assert(bp <= 40000L, s"$src: epoch cap exceeded ($bp bp)")
+      assert(shortfall == target - alloc, s"$src: shortfall wrong")
+      assert(shortfall >= 0, s"$src: negative shortfall")
+      assert(bp == math.floor(10000.0 * alloc / toks).toLong, s"$src: bp wrong")
+    }
+    // the sized budget must exercise the repetition regime (some source
+    // repeats: bp > 10000) — otherwise this is just q108 again
+    assert(rows.exists(_._5 > 10000L), "no source entered the multi-epoch regime")
+  }
+
   test("q58 sequence packing: pack ids are dense per source and tokens are conserved") {
     val rows = SparkEntry.queries("q58_seq_packing")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
