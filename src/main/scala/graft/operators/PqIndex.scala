@@ -178,6 +178,57 @@ object PqIndex {
       ivf.bucketOf(col(embCol)).as("bucket"),
       pq.encode(col(embCol)).as("codes"))
 
+  /** IVFADC over a PERSISTED [[assign]]-layout code index — the shape a
+    * 100 TB deployment actually runs (the q56/q62 story at the PQ tier):
+    * `codesIndexed` is the code table written once partitioned by
+    * `bucket`, `floatIndexed` the float index in the same layout. The
+    * distinct probed buckets are pushed as a static `bucket IN (...)`
+    * predicate on BOTH scans, so candidate generation reads only the
+    * probed partitions of an 8-byte-per-vector table, and the exact
+    * rerank fetch prunes to the same directories. Same contract as
+    * [[search]]: identical results for the same models/probe set
+    * (asserted in PqIndexSpec).
+    */
+  def searchIndexed(
+      ivf: IvfIndex.Model,
+      pq: Model,
+      queries: DataFrame,
+      codesIndexed: DataFrame,
+      floatIndexed: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      rerankFactor: Int = 8,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val qExploded = queries.select(
+      col(idCol).as("query_id"),
+      pq.adcTable(col(embCol)).as("tbl"),
+      explode(ivf.probeBuckets(col(embCol), nProbe)).as("bucket"))
+    // driver-bounded: ≤ queries × nProbe distinct buckets (and ≤ ivf k)
+    val probed: Array[Int] = qExploded
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    val c = codesIndexed
+      .filter(col("bucket").isin(probed.toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col("bucket"), col("codes"))
+    val shortlist = TopK.perQuery(
+      c.join(broadcast(qExploded), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          pq.adcScore(col("tbl"), col("codes")).as("sim"))
+        .dropDuplicates("query_id", "neighbor_id"),
+      k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    val qf = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("qv")))
+    TopK.perQuery(
+      shortlist
+        .join(floatIndexed.filter(col("bucket").isin(probed.toSeq: _*))
+          .select(col(idCol).as("neighbor_id"), col(embCol).as("cv")), "neighbor_id")
+        .join(qf, "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qv"), col("cv")).as("sim")),
+      k)
+  }
+
   /** IVFADC top-`k`: probe `nProbe` IVF cells per query, ADC-score their
     * codes, take the per-query `k · rerankFactor` shortlist, then rerank
     * EXACTLY against the float corpus. Output (query_id, neighbor_id,

@@ -356,12 +356,16 @@ object Similarity {
     // recall@5 vs the oracled-brute q36 path, asserts determinism of the
     // driver-fit codebooks, and pins code-range/width invariants.
     "q117_knn_ivfpq" -> Q.noOracle(
-      "IVFADC ANN top-5: product-quantized codes (m=16, 16 codes) ADC-scored " +
-        "within probed IVF cells, exact float rerank") { (s, dir) =>
+      "IVFADC ANN top-5: persisted product-quantized code index (m=16, 16 " +
+        "codes) ADC-scored within probed IVF cells, exact float rerank") { (s, dir) =>
       val corpus = emb(s, dir)
+      val ivf = modelFor(corpus, dir)
+      val pq = pqModelFor(corpus, dir)
       graft.operators.PqIndex
-        .search(modelFor(corpus, dir), pqModelFor(corpus, dir),
-          corpus.filter(col("vec_id") < 10), corpus, k = 5, nProbe = 4)
+        .searchIndexed(ivf, pq, corpus.filter(col("vec_id") < 10),
+          s.read.parquet(persistedPqIndex(ivf, pq, corpus, dir)),
+          s.read.parquet(persistedIndex(ivf, corpus, dir)),
+          k = 5, nProbe = 4)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     },
@@ -912,6 +916,30 @@ object Similarity {
       corpus.limit(2048).coalesce(1), k = 8, maxIter = 10)
     if (dir.startsWith("/root/testdata")) models.computeIfAbsent(s"dedup:$dir", _ => build())
     else build()
+  }
+
+  /** q117's code table — [[persistedIndex]]'s path-by-fingerprint and
+    * testdata-only-reuse staleness rules (see there); the fingerprint
+    * covers BOTH models (coarse centroids + PQ codebooks), so changing
+    * either retargets the path and rebuilds.
+    */
+  private def persistedPqIndex(
+      ivf: graft.operators.IvfIndex.Model,
+      pq: graft.operators.PqIndex.Model,
+      corpus: DataFrame,
+      dir: String): String = synchronized {
+    val fp = 31 * java.util.Arrays.deepHashCode(
+      ivf.centroids.asInstanceOf[Array[AnyRef]]) +
+      java.util.Arrays.deepHashCode(pq.codebooks.asInstanceOf[Array[AnyRef]])
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_pq_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Integer.toHexString(fp)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable)
+      graft.ops.Bucketing.writePartitioned(
+        graft.operators.PqIndex.assign(ivf, pq, corpus), path, Seq("bucket"))
+    path
   }
 
   /** q117's PQ codebooks — [[modelFor]]'s memoization/staleness policy

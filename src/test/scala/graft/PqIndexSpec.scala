@@ -75,6 +75,53 @@ class PqIndexSpec extends SparkSpec {
       s"PQ shortlist loses too much vs float IVF: $recall vs ceiling $ceiling")
   }
 
+  test("persisted code index: searchIndexed equals in-memory search and prunes the scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val ivf = IvfIndex.fit(corpus, k = 10)
+    val pq = PqIndex.fit(corpus, m = 16, numCodes = 16)
+    val codePath = "/tmp/graft_pq_spec_index"
+    val floatPath = "/tmp/graft_pq_spec_findex"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(codePath))
+    rm(new java.io.File(floatPath))
+    graft.ops.Bucketing.writePartitioned(
+      PqIndex.assign(ivf, pq, corpus), codePath, Seq("bucket"))
+    graft.ops.Bucketing.writePartitioned(
+      IvfIndex.assign(ivf, corpus), floatPath, Seq("bucket"))
+    val queries = corpus.filter(col("vec_id") < 10)
+    val nProbe = 2 // fewer than the 10 cells, so pruning is exercised
+    val indexed = PqIndex.searchIndexed(ivf, pq, queries,
+      spark.read.parquet(codePath), spark.read.parquet(floatPath),
+      k = 5, nProbe = nProbe)
+    val rows = indexed.orderBy("query_id", "rank").collect()
+    val inMem = PqIndex.search(ivf, pq, queries, corpus, k = 5, nProbe = nProbe)
+      .orderBy("query_id", "rank").collect()
+    assert(rows.map(_.toString).toSeq == inMem.map(_.toString).toSeq,
+      "persisted-index search must equal the in-memory path")
+    // the code-table scan touches only the probed bucket directories
+    val probed = queries
+      .select(explode(ivf.probeBuckets(col("embedding"), nProbe)).as("b"))
+      .distinct().count()
+    val bucketDirs = new java.io.File(codePath).listFiles
+      .count(_.getName.startsWith("bucket="))
+    assert(probed < bucketDirs, "test must actually exercise pruning")
+    val codeScan = scans(indexed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft_pq_spec_index")))
+    assert(codeScan.nonEmpty, "expected a FileSourceScan over the code index")
+    assert(codeScan.head.selectedPartitions.partitionCount == probed,
+      s"expected $probed pruned buckets of $bucketDirs, " +
+        s"got ${codeScan.head.selectedPartitions.partitionCount}")
+  }
+
   test("rerank repairs ADC rank inversions: top-1 agrees with IVF float search") {
     val ivf = IvfIndex.fit(corpus, k = 10)
     val pq = PqIndex.fit(corpus, m = 16, numCodes = 16)
