@@ -91,6 +91,52 @@ object ShardExport {
     dir
   }
 
+  /** APPEND-ONLY daily export — the q113/q110 incremental story carried
+    * through to the pipeline's last mile: a new batch is packed and
+    * sharded AMONG ITSELF ONLY (per-source pack ids continue after the
+    * existing per-source max; shard ids continue after the existing global
+    * max, each a bounded aggregate over the existing manifest columns),
+    * and its shards land as NEW `shard_id=` directories via parquet
+    * append. Existing shard files are never rewritten — O(batch) I/O per
+    * day, and every already-published shard stays byte-stable (training
+    * jobs may already hold references to it).
+    *
+    * Deliberate semantics: append-only is NOT a from-scratch re-export —
+    * a full rerun over corpus ∪ batch would interleave batch docs into
+    * old packs by doc_id. Publishing immutable shards means accepting
+    * that batch docs pack among themselves; the alternative (repacking)
+    * rewrites published data every day. The determinism contract is
+    * unchanged: re-running the same append over the same state reproduces
+    * identical assignments (md5 keys, never rand()).
+    */
+  def append(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      epochDir: String,
+      epoch: Int,
+      packTokens: Int,
+      shardTokens: Int): String = {
+    val existing = spark.read.parquet(epochDir)
+    // bounded: one row per source / one global max
+    val nextPack = existing.groupBy("source")
+      .agg((max("pack_id") + 1).as("pack_base"))
+    val shardBase = existing
+      .agg(max(col("shard_id").cast("long"))).head.getLong(0) + 1L
+    val pd = packedDocs(batch, packTokens)
+      .join(broadcast(nextPack), Seq("source"), "left")
+      .withColumn("pack_id", col("pack_id") + coalesce(col("pack_base"), lit(0L)))
+      .drop("pack_base")
+    val packs = pd.groupBy("source", "pack_id").agg(sum("n_toks").as("pack_toks"))
+    val assigned = assignShards(packs, epoch, shardTokens)
+      .withColumn("shard_id", col("shard_id") + lit(shardBase))
+      .select(col("source"), col("pack_id"), col("shard_id"))
+    pd.join(assigned, Seq("source", "pack_id"))
+      .select(col("shard_id"), col("source"), col("pack_id"), col("doc_id"), col("text"))
+      .repartition(col("shard_id"))
+      .write.mode(SaveMode.Append).partitionBy("shard_id").parquet(epochDir)
+    epochDir
+  }
+
   /** Manifest computed FROM THE WRITTEN FILES (not from the plan that
     * produced them — the manifest's job is to attest what's on disk):
     * per shard, sequence/doc/token counts and an order-independent content

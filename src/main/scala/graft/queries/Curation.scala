@@ -702,6 +702,90 @@ object Curation {
       graft.ops.ShardExport.manifest(s, epochDir)
     },
 
+    // INCREMENTAL export ([[graft.ops.ShardExport.append]]): the daily
+    // production shape — day-0 base shards (docs with doc_id%5≠0, the
+    // q66/q110/q113 batch convention) plus the day-1 batch appended as NEW
+    // shards only; published shard files never rewritten. The oracle
+    // replays both chains: the q105 CTE over the base, then the batch
+    // packed among itself with per-source pack-id offsets (base max+1)
+    // and shard ids offset by the base max+1 — exactly the append rule.
+    // Manifest is computed from the files on disk, so the check also
+    // attests that append really wrote what the arithmetic says.
+    "q120_incremental_export" -> Q(
+      "Incremental shard export: immutable day-0 shards + O(batch) appended " +
+        "batch shards, unified manifest from the written files",
+      """WITH t0 AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |p0 AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t0),
+        |d0 AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id, n_toks FROM p0),
+        |pk0 AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+        |        FROM d0 GROUP BY source, pack_id),
+        |k0 AS (SELECT *,
+        |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+        |       FROM pk0),
+        |c0 AS (SELECT *,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k0),
+        |a0 AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_id FROM c0),
+        |mx AS (SELECT MAX(shard_id) + 1 AS sbase FROM a0),
+        |np AS (SELECT source, MAX(pack_id) + 1 AS pack_base FROM d0 GROUP BY source),
+        |t1 AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |p1 AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t1),
+        |d1 AS (SELECT p1.source,
+        |         CAST(off // 512 AS BIGINT) + COALESCE(np.pack_base, 0) AS pack_id,
+        |         p1.doc_id, p1.n_toks
+        |       FROM p1 LEFT JOIN np ON np.source = p1.source),
+        |pk1 AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+        |        FROM d1 GROUP BY source, pack_id),
+        |k1 AS (SELECT *,
+        |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+        |       FROM pk1),
+        |c1 AS (SELECT *,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k1),
+        |a1 AS (SELECT source, pack_id,
+        |         CAST(goff // 2048 AS BIGINT) + (SELECT sbase FROM mx) AS shard_id
+        |       FROM c1),
+        |alljoin AS (
+        |  SELECT a0.shard_id, d0.source, d0.pack_id, d0.doc_id, d0.n_toks
+        |  FROM d0 JOIN a0 ON d0.source = a0.source AND d0.pack_id = a0.pack_id
+        |  UNION ALL
+        |  SELECT a1.shard_id, d1.source, d1.pack_id, d1.doc_id, d1.n_toks
+        |  FROM d1 JOIN a1 ON d1.source = a1.source AND d1.pack_id = a1.pack_id)
+        |SELECT shard_id,
+        |  COUNT(DISTINCT (source, pack_id)) AS n_seqs,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(((doc_id % 2147483647) * 2654435761) % 1000000007) AS BIGINT)
+        |    AS content_hash
+        |FROM alljoin
+        |GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_incr_p512s2048_pid" +
+        ProcessHandle.current().pid()
+      val docs = Tables(s, dir, "documents")
+      val epochDir = graft.ops.ShardExport.write(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), out,
+        epoch = 1, packTokens = 512, shardTokens = 2048)
+      graft.ops.ShardExport.append(s,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), epochDir,
+        epoch = 1, packTokens = 512, shardTokens = 2048)
+      graft.ops.ShardExport.manifest(s, epochDir)
+    },
+
     // DECONTAMINATION: flag training documents sharing word-5-grams with a
     // held-out eval set (here: doc_id < 20). The eval shingle set is tiny
     // by construction, so the plan is explode → broadcast equi-join on the

@@ -99,4 +99,59 @@ class ShardExportSpec extends SparkSpec {
       .collect()(0).toSeq
     assert(totals(e0) === totals(e1), "epoch totals must be identical")
   }
+
+  test("incremental append: published shards byte-stable, batch in new shards only, totals conserved") {
+    val docs = Tables(spark, sfDir, "documents")
+    val base = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val out = Files.createTempDirectory("graft-shards-incr").toString
+    val dir = ShardExport.write(base, out, epoch = 1, packTokens = 512, shardTokens = 2048)
+
+    // snapshot every base shard file (path -> (size, mtime-insensitive content hash))
+    def files(d: String): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d)).filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getAbsolutePath -> java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5").digest(bytes))
+      }.toMap
+    }
+    val before = files(dir)
+    val baseMax = spark.read.parquet(dir)
+      .agg(max(col("shard_id").cast("long"))).head.getLong(0)
+    val baseManifest = ShardExport.manifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+
+    ShardExport.append(spark, batch, dir, epoch = 1, packTokens = 512, shardTokens = 2048)
+
+    // 1. every pre-existing file is untouched (same path, same bytes)
+    val after = files(dir)
+    before.foreach { case (p, h) =>
+      assert(after.get(p).contains(h), s"published shard file changed: $p")
+    }
+    // 2. batch docs land ONLY in shards past the base max
+    val all = spark.read.parquet(dir)
+      .select(col("shard_id").cast("long").as("sid"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    all.foreach { case (sid, doc) =>
+      if (doc % 5 == 0) assert(sid > baseMax, s"batch doc $doc in published shard $sid")
+      else assert(sid <= baseMax, s"base doc $doc migrated to appended shard $sid")
+    }
+    // 3. base manifest rows are unchanged and the union conserves docs/tokens
+    val unified = ShardExport.manifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    baseManifest.foreach { case (sid, rowB) =>
+      assert(unified(sid) == rowB, s"manifest row for published shard $sid changed")
+    }
+    val totDocs = unified.values.map(_(2).asInstanceOf[Long]).sum
+    assert(totDocs == docs.count(), "append must conserve the doc universe")
+    // 4. re-running the same day-0+append sequence is byte-deterministic
+    val out2 = Files.createTempDirectory("graft-shards-incr2").toString
+    val dir2 = ShardExport.write(base, out2, epoch = 1, packTokens = 512, shardTokens = 2048)
+    ShardExport.append(spark, batch, dir2, epoch = 1, packTokens = 512, shardTokens = 2048)
+    val m1 = ShardExport.manifest(spark, dir).collect().map(_.toSeq).toSeq
+    val m2 = ShardExport.manifest(spark, dir2).collect().map(_.toSeq).toSeq
+    assert(m1 == m2, "incremental export must re-deal identically")
+  }
 }
