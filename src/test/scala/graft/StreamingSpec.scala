@@ -525,6 +525,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming adaptive gate: batch-solved thresholds apply stream==batch; unknown source passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING)
+    import spark.implicits._
+
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    // the batch SOLVE: one threshold per source (q115's histogram rule),
+    // MATERIALIZED to parquet and read back — the production handoff (the
+    // gate consumes the solved artifact, not the live solve plan; see the
+    // QualityGateStream doc for why a live plan is also a correctness
+    // hazard here)
+    val batchOut = graft.queries.Curation.adaptiveQualityFilter(docs, keepFraction = 0.7)
+    val thrPath = java.nio.file.Files.createTempDirectory("graft-qgate-thr").toString
+    batchOut.select("source", "thr").distinct()
+      .write.mode("overwrite").parquet(thrPath)
+    val thresholds = spark.read.parquet(thrPath)
+    val expected = batchOut.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+
+    val rows = docs.select("doc_id", "source", "text").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.QualityGateStream.start(
+      input.toDF().toDF("doc_id", "source", "text"), thresholds,
+      queryName = "adaptive_gate_t",
+      // AvailableNow would terminate on the (empty) start-time snapshot
+      // and ignore addData after start — the MemoryStream tests need a
+      // live trigger (same as the contam-guard test)
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    input.addData(rows.take(15): _*)
+    q.processAllAvailable()
+    // a source the solve never saw: permissive default, thr null, keep=1
+    input.addData(rows.drop(15): _*)
+    input.addData((9999L, "brand_new_source", "some perfectly ordinary text here"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("adaptive_gate_t").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4))).toMap
+    rows.foreach { case (id, _, _) =>
+      val (score, thr, keep) = expected(id)
+      assert(streamed(id) == ((score, Some(thr), keep)),
+        s"doc $id: stream gate ${streamed(id)} != batch ($score, $thr, $keep)")
+    }
+    assert(streamed(9999L)._2.isEmpty && streamed(9999L)._3 == 1,
+      s"unknown source must pass with null thr, got ${streamed(9999L)}")
+  }
+
   test("streaming pinned-centroid assignment: zero-join scoring, stream==batch q96 ranks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
