@@ -137,6 +137,25 @@ object ShardExport {
     epochDir
   }
 
+  /** Roll an epoch dir back to its day-0 state: delete every `shard_id=`
+    * directory past `baseMaxShard` (the appended batch shards). The
+    * re-run/replay primitive for [[append]] — append is deliberately not
+    * idempotent (re-appending would duplicate the batch), so a repeated
+    * day-boundary run resets first. Published (≤ baseMaxShard) shards are
+    * untouched, preserving the byte-stability contract.
+    */
+  def resetAppended(epochDir: String, baseMaxShard: Long): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    Option(new java.io.File(epochDir).listFiles).getOrElse(Array.empty)
+      .filter { f =>
+        f.getName.startsWith("shard_id=") &&
+          f.getName.stripPrefix("shard_id=").toLongOption.exists(_ > baseMaxShard)
+      }
+      .foreach(rm)
+  }
+
   /** Manifest computed FROM THE WRITTEN FILES (not from the plan that
     * produced them — the manifest's job is to attest what's on disk):
     * per shard, sequence/doc/token counts and an order-independent content

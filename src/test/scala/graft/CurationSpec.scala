@@ -111,6 +111,29 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(_._5 > 10000L), "no source entered the multi-epoch regime")
   }
 
+  test("q121 incremental thresholds equal the from-scratch q115 solve (mergeable statistic)") {
+    val incremental = SparkEntry.queries("q121_incremental_thresholds")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // from-scratch: q115's thresholds over the SAME full corpus
+    val scratch = SparkEntry.queries("q115_adaptive_quality")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    val scratchThr = scratch.groupBy(_._1).view.mapValues(_.head._2).toMap
+    val scratchN = scratch.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(incremental.keySet == scratchThr.keySet)
+    incremental.foreach { case (src, (n, thr)) =>
+      assert(thr == scratchThr(src), s"$src: incremental thr $thr != scratch ${scratchThr(src)}")
+      assert(n == scratchN(src), s"$src: merged count $n != scratch ${scratchN(src)}")
+    }
+    // merge is boundary-independent: ANY split of the corpus re-solves to
+    // the same thresholds (the sufficient-statistic property itself)
+    val docs = queries.Tables(spark, dir, "documents")
+    val alt = queries.Curation.incrementalThresholds(
+      queries.Curation.scoreHistogram(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), keepFraction = 0.7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(alt == incremental, "a different batch boundary must re-solve identically")
+  }
+
   test("q58 sequence packing: pack ids are dense per source and tokens are conserved") {
     val rows = SparkEntry.queries("q58_seq_packing")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -153,5 +153,13 @@ class ShardExportSpec extends SparkSpec {
     val m1 = ShardExport.manifest(spark, dir).collect().map(_.toSeq).toSeq
     val m2 = ShardExport.manifest(spark, dir2).collect().map(_.toSeq).toSeq
     assert(m1 == m2, "incremental export must re-deal identically")
+    // 5. reset + re-append (the day-boundary replay primitive) restores
+    // the identical state: published files still byte-identical, manifest
+    // unchanged
+    ShardExport.resetAppended(dir, baseMax)
+    assert(files(dir).keySet == before.keySet, "reset must restore exactly the day-0 files")
+    ShardExport.append(spark, batch, dir, epoch = 1, packTokens = 512, shardTokens = 2048)
+    val m3 = ShardExport.manifest(spark, dir).collect().map(_.toSeq).toSeq
+    assert(m3 == m1, "reset + re-append must reproduce the manifest")
   }
 }
