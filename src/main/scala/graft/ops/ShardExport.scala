@@ -164,7 +164,10 @@ object ShardExport {
     * same Mersenne-prime bound).
     */
   def manifest(spark: org.apache.spark.sql.SparkSession, epochDir: String): DataFrame =
-    spark.read.parquet(epochDir)
+    manifestRows(spark.read.parquet(epochDir)).orderBy("shard_id")
+
+  private def manifestRows(rows: DataFrame): DataFrame =
+    rows
       // shard_id comes back as a PARTITION column, so its type is whatever
       // partition-column inference picks (IntegerType by default) — pin it
       // to long explicitly like every other oracle-checked column instead
@@ -176,5 +179,26 @@ object ShardExport {
         sum(size(split(col("text"), " ", -1))).cast("long").as("n_tokens"),
         sum(pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
           lit(1000000007L))).cast("long").as("content_hash"))
+
+  /** The DAILY manifest: stored manifest rows for the published shards
+    * (immutable by [[append]]'s contract — their files are never
+    * rewritten, proven byte-stable in ShardExportSpec) unioned with rows
+    * computed from ONLY the `shard_id > basePublishedMax` directories.
+    * Partition pruning keeps the daily scan O(batch): at 100 TB the full
+    * [[manifest]] re-read is the thing a daily pipeline cannot afford,
+    * and shard-dir disjointness makes this union EQUAL to it (spec + the
+    * q120 oracle both check that equality).
+    */
+  def manifestIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      epochDir: String,
+      storedBaseManifest: DataFrame,
+      basePublishedMax: Long): DataFrame =
+    storedBaseManifest
+      .select(col("shard_id").cast("long").as("shard_id"), col("n_seqs"),
+        col("n_docs"), col("n_tokens"), col("content_hash"))
+      .unionByName(manifestRows(
+        spark.read.parquet(epochDir)
+          .filter(col("shard_id").cast("long") > basePublishedMax)))
       .orderBy("shard_id")
 }

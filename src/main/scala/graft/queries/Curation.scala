@@ -852,6 +852,7 @@ object Curation {
         ProcessHandle.current().pid()
       val docs = Tables(s, dir, "documents")
       val marker = java.nio.file.Paths.get(out, "_BASE_MAX")
+      val baseManifestPath = s"$out/base_manifest"
       val epochDir = s"$out/epoch=1"
       val baseMax = Curation.synchronized {
         if (java.nio.file.Files.exists(marker)) {
@@ -864,6 +865,12 @@ object Curation {
             epoch = 1, packTokens = 512, shardTokens = 2048)
           val m = s.read.parquet(epochDir)
             .agg(max(col("shard_id").cast("long"))).head.getLong(0)
+          // attest the published shards ONCE; their files are immutable
+          // under append (byte-stability spec-proved), so these rows are
+          // the artifact every later day reuses
+          graft.ops.ShardExport.manifest(s, epochDir)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(baseManifestPath)
           java.nio.file.Files.writeString(marker, m.toString)
           m
         }
@@ -872,7 +879,8 @@ object Curation {
       graft.ops.ShardExport.append(s,
         docs.filter(pmod(col("doc_id"), lit(5)) === 0), epochDir,
         epoch = 1, packTokens = 512, shardTokens = 2048)
-      graft.ops.ShardExport.manifest(s, epochDir)
+      graft.ops.ShardExport.manifestIncremental(s, epochDir,
+        s.read.parquet(baseManifestPath), baseMax)
     },
 
     // DECONTAMINATION: flag training documents sharing word-5-grams with a

@@ -161,5 +161,13 @@ class ShardExportSpec extends SparkSpec {
     ShardExport.append(spark, batch, dir, epoch = 1, packTokens = 512, shardTokens = 2048)
     val m3 = ShardExport.manifest(spark, dir).collect().map(_.toSeq).toSeq
     assert(m3 == m1, "reset + re-append must reproduce the manifest")
+    // 6. the O(batch) daily manifest (stored base rows ∪ new-shard rows)
+    // equals the full re-read — shard-dir disjointness makes it exact
+    val baseRows = ShardExport.manifest(spark, dir)
+      .filter(col("shard_id") <= baseMax)
+    val mInc = ShardExport
+      .manifestIncremental(spark, dir, baseRows, baseMax)
+      .collect().map(_.toSeq).toSeq
+    assert(mInc == m3, "incremental manifest must equal the full re-read")
   }
 }
