@@ -429,4 +429,48 @@ class PlanShapeSpec extends SparkSpec {
       "a sort-merge join means the manifest store was shuffled:\n" + p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q115/q118 histogram solves: thresholds broadcast back, no corpus-keyed window") {
+    Seq("q115_adaptive_quality", "q118_curriculum_stages").foreach { q =>
+      val p = planOf(q)
+      // the corpus is scanned (histogram + apply) but never sort-merge
+      // joined or nested-looped; the solved thresholds join back broadcast
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: threshold join must be a broadcast:\n" + p)
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus must not shuffle for the join:\n" + p)
+      // every Window in the plan runs over the bounded histogram, AFTER
+      // its aggregate — i.e. no window consumes a raw corpus scan (the
+      // single-reducer percent_rank/ntile shape this design replaces)
+      val lines = p.linesIterator.toSeq
+      val windowIdx = lines.indexWhere(_.trim.startsWith("Window"))
+      if (windowIdx >= 0) {
+        val below = lines.drop(windowIdx)
+        assert(below.exists(_.contains("HashAggregate")),
+          s"$q: the window must sit above the histogram aggregate, not the corpus:\n" + p)
+      }
+    }
+  }
+
+  test("q121 incremental thresholds: batch scan + artifact scan, never the stored corpus") {
+    val p = planOf("q121_incremental_thresholds")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans == 1,
+      s"exactly the batch documents scan expected, got $docScans:\n" + p)
+    assert(p.contains("graft_qhist_"),
+      "the stored histogram artifact must be scanned:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q120 incremental export manifest: published rows from the artifact, new rows partition-pruned") {
+    val p = planOf("q120_incremental_export")
+    assert(p.contains("base_manifest"),
+      "published shards must come from the stored manifest artifact:\n" + p)
+    // the epoch-dir scan must carry the shard_id partition filter so the
+    // daily read prunes to the appended directories
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("shard_id")),
+      "new-shard scan must prune on shard_id:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
