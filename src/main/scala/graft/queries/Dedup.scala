@@ -785,6 +785,49 @@ object Dedup {
         .select(col("a").as("src"), col("b").as("dst")))
       .select(col("component").as("cluster_id"), col("id").as("doc_id"))
 
+  /** q122: the TIERED production dedup disposition — the layering the q113
+    * docs describe, registered as one manifest: (1) the exact-fingerprint
+    * tier collapses byte-identical reposts to their first occurrence (one
+    * hash aggregate + join — most ingest duplicates die here for cents);
+    * (2) ONLY the exact representatives enter the minhash near-dup tier
+    * (q97's chain + the shared [[rankRepresentatives]] rule), so the
+    * banding corpus shrinks by the exact-dup mass before the expensive
+    * stage runs. Every doc gets its FINAL canonical: exact dups resolve
+    * through their representative's near-dup cluster keeper, so a
+    * downstream rewrite needs exactly one id column. Scale shape: the
+    * exact tier is one fingerprint aggregate; the near tier is q97's
+    * (banded equi-joins, CC id shuffles, one ranking window) over the
+    * smaller rep set; the disposition joins are id-keyed hash joins.
+    */
+  def dedupTiers(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("f"))
+    val withRep = fp.join(
+      fp.groupBy("f").agg(min("doc_id").as("rep")), "f")
+      .select(col("doc_id"), col("rep"))
+    val reps = docs.join(
+      withRep.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+    val ranked = rankRepresentatives(
+      graft.operators.ConnectedComponents.run(
+        reps.select(col("doc_id").as("id")),
+        minhashPairs(reps, threshold)
+          .select(col("a").as("src"), col("b").as("dst")))
+        .select(col("component").as("cluster_id"), col("id").as("doc_id")),
+      docs)
+    val keeper = ranked.filter(col("keep") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical"))
+    val repDisp = ranked
+      .select(col("doc_id").as("rep"), col("cluster_id"), col("keep"))
+      .join(keeper, "cluster_id")
+      .select(col("rep"), col("keep"), col("canonical"))
+    withRep.join(repDisp, "rep")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("rep"), "exact_dup")
+          .when(col("keep") === 0, "near_dup")
+          .otherwise("keep").as("tier"),
+        col("canonical"))
+      .orderBy("doc_id")
+  }
+
   /** q97's oracle: the exact-jaccard replay of the minhash graph (equal on
     * the testdata — see the q97 registration comment), composed from the
     * q55-style recursive-CTE component replay and the q91 ranking replay.
@@ -1223,6 +1266,62 @@ object Dedup {
         "graph, keep first occurrence, reassembled text",
       paragraphOracleSql) { (s, dir) =>
       paragraphDedup(Tables(s, dir, "documents"))
+    },
+
+    // [[dedupTiers]]: the exact tier is MD5-replayable outright; the near
+    // tier's oracle is the exact-jaccard component replay RESTRICTED to
+    // the exact representatives (banding is per-doc deterministic, so the
+    // rep subset inherits the corpus' recall-1.0 equality — the q111
+    // restriction argument) + the shared q91 ranking.
+    "q122_dedup_tiers" -> Q(
+      "Tiered dedup disposition: exact-fingerprint tier, then minhash " +
+        "near-dup tier over representatives; final canonical per doc",
+      """WITH RECURSIVE
+        |fp AS (SELECT doc_id, MD5(LOWER(TRIM(text))) AS f FROM documents),
+        |can AS (SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY f),
+        |wr AS (SELECT fp.doc_id, can.rep FROM fp JOIN can ON fp.f = can.f),
+        |reps AS (SELECT d.doc_id, d.text FROM documents d
+        |         JOIN wr ON wr.doc_id = d.doc_id WHERE wr.doc_id = wr.rep),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM reps),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(1, len(toks) - 1),
+        |                                 i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |      FROM t),
+        |g AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ninter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY u, v),
+        |pj AS (
+        |  SELECT u, v, CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) AS j
+        |  FROM inter
+        |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v),
+        |pairs AS (SELECT u, v FROM pj WHERE j >= 0.7),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+        |comp AS (SELECT LEAST(COALESCE(m.mn, r.doc_id), r.doc_id) AS cluster_id,
+        |                r.doc_id
+        |         FROM reps r LEFT JOIN mins m ON m.doc_id = r.doc_id),
+        |rk AS (SELECT comp.cluster_id, comp.doc_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                ORDER BY d.n_chars DESC, comp.doc_id) = 1 AS INTEGER) AS keep
+        |       FROM comp JOIN documents d ON d.doc_id = comp.doc_id),
+        |kp AS (SELECT cluster_id, doc_id AS canonical FROM rk WHERE keep = 1),
+        |rd AS (SELECT rk.doc_id AS rep, rk.keep, kp.canonical
+        |       FROM rk JOIN kp ON kp.cluster_id = rk.cluster_id)
+        |SELECT wr.doc_id,
+        |  CASE WHEN wr.doc_id <> wr.rep THEN 'exact_dup'
+        |       WHEN rd.keep = 0 THEN 'near_dup' ELSE 'keep' END AS tier,
+        |  rd.canonical
+        |FROM wr JOIN rd ON rd.rep = wr.rep
+        |ORDER BY wr.doc_id""".stripMargin) { (s, dir) =>
+      dedupTiers(Tables(s, dir, "documents"))
     })
 
 

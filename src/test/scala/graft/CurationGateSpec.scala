@@ -80,6 +80,69 @@ class CurationGateSpec extends SparkSpec {
     }
   }
 
+  test("q122 tiers: exact before near, canonical chains resolve, keepers equal q97's") {
+    val docs = Tables(spark, dir, "documents")
+    val out = SparkEntry.queries("q122_dedup_tiers")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == docs.count())
+    val byId = out.map(t => t._1 -> t).toMap
+    val fps = docs.select(col("doc_id"),
+        graft.functions.Text.fingerprint(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, tier, canonical) =>
+      // a canonical is always a kept doc (chains fully resolve)
+      assert(byId(canonical)._2 == "keep", s"doc $id canonical $canonical is not kept")
+      tier match {
+        case "exact_dup" =>
+          // an exact dup shares its fingerprint with SOME earlier doc
+          assert(out.exists(o => o._1 < id && fps(o._1) == fps(id)),
+            s"doc $id tagged exact_dup but its fingerprint is first-seen")
+        case "keep" =>
+          assert(canonical == id, s"kept doc $id must be its own canonical")
+        case "near_dup" =>
+          assert(canonical != id)
+        case other => fail(s"doc $id: unknown tier $other")
+      }
+    }
+    // the live corpus has no verbatim copies (checked: distinct
+    // fingerprints == docs), so the exact tier is exercised on a PLANTED
+    // corpus below; the near tier must fire on the live one
+    assert(out.exists(_._2 == "near_dup"), "fixture must exercise the near tier")
+
+    // planted: two verbatim copies of doc 0's text and one of doc 1's —
+    // copies must tag exact_dup and resolve to their group's first-seen
+    // rep's final canonical
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    import spark.implicits._
+    val planted = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .unionByName(Seq(
+        (9001L, texts(0L), texts(0L).length.toLong),
+        (9002L, texts(0L), texts(0L).length.toLong),
+        (9003L, texts(1L), texts(1L).length.toLong))
+        .toDF("doc_id", "text", "n_chars"))
+    val planted122 = graft.queries.Dedup.dedupTiers(planted).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    Seq(9001L, 9002L, 9003L).foreach { id =>
+      assert(planted122(id)._1 == "exact_dup", s"planted copy $id must tag exact_dup")
+    }
+    assert(planted122(9001L)._2 == planted122(0L)._2 &&
+      planted122(9002L)._2 == planted122(0L)._2,
+      "copies of doc 0 must resolve to doc 0's final canonical")
+    assert(planted122(9003L)._2 == planted122(1L)._2,
+      "the copy of doc 1 must resolve to doc 1's final canonical")
+    // cross-query consistency: verbatim copies are jaccard-1 near-dups, so
+    // running the near tier AFTER the exact tier must keep exactly the
+    // same final set as q97's single near-dup pass over the full corpus
+    // (within an fp-group n_chars ties and the rep is the min id, so the
+    // ranking rule picks the same winners)
+    val q97Keep = SparkEntry.queries("q97_dedup_manifest")(spark, dir).collect()
+      .filter(_.getInt(3) == 1).map(_.getLong(1)).toSet
+    val tierKeep = out.filter(_._2 == "keep").map(_._1).toSet
+    assert(tierKeep == q97Keep,
+      s"tiered keep-set diverges from q97: ${(tierKeep diff q97Keep).take(5)} / ${(q97Keep diff tierKeep).take(5)}")
+  }
+
   test("q98: cluster matches q96, flag recomputes from the distance stats") {
     val out = SparkEntry.queries("q98_embed_outliers")(spark, dir).collect()
     val q96 = SparkEntry.queries("q96_kmeans")(spark, dir).collect()
