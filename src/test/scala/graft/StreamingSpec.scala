@@ -581,6 +581,60 @@ class StreamingSpec extends SparkSpec {
       s"unknown source must pass with null thr, got ${streamed(9999L)}")
   }
 
+  test("streaming shard ingest: batch 1 bootstraps, batch 2 appends, published shards stay stable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING)
+    import spark.implicits._
+
+    val rows = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-ingest").toString
+    val epochDir = s"$out/epoch=1"
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.ShardIngestStream.start(
+      input.toDF().toDF("doc_id", "source", "text"), out, queryName = "shard_ingest_t")
+
+    input.addData(rows.take(25): _*)
+    q.processAllAvailable()
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(epochDir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val afterB1 = snapshot()
+    assert(afterB1.nonEmpty, "batch 1 must bootstrap the shard layout")
+    val maxB1 = spark.read.parquet(epochDir)
+      .agg(max(col("shard_id").cast("long"))).head.getLong(0)
+
+    input.addData(rows.drop(25): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // batch 1's files are untouched; batch 2's docs sit in new shards only
+    val afterB2 = snapshot()
+    afterB1.foreach { case (p, size) =>
+      assert(afterB2.get(p).contains(size), s"published shard file changed: $p")
+    }
+    val all = spark.read.parquet(epochDir)
+      .select(col("shard_id").cast("long"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b1Ids = rows.take(25).map(_._1).toSet
+    all.foreach { case (sid, doc) =>
+      if (!b1Ids.contains(doc)) assert(sid > maxB1, s"batch-2 doc $doc in published shard $sid")
+    }
+    // nothing lost, nothing duplicated
+    assert(all.map(_._2).sorted.toSeq == rows.map(_._1).sorted.toSeq)
+  }
+
   test("streaming pinned-centroid assignment: zero-join scoring, stream==batch q96 ranks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
