@@ -370,6 +370,48 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q123: per-source DRIFT MONITOR — the ops check a daily ingest needs
+    * next to the incremental dedup/export/threshold steps: did a source's
+    * quality DISTRIBUTION shift between the stored day-N histogram and
+    * today's batch? Distance is total-variation-style L1 between the two
+    * normalized score histograms, computed INTEGER-EXACTLY by cross-
+    * multiplication (|c0/n0 − c1/n1| summed = Σ|c0·n1 − c1·n0| / (n0·n1),
+    * so only the integer numerator and denominator are materialized —
+    * hash-identical cross-engine, no float accumulation order to argue
+    * about). `status`: 'new' (source absent from the store), 'stale'
+    * (absent from the batch), 'drift' when L1 > 1/2 (i.e. total variation
+    * > 1/4 — the alarm threshold a recipe owner tunes), else 'ok'.
+    * Cost: two tiny histograms full-outer-joined — O(batch) + the
+    * kilobyte artifact, nothing corpus-sized.
+    */
+  def driftMonitor(
+      stored: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val b = scoreHistogram(batch)
+      .select(col("source"), col("score"), col("n").as("n1"))
+    val j = stored.select(col("source"), col("score"), col("n").as("n0"))
+      .join(b, Seq("source", "score"), "full_outer")
+      .select(col("source"), col("score"),
+        coalesce(col("n0"), lit(0L)).as("c0"),
+        coalesce(col("n1"), lit(0L)).as("c1"))
+    val totals = j.groupBy("source").agg(
+      sum(col("c0")).cast("long").as("n_base"),
+      sum(col("c1")).cast("long").as("n_batch"))
+    j.join(broadcast(totals), "source")
+      .groupBy("source")
+      .agg(
+        max(col("n_base")).as("n_base"),
+        max(col("n_batch")).as("n_batch"),
+        sum(abs(col("c0") * col("n_batch") - col("c1") * col("n_base")))
+          .cast("long").as("l1_scaled"))
+      .select(col("source"), col("n_base"), col("n_batch"), col("l1_scaled"),
+        when(col("n_base") === 0, "new")
+          .when(col("n_batch") === 0, "stale")
+          .when(col("l1_scaled") * 2 > col("n_base") * col("n_batch"), "drift")
+          .otherwise("ok").as("status"))
+      .orderBy("source")
+  }
+
   /** The q115/q121 sufficient statistic: per-(source, score) doc counts. */
   def scoreHistogram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val t = col("text")
@@ -1422,5 +1464,45 @@ object Curation {
         s.read.parquet(storedPath),
         docs.filter(pmod(col("doc_id"), lit(5)) === 0),
         keepFraction = 0.7)
+    },
+
+    // [[driftMonitor]] over the SAME stored day-N histogram artifact as
+    // q121 (one store, two daily consumers). The oracle replays both
+    // histograms and the cross-multiplied L1 in plain integer SQL.
+    "q123_drift_monitor" -> Q(
+      "Per-source distribution drift: integer-exact L1 between the stored " +
+        "day-N score histogram and today's batch, with new/stale/drift status",
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(1000.0 * LENGTH(REPLACE(text, ' ', '')) / LENGTH(text))
+        |         AS BIGINT) AS score
+        |  FROM documents WHERE LENGTH(text) > 0),
+        |h0 AS (SELECT source, score, COUNT(*) AS n FROM sc
+        |       WHERE doc_id % 5 <> 0 GROUP BY source, score),
+        |h1 AS (SELECT source, score, COUNT(*) AS n FROM sc
+        |       WHERE doc_id % 5 = 0 GROUP BY source, score),
+        |j AS (SELECT COALESCE(h0.source, h1.source) AS source,
+        |             COALESCE(h0.n, 0) AS c0, COALESCE(h1.n, 0) AS c1
+        |      FROM h0 FULL OUTER JOIN h1
+        |        ON h0.source = h1.source AND h0.score = h1.score),
+        |t AS (SELECT source, CAST(SUM(c0) AS BIGINT) AS n_base,
+        |             CAST(SUM(c1) AS BIGINT) AS n_batch
+        |      FROM j GROUP BY source),
+        |d AS (SELECT j.source,
+        |        CAST(SUM(ABS(c0 * t.n_batch - c1 * t.n_base)) AS BIGINT) AS l1_scaled
+        |      FROM j JOIN t ON t.source = j.source GROUP BY j.source)
+        |SELECT t.source, t.n_base, t.n_batch, d.l1_scaled,
+        |  CASE WHEN t.n_base = 0 THEN 'new'
+        |       WHEN t.n_batch = 0 THEN 'stale'
+        |       WHEN d.l1_scaled * 2 > t.n_base * t.n_batch THEN 'drift'
+        |       ELSE 'ok' END AS status
+        |FROM t JOIN d ON d.source = t.source
+        |ORDER BY t.source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val storedPath = histogramIndexFor(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
+      driftMonitor(
+        s.read.parquet(storedPath),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0))
     })
 }

@@ -134,6 +134,36 @@ class CurationSpec extends SparkSpec {
     assert(alt == incremental, "a different batch boundary must re-solve identically")
   }
 
+  test("q123 drift monitor: planted distributions hit every status, L1 is exact") {
+    import spark.implicits._
+    def docs(ids: Range, src: String, words: Int, wlen: Int) =
+      ids.map(i => (i.toLong, src, Seq.fill(words)("x" * wlen).mkString(" ")))
+    val base = (docs(0 until 30, "A", 10, 6) ++ docs(100 until 130, "B", 10, 6) ++
+      docs(200 until 205, "D", 10, 6)).toDF("doc_id", "source", "text")
+    val batch = (docs(1000 until 1010, "A", 10, 6) ++ docs(1100 until 1110, "B", 2, 1) ++
+      docs(1200 until 1204, "C", 3, 2)).toDF("doc_id", "source", "text")
+    val out = queries.Curation.driftMonitor(
+      queries.Curation.scoreHistogram(base), batch)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out.keySet == Set("A", "B", "C", "D"))
+    // A: identical distribution -> exact zero distance, ok
+    assert(out("A") == ((30L, 10L, 0L, "ok")), s"A: ${out("A")}")
+    // B: disjoint score buckets -> maximal L1 (= 2*n0*n1 scaled), drift
+    assert(out("B")._4 == "drift" && out("B")._3 == 2 * 30L * 10L, s"B: ${out("B")}")
+    // C only in the batch, D only in the store
+    assert(out("C")._4 == "new" && out("C")._1 == 0L, s"C: ${out("C")}")
+    assert(out("D")._4 == "stale" && out("D")._2 == 0L, s"D: ${out("D")}")
+    // the scaled L1 is bounded by its maximum everywhere
+    out.values.foreach { case (n0, n1, l1, _) =>
+      assert(l1 <= 2 * n0 * n1 || n0 == 0 || n1 == 0)
+    }
+    // registered query runs against the live store/batch convention
+    val live = SparkEntry.queries("q123_drift_monitor")(spark, dir).collect()
+    assert(live.nonEmpty && live.forall(r =>
+      Set("ok", "drift", "new", "stale").contains(r.getString(4))))
+  }
+
   test("q58 sequence packing: pack ids are dense per source and tokens are conserved") {
     val rows = SparkEntry.queries("q58_seq_packing")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
