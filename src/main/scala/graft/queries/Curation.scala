@@ -412,6 +412,63 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q124: CONTENT NOVELTY — the third daily-ops gauge next to drift
+    * (q123) and thresholds (q121): what fraction of today's batch is new
+    * CONTENT, measured at 5-gram window granularity against the stored
+    * corpus window set. A crawl re-fetching yesterday's web scores near
+    * zero here long before dedup runs; a genuinely fresh source scores
+    * near 10000 bp — the number a recipe owner watches to decide whether
+    * a source still pays for its crawl budget.
+    *
+    * Plan shape: batch windows explode and DISTINCT per (source, window)
+    * — batch-sized; the stored set joins as a LEFT ANTI on the window key
+    * (novel = no match). The store is corpus-scale, but it is the
+    * STREAMED side of a hash join keyed by the window — never shuffled
+    * wholesale, same contract as the q113 fingerprint store. String
+    * windows here because the DuckDB oracle must replay them; at 100 TB
+    * the 8-byte XXH64 window kernel swaps in with the same plan (the
+    * q59 → q68 hashed-twin precedent).
+    */
+  def contentNovelty(
+      storedWindows: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val bw = batch.select(col("source"),
+        explode(array_distinct(Text.shinglesSpaceSplit(col("text"), k))).as("g"))
+      .distinct()
+    val counts = bw.groupBy("source").agg(count(lit(1)).as("n_windows"))
+    val novel = bw.join(storedWindows.select(col("g")), Seq("g"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_novel"))
+    counts.join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .select(col("source"), col("n_windows"), col("n_novel"),
+        floor(lit(10000.0) * col("n_novel") / col("n_windows"))
+          .cast("long").as("novelty_bp"))
+      .orderBy("source")
+  }
+
+  /** The q124 store: the corpus' distinct k-gram window set. */
+  def windowStore(docs: org.apache.spark.sql.DataFrame, k: Int = 5): org.apache.spark.sql.DataFrame =
+    docs.select(explode(array_distinct(Text.shinglesSpaceSplit(col("text"), k))).as("g"))
+      .distinct()
+
+  /** One-time day-N window-store materialization (testdata-only warm
+    * reuse; k rides the path so an incompatible store is never served).
+    */
+  private def windowStoreFor(
+      base: org.apache.spark.sql.DataFrame, dir: String, k: Int = 5): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
+      java.lang.Integer.toHexString(dir.hashCode) + s"_k$k"
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable)
+      windowStore(base, k).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(path)
+    path
+  }
+
   /** The q115/q121 sufficient statistic: per-(source, score) doc counts. */
   def scoreHistogram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val t = col("text")
@@ -1503,6 +1560,36 @@ object Curation {
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
       driftMonitor(
         s.read.parquet(storedPath),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    },
+
+    // [[contentNovelty]] against the persisted day-N window store. The
+    // oracle replays both window sets with the q59 5-gram construction.
+    "q124_content_novelty" -> Q(
+      "Per-source batch novelty: fraction of distinct 5-gram windows " +
+        "unseen in the stored corpus window set (basis points)",
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3),
+        |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+        |st AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 5 <> 0),
+        |bw AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh WHERE doc_id % 5 = 0),
+        |n AS (SELECT source, COUNT(*) AS n_windows FROM bw GROUP BY source),
+        |nv AS (SELECT bw.source, COUNT(*) AS n_novel
+        |       FROM bw LEFT JOIN st ON st.g = bw.g
+        |       WHERE st.g IS NULL GROUP BY bw.source)
+        |SELECT n.source, n.n_windows, COALESCE(nv.n_novel, 0) AS n_novel,
+        |  CAST(FLOOR(10000.0 * COALESCE(nv.n_novel, 0) / n.n_windows) AS BIGINT)
+        |    AS novelty_bp
+        |FROM n LEFT JOIN nv ON nv.source = n.source
+        |ORDER BY n.source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val storePath = windowStoreFor(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
+      contentNovelty(
+        s.read.parquet(storePath),
         docs.filter(pmod(col("doc_id"), lit(5)) === 0))
     })
 }

@@ -164,6 +164,30 @@ class CurationSpec extends SparkSpec {
       Set("ok", "drift", "new", "stale").contains(r.getString(4))))
   }
 
+  test("q124 content novelty: planted overlap fractions come out exact") {
+    import spark.implicits._
+    val base = Seq((0L, "S", "a b c d e f")).toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (10L, "A", "a b c d e f"), // both windows seen -> 0 bp
+      (11L, "B", "p q r s t u"), // both novel -> 10000 bp
+      (12L, "C", "a b c d e x")  // one of two novel -> 5000 bp
+    ).toDF("doc_id", "source", "text")
+    val out = queries.Curation.contentNovelty(
+      queries.Curation.windowStore(base), batch)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("A") == ((2L, 0L, 0L)), s"A: ${out("A")}")
+    assert(out("B") == ((2L, 2L, 10000L)), s"B: ${out("B")}")
+    assert(out("C") == ((2L, 1L, 5000L)), s"C: ${out("C")}")
+    // registered form: sane bounds on the live store/batch convention
+    val live = SparkEntry.queries("q124_content_novelty")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(live.nonEmpty)
+    live.foreach { case (src, w, nv, bp) =>
+      assert(nv <= w && bp >= 0 && bp <= 10000, s"$src: ($w, $nv, $bp)")
+    }
+  }
+
   test("q58 sequence packing: pack ids are dense per source and tokens are conserved") {
     val rows = SparkEntry.queries("q58_seq_packing")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
