@@ -469,6 +469,51 @@ object Curation {
     path
   }
 
+  /** q125: QUALITY ENSEMBLE — fuse several weak quality signals into one
+    * rank (the FineWeb-Edu-style move: no single heuristic is trustworthy,
+    * their fused percentile is). Signals must be COMPARABLE before
+    * summing, so each is transformed to its corpus percentile — and the
+    * scale-safe way to compute a percentile is the same histogram trick
+    * as q115/q118/q121: each signal is an INTEGER per-mille ratio
+    * (bounded [0,1000]), so its exact CDF is a ≤1001-row cumulative
+    * histogram, and the per-doc percentile is a broadcast join on the
+    * score value — never a global `percent_rank` sort of the corpus.
+    * Signals: non-space density, unique-token ratio, stopword ratio
+    * (natural prose carries function words; keyword spam doesn't).
+    * `fused` = sum of the three per-mille percentiles — ties resolved by
+    * value everywhere, no arbitrary intra-tie ordering.
+    */
+  def qualityEnsemble(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = col("text")
+    val toks = split(t, " ", -1)
+    val nTok = size(toks).cast("double")
+    val stops = Seq("the", "of", "and", "a", "to", "in", "is")
+    val scored = docs.filter(length(t) > 0).select(
+      col("doc_id"),
+      densityScore(t).as("s1"),
+      floor(lit(1000.0) * size(array_distinct(toks)) / nTok).as("s2"),
+      floor(lit(1000.0) *
+        size(filter(toks, x => x.isInCollection(stops))) / nTok).as("s3"))
+    val total = scored.count() // one job over a 3-int projection; at scale
+    // fold into the first histogram pass instead if the extra scan matters
+    def pct(sig: String) = {
+      val wCum = Window.orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.groupBy(col(sig).as("v")).agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum("n").over(wCum))
+        .select(col("v").as(sig),
+          floor(lit(1000.0) * col("cum") / lit(total.toDouble))
+            .as(s"p_$sig"))
+    }
+    scored
+      .join(broadcast(pct("s1")), "s1")
+      .join(broadcast(pct("s2")), "s2")
+      .join(broadcast(pct("s3")), "s3")
+      .select(col("doc_id"), col("p_s1"), col("p_s2"), col("p_s3"),
+        (col("p_s1") + col("p_s2") + col("p_s3")).as("fused"))
+      .orderBy("doc_id")
+  }
+
   /** The q115/q121 sufficient statistic: per-(source, score) doc counts. */
   def scoreHistogram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val t = col("text")
@@ -1591,5 +1636,46 @@ object Curation {
       contentNovelty(
         s.read.parquet(storePath),
         docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    },
+
+    // [[qualityEnsemble]]. The oracle replays the three integer signals,
+    // their exact ascending cumulative histograms, and the per-mille
+    // percentile joins — all integer/exact-double arithmetic.
+    "q125_quality_ensemble" -> Q(
+      "Multi-signal quality ensemble: per-mille CDF percentile of density, " +
+        "unique-token and stopword ratios, fused by sum",
+      """WITH tk AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents WHERE LENGTH(text) > 0),
+        |sc AS (SELECT doc_id,
+        |    CAST(FLOOR(1000.0 * LENGTH(REPLACE(text, ' ', '')) / LENGTH(text))
+        |         AS BIGINT) AS s1,
+        |    CAST(FLOOR(1000.0 * len(list_distinct(toks)) / len(toks))
+        |         AS BIGINT) AS s2,
+        |    CAST(FLOOR(1000.0 * len(list_filter(toks,
+        |           x -> x IN ('the','of','and','a','to','in','is'))) / len(toks))
+        |         AS BIGINT) AS s3
+        |  FROM tk),
+        |n AS (SELECT COUNT(*) AS total FROM sc),
+        |c1 AS (SELECT s1 AS v, SUM(COUNT(*)) OVER (ORDER BY s1 ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM sc GROUP BY s1),
+        |c2 AS (SELECT s2 AS v, SUM(COUNT(*)) OVER (ORDER BY s2 ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM sc GROUP BY s2),
+        |c3 AS (SELECT s3 AS v, SUM(COUNT(*)) OVER (ORDER BY s3 ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM sc GROUP BY s3)
+        |SELECT sc.doc_id,
+        |  CAST(FLOOR(1000.0 * c1.cum / n.total) AS BIGINT) AS p_s1,
+        |  CAST(FLOOR(1000.0 * c2.cum / n.total) AS BIGINT) AS p_s2,
+        |  CAST(FLOOR(1000.0 * c3.cum / n.total) AS BIGINT) AS p_s3,
+        |  CAST(FLOOR(1000.0 * c1.cum / n.total) +
+        |       FLOOR(1000.0 * c2.cum / n.total) +
+        |       FLOOR(1000.0 * c3.cum / n.total) AS BIGINT) AS fused
+        |FROM sc CROSS JOIN n
+        |JOIN c1 ON c1.v = sc.s1 JOIN c2 ON c2.v = sc.s2 JOIN c3 ON c3.v = sc.s3
+        |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
+      qualityEnsemble(Tables(s, dir, "documents"))
     })
 }

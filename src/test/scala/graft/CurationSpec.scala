@@ -188,6 +188,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q125 quality ensemble: percentiles replay exactly from the raw signals") {
+    val rows = SparkEntry.queries("q125_quality_ensemble")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, p1, p2, p3, fused) =>
+      assert(fused == p1 + p2 + p3, s"doc $id: fused is not the sum")
+      Seq(p1, p2, p3).foreach(p => assert(p >= 0 && p <= 1000, s"doc $id: $p out of range"))
+    }
+    // exact local replay of one signal's CDF transform: recompute the
+    // density percentile from scratch and compare doc-for-doc
+    val docs = queries.Tables(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        floor(lit(1000.0) * length(replace(col("text"), lit(" "), lit(""))) /
+          length(col("text"))).as("s1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = docs.size
+    val got = rows.map(r => r._1 -> r._2).toMap
+    docs.foreach { case (id, s1) =>
+      val cumLe = docs.values.count(_ <= s1)
+      val want = math.floor(1000.0 * cumLe / total).toLong
+      assert(got(id) == want, s"doc $id: p_s1 ${got(id)} != replayed $want")
+    }
+  }
+
   test("q58 sequence packing: pack ids are dense per source and tokens are conserved") {
     val rows = SparkEntry.queries("q58_seq_packing")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
