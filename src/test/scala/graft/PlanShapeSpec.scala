@@ -431,7 +431,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q115/q118 histogram solves: thresholds broadcast back, no corpus-keyed window") {
-    Seq("q115_adaptive_quality", "q118_curriculum_stages").foreach { q =>
+    Seq("q115_adaptive_quality", "q118_curriculum_stages",
+      "q125_quality_ensemble").foreach { q =>
       val p = planOf(q)
       // the corpus is scanned (histogram + apply) but never sort-merge
       // joined or nested-looped; the solved thresholds join back broadcast

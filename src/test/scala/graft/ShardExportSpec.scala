@@ -170,4 +170,43 @@ class ShardExportSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(mInc == m3, "incremental manifest must equal the full re-read")
   }
+
+  test("multi-day appends: stability chains, shard ids strictly grow, universe conserved") {
+    val docs = Tables(spark, sfDir, "documents")
+    val day = (d: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === d)
+    val out = Files.createTempDirectory("graft-shards-multiday").toString
+    val dir = ShardExport.write(day(0), out, epoch = 1, packTokens = 512, shardTokens = 2048)
+
+    def fileSet(d: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d)).filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getAbsolutePath}:${f.length}").toSet
+    }
+    def maxShard() = spark.read.parquet(dir)
+      .agg(max(col("shard_id").cast("long"))).head.getLong(0)
+
+    var published = fileSet(dir)
+    var prevMax = maxShard()
+    (1 to 2).foreach { d =>
+      ShardExport.append(spark, day(d), dir, epoch = 1, packTokens = 512, shardTokens = 2048)
+      val now = fileSet(dir)
+      assert(published.subsetOf(now), s"day $d rewrote published files")
+      val newMax = maxShard()
+      assert(newMax > prevMax, s"day $d: shard ids must strictly grow")
+      published = now
+      prevMax = newMax
+    }
+    // after three days every doc is present exactly once
+    val ids = spark.read.parquet(dir).select("doc_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "a doc landed twice across days")
+    assert(ids.length == docs.count(), "the three-day union must cover the corpus")
+    // and the O(batch) manifest still equals the full re-read with the
+    // published cut at ANY earlier day boundary
+    val full = ShardExport.manifest(spark, dir).collect().map(_.toSeq).toSeq
+    val inc = ShardExport.manifestIncremental(spark, dir,
+      ShardExport.manifest(spark, dir).filter(col("shard_id") <= prevMax - 1), prevMax - 1)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == full, "incremental manifest must equal full at an interior boundary")
+  }
 }
