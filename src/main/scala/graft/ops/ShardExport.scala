@@ -180,6 +180,57 @@ object ShardExport {
         sum(pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
           lit(1000000007L))).cast("long").as("content_hash"))
 
+  /** SHARD INTEGRITY AUDIT — the check a training run makes before it
+    * trusts a published epoch: recompute the manifest FROM THE FILES and
+    * reconcile it against the stored manifest the export published. Every
+    * discrepancy class a file store exhibits gets a status:
+    *   - `missing`: the manifest promises a shard no file backs (partial
+    *     delete, failed copy);
+    *   - `orphan`: a `shard_id=` directory the manifest never recorded
+    *     (aborted writer leftovers — exactly what a trainer must not
+    *     read);
+    *   - `corrupt`: both exist but any attested quantity (seq/doc/token
+    *     counts, content fingerprint) disagrees — bit-rot or an overwrite;
+    *   - `ok`: all four quantities agree.
+    * Cost: one pruned read of the epoch dir (the same scan [[manifest]]
+    * does) + a full-outer join against a kilobytes-sized manifest — the
+    * shard axis is tiny relative to the rows, so the reconcile is free
+    * next to the recount. At 100 TB the recount is the honest price of an
+    * integrity attestation (checksums must read the bytes); partition
+    * pruning lets a suspicious-range audit run over a shard subset with
+    * the same reconcile.
+    *
+    * Reported metrics come from the DISK side when it exists (the audit
+    * attests what's on disk), falling back to the stored promise for
+    * `missing` rows.
+    */
+  def audit(
+      spark: org.apache.spark.sql.SparkSession,
+      epochDir: String,
+      stored: DataFrame): DataFrame = {
+    val disk = manifestRows(spark.read.parquet(epochDir))
+      .select(col("shard_id"), col("n_seqs").as("d_seqs"),
+        col("n_docs").as("d_docs"), col("n_tokens").as("d_tokens"),
+        col("content_hash").as("d_hash"))
+    val want = stored.select(col("shard_id").cast("long").as("shard_id"),
+      col("n_seqs").as("s_seqs"), col("n_docs").as("s_docs"),
+      col("n_tokens").as("s_tokens"), col("content_hash").as("s_hash"))
+    want.join(disk, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        when(col("d_docs").isNull, lit("missing"))
+          .when(col("s_docs").isNull, lit("orphan"))
+          .when(col("d_seqs") =!= col("s_seqs") ||
+            col("d_docs") =!= col("s_docs") ||
+            col("d_tokens") =!= col("s_tokens") ||
+            col("d_hash") =!= col("s_hash"), lit("corrupt"))
+          .otherwise(lit("ok")).as("status"),
+        coalesce(col("d_seqs"), col("s_seqs")).as("n_seqs"),
+        coalesce(col("d_docs"), col("s_docs")).as("n_docs"),
+        coalesce(col("d_tokens"), col("s_tokens")).as("n_tokens"),
+        coalesce(col("d_hash"), col("s_hash")).as("content_hash"))
+      .orderBy("shard_id")
+  }
+
   /** The DAILY manifest: stored manifest rows for the published shards
     * (immutable by [[append]]'s contract — their files are never
     * rewritten, proven byte-stable in ShardExportSpec) unioned with rows

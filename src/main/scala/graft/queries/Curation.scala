@@ -675,6 +675,43 @@ object Curation {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Shared oracle: the q105 shard-export chain replayed end-to-end in
+    * DuckDB (packing → md5 epoch shuffle → global-cumsum shard assignment
+    * → per-shard manifest), WITHOUT the trailing ORDER BY so consumers
+    * wrap it. q105 selects it directly; q126's audit oracle wraps it with
+    * the all-`ok` status a clean store must report — one chain definition,
+    * two hash checks that cannot drift apart (the ExactPairPrefixSql
+    * precedent, here for the export).
+    */
+  private val ShardManifestSelectSql =
+    """WITH t AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, n_toks,
+      |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM t),
+      |d AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id, n_toks FROM p),
+      |pk AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+      |       FROM d GROUP BY source, pack_id),
+      |k AS (SELECT *,
+      |        md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+      |      FROM pk),
+      |c AS (SELECT *,
+      |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+      |      FROM k),
+      |a AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_id FROM c)
+      |SELECT a.shard_id,
+      |  COUNT(DISTINCT (d.source, d.pack_id)) AS n_seqs,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(d.n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(((d.doc_id % 2147483647) * 2654435761) % 1000000007) AS BIGINT)
+      |    AS content_hash
+      |FROM d JOIN a ON d.source = a.source AND d.pack_id = a.pack_id
+      |GROUP BY a.shard_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     // [[chunkDocs]] at the registered (32, 24) setting; the oracle
     // recomputes the identical windows via list_transform + slicing.
@@ -874,33 +911,7 @@ object Curation {
     "q105_shard_export" -> Q(
       "Tokenized shard export: epoch-shuffled 2048-token shards written to " +
         "disk, manifest (n_seqs/n_docs/n_tokens/content_hash) from the files",
-      """WITH t AS (
-        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
-        |  FROM documents),
-        |p AS (
-        |  SELECT source, doc_id, n_toks,
-        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-        |  FROM t),
-        |d AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id, n_toks FROM p),
-        |pk AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
-        |       FROM d GROUP BY source, pack_id),
-        |k AS (SELECT *,
-        |        md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
-        |      FROM pk),
-        |c AS (SELECT *,
-        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
-        |      FROM k),
-        |a AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_id FROM c)
-        |SELECT a.shard_id,
-        |  COUNT(DISTINCT (d.source, d.pack_id)) AS n_seqs,
-        |  COUNT(*) AS n_docs,
-        |  CAST(SUM(d.n_toks) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(((d.doc_id % 2147483647) * 2654435761) % 1000000007) AS BIGINT)
-        |    AS content_hash
-        |FROM d JOIN a ON d.source = a.source AND d.pack_id = a.pack_id
-        |GROUP BY a.shard_id ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      s"$ShardManifestSelectSql ORDER BY shard_id") { (s, dir) =>
       // per-PROCESS output dir: unlike the warm-reusable band/IVF indexes,
       // this artifact is rewritten (SaveMode.Overwrite) on every call, so
       // two concurrent processes (e.g. bench and verify) sharing one fixed
@@ -913,6 +924,43 @@ object Curation {
       val epochDir = graft.ops.ShardExport.write(
         Tables(s, dir, "documents"), out, epoch = 1, packTokens = 512, shardTokens = 2048)
       graft.ops.ShardExport.manifest(s, epochDir)
+    },
+
+    // SHARD INTEGRITY AUDIT ([[graft.ops.ShardExport.audit]]): the check a
+    // training run makes before trusting a published epoch — recompute the
+    // manifest from the files and reconcile against the stored manifest
+    // (missing/orphan/corrupt/ok per shard). On an undamaged store every
+    // shard audits `ok` with the attested counts, which is exactly what
+    // the oracle replays (the shared q105 chain + a constant status);
+    // the damage paths (deleted shard dir → missing, stray dir → orphan,
+    // doctored manifest row → corrupt) are exercised in ShardExportSpec
+    // where the filesystem can be safely vandalized. Artifact is
+    // write-once per process (pid-scoped like q105's, separate dir so the
+    // two queries stay order-independent): what each call MEASURES is the
+    // audit itself — the recount scan + the kilobyte reconcile join — not
+    // the export that seeded it.
+    "q126_shard_audit" -> Q(
+      "Shard integrity audit: manifest recomputed from the written files " +
+        "reconciled against the stored manifest, status per shard",
+      s"""SELECT shard_id, 'ok' AS status, n_seqs, n_docs, n_tokens, content_hash
+         |FROM ($ShardManifestSelectSql) m ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_shards_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_audit_p512s2048_pid" +
+        ProcessHandle.current().pid()
+      val epochDir = s"$out/epoch=1"
+      val manifestStore = s"$out/manifest_store"
+      Curation.synchronized {
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(manifestStore, "_SUCCESS"))) {
+          graft.ops.ShardExport.write(
+            Tables(s, dir, "documents"), out, epoch = 1,
+            packTokens = 512, shardTokens = 2048)
+          graft.ops.ShardExport.manifest(s, epochDir).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(manifestStore)
+        }
+      }
+      graft.ops.ShardExport.audit(s, epochDir, s.read.parquet(manifestStore))
     },
 
     // INCREMENTAL export ([[graft.ops.ShardExport.append]]): the daily

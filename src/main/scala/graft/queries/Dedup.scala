@@ -178,6 +178,48 @@ object Dedup {
       .parquet(s"$path/shingles")
   }
 
+  /** INDEX COMPACTION — the store-maintenance half of the incremental
+    * contract: [[appendToBandIndex]] adds one small file set per day, so
+    * after N days the band partitions are N-way fragmented (N× the open
+    * cost per probe, N× the footer metadata, rows for one bhash scattered
+    * across files). Compaction rewrites the artifact CONTENT-IDENTICALLY
+    * — same band rows, same shingle sets, proven in DedupIndexSpec — into
+    * few large files, each a (band, bhash, doc_id)-sorted run, sized by
+    * `targetFileBytes` from the source's own plan-time size estimate (the
+    * [[incrementalMinhashPairs]] estimate, no job). Sorted runs matter
+    * beyond file count: parquet rowgroup min/max on `bhash` become
+    * selective, so a probe of few buckets skips most rowgroups.
+    *
+    * Writes to `dstPath`, leaving the source untouched: the production
+    * swap is write-new → repoint → retire-old (object stores have no
+    * atomic directory rename), and keeping the source live means probes
+    * never see a half-written index. Probe equality across the swap is
+    * pinned in DedupIndexSpec and is the q129 oracle's contract.
+    */
+  def compactBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val bands = spark.read.parquet(s"$srcPath/bands")
+    def nOut(df: DataFrame) = math.max(1,
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(targetFileBytes)).toInt)
+    bands
+      .repartition(nOut(bands), col("band"), col("bhash"))
+      .sortWithinPartitions("band", "bhash", "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("band")
+      .parquet(s"$dstPath/bands")
+    val sh = spark.read.parquet(s"$srcPath/shingles")
+    sh
+      .repartition(nOut(sh), col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(s"$dstPath/shingles")
+  }
+
   /** Incremental near-dup: jaccard-verified pairs with AT LEAST ONE
     * endpoint in a NEW batch, against the corpus behind a
     * [[persistBandIndex]] artifact — daily-ingest dedup without touching
@@ -960,6 +1002,27 @@ object Dedup {
         incrementalMinhashPairs(
             s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), path, threshold = 0.7)
           .orderBy("new_id", "existing_id")
+    },
+
+    // INDEX COMPACTION made load-bearing (see [[compactBandIndex]]): each
+    // call compacts the warm corpus band index into a pid-scoped copy —
+    // the measured quantity IS the maintenance rewrite — then probes the
+    // COMPACTED artifact with the q66 batch. The oracle is q66's verbatim
+    // (shared incrementalOracleSql): equal values ⟺ compaction changed
+    // nothing a probe can observe, the content-identity contract.
+    // DedupIndexSpec adds the file-count/fragmentation assertions the
+    // oracle can't see.
+    "q129_index_compaction" -> Q(
+      "Band-index compaction: fragmented store rewritten to sorted runs " +
+        "(content-identical), then the q66 batch probe over the compacted copy",
+      incrementalOracleSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val src = bandIndexFor(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
+      val dst = src + "_compact_pid" + ProcessHandle.current().pid()
+      compactBandIndex(s, src, dst)
+      incrementalMinhashPairs(
+          s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), dst, threshold = 0.7)
+        .orderBy("new_id", "existing_id")
     },
 
     // The production DAILY path for the q97 manifest (see

@@ -497,6 +497,33 @@ object Similarity {
       kmeansAssign(emb(s, dir), k = 4, updateRounds = 2)
     },
 
+    // EMBEDDING drift monitor (see [[embeddingDrift]]): per-cluster
+    // population comparison between the stored corpus (vec_id%5 != 0)
+    // and the daily batch (vec_id%5 == 0, the q66/q110/q113 batch
+    // convention) under the shared q96 quantizer. The oracle replays
+    // q96's assignment CTE verbatim plus the q123 integer cross-
+    // multiplication — one quantizer definition, two hash checks.
+    "q128_embedding_drift" -> Q(
+      "Embedding-space drift: per-cluster base-vs-batch populations under " +
+        "the frozen q96 quantizer, integer-exact share deviation + status",
+      s"""$KmeansCteSql,
+        |a3 AS (SELECT e.vec_id, cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |         ORDER BY list_distance(e.v, c2.cv), cid) AS rnk
+        |       FROM e CROSS JOIN c2),
+        |asg AS (SELECT vec_id, cid FROM a3 WHERE rnk = 1),
+        |ct AS (SELECT cid,
+        |         COUNT(*) FILTER (WHERE vec_id % 5 <> 0) AS n_base,
+        |         COUNT(*) FILTER (WHERE vec_id % 5 = 0) AS n_batch
+        |       FROM asg GROUP BY cid),
+        |tot AS (SELECT SUM(n_base) AS t0, SUM(n_batch) AS t1 FROM ct)
+        |SELECT cid AS cluster, n_base, n_batch,
+        |  CAST(ABS(n_base * t1 - n_batch * t0) AS BIGINT) AS dev_scaled,
+        |  CASE WHEN 8 * ABS(n_base * t1 - n_batch * t0) > t0 * t1
+        |       THEN 'shift' ELSE 'ok' END AS status
+        |FROM ct CROSS JOIN tot ORDER BY cluster""".stripMargin) { (s, dir) =>
+      embeddingDrift(emb(s, dir), k = 4, batchMod = 5)
+    },
+
     // DIVERSITY sampling (SemDeDup/DCLM-style cluster-balanced curation):
     // the q93 deterministic token-budget sampler stratified by the q96
     // EMBEDDING CLUSTER instead of the source label — an over-represented
@@ -689,6 +716,42 @@ object Similarity {
       .select(col("cluster_id"), col("doc_id"), col("n_toks"), col("cum_toks"),
         when(col("cum_toks") - col("n_toks") < budgetPerCluster, 1).otherwise(0).as("kept"))
       .orderBy("doc_id")
+  }
+
+  /** q128: EMBEDDING-SPACE drift monitor — q123's distribution gauge for
+    * the vector side: did today's batch land in the embedding clusters in
+    * the same proportions as the stored corpus? A shifted upstream model,
+    * a topic surge, or an embedding-version mixup all show here before
+    * any scalar quality signal moves. Population histograms are per-
+    * cluster counts under ONE shared quantizer (the q96 fit — both sides
+    * must be assigned by the same frozen model or the comparison is
+    * meaningless); the deviation is q123's integer-exact cross-
+    * multiplication, per cluster: dev_scaled = |c_base·N_batch −
+    * c_batch·N_base| (share difference scaled by N_base·N_batch — no
+    * float accumulation order). `status` flags a cluster whose share
+    * moved more than 1/(2k): 2·k·dev > N_base·N_batch.
+    *
+    * Registered with the quantizer fit on the full table so the oracle
+    * shares q96's CTE verbatim; a production daily run freezes the
+    * day-N centroid artifact instead (the [[graft.operators.IvfIndex]]
+    * persisted-model path) — assignment cost is the same broadcast-
+    * centroid streaming scan either way, and the counts are k rows.
+    */
+  def embeddingDrift(emb: DataFrame, k: Int = 4, batchMod: Int = 5): DataFrame = {
+    val isBatch = pmod(col("vec_id"), lit(batchMod)) === 0
+    val ct = kmeansAssign(emb, k, updateRounds = 2)
+      .groupBy("cluster")
+      .agg(
+        sum(when(isBatch, 0L).otherwise(1L)).as("n_base"),
+        sum(when(isBatch, 1L).otherwise(0L)).as("n_batch"))
+    val tot = ct.agg(sum("n_base").as("t0"), sum("n_batch").as("t1"))
+    val dev = abs(col("n_base") * col("t1") - col("n_batch") * col("t0"))
+    ct.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_base"), col("n_batch"),
+        dev.cast("long").as("dev_scaled"),
+        when(dev * lit(2L * k) > col("t0") * col("t1"), "shift")
+          .otherwise("ok").as("status"))
+      .orderBy("cluster")
   }
 
   def kmeansAssign(emb: DataFrame, k: Int, updateRounds: Int): DataFrame = {

@@ -114,6 +114,45 @@ object TextAnalysis {
       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
 
   val all: Map[String, Q] = Map(
+    // BOILERPLATE detection (the CCNet/RefinedWeb header-footer screen):
+    // a window that recurs across a large fraction of ONE SOURCE's
+    // documents is template text (nav bars, cookie banners, licence
+    // blurbs), not content — the per-doc boilerplate fraction is the
+    // quality signal a curation pass filters or strips on. Detection is
+    // per-source document frequency over DISTINCT per-doc windows (the
+    // q124 explode shape); the boilerplate set is tiny BY CONSTRUCTION
+    // (only windows above the DF floor survive), so it broadcasts back
+    // against the corpus windows — no corpus-side shuffle beyond the DF
+    // aggregate itself. Counts and the per-mille floor are integer-exact
+    // cross-engine. Registered at k=2, floor=20% of the source's docs —
+    // measured on the fixture corpus: per-doc boilerplate counts span
+    // 0–9 with ~18% of docs at zero, so the signal discriminates.
+    "q127_boilerplate" -> Q(
+      "Boilerplate screen: per-source high-DF 2-gram windows (>=20% of " +
+        "docs), per-doc boilerplate window count + per-mille fraction",
+      """WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT source, doc_id,
+        |        CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(1, len(toks)),
+        |                                 i -> array_to_string(toks[i:i+1], ' ')) END AS sh
+        |      FROM t),
+        |g AS (SELECT DISTINCT source, doc_id, unnest(sh) AS g FROM s),
+        |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS nd
+        |       FROM documents GROUP BY source),
+        |df AS (SELECT source, g, COUNT(*) AS df FROM g GROUP BY source, g),
+        |bp AS (SELECT df.source, df.g FROM df JOIN nd USING (source)
+        |       WHERE df >= CEIL(0.2 * nd)),
+        |pd AS (SELECT g.source, g.doc_id,
+        |         COUNT(*) AS n_windows, COUNT(bp.g) AS n_bp
+        |       FROM g LEFT JOIN bp ON g.source = bp.source AND g.g = bp.g
+        |       GROUP BY g.source, g.doc_id)
+        |SELECT doc_id, source, n_windows, n_bp,
+        |  CAST(FLOOR(1000.0 * n_bp / n_windows) AS BIGINT) AS bp_permille
+        |FROM pd ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      boilerplateScore(Tables(s, dir, "documents"))
+    },
+
     // Repetition-based quality filtering (the Gopher/C4 rule family):
     // documents dominated by repeated words or one repeated bigram are
     // boilerplate/spam signals a pretraining curation pass drops. Both
@@ -655,6 +694,35 @@ object TextAnalysis {
     */
   def qualityRules(docs: DataFrame): DataFrame =
     qualityGate(docs).orderBy("doc_id")
+
+  /** q127: per-source boilerplate windows + per-doc boilerplate fraction —
+    * see the registration comment. `n_windows` counts DISTINCT windows per
+    * doc (a window repeated inside one doc is repetition, q64's concern,
+    * not cross-doc boilerplate). Plan shape: one explode → per-(source,
+    * window) DF aggregate; the surviving boilerplate set re-joins the doc
+    * windows as a BROADCAST (small by the DF-floor construction — only
+    * windows in ≥ `dfFraction` of a source's docs survive), so the
+    * per-doc rollup adds no corpus-sized exchange. At 100 TB swap the
+    * string window for the 8-byte hashed window with the same plan (the
+    * q59 → q68 hashed-twin precedent).
+    */
+  def boilerplateScore(
+      docs: DataFrame, k: Int = 2, dfFraction: Double = 0.2): DataFrame = {
+    val w = docs.select(col("source"), col("doc_id"),
+      explode(array_distinct(Text.shinglesSpaceSplit(col("text"), k))).as("g"))
+    val nd = docs.groupBy("source").agg(countDistinct(col("doc_id")).as("nd"))
+    val bp = w.groupBy("source", "g").agg(count(lit(1)).as("df"))
+      .join(broadcast(nd), "source")
+      .filter(col("df") >= ceil(lit(dfFraction) * col("nd")))
+      .select(col("source"), col("g"), lit(1).as("is_bp"))
+    w.join(broadcast(bp), Seq("source", "g"), "left")
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_windows"), count(col("is_bp")).as("n_bp"))
+      .select(col("doc_id"), col("source"), col("n_windows"), col("n_bp"),
+        floor(lit(1000.0) * col("n_bp") / col("n_windows"))
+          .cast("long").as("bp_permille"))
+      .orderBy("doc_id")
+  }
 
   /** q101: per-doc zlib compression ratio — see the registration comment.
     * Level 6 (zlib default), no dictionary; `n_bytes` is UTF-8 length.

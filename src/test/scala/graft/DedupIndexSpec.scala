@@ -288,6 +288,46 @@ class DedupIndexSpec extends SparkSpec {
     assert(full === 67L, s"uncapped must see 66 boilerplate pairs + 1, got $full")
   }
 
+  test("compaction: content-identical, probe-identical, and actually defragments") {
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.queries.Tables(spark, d, "documents")
+    // three "days" of appends fragment the store the way production does
+    val day = (m: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === m)
+    val src = java.nio.file.Files.createTempDirectory("graft-bandidx-frag").toString
+    graft.queries.Dedup.persistBandIndex(day(0), src)
+    graft.queries.Dedup.appendToBandIndex(day(1), src)
+    graft.queries.Dedup.appendToBandIndex(day(2), src)
+    val dst = java.nio.file.Files.createTempDirectory("graft-bandidx-compact").toString
+    graft.queries.Dedup.compactBandIndex(spark, src, dst)
+
+    // 1. content identity: band rows and shingle sets are EXACTLY preserved
+    def bandSet(p: String) = spark.read.parquet(s"$p/bands")
+      .select("band", "bhash", "doc_id").collect().map(_.toSeq).toSet
+    assert(bandSet(dst) === bandSet(src), "compaction changed the band rows")
+    def shSet(p: String) = spark.read.parquet(s"$p/shingles")
+      .select(col("doc_id"), col("sh")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).toSet)).toSet
+    assert(shSet(dst) === shSet(src), "compaction changed the shingle sets")
+
+    // 2. defragmentation: strictly fewer parquet files than the 3-day store
+    def nFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    assert(nFiles(dst) < nFiles(src),
+      s"compaction must shrink the file count (src=${nFiles(src)}, dst=${nFiles(dst)})")
+
+    // 3. probe identity: a batch probed against the compacted copy finds
+    // the exact pair set the fragmented store finds (the q129 contract;
+    // the probe batch is deliberately NOT any of the absorbed days)
+    val probe = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    def pairs(p: String) = graft.queries.Dedup
+      .incrementalMinhashPairs(spark, probe, p, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(dst) === pairs(src), "compaction changed probe results")
+  }
+
   test("index path fingerprints every banding parameter: any change forces a rebuild") {
     // the staleness guard: a binary with different banding parameters (or
     // kernel version) computes a DIFFERENT artifact path, so it can never

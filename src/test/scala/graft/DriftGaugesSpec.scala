@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Similarity, TextAnalysis}
+
+/** Value-level checks for the q127/q128 gauges on PLANTED fixtures — the
+  * oracle proves cross-engine equality on the corpus; these prove the
+  * gauges actually detect what they claim to detect (template text, a
+  * cluster-population shift) when it is planted, and stay quiet when it
+  * is absent.
+  */
+class DriftGaugesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- q127 boilerplate -------------------------------------------------
+
+  test("boilerplate: a planted per-source header is flagged; unique text scores zero") {
+    // src_t: 8 of 10 docs share a 4-token header (well above the 20% DF
+    // floor); src_u: every doc fully unique
+    val header = "subscribe to our newsletter"
+    val docs = (
+      (0 until 8).map(i => (i.toLong, s"$header unique$i body$i words$i here$i", "src_t")) ++
+      Seq((8L, "totally distinct text one alpha", "src_t"),
+          (9L, "totally different text two beta", "src_t")) ++
+      (10 until 20).map(i => (i.toLong, s"unrelated$i standalone$i content$i block$i", "src_u"))
+    ).toDF("doc_id", "text", "source")
+
+    val out = TextAnalysis.boilerplateScore(docs, k = 2, dfFraction = 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+
+    // header docs: the 3 header bigrams are boilerplate (DF 8/10 >= 2)
+    (0 until 8).foreach { i =>
+      val (nBp, permille) = out(i.toLong)
+      assert(nBp >= 3, s"doc $i: header bigrams must be flagged (got $nBp)")
+      assert(permille > 0)
+    }
+    // unique docs in BOTH sources score exactly zero
+    (Seq(8L, 9L) ++ (10L until 20L)).foreach { i =>
+      assert(out(i) == (0L, 0L), s"doc $i: unique text must score 0, got ${out(i)}")
+    }
+  }
+
+  test("boilerplate: the DF floor is per-source — a window shared ACROSS sources is not boilerplate") {
+    // the same bigram in 2/10 docs of each of two sources: per-source DF
+    // 20% meets ceil(0.2*10)=2 only if >= 2 — plant it in exactly 1 doc
+    // per source so a GLOBAL counter (2 occurrences) would flag it but
+    // the per-source rule must not
+    val docs = (
+      Seq((0L, "shared phrase alpha beta", "s1"), (10L, "shared phrase gamma delta", "s2")) ++
+      (1 until 10).map(i => (i.toLong, s"s1unique$i a$i b$i c$i", "s1")) ++
+      (11 until 20).map(i => (i.toLong, s"s2unique$i x$i y$i z$i", "s2"))
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.boilerplateScore(docs, k = 2, dfFraction = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(0L) == 0L && out(10L) == 0L,
+      "a cross-source coincidence must not count toward a per-source DF floor")
+  }
+
+  // ---- q128 embedding drift --------------------------------------------
+
+  private def vecs(rows: Seq[(Long, Array[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  /** Two tight far-apart 64-d cluster centers; vec_id parity-independent. */
+  private def point(cluster: Int, jitter: Int): Array[Float] = {
+    val base = Array.fill(64)(0f)
+    base(cluster) = 10f
+    base(32 + cluster) = 10f
+    base(63) = jitter * 0.01f
+    base
+  }
+
+  test("embedding drift: batch redistributed toward one cluster flags `shift`; matched batch stays ok") {
+    // stored side (vec_id%5!=0) split evenly between clusters 0 and 1;
+    // batch side (vec_id%5==0) drawn ONLY from cluster 0 — a 50pp share
+    // shift that must trip the 1/(2k) alarm at k=2
+    val shifted = vecs(
+      (0 until 40).filter(_ % 5 != 0).map(i => (i.toLong, point(i % 2, i))) ++
+      (0 until 40).filter(_ % 5 == 0).map(i => (i.toLong, point(0, i))))
+    val out = Similarity.embeddingDrift(shifted, k = 2, batchMod = 5)
+      .collect().map(r => (r.getAs[Number](0).intValue, r.getAs[String]("status")))
+    assert(out.exists(_._2 == "shift"),
+      s"a one-sided batch must flag at least one cluster: ${out.toSeq}")
+
+    // a batch drawn from the SAME mixture stays ok everywhere
+    val matched = vecs((0 until 40).map(i => (i.toLong, point(i % 2, i))))
+    val ok = Similarity.embeddingDrift(matched, k = 2, batchMod = 5)
+      .collect().map(_.getAs[String]("status"))
+    assert(ok.forall(_ == "ok"), s"matched mixture must not alarm: ${ok.toSeq}")
+  }
+
+  test("embedding drift: counts are an exact partition of the corpus") {
+    val emb = vecs((0 until 40).map(i => (i.toLong, point(i % 2, i))))
+    val rows = Similarity.embeddingDrift(emb, k = 2, batchMod = 5).collect()
+    assert(rows.map(_.getLong(1)).sum == 32L) // 40 - 8 batch ids
+    assert(rows.map(_.getLong(2)).sum == 8L)
+  }
+}

@@ -209,4 +209,56 @@ class ShardExportSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(inc == full, "incremental manifest must equal full at an interior boundary")
   }
+
+  test("integrity audit: clean store all-ok; missing/orphan/corrupt each detected") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Files.createTempDirectory("graft-shards-audit").toString
+    val dir = ShardExport.write(docs, out, epoch = 1, packTokens = 512, shardTokens = 2048)
+    // materialize the manifest into a detached DataFrame — the stored
+    // manifest is a persisted artifact in production, not a live view of
+    // the files it attests (a lazy plan would re-read the vandalized store)
+    val live = ShardExport.manifest(spark, dir)
+    val storedRows = live.collect()
+    val stored = spark.createDataFrame(
+      spark.sparkContext.parallelize(storedRows.toIndexedSeq), live.schema)
+    assert(storedRows.length >= 3, "need >=3 shards to plant three damage classes")
+
+    // clean store: every shard ok, metrics equal the stored attestation
+    val clean = ShardExport.audit(spark, dir, stored).collect()
+    assert(clean.forall(_.getAs[String]("status") == "ok"))
+    assert(clean.map(r => (r.getLong(0), r.toSeq.drop(2))).toMap ===
+      storedRows.map(r => (r.getLong(0), r.toSeq.drop(1))).toMap)
+
+    // plant damage on three distinct shards:
+    val sids = storedRows.map(_.getLong(0)).sorted
+    val (missingSid, corruptSid) = (sids.head, sids(1))
+    val orphanSid = sids.max + 100
+    // missing: delete the shard directory the manifest promises
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/shard_id=$missingSid"))
+    // orphan: a shard directory the manifest never recorded
+    spark.read.parquet(s"$dir/shard_id=$corruptSid")
+      .write.parquet(s"$dir/shard_id=$orphanSid")
+    // corrupt: doctor the stored token count for one surviving shard
+    val doctored = stored.withColumn("n_tokens",
+      when(col("shard_id") === corruptSid, col("n_tokens") + 1)
+        .otherwise(col("n_tokens")))
+
+    val audit = ShardExport.audit(spark, dir, doctored).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(audit(missingSid) == "missing")
+    assert(audit(orphanSid) == "orphan")
+    assert(audit(corruptSid) == "corrupt")
+    val planted = Set(missingSid, orphanSid, corruptSid)
+    audit.filterNot { case (sid, _) => planted(sid) }.foreach { case (sid, st) =>
+      assert(st == "ok", s"undamaged shard $sid must stay ok")
+    }
+    // missing rows report the stored promise (there are no disk bytes to attest)
+    val missingRow = ShardExport.audit(spark, dir, doctored)
+      .filter(col("shard_id") === missingSid).collect()(0)
+    val promised = storedRows.find(_.getLong(0) == missingSid).get
+    assert(missingRow.toSeq.drop(2) === promised.toSeq.drop(1))
+  }
 }
