@@ -453,6 +453,26 @@ object Curation {
     docs.select(explode(array_distinct(Text.shinglesSpaceSplit(col("text"), k))).as("g"))
       .distinct()
 
+  /** ABSORB a gauged batch into a [[windowStore]] artifact — the q124
+    * lifecycle's day-boundary step (the [[graft.queries.Dedup]]
+    * appendToExactIndex pattern for windows): only windows the store has
+    * never seen append (LEFT ANTI against the stored set), so the store
+    * stays DISTINCT by construction and the append cost is O(novel batch
+    * windows), never O(store). Idempotent: re-absorbing the same batch
+    * appends nothing. Call AFTER reading [[contentNovelty]] for the batch
+    * — an absorbed-then-gauged batch would score zero novelty against
+    * its own windows.
+    */
+  def appendToWindowStore(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      path: String,
+      k: Int = 5): Unit =
+    windowStore(batch, k)
+      .join(spark.read.parquet(path), Seq("g"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd").parquet(path)
+
   /** One-time day-N window-store materialization (testdata-only warm
     * reuse; k rides the path so an incompatible store is never served).
     */
@@ -512,6 +532,79 @@ object Curation {
       .select(col("doc_id"), col("p_s1"), col("p_s2"), col("p_s3"),
         (col("p_s1") + col("p_s2") + col("p_s3")).as("fused"))
       .orderBy("doc_id")
+  }
+
+  /** q130: THRESHOLD CALIBRATION sweep — the step between training a
+    * quality classifier (q88) and deploying a cheap filter (q115): given
+    * TRUSTED labels (here the q88 planted-junk convention), sweep the
+    * cheap integer signal's threshold and report the confusion counts at
+    * every operating point, so a recipe owner picks the precision/recall
+    * trade-off with numbers instead of folklore. This is how an expensive
+    * classifier gets DISTILLED into a codegen filter: label a sample with
+    * the big model, calibrate the cheap signal against it, deploy the
+    * threshold.
+    *
+    * Scale shape — the reason the signal is an integer per-mille: ONE
+    * corpus scan builds the ≤2·1001-row (label, score) histogram; the
+    * 11-point threshold grid cross-joins THAT, not the corpus, so the
+    * whole sweep costs one aggregate however many thresholds are probed.
+    * All outputs are integer counts — hash-identical cross-engine.
+    */
+  def thresholdCalibration(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val snip = element_at(
+      array(SpamSnippets.map(lit): _*),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val labeled = docs.select(
+      when(pmod(col("doc_id"), lit(2)) === 1, lit("junk"))
+        .otherwise(lit("clean")).as("label"),
+      when(pmod(col("doc_id"), lit(2)) === 1, concat(col("text"), lit(" "), snip))
+        .otherwise(col("text")).as("text"))
+    val h = labeled.filter(length(col("text")) > 0)
+      .select(col("label"), densityScore(col("text")).as("score"))
+      .groupBy("label", "score").agg(count(lit(1)).as("n"))
+    val grid = docs.sparkSession.range(0, 11)
+      .select((col("id") * 100).as("thr"))
+    def cnt(lbl: String, cmp: org.apache.spark.sql.Column) =
+      sum(when(col("label") === lbl && cmp, col("n")).otherwise(0L))
+    h.crossJoin(broadcast(grid))
+      .groupBy("thr")
+      .agg(
+        cnt("junk", col("score") >= col("thr")).as("tp"),
+        cnt("clean", col("score") >= col("thr")).as("fp"),
+        cnt("junk", col("score") < col("thr")).as("fn"),
+        cnt("clean", col("score") < col("thr")).as("tn"))
+      .orderBy("thr")
+  }
+
+  /** q132: CORPUS SNAPSHOT DIFF — the data-versioning gauge between two
+    * corpus snapshots (yesterday's publication vs today's): per source,
+    * how many docs are unchanged / changed (same id, different content
+    * fingerprint) / removed / added. The number a pipeline owner checks
+    * before re-running downstream stages — a 2% changed-rate re-triggers
+    * incremental dedup; a 40% removed-rate means an upstream accident.
+    *
+    * Scale shape: fingerprints (md5) are computed MAP-SIDE on each
+    * snapshot's own scan, so the full-outer reconcile join shuffles only
+    * (doc_id, fp) — ~40 bytes/doc, never the text. That join is the
+    * honest cost of an id-keyed diff; everything after is a source-sized
+    * aggregate.
+    */
+  def snapshotDiff(
+      v0: org.apache.spark.sql.DataFrame,
+      v1: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = v0.select(col("doc_id"), col("source").as("src0"), md5(col("text")).as("fp0"))
+    val b = v1.select(col("doc_id"), col("source").as("src1"), md5(col("text")).as("fp1"))
+    def cnt(st: String) =
+      sum(when(col("st") === st, 1L).otherwise(0L)).as(s"n_$st")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src0"), col("src1")).as("source"),
+        when(col("fp1").isNull, "removed")
+          .when(col("fp0").isNull, "added")
+          .when(col("fp0") =!= col("fp1"), "changed")
+          .otherwise("unchanged").as("st"))
+      .groupBy("source")
+      .agg(cnt("unchanged"), cnt("changed"), cnt("removed"), cnt("added"))
+      .orderBy("source")
   }
 
   /** The q115/q121 sufficient statistic: per-(source, score) doc counts. */
@@ -1725,5 +1818,123 @@ object Curation {
         |JOIN c1 ON c1.v = sc.s1 JOIN c2 ON c2.v = sc.s2 JOIN c3 ON c3.v = sc.s3
         |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
       qualityEnsemble(Tables(s, dir, "documents"))
+    },
+
+    // THRESHOLD CALIBRATION (see [[thresholdCalibration]]): confusion
+    // counts for the cheap density signal at 11 threshold operating
+    // points against the q88 planted-junk labels — the distillation step
+    // between an expensive classifier and a deployed codegen filter. One
+    // corpus scan (the (label, score) histogram), then the grid sweeps
+    // the histogram, not the corpus. Integer counts only.
+    "q130_threshold_sweep" -> Q(
+      "Threshold calibration sweep: confusion counts (tp/fp/fn/tn) for " +
+        "the integer density score vs planted junk labels at 11 cut points",
+      """WITH labeled AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 2 = 1 THEN 'junk' ELSE 'clean' END AS label,
+        |    CASE WHEN doc_id % 2 = 1 THEN text || ' ' ||
+        |      CASE doc_id % 3
+        |        WHEN 0 THEN 'click here free offer buy now limited deal exclusive winner'
+        |        WHEN 1 THEN 'subscribe today cheap guarantee instant bonus prize claim reward'
+        |        ELSE 'visit site best rates act fast discount promo urgent sale' END
+        |      ELSE text END AS text
+        |  FROM documents),
+        |h AS (SELECT label,
+        |        CAST(FLOOR(1000.0 * len(replace(text, ' ', '')) / len(text))
+        |             AS BIGINT) AS score,
+        |        COUNT(*) AS n
+        |      FROM labeled WHERE len(text) > 0 GROUP BY label, score),
+        |grid AS (SELECT CAST(100 * i AS BIGINT) AS thr FROM range(0, 11) r(i))
+        |SELECT thr,
+        |  CAST(SUM(CASE WHEN label = 'junk' AND score >= thr THEN n ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(SUM(CASE WHEN label = 'clean' AND score >= thr THEN n ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(SUM(CASE WHEN label = 'junk' AND score < thr THEN n ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(SUM(CASE WHEN label = 'clean' AND score < thr THEN n ELSE 0 END) AS BIGINT) AS tn
+        |FROM h CROSS JOIN grid GROUP BY thr ORDER BY thr""".stripMargin) { (s, dir) =>
+      thresholdCalibration(Tables(s, dir, "documents"))
+    },
+
+    // NOVELTY-STORE LIFECYCLE (see [[appendToWindowStore]]): the q124
+    // gauge carried across a day boundary — day-0 store (doc_id%5 ∉
+    // {0,1}), day-1 batch (%5==1) ABSORBED via the left-anti append,
+    // day-2 batch (%5==0) gauged against the GROWN store. The oracle is
+    // q124's replay over the full %5≠0 window set: values equal ⟺ the
+    // absorbed store equals a from-scratch rebuild (the q110/q113/q121
+    // incremental-equals-rebuild contract, here for the window set).
+    // Store artifact is pid-scoped (it is MUTATED — never share a
+    // mutated path across processes) with a write-once base; the absorb
+    // re-runs every call and is idempotent by construction.
+    "q131_novelty_absorb" -> Q(
+      "Incremental novelty store: day-1 batch absorbed by left-anti " +
+        "append, day-2 batch novelty against the grown store",
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3),
+        |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+        |st AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 5 <> 0),
+        |bw AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh WHERE doc_id % 5 = 0),
+        |n AS (SELECT source, COUNT(*) AS n_windows FROM bw GROUP BY source),
+        |nv AS (SELECT bw.source, COUNT(*) AS n_novel
+        |       FROM bw LEFT JOIN st ON st.g = bw.g
+        |       WHERE st.g IS NULL GROUP BY bw.source)
+        |SELECT n.source, n.n_windows, COALESCE(nv.n_novel, 0) AS n_novel,
+        |  CAST(FLOOR(10000.0 * COALESCE(nv.n_novel, 0) / n.n_windows) AS BIGINT)
+        |    AS novelty_bp
+        |FROM n LEFT JOIN nv ON nv.source = n.source
+        |ORDER BY n.source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_absorb_k5_pid" +
+        ProcessHandle.current().pid()
+      Curation.synchronized {
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+          windowStore(docs.filter(pmod(col("doc_id"), lit(5)) > 1)).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("compression", "zstd").parquet(path)
+        appendToWindowStore(s, docs.filter(pmod(col("doc_id"), lit(5)) === 1), path)
+      }
+      contentNovelty(
+        s.read.parquet(path), docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    },
+
+    // SNAPSHOT DIFF (see [[snapshotDiff]]): today's snapshot is derived
+    // from the base deterministically — doc_id%11==0 removed, %7==0
+    // content-changed (uppercased), %13==0 cloned to doc_id+1000000 as
+    // the added set — so both engines construct the identical version
+    // pair and the reconcile counts hash-check end-to-end.
+    "q132_snapshot_diff" -> Q(
+      "Corpus snapshot diff: per-source unchanged/changed/removed/added " +
+        "counts between two versions, fingerprint-reconciled",
+      """WITH v0 AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN md5(upper(text)) ELSE md5(text) END AS fp
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (SELECT COALESCE(v0.source, v1.source) AS source,
+        |        CASE WHEN v1.fp IS NULL THEN 'removed'
+        |             WHEN v0.fp IS NULL THEN 'added'
+        |             WHEN v0.fp <> v1.fp THEN 'changed'
+        |             ELSE 'unchanged' END AS st
+        |      FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+        |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val v0 = Tables(s, dir, "documents")
+      val v1 = v0.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v0.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("source"), col("text")))
+      snapshotDiff(v0, v1)
     })
 }

@@ -97,4 +97,44 @@ class DriftGaugesSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == 32L) // 40 - 8 batch ids
     assert(rows.map(_.getLong(2)).sum == 8L)
   }
+
+  // ---- q130 threshold sweep --------------------------------------------
+
+  test("threshold sweep: conserved totals, monotone counts, degenerate endpoints") {
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val rows = graft.queries.Curation.thresholdCalibration(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.length == 11)
+    // every threshold partitions the same labeled corpus
+    val totals = rows.map { case (_, tp, fp, fn, tn) => (tp + fn, fp + tn) }.distinct
+    assert(totals.length == 1, s"junk/clean totals must not vary with thr: $totals")
+    // raising the threshold can only shrink the predicted-positive side
+    rows.sliding(2).foreach { case Array((_, tp0, fp0, _, _), (t1, tp1, fp1, _, _)) =>
+      assert(tp1 <= tp0 && fp1 <= fp0, s"counts must be monotone at thr=$t1")
+    }
+    // thr=0: everything predicted junk (every score >= 0)
+    val (_, tp0, fp0, fn0, tn0) = rows.head
+    assert(fn0 == 0 && tn0 == 0 && tp0 > 0 && fp0 > 0)
+  }
+
+  // ---- q132 snapshot diff ----------------------------------------------
+
+  test("snapshot diff: identical snapshots all-unchanged; planted edits counted exactly") {
+    val v0 = Seq(
+      (1L, "s", "alpha"), (2L, "s", "beta"), (3L, "s", "gamma"), (4L, "s", "delta")
+    ).toDF("doc_id", "source", "text")
+    val same = graft.queries.Curation.snapshotDiff(v0, v0).collect()
+    assert(same.map(_.toSeq) === Array(Seq("s", 4L, 0L, 0L, 0L)))
+
+    val v1 = Seq(
+      (1L, "s", "alpha"),          // unchanged
+      (2L, "s", "BETA CHANGED"),   // changed
+      // 3 removed
+      (4L, "s", "delta"),          // unchanged
+      (9L, "s", "brand new")       // added
+    ).toDF("doc_id", "source", "text")
+    val diff = graft.queries.Curation.snapshotDiff(v0, v1).collect()
+    assert(diff.map(_.toSeq) === Array(Seq("s", 2L, 1L, 1L, 1L)))
+  }
 }

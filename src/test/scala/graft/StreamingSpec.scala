@@ -672,4 +672,50 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batchOut, "streamed assignment diverged from batch")
   }
+
+  test("streaming drift monitor: each micro-batch gauge equals the batch gauge over the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    // the frozen day-N reference: materialized parquet, like production
+    val storedPath = java.nio.file.Files.createTempDirectory("graft-drift-hist").toString
+    graft.queries.Curation.scoreHistogram(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      .write.mode("overwrite").parquet(storedPath)
+    val stored = spark.read.parquet(storedPath)
+
+    val batchRows = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+
+    val gauges = scala.collection.mutable.ArrayBuffer.empty[Array[Seq[Any]]]
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.DriftMonitorStream.start(
+      input.toDF().toDF("source", "text"), stored,
+      onGauge = (_, df) =>
+        gauges.synchronized { gauges += df.collect().map(_.toSeq); () })
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(gauges.length == 2, s"expected one gauge per micro-batch, got ${gauges.length}")
+    Seq(b1, b2).zip(gauges).zipWithIndex.foreach { case ((rows, gauge), i) =>
+      val batchGauge = graft.queries.Curation
+        .driftMonitor(stored, rows.toDF("source", "text"))
+        .collect().map(_.toSeq)
+      assert(gauge.toSeq == batchGauge.toSeq,
+        s"micro-batch $i: online gauge diverged from the batch gauge")
+    }
+    // a micro-batch is a fraction of a day: sources present in the store
+    // but absent from this batch must report `stale`, present ones a
+    // real status — no silent row drops
+    val statuses = gauges.head.map(r => r(4).asInstanceOf[String]).toSet
+    assert(statuses.subsetOf(Set("new", "stale", "drift", "ok")))
+  }
 }
