@@ -184,6 +184,34 @@ object IvfIndex {
       .partitionBy("bucket")
       .parquet(path)
 
+  /** INDEX COMPACTION — the vector-side twin of the band-index rewrite
+    * ([[graft.queries.Dedup.compactBandIndex]]): daily [[appendToIndex]]
+    * calls add one small file set per batch to each touched `bucket=`
+    * directory, so after N days a probe opens N files per probed bucket.
+    * Compaction rewrites the index CONTENT-IDENTICALLY into few large
+    * (bucket, vec_id)-sorted runs sized from the source's plan-time
+    * estimate. Writes to `dstPath`, source untouched (write-new →
+    * repoint → retire — probes never see a half-written index); probe
+    * identity across the swap is pinned in IvfIndexSpec. The bucket
+    * partitioning — the thing probes prune on — is preserved exactly.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val idx = spark.read.parquet(srcPath)
+    val nOut = math.max(1,
+      (idx.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(targetFileBytes)).toInt)
+    idx
+      .repartition(nOut, col("bucket"))
+      .sortWithinPartitions("bucket", "vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("bucket")
+      .parquet(dstPath)
+  }
+
   /** Int8-QUANTIZED corpus side of the index: (id, q8, bucket), where
     * `q8 = round(127 · unit(embedding))` as `array<tinyint>` — 4× smaller
     * than the float corpus, which at 100 TB is the difference between an

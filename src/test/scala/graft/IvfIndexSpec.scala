@@ -123,6 +123,24 @@ class IvfIndexSpec extends SparkSpec {
     val oneShot = topk(IvfIndex.assign(model, corpus))
     assert(appended === oneShot,
       "search over the appended index must equal the one-shot full build")
+
+    // COMPACTION (the q129 story for the vector store): the fragmented
+    // appended index rewritten into sorted runs must be content-identical,
+    // strictly fewer files, and search-identical
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact").toString + "/idx"
+    IvfIndex.compactIndex(spark, path, dst)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "bucket").collect().map(_.toSeq).toSet
+    assert(rows(dst) === rows(path), "compaction changed the index content")
+    def nFiles(p: String) = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(_.toString.endsWith(".parquet")).count().toInt finally s.close()
+    }
+    assert(nFiles(dst) < nFiles(path),
+      s"compaction must shrink files: ${nFiles(path)} -> ${nFiles(dst)}")
+    assert(topk(spark.read.parquet(dst)) === appended,
+      "compaction changed search results")
   }
 
   test("quantized index + asymmetric scoring + float rerank: recall >= 0.9 vs the float path") {

@@ -474,4 +474,46 @@ class PlanShapeSpec extends SparkSpec {
       "new-shard scan must prune on shard_id:\n" + p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q127 boilerplate: the detected set joins back as a broadcast, never a corpus-wide SMJ") {
+    val p = planOf("q127_boilerplate")
+    // nd (source doc counts) and the surviving boilerplate set are both
+    // small by construction — each must re-join the corpus windows as a
+    // broadcast hash join
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "doc-count and boilerplate-set joins must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q128 embedding drift: assignment inherits q96's broadcast shape; all crosses are bounded broadcasts") {
+    val p = planOf("q128_embedding_drift")
+    assert(!p.contains("SortMergeJoin"),
+      "centroid/total joins must never sort-merge:\n" + p)
+    // every nested-loop is a broadcast cross of a bounded side (k-row
+    // centroid tables, the 1-row totals — the q96/q73 precedent); an
+    // unbroadcast CartesianProduct would be a corpus×corpus accident
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("BuildRight")), p)
+  }
+
+  test("q130 threshold sweep: ONE corpus scan; the grid sweeps the histogram, not the corpus") {
+    val p = planOf("q130_threshold_sweep")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans == 1,
+      s"the sweep must cost one corpus scan however many thresholds, got $docScans:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q132 snapshot diff: fingerprints computed below the reconcile exchange — text never shuffles") {
+    val p = planOf("q132_snapshot_diff")
+    // the reconcile is doc_id-keyed; every exchange partitions on doc_id
+    // or the final source rollup, never on a text-bearing key
+    assert(p.contains("md5"), "fingerprints must be computed map-side:\n" + p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(l => l.contains("doc_id") || l.contains("source")),
+      s"unexpected exchange keys:\n${exchanges.mkString("\n")}")
+  }
 }
