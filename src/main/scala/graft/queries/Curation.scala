@@ -432,12 +432,44 @@ object Curation {
   def contentNovelty(
       storedWindows: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame,
-      k: Int = 5): org.apache.spark.sql.DataFrame = {
-    val bw = batch.select(col("source"),
+      k: Int = 5): org.apache.spark.sql.DataFrame =
+    noveltyOf(
+      batch.select(col("source"),
         explode(array_distinct(Text.shinglesSpaceSplit(col("text"), k))).as("g"))
-      .distinct()
+        .distinct(),
+      storedWindows)
+
+  /** q133: the HASHED twin of [[contentNovelty]] — the declared 100 TB
+    * path (the q59 → q68 precedent): window keys are 8-byte XXH64 values
+    * instead of strings, so the store is ~an order of magnitude smaller
+    * and the anti-join shuffles longs, with the IDENTICAL plan shape and
+    * — absent a 64-bit collision between a batch window and a DIFFERENT
+    * stored window, the same astronomically-remote event the q68 tier
+    * accepts — identical counts. That identity is what lets q124's
+    * string-window oracle hash-check THIS path's values too (CurationSpec
+    * pins the twins row-identical on the testdata corpora).
+    */
+  def hashedContentNovelty(
+      storedHashes: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      k: Int = 5): org.apache.spark.sql.DataFrame =
+    noveltyOf(
+      batch.select(col("source"),
+        explode(array_distinct(transform(
+          Text.shinglesSpaceSplit(col("text"), k), s => xxhash64(s)))).as("g"))
+        .distinct(),
+      storedHashes)
+
+  /** Shared gauge core: per-source distinct batch windows (`bw`: source,
+    * g) LEFT ANTI the stored window set — the window representation
+    * (string vs hashed) is the caller's choice, the join/rollup shape is
+    * one definition.
+    */
+  private def noveltyOf(
+      bw: org.apache.spark.sql.DataFrame,
+      stored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val counts = bw.groupBy("source").agg(count(lit(1)).as("n_windows"))
-    val novel = bw.join(storedWindows.select(col("g")), Seq("g"), "left_anti")
+    val novel = bw.join(stored.select(col("g")), Seq("g"), "left_anti")
       .groupBy("source").agg(count(lit(1)).as("n_novel"))
     counts.join(novel, Seq("source"), "left")
       .select(col("source"), col("n_windows"),
@@ -451,6 +483,15 @@ object Curation {
   /** The q124 store: the corpus' distinct k-gram window set. */
   def windowStore(docs: org.apache.spark.sql.DataFrame, k: Int = 5): org.apache.spark.sql.DataFrame =
     docs.select(explode(array_distinct(Text.shinglesSpaceSplit(col("text"), k))).as("g"))
+      .distinct()
+
+  /** The q133 store: the corpus' distinct XXH64-hashed window set (8
+    * bytes per window — the size that makes a 100 TB corpus's window set
+    * storable and its anti-join cheap).
+    */
+  def hashedWindowStore(docs: org.apache.spark.sql.DataFrame, k: Int = 5): org.apache.spark.sql.DataFrame =
+    docs.select(explode(array_distinct(transform(
+      Text.shinglesSpaceSplit(col("text"), k), s => xxhash64(s)))).as("g"))
       .distinct()
 
   /** ABSORB a gauged batch into a [[windowStore]] artifact — the q124
@@ -484,6 +525,23 @@ object Curation {
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
     if (!reusable)
       windowStore(base, k).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(path)
+    path
+  }
+
+  /** [[windowStoreFor]]'s twin for the XXH64-hashed store (q133); the
+    * `_xxh` path suffix keeps the two representations from ever serving
+    * each other.
+    */
+  private def hashedWindowStoreFor(
+      base: org.apache.spark.sql.DataFrame, dir: String, k: Int = 5): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
+      java.lang.Integer.toHexString(dir.hashCode) + s"_k${k}_xxh"
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable)
+      hashedWindowStore(base, k).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("compression", "zstd").parquet(path)
     path
@@ -804,6 +862,30 @@ object Curation {
       |    AS content_hash
       |FROM d JOIN a ON d.source = a.source AND d.pack_id = a.pack_id
       |GROUP BY a.shard_id""".stripMargin
+
+  /** Shared oracle: the q124 novelty replay (string windows, store =
+    * doc_id%5≠0, batch = %5==0). Three consumers, one definition: q124
+    * (direct store), q131 (absorbed store ≡ rebuild), q133 (hashed twin
+    * — identical counts absent a 64-bit window collision).
+    */
+  private val NoveltyOracleSql =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 3),
+      |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+      |st AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 5 <> 0),
+      |bw AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh WHERE doc_id % 5 = 0),
+      |n AS (SELECT source, COUNT(*) AS n_windows FROM bw GROUP BY source),
+      |nv AS (SELECT bw.source, COUNT(*) AS n_novel
+      |       FROM bw LEFT JOIN st ON st.g = bw.g
+      |       WHERE st.g IS NULL GROUP BY bw.source)
+      |SELECT n.source, n.n_windows, COALESCE(nv.n_novel, 0) AS n_novel,
+      |  CAST(FLOOR(10000.0 * COALESCE(nv.n_novel, 0) / n.n_windows) AS BIGINT)
+      |    AS novelty_bp
+      |FROM n LEFT JOIN nv ON nv.source = n.source
+      |ORDER BY n.source""".stripMargin
 
   val all: Map[String, Q] = Map(
     // [[chunkDocs]] at the registered (32, 24) setting; the oracle
@@ -1754,27 +1836,29 @@ object Curation {
     "q124_content_novelty" -> Q(
       "Per-source batch novelty: fraction of distinct 5-gram windows " +
         "unseen in the stored corpus window set (basis points)",
-      """WITH sh AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 3),
-        |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
-        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
-        |st AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 5 <> 0),
-        |bw AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh WHERE doc_id % 5 = 0),
-        |n AS (SELECT source, COUNT(*) AS n_windows FROM bw GROUP BY source),
-        |nv AS (SELECT bw.source, COUNT(*) AS n_novel
-        |       FROM bw LEFT JOIN st ON st.g = bw.g
-        |       WHERE st.g IS NULL GROUP BY bw.source)
-        |SELECT n.source, n.n_windows, COALESCE(nv.n_novel, 0) AS n_novel,
-        |  CAST(FLOOR(10000.0 * COALESCE(nv.n_novel, 0) / n.n_windows) AS BIGINT)
-        |    AS novelty_bp
-        |FROM n LEFT JOIN nv ON nv.source = n.source
-        |ORDER BY n.source""".stripMargin) { (s, dir) =>
+      NoveltyOracleSql) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val storePath = windowStoreFor(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
       contentNovelty(
+        s.read.parquet(storePath),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    },
+
+    // The HASHED novelty twin (see [[hashedContentNovelty]]): q124's
+    // gauge over 8-byte XXH64 window keys — the store representation a
+    // 100 TB deployment actually persists. Registered with q124's
+    // string-window oracle (the q68 precedent): the twin's counts are
+    // identical absent a 64-bit collision, so the oracle hash-checks the
+    // scale path's values; CurationSpec pins the twins row-identical.
+    "q133_novelty_hashed" -> Q(
+      "Per-source batch novelty over the 8-byte hashed window store " +
+        "(q124's scale twin — same counts, long keys through the anti-join)",
+      NoveltyOracleSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val storePath = hashedWindowStoreFor(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
+      hashedContentNovelty(
         s.read.parquet(storePath),
         docs.filter(pmod(col("doc_id"), lit(5)) === 0))
     },
@@ -1867,23 +1951,7 @@ object Curation {
     "q131_novelty_absorb" -> Q(
       "Incremental novelty store: day-1 batch absorbed by left-anti " +
         "append, day-2 batch novelty against the grown store",
-      """WITH sh AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 3),
-        |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
-        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
-        |st AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 5 <> 0),
-        |bw AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh WHERE doc_id % 5 = 0),
-        |n AS (SELECT source, COUNT(*) AS n_windows FROM bw GROUP BY source),
-        |nv AS (SELECT bw.source, COUNT(*) AS n_novel
-        |       FROM bw LEFT JOIN st ON st.g = bw.g
-        |       WHERE st.g IS NULL GROUP BY bw.source)
-        |SELECT n.source, n.n_windows, COALESCE(nv.n_novel, 0) AS n_novel,
-        |  CAST(FLOOR(10000.0 * COALESCE(nv.n_novel, 0) / n.n_windows) AS BIGINT)
-        |    AS novelty_bp
-        |FROM n LEFT JOIN nv ON nv.source = n.source
-        |ORDER BY n.source""".stripMargin) { (s, dir) =>
+      NoveltyOracleSql) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
         java.lang.Integer.toHexString(dir.hashCode) + "_absorb_k5_pid" +

@@ -959,6 +959,34 @@ object Dedup {
       |    ORDER BY chunk_idx), '') AS text_clean
       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q134: NORMALIZATION-INVARIANT dedup — the tier between q32's
+    * byte-ish dedup (lower+trim only) and minhash: documents are grouped
+    * by the fingerprint of their FULLY NORMALIZED text (the oracled q54
+    * pass: lowercase, email/URL masking, whitespace collapse, trim).
+    * Masking is the interesting part: two mirror pages differing only in
+    * the webmaster's email address or tracking URLs dedup together here
+    * — a variant class byte-exact misses entirely and minhash resolves
+    * only at ~100× the cost. Output is the per-doc disposition for
+    * multi-variant groups: (doc_id, canonical_id = group min,
+    * n_variants).
+    *
+    * Plan shape: fingerprints are computed MAP-SIDE (one codegen regexp
+    * chain + md5 over the scan), so the only exchange carries (doc_id,
+    * 32-char fp) keyed by the fingerprint; the group window partitions
+    * by fp — tiny groups, no skew hazard. The q32 shape with a richer
+    * kernel.
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("nfp")
+    docs.select(col("doc_id"),
+        md5(graft.functions.Text.cleanText(col("text"))).as("nfp"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("n_variants", count(lit(1)).over(w))
+      .filter(col("n_variants") > 1)
+      .select(col("doc_id"), col("canonical_id"), col("n_variants"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q32_dedup_exact" -> Q(
       "Exact dedup: group by normalized-content hash, keep min doc_id",
@@ -968,6 +996,57 @@ object Dedup {
         .groupBy(Text.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("fp")
+    },
+
+    // NORMALIZATION-INVARIANT dedup (see [[normalizedDedup]]): the q54
+    // normalization as a dedup kernel — mirror pages differing only in
+    // masked emails/URLs or whitespace/case collapse into one group.
+    // The corpus carries no such variants (q32 finds zero exact groups),
+    // so the registered form derives them DETERMINISTICALLY (the q132
+    // snapshot-construction precedent): %6 docs get an uppercased
+    // double-spaced clone (case/whitespace invariance), %9 docs get TWO
+    // clones differing only in an appended contact email (mask
+    // invariance — the pair groups together, and with neither original
+    // nor each other's address). The oracle replays the identical
+    // construction + the q54 regexp chain inside the fingerprint.
+    "q134_normalized_dedup" -> Q(
+      "Normalization-invariant dedup: groups keyed by md5 of the q54 " +
+        "cleaned text, per-doc canonical + variant count for groups > 1",
+      s"""WITH v AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, regexp_replace(upper(text), ' ', '  ', 'g')
+         |  FROM documents WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text || ' contact alice@variants.example.com'
+         |  FROM documents WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, text || ' contact bob@mirrors.example.org'
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |f AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |    '${Text.EmailPattern}', '<email>', 'g'),
+         |    '${Text.UrlPattern}', '<url>', 'g'),
+         |    '[ \\t\\n\\r]+', ' ', 'g'))) AS nfp
+         |  FROM v),
+         |g AS (SELECT doc_id,
+         |        MIN(doc_id) OVER (PARTITION BY nfp) AS canonical_id,
+         |        COUNT(*) OVER (PARTITION BY nfp) AS n_variants
+         |      FROM f)
+         |SELECT doc_id, canonical_id, CAST(n_variants AS BIGINT) AS n_variants
+         |FROM g WHERE n_variants > 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val caseVariant = base.filter(pmod(col("doc_id"), lit(6)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          regexp_replace(upper(col("text")), " ", "  ").as("text"))
+      val emailA = base.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" contact alice@variants.example.com")).as("text"))
+      val emailB = base.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit(" contact bob@mirrors.example.org")).as("text"))
+      normalizedDedup(
+        base.unionByName(caseVariant).unionByName(emailA).unionByName(emailB))
     },
 
     // Oracled via the exact-jaccard pair graph (recall-1.0 equality on the

@@ -251,6 +251,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("hashed-window novelty (q133) matches the string-window gauge row for row") {
+    // the q59→q68 twin contract, for the novelty store: 8-byte XXH64
+    // window keys must report the SAME per-source window/novel counts as
+    // q124's oracle-checked string windows — on both testdata corpora
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.queries.Tables(spark, d, "documents")
+      val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val strForm = graft.queries.Curation
+        .contentNovelty(graft.queries.Curation.windowStore(store), batch)
+        .collect().map(_.toSeq)
+      val hashForm = graft.queries.Curation
+        .hashedContentNovelty(graft.queries.Curation.hashedWindowStore(store), batch)
+        .collect().map(_.toSeq)
+      assert(hashForm.toSeq == strForm.toSeq,
+        s"$d: hashed and string novelty gauges diverge")
+    }
+  }
+
   test("bloom-gated decontamination (q77) is bit-identical to the exact hashed form") {
     // one-sided error + exact verify ⇒ the bloom path must reproduce
     // hashedDecontam EXACTLY — including at fpp=0.5, where the pre-verify

@@ -118,6 +118,23 @@ class DriftGaugesSpec extends SparkSpec {
     assert(fn0 == 0 && tn0 == 0 && tp0 > 0 && fp0 > 0)
   }
 
+  // ---- q134 normalized dedup -------------------------------------------
+
+  test("normalized dedup: case/whitespace and masked-email variants group; distinct content never") {
+    val docs = Seq(
+      (1L, "hello spark world"),
+      (2L, "  HELLO   Spark    WORLD "),            // case+ws variant of 1
+      (3L, "reach me at alice@example.com today"),
+      (4L, "reach me at bob@other.org today"),      // mask variant of 3
+      (5L, "reach me at https://a.example/x today"),// url != email mask: no group
+      (6L, "completely unrelated content here")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Dedup.normalizedDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 2L), (4L, 3L, 2L)),
+      s"got $out")
+  }
+
   // ---- q132 snapshot diff ----------------------------------------------
 
   test("snapshot diff: identical snapshots all-unchanged; planted edits counted exactly") {
