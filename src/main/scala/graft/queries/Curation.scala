@@ -279,6 +279,63 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q135: MIXTURE TEMPERATURE SWEEP — the q130 calibration idea applied
+    * to the sampling temperature: before committing a data recipe to one
+    * α, sweep the q109 rate solve across the α grid and see every
+    * source's keep-rate and actual token yield side by side — the table
+    * a recipe owner reads to pick the flatness/fidelity trade.
+    *
+    * The grid is {0, 0.25, 0.5, 0.75, 1} — exactly the α values whose
+    * rates are IEEE-bit-exact cross-engine WITHOUT a libm `pow` (pow is
+    * not correctly-rounded, so engines may differ in the last ulp;
+    * sqrt IS): ratio^(1-α) for those α is a composition of exact sqrts —
+    * ratio, sqrt(ratio)·sqrt(sqrt(ratio)), sqrt(ratio),
+    * sqrt(sqrt(ratio)), 1. The floored basis-point rates therefore
+    * hash-check, as do the kept counts (the q57 deterministic doc-hash).
+    *
+    * Plan shape: ONE corpus scan for per-doc tokens; the 5-rates-per-
+    * source table (sources × 5 rows) broadcasts back — the ×5 fan-out is
+    * bounded by the grid (the q106 class-fanout precedent), and the
+    * rollup collapses map-side. Sweeping 50 α values would still cost
+    * the same single scan.
+    */
+  def mixtureSweep(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("n"))
+    val totals = t.groupBy("source").agg(sum("n").as("toks"))
+    val ratio = col("mintoks").cast("double") / col("toks")
+    def bp(rate: org.apache.spark.sql.Column) = floor(rate).cast("long")
+    val rates = totals
+      .crossJoin(broadcast(totals.agg(min("toks").as("mintoks"))))
+      .select(col("source"), explode(array(
+        struct(lit(0L).as("alpha_bp"),
+          bp(lit(10000.0) * col("mintoks") / col("toks")).as("rate_bp")),
+        struct(lit(2500L).as("alpha_bp"),
+          bp(lit(10000.0) * (sqrt(ratio) * sqrt(sqrt(ratio)))).as("rate_bp")),
+        struct(lit(5000L).as("alpha_bp"),
+          bp(lit(10000.0) * sqrt(ratio)).as("rate_bp")),
+        struct(lit(7500L).as("alpha_bp"),
+          bp(lit(10000.0) * sqrt(sqrt(ratio))).as("rate_bp")),
+        struct(lit(10000L).as("alpha_bp"),
+          lit(10000L).as("rate_bp")))).as("a"))
+      .select(col("source"), col("a.alpha_bp").as("alpha_bp"),
+        col("a.rate_bp").as("rate_bp"))
+    val kept =
+      pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L)) <
+        col("rate_bp")
+    t.join(broadcast(rates), "source")
+      .select(col("alpha_bp"), col("source"), col("rate_bp"), col("n"),
+        when(kept, 1L).otherwise(0L).as("kept"))
+      .groupBy("alpha_bp", "source")
+      .agg(
+        min("rate_bp").as("rate_bp"),
+        count(lit(1)).as("n_total"),
+        sum(col("n")).cast("long").as("total_tokens"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        sum(col("kept") * col("n")).cast("long").as("kept_tokens"))
+      .orderBy("alpha_bp", "source")
+  }
+
   /** q115: ADAPTIVE per-source quality filtering (the FineWeb refinement of
     * a global cutoff) — keep the top `keepFraction` of each source by
     * quality score, with the threshold solved PER SOURCE: a single global
@@ -633,6 +690,36 @@ object Curation {
         cnt("clean", col("score") < col("thr")).as("tn"))
       .orderBy("thr")
   }
+
+  /** q136: DAILY OPS REPORT — the morning dashboard a pipeline owner
+    * reads before promoting a day's batch, composed from the three
+    * stand-alone gauges over the SAME stored artifacts (one histogram
+    * store feeds drift + thresholds; the window store feeds novelty):
+    * per source — drift status + populations (q123), content novelty
+    * (q124), and the re-solved quality threshold (q121). Composition is
+    * the point (the q74/q111 precedent): the numbers that gate the batch
+    * must be THE SAME numbers the stand-alone gauges report, which the
+    * oracle proves by replaying all three chains into one joined result.
+    *
+    * The gauge outputs are source-sized, so the composing joins are
+    * broadcast-trivial; the batch is scanned once per gauge (a daily
+    * report over a day's batch — fuse into one scan if the day is huge).
+    * `-1` stands in for gauges a source legitimately lacks (a stale
+    * source has no batch windows to measure novelty on).
+    */
+  def dailyOpsReport(
+      storedHist: org.apache.spark.sql.DataFrame,
+      storedWindows: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    driftMonitor(storedHist, batch)
+      .join(contentNovelty(storedWindows, batch)
+        .select(col("source"), col("novelty_bp")), Seq("source"), "left")
+      .join(incrementalThresholds(storedHist, batch)
+        .select(col("source"), col("thr")), Seq("source"), "left")
+      .select(col("source"), col("status"), col("n_base"), col("n_batch"),
+        coalesce(col("novelty_bp"), lit(-1L)).as("novelty_bp"),
+        coalesce(col("thr"), lit(-1L)).as("thr"))
+      .orderBy("source")
 
   /** q132: CORPUS SNAPSHOT DIFF — the data-versioning gauge between two
     * corpus snapshots (yesterday's publication vs today's): per source,
@@ -1041,6 +1128,46 @@ object Curation {
         |  CAST(SUM(kept * n) AS BIGINT) AS kept_tokens
         |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       temperatureMixture(Tables(s, dir, "documents"), alpha = 0.5)
+    },
+
+    // MIXTURE TEMPERATURE SWEEP (see [[mixtureSweep]]): q109's solve at
+    // every sqrt-exact α in one pass — per-(α, source) keep rates and
+    // actual deterministic-hash yields. One corpus scan; the 5-row-per-
+    // source rate grid broadcasts back (bounded ×5 fan-out).
+    "q135_mixture_sweep" -> Q(
+      "Temperature sweep: per-(alpha, source) keep rates and actual kept " +
+        "doc/token yields at alpha in {0, .25, .5, .75, 1} — one scan",
+      """WITH t AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (SELECT source, SUM(n) AS toks FROM t GROUP BY source),
+        |m AS (SELECT MIN(toks) AS mintoks FROM s),
+        |r AS (SELECT source, a.alpha_bp,
+        |        CASE a.alpha_bp
+        |          WHEN 0 THEN CAST(FLOOR(10000.0 * m.mintoks / toks) AS BIGINT)
+        |          WHEN 2500 THEN CAST(FLOOR(10000.0 *
+        |            (SQRT(CAST(m.mintoks AS DOUBLE) / toks) *
+        |             SQRT(SQRT(CAST(m.mintoks AS DOUBLE) / toks)))) AS BIGINT)
+        |          WHEN 5000 THEN CAST(FLOOR(10000.0 *
+        |            SQRT(CAST(m.mintoks AS DOUBLE) / toks)) AS BIGINT)
+        |          WHEN 7500 THEN CAST(FLOOR(10000.0 *
+        |            SQRT(SQRT(CAST(m.mintoks AS DOUBLE) / toks))) AS BIGINT)
+        |          ELSE 10000 END AS rate_bp
+        |      FROM s CROSS JOIN m
+        |      CROSS JOIN (SELECT CAST(unnest([0, 2500, 5000, 7500, 10000]) AS BIGINT)
+        |                     AS alpha_bp) a),
+        |k AS (SELECT r.alpha_bp, t.source, r.rate_bp, t.n,
+        |        CASE WHEN ((t.doc_id % 2147483647) * 2654435761) % 10000 < r.rate_bp
+        |             THEN 1 ELSE 0 END AS kept
+        |      FROM t JOIN r ON r.source = t.source)
+        |SELECT alpha_bp, source, MIN(rate_bp) AS rate_bp,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(kept * n) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY alpha_bp, source
+        |ORDER BY alpha_bp, source""".stripMargin) { (s, dir) =>
+      mixtureSweep(Tables(s, dir, "documents"))
     },
 
     // Sequence PACKING: concat-then-chunk — documents are laid out in
@@ -1902,6 +2029,77 @@ object Curation {
         |JOIN c1 ON c1.v = sc.s1 JOIN c2 ON c2.v = sc.s2 JOIN c3 ON c3.v = sc.s3
         |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
       qualityEnsemble(Tables(s, dir, "documents"))
+    },
+
+    // DAILY OPS REPORT (see [[dailyOpsReport]]): q123 + q124 + q121
+    // composed per source over the shared stored artifacts. The oracle
+    // replays all three already-oracled chains into one joined row set —
+    // the composed numbers ARE the stand-alone numbers.
+    "q136_daily_ops" -> Q(
+      "Daily ops report: per-source drift status, batch novelty, and " +
+        "re-solved quality threshold in one composed gauge",
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(1000.0 * LENGTH(REPLACE(text, ' ', '')) / LENGTH(text))
+        |         AS BIGINT) AS score
+        |  FROM documents WHERE LENGTH(text) > 0),
+        |h0 AS (SELECT source, score, COUNT(*) AS n FROM sc
+        |       WHERE doc_id % 5 <> 0 GROUP BY source, score),
+        |h1 AS (SELECT source, score, COUNT(*) AS n FROM sc
+        |       WHERE doc_id % 5 = 0 GROUP BY source, score),
+        |j AS (SELECT COALESCE(h0.source, h1.source) AS source,
+        |             COALESCE(h0.n, 0) AS c0, COALESCE(h1.n, 0) AS c1
+        |      FROM h0 FULL OUTER JOIN h1
+        |        ON h0.source = h1.source AND h0.score = h1.score),
+        |t AS (SELECT source, CAST(SUM(c0) AS BIGINT) AS n_base,
+        |             CAST(SUM(c1) AS BIGINT) AS n_batch
+        |      FROM j GROUP BY source),
+        |d AS (SELECT j.source,
+        |        CAST(SUM(ABS(c0 * t.n_batch - c1 * t.n_base)) AS BIGINT) AS l1_scaled
+        |      FROM j JOIN t ON t.source = j.source GROUP BY j.source),
+        |hh AS (SELECT source, score, COUNT(*) AS n FROM sc GROUP BY source, score),
+        |cc AS (SELECT source, score, n,
+        |        SUM(n) OVER (PARTITION BY source ORDER BY score DESC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(n) OVER (PARTITION BY source) AS total
+        |      FROM hh),
+        |thr AS (SELECT source, MAX(score) AS thr FROM cc
+        |        WHERE cum >= CEIL(0.7 * total) GROUP BY source),
+        |shw AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3),
+        |                             i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+        |stw AS (SELECT DISTINCT unnest(sh) AS g FROM shw WHERE doc_id % 5 <> 0),
+        |bw AS (SELECT DISTINCT source, unnest(sh) AS g FROM shw WHERE doc_id % 5 = 0),
+        |nn AS (SELECT source, COUNT(*) AS n_windows FROM bw GROUP BY source),
+        |nv AS (SELECT bw.source, COUNT(*) AS n_novel
+        |       FROM bw LEFT JOIN stw ON stw.g = bw.g
+        |       WHERE stw.g IS NULL GROUP BY bw.source),
+        |nov AS (SELECT nn.source,
+        |          CAST(FLOOR(10000.0 * COALESCE(nv.n_novel, 0) / nn.n_windows) AS BIGINT)
+        |            AS novelty_bp
+        |        FROM nn LEFT JOIN nv ON nv.source = nn.source)
+        |SELECT t.source,
+        |  CASE WHEN t.n_base = 0 THEN 'new'
+        |       WHEN t.n_batch = 0 THEN 'stale'
+        |       WHEN d.l1_scaled * 2 > t.n_base * t.n_batch THEN 'drift'
+        |       ELSE 'ok' END AS status,
+        |  t.n_base, t.n_batch,
+        |  COALESCE(nov.novelty_bp, -1) AS novelty_bp,
+        |  COALESCE(thr.thr, -1) AS thr
+        |FROM t JOIN d ON d.source = t.source
+        |LEFT JOIN nov ON nov.source = t.source
+        |LEFT JOIN thr ON thr.source = t.source
+        |ORDER BY t.source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val base = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      dailyOpsReport(
+        s.read.parquet(histogramIndexFor(base, dir)),
+        s.read.parquet(windowStoreFor(base, dir)),
+        batch)
     },
 
     // THRESHOLD CALIBRATION (see [[thresholdCalibration]]): confusion

@@ -251,6 +251,61 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q136 daily ops report agrees with every stand-alone gauge, column for column") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val base = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val hist = graft.queries.Curation.scoreHistogram(base)
+    val windows = graft.queries.Curation.windowStore(base)
+
+    val report = graft.queries.Curation.dailyOpsReport(hist, windows, batch)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+
+    val drift = graft.queries.Curation.driftMonitor(hist, batch).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    val novelty = graft.queries.Curation.contentNovelty(windows, batch).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val thr = graft.queries.Curation.incrementalThresholds(hist, batch).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+
+    assert(report.keySet == drift.keySet, "report must cover exactly the drift gauge's sources")
+    report.foreach { case (src, (status, nBase, nBatch, nov, t)) =>
+      val (dBase, dBatch, dStatus) = drift(src)
+      assert((status, nBase, nBatch) == ((dStatus, dBase, dBatch)), s"$src: drift columns diverge")
+      assert(nov == novelty.getOrElse(src, -1L), s"$src: novelty column diverges")
+      assert(t == thr.getOrElse(src, -1L), s"$src: threshold column diverges")
+    }
+  }
+
+  test("q135 mixture sweep: grid rows anchor to the single-alpha solves; rates monotone in alpha") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val sweep = graft.queries.Curation.mixtureSweep(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // the sqrt-exact anchors must equal the registered single-alpha solve
+    // bit for bit (0.25/0.75 use a sqrt composition where the single-alpha
+    // path uses libm pow — not ulp-comparable, so anchored by order only)
+    for (a <- Seq(0.0, 0.5, 1.0)) {
+      val single = graft.queries.Curation.temperatureMixture(docs, alpha = a)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      single.foreach { case (src, row) =>
+        assert(sweep(((a * 10000).toLong, src)) == row,
+          s"alpha=$a source=$src: sweep row diverges from the single solve")
+      }
+    }
+    // hotter alpha keeps more (ratio <= 1 so ratio^(1-alpha) is
+    // non-decreasing in alpha), per source across the whole grid
+    sweep.keys.map(_._2).toSeq.distinct.foreach { src =>
+      val rates = Seq(0L, 2500L, 5000L, 7500L, 10000L).map(a => sweep((a, src))._1)
+      assert(rates == rates.sorted, s"$src: rates must be monotone in alpha: $rates")
+      assert(rates.last == 10000L)
+    }
+  }
+
   test("hashed-window novelty (q133) matches the string-window gauge row for row") {
     // the q59→q68 twin contract, for the novelty store: 8-byte XXH64
     // window keys must report the SAME per-source window/novel counts as
