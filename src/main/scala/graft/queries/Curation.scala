@@ -469,6 +469,53 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q137: KOLMOGOROV–SMIRNOV drift — q123's companion with the sup-norm
+    * instead of L1: KS = max over scores of |CDF_base − CDF_batch|, the
+    * two-sample test statistic with standard critical values. The two
+    * gauges alarm on different shapes: a distribution that SHIFTS one
+    * bucket sideways moves every CDF level (big KS) while per-bucket
+    * overlap can keep L1 moderate; scattered per-bucket noise does the
+    * reverse. A recipe owner watches both for the price of one histogram.
+    *
+    * Integer-exact by the q123 cross-multiplication, applied to the
+    * CUMULATIVE counts: ks_scaled = max |cum0·n_batch − cum1·n_base| and
+    * the alarm is ks_scaled·4 > n_base·n_batch (KS > 1/4). The cumsum
+    * window runs over the ≤1001-row per-source histogram — kilobytes,
+    * never the corpus.
+    */
+  def ksDrift(
+      stored: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val b = scoreHistogram(batch)
+      .select(col("source"), col("score"), col("n").as("n1"))
+    val j = stored.select(col("source"), col("score"), col("n").as("n0"))
+      .join(b, Seq("source", "score"), "full_outer")
+      .select(col("source"), col("score"),
+        coalesce(col("n0"), lit(0L)).as("c0"),
+        coalesce(col("n1"), lit(0L)).as("c1"))
+    val wCum = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = j
+      .withColumn("cum0", sum("c0").over(wCum))
+      .withColumn("cum1", sum("c1").over(wCum))
+    val tot = cum.groupBy("source").agg(
+      max("cum0").cast("long").as("n_base"),
+      max("cum1").cast("long").as("n_batch"))
+    cum.join(broadcast(tot), "source")
+      .groupBy("source")
+      .agg(
+        max(col("n_base")).as("n_base"),
+        max(col("n_batch")).as("n_batch"),
+        max(abs(col("cum0") * col("n_batch") - col("cum1") * col("n_base")))
+          .cast("long").as("ks_scaled"))
+      .select(col("source"), col("n_base"), col("n_batch"), col("ks_scaled"),
+        when(col("n_base") === 0, "new")
+          .when(col("n_batch") === 0, "stale")
+          .when(col("ks_scaled") * 4 > col("n_base") * col("n_batch"), "drift")
+          .otherwise("ok").as("status"))
+      .orderBy("source")
+  }
+
   /** q124: CONTENT NOVELTY — the third daily-ops gauge next to drift
     * (q123) and thresholds (q121): what fraction of today's batch is new
     * CONTENT, measured at 5-gram window granularity against the stored
@@ -1954,6 +2001,54 @@ object Curation {
       val storedPath = histogramIndexFor(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
       driftMonitor(
+        s.read.parquet(storedPath),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    },
+
+    // KS DRIFT (see [[ksDrift]]): the sup-norm companion to q123 over the
+    // SAME stored histogram artifact — three daily consumers of one
+    // store now (thresholds, L1 drift, KS drift). Oracle replays the
+    // cumulative cross-multiplication in plain integer SQL.
+    "q137_ks_drift" -> Q(
+      "Per-source KS drift: integer-exact sup |CDF_base - CDF_batch| " +
+        "between the stored day-N score histogram and today's batch",
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(1000.0 * LENGTH(REPLACE(text, ' ', '')) / LENGTH(text))
+        |         AS BIGINT) AS score
+        |  FROM documents WHERE LENGTH(text) > 0),
+        |h0 AS (SELECT source, score, COUNT(*) AS n FROM sc
+        |       WHERE doc_id % 5 <> 0 GROUP BY source, score),
+        |h1 AS (SELECT source, score, COUNT(*) AS n FROM sc
+        |       WHERE doc_id % 5 = 0 GROUP BY source, score),
+        |j AS (SELECT COALESCE(h0.source, h1.source) AS source,
+        |             COALESCE(h0.score, h1.score) AS score,
+        |             COALESCE(h0.n, 0) AS c0, COALESCE(h1.n, 0) AS c1
+        |      FROM h0 FULL OUTER JOIN h1
+        |        ON h0.source = h1.source AND h0.score = h1.score),
+        |c AS (SELECT source, score, c0, c1,
+        |        SUM(c0) OVER (PARTITION BY source ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0,
+        |        SUM(c1) OVER (PARTITION BY source ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+        |      FROM j),
+        |t AS (SELECT source, CAST(MAX(cum0) AS BIGINT) AS n_base,
+        |             CAST(MAX(cum1) AS BIGINT) AS n_batch
+        |      FROM c GROUP BY source),
+        |k AS (SELECT c.source,
+        |        CAST(MAX(ABS(cum0 * t.n_batch - cum1 * t.n_base)) AS BIGINT) AS ks_scaled
+        |      FROM c JOIN t ON t.source = c.source GROUP BY c.source)
+        |SELECT t.source, t.n_base, t.n_batch, k.ks_scaled,
+        |  CASE WHEN t.n_base = 0 THEN 'new'
+        |       WHEN t.n_batch = 0 THEN 'stale'
+        |       WHEN k.ks_scaled * 4 > t.n_base * t.n_batch THEN 'drift'
+        |       ELSE 'ok' END AS status
+        |FROM t JOIN k ON k.source = t.source
+        |ORDER BY t.source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val storedPath = histogramIndexFor(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
+      ksDrift(
         s.read.parquet(storedPath),
         docs.filter(pmod(col("doc_id"), lit(5)) === 0))
     },

@@ -375,6 +375,50 @@ object Relational {
         .orderBy("user_id", "session_id")
     },
 
+    // SESSION-GAP SWEEP — the q130/q135 calibration pattern on the
+    // events side: q25 hard-codes the 30-minute session gap; before a
+    // product team commits to one, this sweeps the gap grid in ONE pass
+    // and reports how the session count responds. A session START is a
+    // first event (null gap) or a gap above the threshold, so
+    // n_sessions = Σ starts — no per-gap re-sessionization, just the
+    // per-event gap (one window, q25's exchange) fanned out ×4 against
+    // the bounded grid and summed. Timestamps never reach the output
+    // (the oracle-determinism house rule); epoch-µs arithmetic matches
+    // q25's oracle convention.
+    "q138_session_gap_sweep" -> Q(
+      "Session gap sweep: session/user/event counts at 5/30/60/120-minute " +
+        "gap thresholds from one windowed pass over events",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |e AS (SELECT user_id, gap_us,
+        |        CAST(unnest([5, 30, 60, 120]) AS BIGINT) AS gap_min
+        |      FROM g)
+        |SELECT gap_min,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > gap_min * 60000000
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM e GROUP BY gap_min ORDER BY gap_min""".stripMargin) { (s, dir) =>
+      val byTime = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val starts = col("gap_us").isNull ||
+        col("gap_us") > col("gap_min") * lit(60000000L)
+      Tables(s, dir, "events")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byTime))
+            .as("gap_us"))
+        .select(col("user_id"), col("gap_us"),
+          explode(array(Seq(5L, 30L, 60L, 120L).map(lit): _*)).as("gap_min"))
+        .groupBy("gap_min")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(starts, 1L).otherwise(0L)).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("gap_min")
+    },
+
     "q26_asof_join" -> Q(
       "As-of join: latest prior click per purchase (union + last_value window — " +
         "single shuffle by user, no per-key loops; DuckDB oracle mirrors the same plan)",

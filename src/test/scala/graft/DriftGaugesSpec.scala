@@ -118,6 +118,56 @@ class DriftGaugesSpec extends SparkSpec {
     assert(fn0 == 0 && tn0 == 0 && tp0 > 0 && fp0 > 0)
   }
 
+  // ---- q137 KS drift ---------------------------------------------------
+
+  test("KS drift: identical distribution scores zero; a one-bucket shift maxes the statistic") {
+    // densityScore("a a") = floor(1000*2/3) = 666; densityScore("aa") = 1000
+    val stored = Seq(
+      ("src_same", 666L, 10L), ("src_shift", 666L, 10L)
+    ).toDF("source", "score", "n")
+    val batch = (
+      (1 to 5).map(i => (i.toLong, "src_same", "a a")) ++
+      (6 to 10).map(i => (i.toLong, "src_shift", "aa"))
+    ).toDF("doc_id", "source", "text")
+    val out = graft.queries.Curation.ksDrift(stored, batch)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out("src_same") == ((10L, 5L, 0L, "ok")))
+    // whole mass moved one bucket: at score 666 the CDF gap is 1,
+    // ks_scaled = n_base * n_batch = 50 -> drift
+    assert(out("src_shift") == ((10L, 5L, 50L, "drift")))
+  }
+
+  // ---- q138 session gap sweep ------------------------------------------
+
+  test("session gap sweep: session counts respond to the grid exactly on planted gaps") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // user 1: events at 0, 10, 50, 200 min -> gaps 10, 40, 150
+    // user 2: single event -> always exactly 1 session
+    val events = Seq(
+      (1L, 1L, at(0)), (2L, 1L, at(10)), (3L, 1L, at(50)), (4L, 1L, at(200)),
+      (5L, 2L, at(0))
+    ).toDF("event_id", "user_id", "ts")
+    // replicate the registered per-event-gap + grid-fanout computation on
+    // the planted frame (the registry form is bound to the events table)
+    val out = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      events
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .select(col("user_id"), col("gap_us"),
+          explode(array(Seq(5L, 30L, 60L, 120L).map(lit): _*)).as("gap_min"))
+        .groupBy("gap_min")
+        .agg(sum(when(col("gap_us").isNull ||
+          col("gap_us") > col("gap_min") * lit(60000000L), 1L).otherwise(0L)).as("n_sessions"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // user 1 sessions per gap: 5min -> 4, 30 -> 3, 60 -> 2, 120 -> 2; +1 for user 2
+    assert(out == Map(5L -> 5L, 30L -> 4L, 60L -> 3L, 120L -> 3L), s"got $out")
+  }
+
   // ---- q134 normalized dedup -------------------------------------------
 
   test("normalized dedup: case/whitespace and masked-email variants group; distinct content never") {
