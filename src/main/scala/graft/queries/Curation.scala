@@ -410,9 +410,19 @@ object Curation {
   def incrementalThresholds(
       stored: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame,
+      keepFraction: Double = 0.7): org.apache.spark.sql.DataFrame =
+    incrementalThresholdsFromHist(stored, scoreHistogram(batch), keepFraction)
+
+  /** [[incrementalThresholds]] over an already-computed batch histogram —
+    * the form a multi-gauge consumer (q136) uses so ONE batch scan feeds
+    * every histogram-derived gauge.
+    */
+  def incrementalThresholdsFromHist(
+      stored: org.apache.spark.sql.DataFrame,
+      batchHist: org.apache.spark.sql.DataFrame,
       keepFraction: Double = 0.7): org.apache.spark.sql.DataFrame = {
     val merged = stored.select(col("source"), col("score"), col("n"))
-      .union(scoreHistogram(batch))
+      .union(batchHist.select(col("source"), col("score"), col("n")))
       .groupBy("source", "score").agg(sum("n").as("n"))
     val wCum = Window.partitionBy("source").orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -443,8 +453,15 @@ object Curation {
     */
   def driftMonitor(
       stored: org.apache.spark.sql.DataFrame,
-      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val b = scoreHistogram(batch)
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    driftMonitorFromHist(stored, scoreHistogram(batch))
+
+  /** [[driftMonitor]] over an already-computed batch histogram (the q136
+    * one-scan form). */
+  def driftMonitorFromHist(
+      stored: org.apache.spark.sql.DataFrame,
+      batchHist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val b = batchHist
       .select(col("source"), col("score"), col("n").as("n1"))
     val j = stored.select(col("source"), col("score"), col("n").as("n0"))
       .join(b, Seq("source", "score"), "full_outer")
@@ -757,16 +774,24 @@ object Curation {
   def dailyOpsReport(
       storedHist: org.apache.spark.sql.DataFrame,
       storedWindows: org.apache.spark.sql.DataFrame,
-      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    driftMonitor(storedHist, batch)
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // One batch-histogram DEFINITION feeds both histogram-derived gauges
+    // (drift + thresholds). In production the day's batch histogram is
+    // materialized anyway — it is the artifact q121's absorb step stores
+    // — so both gauges read kilobytes; here the plan is passed through
+    // and AQE's exchange reuse consolidates the duplicated subtrees at
+    // runtime.
+    val batchHist = scoreHistogram(batch)
+    driftMonitorFromHist(storedHist, batchHist)
       .join(contentNovelty(storedWindows, batch)
         .select(col("source"), col("novelty_bp")), Seq("source"), "left")
-      .join(incrementalThresholds(storedHist, batch)
+      .join(incrementalThresholdsFromHist(storedHist, batchHist)
         .select(col("source"), col("thr")), Seq("source"), "left")
       .select(col("source"), col("status"), col("n_base"), col("n_batch"),
         coalesce(col("novelty_bp"), lit(-1L)).as("novelty_bp"),
         coalesce(col("thr"), lit(-1L)).as("thr"))
       .orderBy("source")
+  }
 
   /** q132: CORPUS SNAPSHOT DIFF — the data-versioning gauge between two
     * corpus snapshots (yesterday's publication vs today's): per source,

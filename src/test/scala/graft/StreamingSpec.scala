@@ -718,4 +718,44 @@ class StreamingSpec extends SparkSpec {
     val statuses = gauges.head.map(r => r(4).asInstanceOf[String]).toSet
     assert(statuses.subsetOf(Set("new", "stale", "drift", "ok")))
   }
+
+  test("streaming novelty monitor: per-micro-batch gauge equals the hashed batch gauge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val storedPath = java.nio.file.Files.createTempDirectory("graft-novelty-store").toString
+    graft.queries.Curation.hashedWindowStore(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      .write.mode("overwrite").parquet(storedPath)
+    val stored = spark.read.parquet(storedPath)
+
+    val batchRows = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+
+    val gauges = scala.collection.mutable.ArrayBuffer.empty[Array[Seq[Any]]]
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.NoveltyMonitorStream.start(
+      input.toDF().toDF("source", "text"), stored,
+      onGauge = (_, df) =>
+        gauges.synchronized { gauges += df.collect().map(_.toSeq); () })
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(gauges.length == 2)
+    Seq(b1, b2).zip(gauges).zipWithIndex.foreach { case ((rows, gauge), i) =>
+      val batchGauge = graft.queries.Curation
+        .hashedContentNovelty(stored, rows.toDF("source", "text"))
+        .collect().map(_.toSeq)
+      assert(gauge.toSeq == batchGauge.toSeq,
+        s"micro-batch $i: online novelty diverged from the batch gauge")
+    }
+  }
 }
