@@ -755,6 +755,42 @@ object Curation {
       .orderBy("thr")
   }
 
+  /** q139: SAMPLER-UNIFORMITY AUDIT — the QA gauge for the deterministic
+    * keep-hash every sampler in this engine relies on (q49/q57/q93/q105/
+    * q108/q109/q114/q135 all decide keeps by `knuthHash(doc_id) <
+    * rate_bp`): a multiplicative hash fed SEQUENTIAL ids is exactly the
+    * adversarial input such hashes are accused of mishandling, and a
+    * skewed hash silently biases every mixture rate built on it. The
+    * audit buckets the hash value into 10 equal-width cells per source
+    * and reports the integer-exact L1 deviation from uniform
+    * (Σ|10·n_cell − N| — the q123 cross-multiplication idea with a
+    * constant uniform reference), plus the extreme cell counts. A recipe
+    * owner alarms when dev_scaled/N drifts from the ~binomial band.
+    *
+    * One scan → a ≤10-cell-per-source aggregate; all integers.
+    */
+  def samplerUniformity(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L))
+    val cells = docs
+      .select(col("source"), floor(h / 1000).cast("long").as("cell"))
+      .groupBy("source", "cell").agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("source").agg(sum("n").cast("long").as("n_docs"))
+    // densify to the FULL 10-cell grid per source — an EMPTY cell is the
+    // strongest possible non-uniformity signal and must contribute its
+    // full |0 − N| deviation, not silently drop out of the aggregate
+    val grid = tot.crossJoin(
+      broadcast(docs.sparkSession.range(0, 10).select(col("id").as("cell"))))
+    grid.join(cells, Seq("source", "cell"), "left")
+      .select(col("source"), col("n_docs"), coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy("source")
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        sum(abs(col("n") * 10 - col("n_docs"))).cast("long").as("dev_scaled"),
+        min(col("n")).cast("long").as("min_cell"),
+        max(col("n")).cast("long").as("max_cell"))
+      .orderBy("source")
+  }
+
   /** q136: DAILY OPS REPORT — the morning dashboard a pipeline owner
     * reads before promoting a day's batch, composed from the three
     * stand-alone gauges over the SAME stored artifacts (one histogram
@@ -2149,6 +2185,32 @@ object Curation {
         |JOIN c1 ON c1.v = sc.s1 JOIN c2 ON c2.v = sc.s2 JOIN c3 ON c3.v = sc.s3
         |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
       qualityEnsemble(Tables(s, dir, "documents"))
+    },
+
+    // SAMPLER-UNIFORMITY AUDIT (see [[samplerUniformity]]): the QA gauge
+    // for the deterministic keep-hash every mixture/sampling query rests
+    // on, over the densified 10-cell grid (empty cells count in full).
+    "q139_sampler_uniformity" -> Q(
+      "Keep-hash uniformity audit: per-source 10-cell distribution of the " +
+        "deterministic sampling hash, integer-exact L1 deviation + extremes",
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST(FLOOR((((doc_id % 2147483647) * 2654435761) % 10000) / 1000)
+        |         AS BIGINT) AS cell
+        |  FROM documents),
+        |c AS (SELECT source, cell, COUNT(*) AS n FROM h GROUP BY source, cell),
+        |t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs FROM c GROUP BY source),
+        |grid AS (SELECT t.source, t.n_docs, CAST(g.i AS BIGINT) AS cell
+        |         FROM t CROSS JOIN range(0, 10) g(i)),
+        |f AS (SELECT grid.source, grid.n_docs, grid.cell, COALESCE(c.n, 0) AS n
+        |      FROM grid LEFT JOIN c
+        |        ON c.source = grid.source AND c.cell = grid.cell)
+        |SELECT source, MAX(n_docs) AS n_docs,
+        |  CAST(SUM(ABS(n * 10 - n_docs)) AS BIGINT) AS dev_scaled,
+        |  CAST(MIN(n) AS BIGINT) AS min_cell,
+        |  CAST(MAX(n) AS BIGINT) AS max_cell
+        |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      samplerUniformity(Tables(s, dir, "documents"))
     },
 
     // DAILY OPS REPORT (see [[dailyOpsReport]]): q123 + q124 + q121

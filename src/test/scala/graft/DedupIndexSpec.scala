@@ -328,6 +328,41 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs(dst) === pairs(src), "compaction changed probe results")
   }
 
+  test("store invariants: bands/shingles/exact-fp artifacts are mutually consistent") {
+    // the cross-artifact consistency a daily pipeline should be able to
+    // assert about its dedup stores at any time: every indexed doc has
+    // exactly its 8 band rows and exactly one shingle set; the exact
+    // index carries one row per distinct fingerprint with an in-corpus
+    // keeper. A violated invariant means an append half-committed.
+    val d = "/root/testdata/sf0.01"
+    val corpus = graft.queries.Tables(spark, d, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val p = java.nio.file.Files.createTempDirectory("graft-store-inv").toString
+    graft.queries.Dedup.persistBandIndex(corpus, p)
+    graft.queries.Dedup.persistExactIndex(corpus, p)
+
+    val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val bands = spark.read.parquet(s"$p/bands")
+    assert(bands.count() == 8L * ids.size, "every doc must carry exactly 8 band rows")
+    assert(bands.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == ids)
+    assert(bands.select("band").distinct().collect()
+      .map(_.getAs[Number](0).intValue).toSet == (0 until 8).toSet)
+
+    val shingles = spark.read.parquet(s"$p/shingles")
+    assert(shingles.count() == ids.size.toLong, "exactly one shingle set per doc")
+    assert(shingles.select("doc_id").collect().map(_.getLong(0)).toSet == ids)
+
+    val exact = spark.read.parquet(s"$p/exact_fp")
+    val nFps = corpus
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .distinct().count()
+    assert(exact.count() == nFps, "one store row per distinct fingerprint")
+    assert(exact.select("fp").distinct().count() == nFps, "fp must be unique in the store")
+    val keepers = exact.select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(keepers.subsetOf(ids), "every keeper must be an indexed doc")
+  }
+
   test("index path fingerprints every banding parameter: any change forces a rebuild") {
     // the staleness guard: a binary with different banding parameters (or
     // kernel version) computes a DIFFERENT artifact path, so it can never
