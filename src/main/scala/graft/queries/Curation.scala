@@ -860,6 +860,26 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q140: CDC APPLY — the write side of q132's diff: fold a change feed
+    * (rows tagged `upsert` — replace-by-id or insert — and `delete`)
+    * into the stored snapshot. The id-keyed LEFT ANTI + union is the
+    * canonical merge shape: the snapshot streams once against the
+    * (small) change-id set, nothing corpus-sized re-sorts. At 100 TB the
+    * physical write would be partition-overwrite (rewrite only the
+    * partitions the feed touches) or a table format's MERGE — this is
+    * the logical plan both lower to.
+    */
+  def applyChanges(
+      v0: org.apache.spark.sql.DataFrame,
+      changes: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ups = changes.filter(col("op") === "upsert")
+      .select(col("doc_id"), col("source"), col("text"))
+    val touched = changes.select(col("doc_id")).distinct()
+    v0.select(col("doc_id"), col("source"), col("text"))
+      .join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(ups)
+  }
+
   /** The q115/q121 sufficient statistic: per-(source, score) doc counts. */
   def scoreHistogram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val t = col("text")
@@ -2185,6 +2205,51 @@ object Curation {
         |JOIN c1 ON c1.v = sc.s1 JOIN c2 ON c2.v = sc.s2 JOIN c3 ON c3.v = sc.s3
         |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
       qualityEnsemble(Tables(s, dir, "documents"))
+    },
+
+    // CDC APPLY (see [[applyChanges]]): the q132 change classes expressed
+    // as a FEED (deletes, in-place upserts, inserts) and folded into the
+    // base snapshot. The oracle constructs the target snapshot DIRECTLY
+    // (q132's v1) and attests it per source (count, distinct content
+    // fingerprints, id-hash) — equality proves apply(feed, v0) lands on
+    // exactly the snapshot the diff described, the round-trip contract
+    // of the versioning pair.
+    "q140_snapshot_apply" -> Q(
+      "CDC apply: fold a delete/upsert/insert feed into the base snapshot; " +
+        "per-source attestation equals the directly-constructed target",
+      """WITH v1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_fps,
+        |  CAST(SUM(((doc_id % 2147483647) * 2654435761) % 1000000007) AS BIGINT)
+        |    AS id_hash
+        |FROM v1 GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val v0 = Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val feed =
+        v0.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select(col("doc_id"), col("source"), col("text"), lit("delete").as("op"))
+        .unionByName(
+          v0.filter(pmod(col("doc_id"), lit(7)) === 0 &&
+              pmod(col("doc_id"), lit(11)) =!= 0)
+            .select(col("doc_id"), col("source"), upper(col("text")).as("text"),
+              lit("upsert").as("op")))
+        .unionByName(
+          v0.filter(pmod(col("doc_id"), lit(13)) === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              col("text"), lit("upsert").as("op")))
+      applyChanges(v0, feed)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_fps"),
+          sum(pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+            lit(1000000007L))).cast("long").as("id_hash"))
+        .orderBy("source")
     },
 
     // SAMPLER-UNIFORMITY AUDIT (see [[samplerUniformity]]): the QA gauge

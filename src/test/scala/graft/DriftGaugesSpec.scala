@@ -203,5 +203,17 @@ class DriftGaugesSpec extends SparkSpec {
     ).toDF("doc_id", "source", "text")
     val diff = graft.queries.Curation.snapshotDiff(v0, v1).collect()
     assert(diff.map(_.toSeq) === Array(Seq("s", 2L, 1L, 1L, 1L)))
+
+    // round-trip (q140): applying the diff as a CDC feed to v0 lands on
+    // exactly v1 — snapshotDiff(applied, v1) reports all-unchanged
+    val feed = Seq(
+      (3L, "s", "gamma", "delete"),
+      (2L, "s", "BETA CHANGED", "upsert"),
+      (9L, "s", "brand new", "upsert")
+    ).toDF("doc_id", "source", "text", "op")
+    val applied = graft.queries.Curation.applyChanges(v0, feed)
+    val roundTrip = graft.queries.Curation.snapshotDiff(applied, v1).collect()
+    assert(roundTrip.map(_.toSeq) === Array(Seq("s", 4L, 0L, 0L, 0L)),
+      "apply(diff(v0,v1)) must reproduce v1 exactly")
   }
 }
