@@ -700,9 +700,13 @@ object TextAnalysis {
     * doc (a window repeated inside one doc is repetition, q64's concern,
     * not cross-doc boilerplate). Plan shape: one explode → per-(source,
     * window) DF aggregate; the surviving boilerplate set re-joins the doc
-    * windows as a BROADCAST (small by the DF-floor construction — only
-    * windows in ≥ `dfFraction` of a source's docs survive), so the
-    * per-doc rollup adds no corpus-sized exchange. At 100 TB swap the
+    * windows as a BROADCAST, and that broadcast is PROVABLY bounded
+    * independently of corpus size: surviving needs df ≥ f·n_docs, and
+    * Σ_w df_w = total (doc, window) pairs ≈ n_docs·w̄ (w̄ = mean distinct
+    * windows per doc), so each source's set holds at most
+    * (n_docs·w̄)/(f·n_docs) = w̄/f windows — ~2 500 at w̄≈500, f=0.2,
+    * however many documents the source has. The per-doc rollup therefore
+    * adds no corpus-sized exchange. At 100 TB swap the
     * string window for the 8-byte hashed window with the same plan (the
     * q59 → q68 hashed-twin precedent).
     */
