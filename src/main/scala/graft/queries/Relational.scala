@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,6 +26,31 @@ object Relational {
     */
   private def dsum(c: String, scale: Int = 2): org.apache.spark.sql.Column =
     sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
+
+  /** q141: hourly event-volume anomaly screen — see the registration
+    * comment for the integer-exact 2σ derivation. Exposed so the spec can
+    * drive planted gap/spike fixtures through the identical arithmetic.
+    */
+  def volumeAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val dense = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val stats = dense.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("c").as("s"), sum(col("c") * col("c")).as("q"))
+    val dev = col("n") * col("c") - col("s")
+    dense.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), col("h").as("hour_id"),
+        col("c").cast("long").as("n_events"),
+        when(col("n") * col("c") < col("s"), "low").otherwise("high").as("status"))
+      .orderBy("event_type", "hour_id")
+  }
 
   val all: Map[String, Q] = Map(
     "q01_scan_project" -> Q(
@@ -343,6 +369,40 @@ object Relational {
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
             .cast("double").as("sum_value"))
         .orderBy("hour", "event_type")
+    },
+
+    // VOLUME ANOMALY SCREEN — ingestion monitoring for the events feed:
+    // flag hours whose event volume sits outside 2σ of the type's hourly
+    // mean, over the DENSIFIED hour span (a silent ingestion gap is an
+    // all-zero hour — exactly the anomaly a sparse grouping would never
+    // emit). The 2σ rule is evaluated WITHOUT A SINGLE FLOAT: with
+    // integer counts, |c − S/n| > 2σ ⟺ (n·c − S)² > 4·(n·Q − S²) where
+    // S = Σc, Q = Σc² over the span — pure int64 arithmetic (bounds: c ≤
+    // 1e5-ish, span ≤ 1e4 hours keeps every product < 2^63), so both
+    // engines flag identical hours with no ulp argument needed. Plan:
+    // one hourly aggregate (q24's exchange), a per-type span densify
+    // (sequence explode — bounded by the corpus time span), per-type
+    // 3-number stats broadcast back.
+    "q141_volume_anomaly" -> Q(
+      "Hourly event-volume anomaly screen: integer-exact 2-sigma rule per " +
+        "event_type over the densified hour span (gaps flag as `low`)",
+      """WITH e AS (SELECT event_type,
+        |             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+        |           FROM events),
+        |hc AS (SELECT event_type, h, COUNT(*) AS c FROM e GROUP BY event_type, h),
+        |sp AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hc GROUP BY event_type),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM sp),
+        |dense AS (SELECT grid.event_type, grid.h, COALESCE(hc.c, 0) AS c
+        |          FROM grid LEFT JOIN hc
+        |            ON hc.event_type = grid.event_type AND hc.h = grid.h),
+        |st AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q
+        |       FROM dense GROUP BY event_type)
+        |SELECT d.event_type, d.h AS hour_id, CAST(d.c AS BIGINT) AS n_events,
+        |  CASE WHEN st.n * d.c < st.s THEN 'low' ELSE 'high' END AS status
+        |FROM dense d JOIN st ON st.event_type = d.event_type
+        |WHERE (st.n * d.c - st.s) * (st.n * d.c - st.s) > 4 * (st.n * st.q - st.s * st.s)
+        |ORDER BY d.event_type, hour_id""".stripMargin) { (s, dir) =>
+      volumeAnomaly(Tables(s, dir, "events"))
     },
 
     "q25_sessionize" -> Q(

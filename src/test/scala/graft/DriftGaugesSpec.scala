@@ -168,6 +168,31 @@ class DriftGaugesSpec extends SparkSpec {
     assert(out == Map(5L -> 5L, 30L -> 4L, 60L -> 3L, 120L -> 3L), s"got $out")
   }
 
+  // ---- q141 volume anomaly ---------------------------------------------
+
+  test("volume anomaly: a silent gap flags low, a spike flags high, steady hours stay quiet") {
+    def at(h: Long, i: Int) = new java.sql.Timestamp(h * 3600000L + i)
+    // type g: 12 hours of 10 events, hour 4 EMPTY — sigma~2.8, the gap's
+    // 9.2 deviation flags low. type s: 12 hours of 10, hour 9 = 100 —
+    // sigma~24.9, only the spike's 82.5 deviation flags. (One combined
+    // type would NOT flag the gap: the spike inflates sigma past it —
+    // which is why the screen is per-type.)
+    val rows =
+      (0L until 12L).filterNot(_ == 4L).flatMap { h =>
+        (0 until 10).map(i => (h * 1000 + i, "g", at(h, i)))
+      } ++
+      (0L until 12L).flatMap { h =>
+        val n = if (h == 9L) 100 else 10
+        (0 until n).map(i => (100000 + h * 1000 + i, "s", at(h, i)))
+      }
+    val events = rows.toDF("event_id", "event_type", "ts")
+    val out = graft.queries.Relational.volumeAnomaly(events)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out.get(("g", 4L)).contains((0L, "low")), s"gap must flag low: $out")
+    assert(out.get(("s", 9L)).contains((100L, "high")), s"spike must flag high: $out")
+    assert(out.keySet == Set(("g", 4L), ("s", 9L)), s"steady hours must stay quiet: $out")
+  }
+
   // ---- q134 normalized dedup -------------------------------------------
 
   test("normalized dedup: case/whitespace and masked-email variants group; distinct content never") {
