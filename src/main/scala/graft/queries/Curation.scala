@@ -880,6 +880,39 @@ object Curation {
       .unionByName(ups)
   }
 
+  /** q142: ENSEMBLE-BASED ADAPTIVE FILTER — the two proven halves of a
+    * modern curation filter composed into the thing a pipeline deploys:
+    * q125's fused multi-signal percentile (no single heuristic is
+    * trustworthy; the fused rank is) as the quality metric, q115's
+    * per-source exact-histogram threshold solve as the keep rule (a
+    * global cutoff over-filters plain-but-clean domains). Keep the top
+    * `keepFraction` of each source by fused score, boundary ties all
+    * kept (q115's determinism rule).
+    *
+    * Scale shape inherits both parents: the fused score is bounded
+    * integer [0, 3000], so the per-source solve is a ≤3001-row histogram
+    * + broadcast-back — never a corpus-keyed window; the ensemble side
+    * is q125's plan unchanged.
+    */
+  def ensembleFilter(
+      docs: org.apache.spark.sql.DataFrame,
+      keepFraction: Double = 0.7): org.apache.spark.sql.DataFrame = {
+    val fused = qualityEnsemble(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("fused"))
+    val wCum = Window.partitionBy("source").orderBy(col("fused").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = fused.groupBy("source", "fused").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("total", sum("n").over(Window.partitionBy("source")))
+      .filter(col("cum") >= ceil(lit(keepFraction) * col("total")))
+      .groupBy("source").agg(max("fused").as("thr"))
+    fused.join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"), col("fused"), col("thr"),
+        (col("fused") >= col("thr")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** The q115/q121 sufficient statistic: per-(source, score) doc counts. */
   def scoreHistogram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val t = col("text")
@@ -1101,6 +1134,44 @@ object Curation {
       |    AS novelty_bp
       |FROM n LEFT JOIN nv ON nv.source = n.source
       |ORDER BY n.source""".stripMargin
+
+  /** Shared oracle: q125's ensemble chain up to the per-doc percentiles
+    * and fused score (CTE `ens`, no ORDER BY). Two consumers — q125
+    * selects it directly, q142 extends it with the per-source threshold
+    * solve — one fusion definition, two hash checks.
+    */
+  private val EnsembleCteSql =
+    """tk AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks
+      |  FROM documents WHERE LENGTH(text) > 0),
+      |sc AS (SELECT doc_id,
+      |    CAST(FLOOR(1000.0 * LENGTH(REPLACE(text, ' ', '')) / LENGTH(text))
+      |         AS BIGINT) AS s1,
+      |    CAST(FLOOR(1000.0 * len(list_distinct(toks)) / len(toks))
+      |         AS BIGINT) AS s2,
+      |    CAST(FLOOR(1000.0 * len(list_filter(toks,
+      |           x -> x IN ('the','of','and','a','to','in','is'))) / len(toks))
+      |         AS BIGINT) AS s3
+      |  FROM tk),
+      |n AS (SELECT COUNT(*) AS total FROM sc),
+      |c1 AS (SELECT s1 AS v, SUM(COUNT(*)) OVER (ORDER BY s1 ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |       FROM sc GROUP BY s1),
+      |c2 AS (SELECT s2 AS v, SUM(COUNT(*)) OVER (ORDER BY s2 ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |       FROM sc GROUP BY s2),
+      |c3 AS (SELECT s3 AS v, SUM(COUNT(*)) OVER (ORDER BY s3 ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |       FROM sc GROUP BY s3),
+      |ens AS (SELECT sc.doc_id,
+      |  CAST(FLOOR(1000.0 * c1.cum / n.total) AS BIGINT) AS p_s1,
+      |  CAST(FLOOR(1000.0 * c2.cum / n.total) AS BIGINT) AS p_s2,
+      |  CAST(FLOOR(1000.0 * c3.cum / n.total) AS BIGINT) AS p_s3,
+      |  CAST(FLOOR(1000.0 * c1.cum / n.total) +
+      |       FLOOR(1000.0 * c2.cum / n.total) +
+      |       FLOOR(1000.0 * c3.cum / n.total) AS BIGINT) AS fused
+      |FROM sc CROSS JOIN n
+      |JOIN c1 ON c1.v = sc.s1 JOIN c2 ON c2.v = sc.s2 JOIN c3 ON c3.v = sc.s3)""".stripMargin
 
   val all: Map[String, Q] = Map(
     // [[chunkDocs]] at the registered (32, 24) setting; the oracle
@@ -2172,39 +2243,38 @@ object Curation {
     "q125_quality_ensemble" -> Q(
       "Multi-signal quality ensemble: per-mille CDF percentile of density, " +
         "unique-token and stopword ratios, fused by sum",
-      """WITH tk AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks
-        |  FROM documents WHERE LENGTH(text) > 0),
-        |sc AS (SELECT doc_id,
-        |    CAST(FLOOR(1000.0 * LENGTH(REPLACE(text, ' ', '')) / LENGTH(text))
-        |         AS BIGINT) AS s1,
-        |    CAST(FLOOR(1000.0 * len(list_distinct(toks)) / len(toks))
-        |         AS BIGINT) AS s2,
-        |    CAST(FLOOR(1000.0 * len(list_filter(toks,
-        |           x -> x IN ('the','of','and','a','to','in','is'))) / len(toks))
-        |         AS BIGINT) AS s3
-        |  FROM tk),
-        |n AS (SELECT COUNT(*) AS total FROM sc),
-        |c1 AS (SELECT s1 AS v, SUM(COUNT(*)) OVER (ORDER BY s1 ASC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |       FROM sc GROUP BY s1),
-        |c2 AS (SELECT s2 AS v, SUM(COUNT(*)) OVER (ORDER BY s2 ASC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |       FROM sc GROUP BY s2),
-        |c3 AS (SELECT s3 AS v, SUM(COUNT(*)) OVER (ORDER BY s3 ASC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |       FROM sc GROUP BY s3)
-        |SELECT sc.doc_id,
-        |  CAST(FLOOR(1000.0 * c1.cum / n.total) AS BIGINT) AS p_s1,
-        |  CAST(FLOOR(1000.0 * c2.cum / n.total) AS BIGINT) AS p_s2,
-        |  CAST(FLOOR(1000.0 * c3.cum / n.total) AS BIGINT) AS p_s3,
-        |  CAST(FLOOR(1000.0 * c1.cum / n.total) +
-        |       FLOOR(1000.0 * c2.cum / n.total) +
-        |       FLOOR(1000.0 * c3.cum / n.total) AS BIGINT) AS fused
-        |FROM sc CROSS JOIN n
-        |JOIN c1 ON c1.v = sc.s1 JOIN c2 ON c2.v = sc.s2 JOIN c3 ON c3.v = sc.s3
-        |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH $EnsembleCteSql
+        |SELECT doc_id, p_s1, p_s2, p_s3, fused FROM ens
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       qualityEnsemble(Tables(s, dir, "documents"))
+    },
+
+    // ENSEMBLE-BASED ADAPTIVE FILTER (see [[ensembleFilter]]): the two
+    // halves of the modern curation filter composed — q125's fused
+    // multi-signal percentile as the quality metric, q115's per-source
+    // histogram threshold solve as the keep rule. The oracle extends the
+    // shared ensemble CTE with the threshold chain; CurationGateSpec-style
+    // agreement with the stand-alone pieces is inherent (shared code and
+    // shared CTE on both sides).
+    "q142_ensemble_filter" -> Q(
+      "Adaptive quality filter on the fused ensemble score: top 70% per " +
+        "source via the exact histogram solve, per-doc keep flags",
+      s"""WITH $EnsembleCteSql,
+        |fs AS (SELECT e.doc_id, d.source, e.fused
+        |       FROM ens e JOIN documents d ON d.doc_id = e.doc_id),
+        |fh AS (SELECT source, fused, COUNT(*) AS n FROM fs GROUP BY source, fused),
+        |fc AS (SELECT source, fused, n,
+        |        SUM(n) OVER (PARTITION BY source ORDER BY fused DESC
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(n) OVER (PARTITION BY source) AS total
+        |      FROM fh),
+        |thr AS (SELECT source, MAX(fused) AS thr FROM fc
+        |        WHERE cum >= CEIL(0.7 * total) GROUP BY source)
+        |SELECT fs.doc_id, fs.source, fs.fused, thr.thr,
+        |  CAST(fs.fused >= thr.thr AS INT) AS keep
+        |FROM fs JOIN thr ON thr.source = fs.source
+        |ORDER BY fs.doc_id""".stripMargin) { (s, dir) =>
+      ensembleFilter(Tables(s, dir, "documents"))
     },
 
     // CDC APPLY (see [[applyChanges]]): the q132 change classes expressed

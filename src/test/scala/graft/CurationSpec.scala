@@ -251,6 +251,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q142 ensemble filter keeps the smallest >=70% fused-ranked set per source") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val rows = graft.queries.Curation.ensembleFilter(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val n = g.length
+      val kept = g.count(_._4 == 1)
+      val floor = math.ceil(0.7 * n).toLong
+      assert(kept >= floor, s"$src: kept $kept < ceil(0.7*$n)")
+      // keep rule is exactly fused >= thr, and dropping the boundary tie
+      // group would fall below the floor (smallest qualifying set)
+      val thr = g.head._3
+      g.foreach { case (_, fused, t, k) =>
+        assert(t == thr && k == (if (fused >= thr) 1 else 0))
+      }
+      val boundary = g.count(r => r._2 == thr && r._4 == 1)
+      assert(kept - boundary < floor,
+        s"$src: threshold not minimal (kept=$kept boundary=$boundary floor=$floor)")
+    }
+  }
+
   test("q136 daily ops report agrees with every stand-alone gauge, column for column") {
     import org.apache.spark.sql.functions._
     val docs = graft.queries.Tables(spark, dir, "documents")
