@@ -1464,6 +1464,106 @@ object Dedup {
         |FROM wr JOIN rd ON rd.rep = wr.rep
         |ORDER BY wr.doc_id""".stripMargin) { (s, dir) =>
       dedupTiers(Tables(s, dir, "documents"))
+    },
+
+    // FULL three-tier pipeline (see [[fullDedupPipeline]]): q122's
+    // disposition + q107's paragraph cleanup over the keepers only. The
+    // oracle composes both replays: the q122 chain verbatim, then the
+    // paragraph chunk-graph chain RESTRICTED to the keeper set (the same
+    // restriction argument as q122's rep-restricted banding: chunking and
+    // banding are per-doc deterministic, so the keeper subset inherits
+    // the corpus equality; duplicated chunks are verbatim, j = 1.0).
+    "q143_full_dedup" -> Q(
+      "Full three-tier dedup: exact fingerprints, near-dup manifest over " +
+        "reps, paragraph cleanup for keepers — one per-doc disposition",
+      """WITH RECURSIVE
+        |fp AS (SELECT doc_id, MD5(LOWER(TRIM(text))) AS f FROM documents),
+        |can AS (SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY f),
+        |wr AS (SELECT fp.doc_id, can.rep FROM fp JOIN can ON fp.f = can.f),
+        |reps AS (SELECT d.doc_id, d.text FROM documents d
+        |         JOIN wr ON wr.doc_id = d.doc_id WHERE wr.doc_id = wr.rep),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM reps),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(1, len(toks) - 1),
+        |                                 i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |      FROM t),
+        |g AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ninter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY u, v),
+        |pj AS (
+        |  SELECT u, v, CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) AS j
+        |  FROM inter
+        |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v),
+        |pairs AS (SELECT u, v FROM pj WHERE j >= 0.7),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+        |comp AS (SELECT LEAST(COALESCE(m.mn, r.doc_id), r.doc_id) AS cluster_id,
+        |                r.doc_id
+        |         FROM reps r LEFT JOIN mins m ON m.doc_id = r.doc_id),
+        |rk AS (SELECT comp.cluster_id, comp.doc_id,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                ORDER BY d.n_chars DESC, comp.doc_id) = 1 AS INTEGER) AS keep
+        |       FROM comp JOIN documents d ON d.doc_id = comp.doc_id),
+        |kp AS (SELECT cluster_id, doc_id AS canonical FROM rk WHERE keep = 1),
+        |rd AS (SELECT rk.doc_id AS rep, rk.keep, kp.canonical
+        |       FROM rk JOIN kp ON kp.cluster_id = rk.cluster_id),
+        |disp AS (
+        |  SELECT wr.doc_id,
+        |    CASE WHEN wr.doc_id <> wr.rep THEN 'exact_dup'
+        |         WHEN rd.keep = 0 THEN 'near_dup' ELSE 'keep' END AS tier,
+        |    rd.canonical
+        |  FROM wr JOIN rd ON rd.rep = wr.rep),
+        |kd AS (SELECT doc_id FROM disp WHERE tier = 'keep'),
+        |pt AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+        |       FROM documents d JOIN kd ON kd.doc_id = d.doc_id),
+        |pch AS (
+        |  SELECT doc_id, u.i AS chunk_idx,
+        |         array_to_string(toks[u.i*32+1 : u.i*32+32], ' ') AS ptext
+        |  FROM pt, LATERAL (SELECT unnest(range(0, (len(toks) - 1) // 32 + 1)) AS i) u),
+        |pk AS (SELECT doc_id * 4194304 + chunk_idx AS ck, doc_id, chunk_idx, ptext FROM pch),
+        |pks AS (SELECT ck, string_split(ptext, ' ') AS toks FROM pk),
+        |ps AS (SELECT ck,
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(1, len(toks) - 1),
+        |                                 i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |      FROM pks),
+        |pg AS (SELECT DISTINCT ck, unnest(sh) AS g FROM ps),
+        |psz AS (SELECT ck, COUNT(*) AS n FROM pg GROUP BY ck),
+        |pinter AS (
+        |  SELECT a.ck AS u, b.ck AS v, COUNT(*) AS ninter
+        |  FROM pg a JOIN pg b ON a.g = b.g AND a.ck < b.ck
+        |  GROUP BY u, v),
+        |ppairs AS (
+        |  SELECT u, v FROM pinter
+        |  JOIN psz na ON na.ck = u JOIN psz nb ON nb.ck = v
+        |  WHERE CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) >= 0.7),
+        |pedges AS (SELECT u, v FROM ppairs UNION SELECT v, u FROM ppairs),
+        |preach(u, v) AS (
+        |  SELECT u, v FROM pedges
+        |  UNION
+        |  SELECT r.u, e.v FROM preach r JOIN pedges e ON r.v = e.u),
+        |pmins AS (SELECT u AS ck, MIN(v) AS mn FROM preach GROUP BY u),
+        |pkept AS (
+        |  SELECT pk.doc_id,
+        |    CASE WHEN LEAST(COALESCE(m.mn, pk.ck), pk.ck) = pk.ck THEN 1 ELSE 0 END AS keep
+        |  FROM pk LEFT JOIN pmins m ON m.ck = pk.ck),
+        |pstat AS (SELECT doc_id, COUNT(*) AS n_par,
+        |            CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
+        |          FROM pkept GROUP BY doc_id)
+        |SELECT disp.doc_id, disp.tier, disp.canonical,
+        |  COALESCE(pstat.n_par, CAST(-1 AS BIGINT)) AS n_par,
+        |  COALESCE(pstat.n_dropped, CAST(-1 AS BIGINT)) AS n_dropped
+        |FROM disp LEFT JOIN pstat ON pstat.doc_id = disp.doc_id
+        |ORDER BY disp.doc_id""".stripMargin) { (s, dir) =>
+      fullDedupPipeline(Tables(s, dir, "documents"))
     })
 
 
@@ -1593,6 +1693,38 @@ object Dedup {
           array_sort(collect_list(when(col("keep") === 1,
             struct(col("chunk_idx"), col("ptext"))))),
           c => c.getField("ptext")), " ").as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** q143: the FULL three-tier dedup pipeline — the complete text-dedup
+    * pass a production corpus actually receives, in one plan:
+    *   1. exact tier: byte-ish fingerprint groups (most ingest dups die
+    *      here for one hash aggregate);
+    *   2. document near-dup tier: banded minhash → components → quality
+    *      ranking over the exact representatives ([[dedupTiers]]);
+    *   3. paragraph tier: the SURVIVORS get [[paragraphDedup]]'s
+    *      repeated-chunk removal — run over keepers ONLY, because a
+    *      removed document must not claim "first occurrence" of a
+    *      paragraph its surviving twin also carries.
+    * Output: per-doc tier + final canonical, plus the keepers' paragraph
+    * stats (-1 for removed docs — no cleanup applies to them).
+    *
+    * Tier order is load-bearing twice over: each tier shrinks the next
+    * tier's input (exact reps ⊂ docs, keepers ⊂ reps — the banding and
+    * the chunk graph run on monotonically smaller sets), and the
+    * paragraph graph over keepers is exactly the graph the published
+    * corpus needs. Composes three already-oracled chains verbatim.
+    */
+  def fullDedupPipeline(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val tiers = dedupTiers(docs, threshold)
+    val keepers = docs.join(
+      tiers.filter(col("tier") === "keep").select("doc_id"), "doc_id")
+    val para = paragraphDedup(keepers)
+      .select(col("doc_id"), col("n_par"), col("n_dropped"))
+    tiers.join(para, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tier"), col("canonical"),
+        coalesce(col("n_par"), lit(-1L)).as("n_par"),
+        coalesce(col("n_dropped"), lit(-1L)).as("n_dropped"))
       .orderBy("doc_id")
   }
 

@@ -328,6 +328,37 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs(dst) === pairs(src), "compaction changed probe results")
   }
 
+  test("full three-tier pipeline agrees with every stand-alone stage") {
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.queries.Tables(spark, d, "documents")
+    val full = graft.queries.Dedup.fullDedupPipeline(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // tier + canonical must be q122's disposition verbatim
+    val tiers = graft.queries.Dedup.dedupTiers(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(full.keySet == tiers.keySet)
+    full.foreach { case (id, (tier, canon, _, _)) =>
+      assert(tiers(id) == ((tier, canon)), s"doc $id: disposition diverged from q122")
+    }
+
+    // keepers' paragraph stats must be q107-over-keepers verbatim;
+    // removed docs carry the -1 sentinel
+    val keepers = docs.join(
+      graft.queries.Dedup.dedupTiers(docs)
+        .filter(org.apache.spark.sql.functions.col("tier") === "keep")
+        .select("doc_id"), "doc_id")
+    val para = graft.queries.Dedup.paragraphDedup(keepers).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    full.foreach { case (id, (tier, _, nPar, nDropped)) =>
+      if (tier == "keep")
+        assert(para(id) == ((nPar, nDropped)), s"keeper $id: paragraph stats diverged")
+      else
+        assert(nPar == -1L && nDropped == -1L, s"removed doc $id must carry -1 sentinels")
+    }
+  }
+
   test("store invariants: bands/shingles/exact-fp artifacts are mutually consistent") {
     // the cross-artifact consistency a daily pipeline should be able to
     // assert about its dedup stores at any time: every indexed doc has
