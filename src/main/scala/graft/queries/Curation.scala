@@ -868,6 +868,12 @@ object Curation {
     * physical write would be partition-overwrite (rewrite only the
     * partitions the feed touches) or a table format's MERGE — this is
     * the logical plan both lower to.
+    *
+    * Feed contract (the standard CDC precondition): at most one
+    * operation per doc_id per application — a feed carrying two upserts
+    * of one id would insert both rows. Feeds violating it should be
+    * collapsed to last-write-wins upstream (a max-by-sequence aggregate)
+    * before applying.
     */
   def applyChanges(
       v0: org.apache.spark.sql.DataFrame,
