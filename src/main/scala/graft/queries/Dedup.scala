@@ -1564,6 +1564,23 @@ object Dedup {
         |FROM disp LEFT JOIN pstat ON pstat.doc_id = disp.doc_id
         |ORDER BY disp.doc_id""".stripMargin) { (s, dir) =>
       fullDedupPipeline(Tables(s, dir, "documents"))
+    },
+
+    // BANDING RECALL AUDIT (see [[bandingRecallAudit]]): the oracle
+    // replays the exact pair graph for BOTH counts and pins recall_bp at
+    // the literal 10000 — so a banding miss on the gate corpus fails THIS
+    // hash check with the gauge's own number, not four downstream oracle
+    // checks (the MinHashRecallSpec argument, now also a scheduled query).
+    "q144_banding_recall" -> Q(
+      "Banding recall audit: exact-jaccard pair graph vs the banded " +
+        "minhash graph — n_true/n_caught/recall_bp (expected 10000)",
+      s"""WITH $ExactPairPrefixSql,
+        |tp AS (SELECT u, v FROM pj WHERE j >= 0.7)
+        |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |  (SELECT COUNT(*) FROM tp) AS n_true_pairs,
+        |  (SELECT COUNT(*) FROM tp) AS n_caught,
+        |  CAST(10000 AS BIGINT) AS recall_bp""".stripMargin) { (s, dir) =>
+      bandingRecallAudit(Tables(s, dir, "documents"))
     })
 
 
@@ -1694,6 +1711,55 @@ object Dedup {
             struct(col("chunk_idx"), col("ptext"))))),
           c => c.getField("ptext")), " ").as("text_clean"))
       .orderBy("doc_id")
+  }
+
+  /** q144: BANDING RECALL AUDIT — the gauge for the assumption everything
+    * minhash-tiered rests on: does the deterministic 8×4 banding still
+    * catch every true pair at the operating threshold ON THIS CORPUS?
+    * The audit computes the EXACT jaccard pair graph (shared-shingle
+    * equi-join — the ExactPairPrefixSql shape, never a cross join) and
+    * the banded graph over the same docs, and reports
+    * (n_true, n_caught, recall_bp). MinHashRecallSpec pins recall = 1.0
+    * as a test; THIS runs the same measurement as a registered,
+    * schedulable query — the number an ops rotation watches as the
+    * corpus drifts toward the banding-lossy jaccard band.
+    *
+    * `sampleBp` gates the audited subset by the deterministic doc-hash
+    * (production runs the quadratic-ish exact tier on a 1–10% sample;
+    * the registered form audits the full corpus — the q37 audit-tier
+    * convention — because the fixture's pair count is small).
+    */
+  def bandingRecallAudit(
+      docs: DataFrame,
+      threshold: Double = 0.7,
+      sampleBp: Long = 10000L): DataFrame = {
+    val s =
+      if (sampleBp >= 10000L) docs
+      else docs.filter(
+        pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L))
+          < sampleBp)
+    val sh = shingled(s)
+    val g = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val sz = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val truePairs = g.as("a")
+      .join(g.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      .agg(count(lit(1)).as("ninter"))
+      .join(sz.select(col("doc_id").as("u"), col("n").as("nu")), "u")
+      .join(sz.select(col("doc_id").as("v"), col("n").as("nv")), "v")
+      .filter(col("ninter") / (col("nu") + col("nv") - col("ninter")) >= threshold)
+      .select("u", "v")
+    val caught = truePairs.join(
+      minhashPairs(s, threshold).select(col("a").as("u"), col("b").as("v")),
+      Seq("u", "v"), "left_semi")
+    s.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(truePairs.agg(count(lit(1)).as("n_true_pairs"))))
+      .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+      .select(col("n_docs"), col("n_true_pairs"), col("n_caught"),
+        when(col("n_true_pairs") === 0, lit(10000L))
+          .otherwise(floor(lit(10000.0) * col("n_caught") / col("n_true_pairs"))
+            .cast("long")).as("recall_bp"))
   }
 
   /** q143: the FULL three-tier dedup pipeline — the complete text-dedup

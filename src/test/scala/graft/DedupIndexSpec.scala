@@ -359,6 +359,29 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("banding recall audit: exact accounting on planted dup and no-dup corpora") {
+    val spark0 = spark
+    import spark0.implicits._
+    // three verbatim copies -> 3 true pairs, all caught (j = 1.0 always
+    // survives any banding), recall 10000
+    val dup = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "completely different words entirely here now truly")
+    ).toDF("doc_id", "text")
+    val r1 = graft.queries.Dedup.bandingRecallAudit(dup).collect()(0)
+    assert(r1.toSeq === Seq(4L, 3L, 3L, 10000L), s"got ${r1.toSeq}")
+
+    // no true pairs -> the 10000 sentinel, not a division by zero
+    val none = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    val r2 = graft.queries.Dedup.bandingRecallAudit(none).collect()(0)
+    assert(r2.toSeq === Seq(2L, 0L, 0L, 10000L), s"got ${r2.toSeq}")
+  }
+
   test("store invariants: bands/shingles/exact-fp artifacts are mutually consistent") {
     // the cross-artifact consistency a daily pipeline should be able to
     // assert about its dedup stores at any time: every indexed doc has
