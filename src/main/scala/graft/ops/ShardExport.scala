@@ -117,9 +117,13 @@ object ShardExport {
       packTokens: Int,
       shardTokens: Int): String = {
     val existing = spark.read.parquet(epochDir)
-    // bounded: one row per source / one global max
+    // bounded: one row per source / one global max. localCheckpoint
+    // severs the write plan's lazy scan of the very directory it appends
+    // to (the appendToExactIndex pattern — a retried write stage must not
+    // observe its own partial output through this branch).
     val nextPack = existing.groupBy("source")
       .agg((max("pack_id") + 1).as("pack_base"))
+      .localCheckpoint()
     val shardBase = existing
       .agg(max(col("shard_id").cast("long"))).head.getLong(0) + 1L
     val pd = packedDocs(batch, packTokens)
@@ -219,10 +223,10 @@ object ShardExport {
       .select(col("shard_id"),
         when(col("d_docs").isNull, lit("missing"))
           .when(col("s_docs").isNull, lit("orphan"))
-          .when(col("d_seqs") =!= col("s_seqs") ||
-            col("d_docs") =!= col("s_docs") ||
-            col("d_tokens") =!= col("s_tokens") ||
-            col("d_hash") =!= col("s_hash"), lit("corrupt"))
+          .when(!(col("d_seqs") <=> col("s_seqs")) ||
+            !(col("d_docs") <=> col("s_docs")) ||
+            !(col("d_tokens") <=> col("s_tokens")) ||
+            !(col("d_hash") <=> col("s_hash")), lit("corrupt"))
           .otherwise(lit("ok")).as("status"),
         coalesce(col("d_seqs"), col("s_seqs")).as("n_seqs"),
         coalesce(col("d_docs"), col("s_docs")).as("n_docs"),

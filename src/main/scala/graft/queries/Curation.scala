@@ -630,8 +630,14 @@ object Curation {
       batch: org.apache.spark.sql.DataFrame,
       path: String,
       k: Int = 5): Unit =
+    // eager localCheckpoint (the appendToExactIndex pattern): the anti
+    // join READS the store the write appends to — materialize the
+    // (batch-sized) novel-window set fully before any file lands in the
+    // directory being scanned, so a re-executed/retried write stage can
+    // never observe its own partial output
     windowStore(batch, k)
       .join(spark.read.parquet(path), Seq("g"), "left_anti")
+      .localCheckpoint()
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .option("compression", "zstd").parquet(path)
 

@@ -202,8 +202,12 @@ object Dedup {
       dstPath: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     val bands = spark.read.parquet(s"$srcPath/bands")
+    // clamp BEFORE toInt (see IvfIndex.compactIndex): a missing-stats
+    // Long.MaxValue estimate must degrade to many partitions, not wrap
+    // negative and collapse the rewrite into one task
     def nOut(df: DataFrame) = math.max(1,
-      (df.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(targetFileBytes)).toInt)
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(targetFileBytes))
+        .min(BigInt(1 << 20)).toInt)
     bands
       .repartition(nOut(bands), col("band"), col("bhash"))
       .sortWithinPartitions("band", "bhash", "doc_id")

@@ -16,6 +16,16 @@ import graft.pipeline.ConvertJob
   */
 object Extras {
 
+  /** q46's mutated fixture root, pid-scoped per the house rule for
+    * registered side-effect artifacts: Verify and Bench each regenerate
+    * and reconvert under their own pid, so concurrent JVMs can never race
+    * on the written file. The oracle SQL interpolates the same val, and
+    * the driver replays it in-process with the Verify pid's file still on
+    * disk, so the readback and DuckDB always see the same bytes.
+    */
+  private val q46Dir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_q46_pid${ProcessHandle.current().pid()}"
+
   /** Per-source length profile. `approxMedian = false` (oracle mode) uses
     * exact `median` — a full per-group sort, fine at verification SF;
     * `approxMedian = true` is the 100 TB path: `percentile_approx` is a
@@ -258,14 +268,14 @@ object Extras {
         |           '%Y-%m-%d %H:%M:%S') AS first_mod,
         |  strftime(finding_info_list[1].first_seen_time_dt, '%Y-%m-%d %H:%M:%S') AS first_seen,
         |  CAST(len(finding_info_list) AS BIGINT) AS n_findings
-        |FROM read_parquet('/tmp/graft_q46/out/finding-unsorted.zst.parquet')
-        |ORDER BY time""".stripMargin) { (s, dir) =>
-      val out = "/tmp/graft_q46/out/finding-unsorted.zst.parquet"
+        |FROM read_parquet('$q46Dir/out/finding-unsorted.zst.parquet')
+        |ORDER BY time""".stripMargin.replace("$q46Dir", q46Dir)) { (s, dir) =>
+      val out = s"$q46Dir/out/finding-unsorted.zst.parquet"
       // deterministic fixture + overwrite-in-place: every invocation
       // regenerates and reconverts, so the readback (and the oracle's
       // read of the same file) always reflects THIS run of the pipeline
       Extras.synchronized {
-        val (_, unsorted) = Findings.writeFixtures("/tmp/graft_q46/src", n = 400, seed = 42L)
+        val (_, unsorted) = Findings.writeFixtures(s"$q46Dir/src", n = 400, seed = 42L)
         ConvertJob.run(s, unsorted, out, sortCol = "time", singleFile = true)
       }
       val fmt = "yyyy-MM-dd HH:mm:ss"

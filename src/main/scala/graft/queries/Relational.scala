@@ -32,9 +32,14 @@ object Relational {
     * drive planted gap/spike fixtures through the identical arithmetic.
     */
   def volumeAnomaly(events: DataFrame): DataFrame = {
+    // FLOOR division in exact int64 (matching DuckDB's `//`): `div` alone
+    // truncates toward zero, so pre-1970 (negative-epoch) timestamps would
+    // bucket one hour late. pmod is non-negative, so subtracting it leaves
+    // an exact multiple of the divisor and `div` becomes floor for any sign.
     val hourly = events
       .select(col("event_type"),
-        expr("unix_micros(ts) div 3600000000").as("h"))
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000")
+          .as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
     val dense = hourly.groupBy("event_type")
       .agg(min("h").as("h0"), max("h").as("h1"))
