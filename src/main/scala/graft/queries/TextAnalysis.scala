@@ -113,6 +113,32 @@ object TextAnalysis {
       |FROM pr WHERE rn = 1
       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
 
+  /** q127's oracle, shared with its hashed twin q145 (the q59/q68 pattern):
+    * the twin's output is row-identical to the string form, so one DuckDB
+    * statement hash-checks both the oracle path and the scale path.
+    */
+  private val BoilerplateOracleSql: String =
+    """WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |s AS (SELECT source, doc_id,
+      |        CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |             ELSE list_transform(range(1, len(toks)),
+      |                                 i -> array_to_string(toks[i:i+1], ' ')) END AS sh
+      |      FROM t),
+      |g AS (SELECT DISTINCT source, doc_id, unnest(sh) AS g FROM s),
+      |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS nd
+      |       FROM documents GROUP BY source),
+      |df AS (SELECT source, g, COUNT(*) AS df FROM g GROUP BY source, g),
+      |bp AS (SELECT df.source, df.g FROM df JOIN nd USING (source)
+      |       WHERE df >= CEIL(0.2 * nd)),
+      |pd AS (SELECT g.source, g.doc_id,
+      |         COUNT(*) AS n_windows, COUNT(bp.g) AS n_bp
+      |       FROM g LEFT JOIN bp ON g.source = bp.source AND g.g = bp.g
+      |       GROUP BY g.source, g.doc_id)
+      |SELECT doc_id, source, n_windows, n_bp,
+      |  CAST(FLOOR(1000.0 * n_bp / n_windows) AS BIGINT) AS bp_permille
+      |FROM pd ORDER BY doc_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     // BOILERPLATE detection (the CCNet/RefinedWeb header-footer screen):
     // a window that recurs across a large fraction of ONE SOURCE's
@@ -130,27 +156,21 @@ object TextAnalysis {
     "q127_boilerplate" -> Q(
       "Boilerplate screen: per-source high-DF 2-gram windows (>=20% of " +
         "docs), per-doc boilerplate window count + per-mille fraction",
-      """WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks
-        |           FROM documents),
-        |s AS (SELECT source, doc_id,
-        |        CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-        |             ELSE list_transform(range(1, len(toks)),
-        |                                 i -> array_to_string(toks[i:i+1], ' ')) END AS sh
-        |      FROM t),
-        |g AS (SELECT DISTINCT source, doc_id, unnest(sh) AS g FROM s),
-        |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS nd
-        |       FROM documents GROUP BY source),
-        |df AS (SELECT source, g, COUNT(*) AS df FROM g GROUP BY source, g),
-        |bp AS (SELECT df.source, df.g FROM df JOIN nd USING (source)
-        |       WHERE df >= CEIL(0.2 * nd)),
-        |pd AS (SELECT g.source, g.doc_id,
-        |         COUNT(*) AS n_windows, COUNT(bp.g) AS n_bp
-        |       FROM g LEFT JOIN bp ON g.source = bp.source AND g.g = bp.g
-        |       GROUP BY g.source, g.doc_id)
-        |SELECT doc_id, source, n_windows, n_bp,
-        |  CAST(FLOOR(1000.0 * n_bp / n_windows) AS BIGINT) AS bp_permille
-        |FROM pd ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      BoilerplateOracleSql) { (s, dir) =>
       boilerplateScore(Tables(s, dir, "documents"))
+    },
+
+    // The registered, BENCHED hashed-window twin of q127 (see
+    // [[hashedBoilerplateScore]]): DuckDB cannot recompute XXH64 window
+    // keys, but the twin's OUTPUT is row-identical to the string form
+    // (DriftGaugesSpec pins it), so q127's oracle statement hash-checks
+    // this path's values too — the q68/q133 precedent, closing the last
+    // string-payload exchange in the gauge family.
+    "q145_boilerplate_hashed" -> Q(
+      "Boilerplate screen over 8-byte hashed windows (q127's scale twin — " +
+        "same counts, long keys through the DF aggregate)",
+      BoilerplateOracleSql) { (s, dir) =>
+      hashedBoilerplateScore(Tables(s, dir, "documents"))
     },
 
     // Repetition-based quality filtering (the Gopher/C4 rule family):
@@ -706,14 +726,39 @@ object TextAnalysis {
     * windows per doc), so each source's set holds at most
     * (n_docs·w̄)/(f·n_docs) = w̄/f windows — ~2 500 at w̄≈500, f=0.2,
     * however many documents the source has. The per-doc rollup therefore
-    * adds no corpus-sized exchange. At 100 TB swap the
-    * string window for the 8-byte hashed window with the same plan (the
-    * q59 → q68 hashed-twin precedent).
+    * adds no corpus-sized exchange. At 100 TB run
+    * [[hashedBoilerplateScore]] (q145) — the same plan over 8-byte hashed
+    * windows.
     */
   def boilerplateScore(
-      docs: DataFrame, k: Int = 2, dfFraction: Double = 0.2): DataFrame = {
-    val w = docs.select(col("source"), col("doc_id"),
-      explode(array_distinct(Text.shinglesSpaceSplit(col("text"), k))).as("g"))
+      docs: DataFrame, k: Int = 2, dfFraction: Double = 0.2): DataFrame =
+    boilerplateCore(docs,
+      array_distinct(Text.shinglesSpaceSplit(col("text"), k)), dfFraction)
+
+  /** q145: [[boilerplateScore]]'s 8-byte hashed-window twin — the declared
+    * 100 TB scale path (the q59 → q68 / q124 → q133 precedent). The DF
+    * aggregate — the plan's only corpus-sized exchange — shuffles XXH64
+    * longs instead of k-gram strings, an order-of-magnitude smaller
+    * payload at petabyte scale; counts are identical absent a 64-bit
+    * collision within one source's window set (astronomically remote),
+    * so q127's string oracle hash-checks this path's values too.
+    * DriftGaugesSpec pins the twins row-identical on both testdata
+    * corpora.
+    */
+  def hashedBoilerplateScore(
+      docs: DataFrame, k: Int = 2, dfFraction: Double = 0.2): DataFrame =
+    boilerplateCore(docs,
+      array_distinct(transform(Text.shinglesSpaceSplit(col("text"), k),
+        s => xxhash64(s))), dfFraction)
+
+  /** The shared q127/q145 plan over a per-doc distinct-window array (string
+    * or hashed — one definition, so the twins cannot drift).
+    */
+  private def boilerplateCore(
+      docs: DataFrame,
+      windows: org.apache.spark.sql.Column,
+      dfFraction: Double): DataFrame = {
+    val w = docs.select(col("source"), col("doc_id"), explode(windows).as("g"))
     val nd = docs.groupBy("source").agg(countDistinct(col("doc_id")).as("nd"))
     val bp = w.groupBy("source", "g").agg(count(lit(1)).as("df"))
       .join(broadcast(nd), "source")

@@ -58,6 +58,22 @@ class DriftGaugesSpec extends SparkSpec {
       "a cross-source coincidence must not count toward a per-source DF floor")
   }
 
+  test("hashed-window boilerplate (q145) matches the string-window screen row for row") {
+    // the q59→q68 / q124→q133 twin contract for the boilerplate gauge:
+    // 8-byte XXH64 window keys through the DF aggregate must report the
+    // SAME per-doc window/boilerplate counts as q127's oracle-checked
+    // string windows — on both testdata corpora
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.queries.Tables(spark, d, "documents")
+      val strForm = TextAnalysis.boilerplateScore(docs)
+        .collect().map(_.toSeq)
+      val hashForm = TextAnalysis.hashedBoilerplateScore(docs)
+        .collect().map(_.toSeq)
+      assert(hashForm.toSeq == strForm.toSeq,
+        s"$d: hashed and string boilerplate screens diverge")
+    }
+  }
+
   // ---- q128 embedding drift --------------------------------------------
 
   private def vecs(rows: Seq[(Long, Array[Float])]) =
