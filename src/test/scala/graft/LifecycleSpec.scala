@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.IvfIndex
+import graft.ops.ShardExport
+import graft.queries.{Curation, Dedup, Tables}
+
+/** DAY-IN-THE-LIFE integration: every persisted store family — band index
+  * + dedup manifest (q66/q110/q112/q129), exact-fingerprint index (q113),
+  * window/novelty store (q124/q131), quality-histogram store
+  * (q121/q123/q137), IVF vector index (q56 + append/compact), and the
+  * shard-export epoch (q105/q120/q126) — driven through the SAME three
+  * simulated days in ONE harness: day-0 build, then for each later day
+  * gauge → absorb, with a store COMPACTION at the day-1/day-2 boundary so
+  * day 2 exercises the two cross-store interactions no isolated spec
+  * covers: append-after-compact (the batch lands in a rewritten store)
+  * and gauge-after-compact (the probes run against it).
+  *
+  * Every day boundary asserts the incremental-equals-rebuild contract for
+  * every store SIMULTANEOUSLY — the stored state must equal a from-scratch
+  * build over the day's cumulative corpus — so a store whose absorb step
+  * silently depended on another store's pre-absorb state would fail here
+  * even though each isolated spec stays green.
+  *
+  * The fixture corpus has no exact-duplicate pairs by construction, so
+  * cross-day duplicates are DERIVED deterministically (the q132/q134
+  * precedent): each day's batch carries copies of every 7th earlier-day
+  * doc under offset ids, giving the exact tier real cross-day hits, the
+  * minhash tier jaccard-1.0 crossings, and the manifest genuine cluster
+  * merges across days.
+  */
+class LifecycleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val Thr = 0.7
+  private val DocCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Deterministic cross-day duplicates: copies of every 7th doc of an
+    * earlier day under `offset` ids (higher than any original, so the
+    * stored keeper stays the global minimum and the incremental exact
+    * contract is exactly the from-scratch one).
+    */
+  private def copiesOf(src: DataFrame, offset: Long): DataFrame =
+    src.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + lit(offset)).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+  private def manifestDir(root: String) = s"$root/manifest_bp7000"
+
+  test("three simulated days drive every store: gauge, absorb, compact, re-gauge; incremental equals rebuild at every boundary") {
+    val docs = Tables(spark, dir, "documents").select(DocCols.map(col): _*)
+    val emb = Tables(spark, dir, "embeddings")
+    val day0 = docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))
+    val day1 = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .unionByName(copiesOf(day0, 100000L))
+    lazy val day2 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .unionByName(copiesOf(day1, 200000L))
+    val e0 = emb.filter(pmod(col("vec_id"), lit(5)).isin(1, 2, 3))
+    val e1 = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+    val e2 = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val ivfQueries = emb.filter(col("vec_id") < 10)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_lifecycle").toString
+
+    // ---- DAY 0: build every store from the base corpus -----------------
+    var bandRoot = s"$root/dedup_d0"
+    Dedup.persistBandIndex(day0, bandRoot)
+    Dedup.persistComponents(day0, bandRoot, Thr)
+    Dedup.persistExactIndex(day0, bandRoot)
+    val winPath = s"$root/windows"
+    Curation.windowStore(day0).write
+      .option("compression", "zstd").parquet(winPath)
+    var histPath = s"$root/hist_d0"
+    Curation.scoreHistogram(day0).write
+      .option("compression", "zstd").parquet(histPath)
+    val model = IvfIndex.fit(e0, k = 4)
+    var ivfPath = s"$root/ivf_d0"
+    graft.ops.Bucketing.writePartitioned(
+      IvfIndex.assign(model, e0), ivfPath, Seq("bucket"))
+    val epochDir = ShardExport.write(
+      day0, s"$root/shards", epoch = 1, packTokens = 512, shardTokens = 2048)
+    var storedManifest = ShardExport.manifest(spark, epochDir).localCheckpoint()
+
+    def ivfTopk(indexed: DataFrame): Set[(Long, Long, Int)] =
+      IvfIndex.searchIndexed(model, ivfQueries, indexed, k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    /** One simulated day: every gauge runs against the stored artifacts
+      * and is pinned to its fresh-state twin, then every store absorbs the
+      * batch and is pinned to a from-scratch rebuild over the cumulative
+      * corpus.
+      */
+    def runDay(d: Int, batch: DataFrame, corpusPrev: DataFrame,
+               corpusNext: DataFrame, batchEmb: DataFrame,
+               embPrev: DataFrame, embNext: DataFrame): Unit = {
+      val clue = s"day $d: "
+
+      // -- gauges against the CURRENT store state (pre-absorb) --
+      // near-dup probe (q66 contract): exactly the whole-corpus pair set
+      // restricted to batch-touching pairs. On day 2 the probed index is
+      // the COMPACTED one — gauge-after-compact.
+      val newIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+      val incPairs = Dedup.incrementalMinhashPairs(spark, batch, bandRoot, Thr)
+        .collect().map { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          ((a min b, a max b), r.getDouble(2))
+        }.toMap
+      val fullPairs = Dedup.minhashPairs(corpusNext, Thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => newIds.contains(a) || newIds.contains(b) }
+        .map { case (a, b, j) => ((a min b, a max b), j) }.toMap
+      assert(incPairs == fullPairs, clue + "incremental near-dup probe diverges from restricted full run")
+      assert(incPairs.nonEmpty, clue + "derived copies must produce cross-day near-dup pairs")
+
+      // exact probe (q113 contract): canon = global min doc_id per
+      // fingerprint over the cumulative corpus
+      val incExact = Dedup.incrementalExactDedup(spark, batch, bandRoot)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+      val canon = corpusNext
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min("doc_id").as("canon_id"))
+      val expExact = batch
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .join(canon, "fp")
+        .select(col("doc_id"), col("canon_id"),
+          (col("canon_id") =!= col("doc_id")).cast("int").as("is_dup"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+      assert(incExact == expExact, clue + "incremental exact probe diverges from from-scratch canon")
+      assert(incExact.exists(_._2._2 == 1), clue + "derived copies must register as exact dups")
+
+      // novelty gauge (q124): stored window set ≡ fresh windows of the
+      // cumulative pre-batch corpus
+      val novStored = Curation.contentNovelty(spark.read.parquet(winPath), batch)
+        .collect().map(_.toSeq).toSeq
+      val novFresh = Curation.contentNovelty(Curation.windowStore(corpusPrev), batch)
+        .collect().map(_.toSeq).toSeq
+      assert(novStored == novFresh, clue + "novelty over the stored window set diverges from fresh windows")
+
+      // histogram gauges (q123/q121/q137): stored artifact ≡ fresh hist
+      val storedHist = spark.read.parquet(histPath)
+      val freshHist = Curation.scoreHistogram(corpusPrev)
+      def rows(df: DataFrame) = df.collect().map(_.toSeq).toSeq
+      assert(rows(Curation.driftMonitor(storedHist, batch)) ==
+        rows(Curation.driftMonitor(freshHist, batch)),
+        clue + "drift gauge diverges between stored and fresh histogram")
+      assert(rows(Curation.incrementalThresholds(storedHist, batch)) ==
+        rows(Curation.incrementalThresholds(freshHist, batch)),
+        clue + "threshold gauge diverges between stored and fresh histogram")
+      assert(rows(Curation.ksDrift(storedHist, batch)) ==
+        rows(Curation.ksDrift(freshHist, batch)),
+        clue + "KS gauge diverges between stored and fresh histogram")
+
+      // ANN probe: persisted (possibly compacted) index ≡ one-shot assign
+      assert(ivfTopk(spark.read.parquet(ivfPath)) ==
+        ivfTopk(IvfIndex.assign(model, embPrev)),
+        clue + "indexed ANN search diverges from the one-shot assignment")
+
+      // -- shard export: append, then the incremental manifest must equal
+      // the full re-read and the audit must attest every shard ok --
+      val baseMax = storedManifest
+        .agg(max(col("shard_id").cast("long"))).head.getLong(0)
+      ShardExport.append(spark, batch, epochDir,
+        epoch = 1, packTokens = 512, shardTokens = 2048)
+      storedManifest = ShardExport
+        .manifestIncremental(spark, epochDir, storedManifest, baseMax)
+        .localCheckpoint()
+      assert(storedManifest.collect().map(_.toSeq).toSet ==
+        ShardExport.manifest(spark, epochDir).collect().map(_.toSeq).toSet,
+        clue + "incremental shard manifest diverges from the full re-read")
+      val auditRows = ShardExport.audit(spark, epochDir, storedManifest).collect()
+      assert(auditRows.nonEmpty && auditRows.forall(_.getString(1) == "ok"),
+        clue + s"audit must attest every shard ok, got ${auditRows.map(_.getString(1)).toSeq}")
+      assert(storedManifest.agg(sum("n_docs")).head.getLong(0) == corpusNext.count(),
+        clue + "shard export lost or duplicated docs")
+
+      // -- absorb the batch into every store --
+      Dedup.absorbBatch(spark, batch, corpusNext, bandRoot, Thr)
+      Dedup.appendToExactIndex(spark, batch, bandRoot)
+      Curation.appendToWindowStore(spark, batch, winPath)
+      val nextHist = s"$root/hist_d$d"
+      spark.read.parquet(histPath)
+        .unionByName(Curation.scoreHistogram(batch))
+        .groupBy("source", "score").agg(sum("n").as("n"))
+        .write.option("compression", "zstd").parquet(nextHist)
+      histPath = nextHist
+      IvfIndex.appendToIndex(model, batchEmb, ivfPath)
+
+      // -- post-absorb: every store ≡ a from-scratch rebuild --
+      assert(spark.read.parquet(manifestDir(bandRoot))
+        .select("doc_id", "component", "n_chars", "keep")
+        .collect().map(_.toSeq).toSet ==
+        Dedup.dedupManifest(corpusNext, Thr)
+          .select(col("doc_id"), col("cluster_id").as("component"),
+            col("n_chars"), col("keep"))
+          .collect().map(_.toSeq).toSet,
+        clue + "absorbed dedup manifest diverges from a from-scratch rebuild")
+      assert(spark.read.parquet(s"$bandRoot/exact_fp")
+        .collect().map(_.toSeq).toSet ==
+        corpusNext.groupBy(Text.fingerprint(col("text")).as("fp"))
+          .agg(min("doc_id").as("keep_id")).collect().map(_.toSeq).toSet,
+        clue + "absorbed exact index diverges from a from-scratch rebuild")
+      val ws = spark.read.parquet(winPath)
+      assert(ws.count() == ws.distinct().count(),
+        clue + "window store must stay distinct by construction")
+      assert(ws.collect().map(_.getString(0)).toSet ==
+        Curation.windowStore(corpusNext).collect().map(_.getString(0)).toSet,
+        clue + "absorbed window store diverges from a from-scratch rebuild")
+      assert(spark.read.parquet(histPath).collect().map(_.toSeq).toSet ==
+        Curation.scoreHistogram(corpusNext).collect().map(_.toSeq).toSet,
+        clue + "absorbed histogram diverges from a from-scratch rebuild")
+      assert(ivfTopk(spark.read.parquet(ivfPath)) ==
+        ivfTopk(IvfIndex.assign(model, embNext)),
+        clue + "appended ANN index diverges from the one-shot full build")
+    }
+
+    // ---- DAY 1: gauge + absorb against the day-0 stores ----------------
+    val c1 = day0.unionByName(day1)
+    runDay(1, day1, day0, c1, e1, e0, e0.unionByName(e1))
+
+    // ---- day-1/day-2 boundary: COMPACT the fragmented stores -----------
+    // band index: write-new → repoint; the manifest + exact artifacts
+    // migrate by metadata rename (they are day-level state, not band
+    // fragments — compaction must not touch their content)
+    val bandRoot2 = s"$root/dedup_d1c"
+    Dedup.compactBandIndex(spark, bandRoot, bandRoot2)
+    def bandRows(p: String) = spark.read.parquet(s"$p/bands")
+      .select("band", "bhash", "doc_id").collect().map(_.toSeq).toSet
+    def shingleRows(p: String) = spark.read.parquet(s"$p/shingles")
+      .collect().map(_.toSeq).toSet
+    assert(bandRows(bandRoot2) == bandRows(bandRoot),
+      "band compaction changed the band content")
+    assert(shingleRows(bandRoot2) == shingleRows(bandRoot),
+      "band compaction changed the shingle content")
+    for (sub <- Seq("manifest_bp7000", "exact_fp"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$bandRoot/$sub"),
+        java.nio.file.Paths.get(s"$bandRoot2/$sub"))
+    bandRoot = bandRoot2
+    // IVF: compact to a new root, content-identically
+    val ivfPath2 = s"$root/ivf_d1c"
+    IvfIndex.compactIndex(spark, ivfPath, ivfPath2)
+    assert(spark.read.parquet(ivfPath2).select("vec_id", "bucket")
+      .collect().map(_.toSeq).toSet ==
+      spark.read.parquet(ivfPath).select("vec_id", "bucket")
+        .collect().map(_.toSeq).toSet,
+      "IVF compaction changed the index content")
+    ivfPath = ivfPath2
+
+    // ---- DAY 2: gauge + absorb against the COMPACTED stores ------------
+    // (append-after-compact and gauge-after-compact in one pass)
+    val c2 = c1.unionByName(day2)
+    runDay(2, day2, c1, c2, e2, e0.unionByName(e1),
+      e0.unionByName(e1).unionByName(e2))
+  }
+}
