@@ -1585,7 +1585,87 @@ object Dedup {
         |  (SELECT COUNT(*) FROM tp) AS n_caught,
         |  CAST(10000 AS BIGINT) AS recall_bp""".stripMargin) { (s, dir) =>
       bandingRecallAudit(Tables(s, dir, "documents"))
+    },
+
+    // CROSS-SNAPSHOT dedup (see [[crossSnapshotDedup]]): three snapshots
+    // DERIVED from the corpus with q132's change conventions (%11 removed
+    // at snap 1, %7 upper-changed from snap 1 on, %13 re-added under
+    // +1000000 ids at snap 2), so families mix j=1.0 cross-snapshot
+    // identity chains, the corpus' own >=0.9 near-dup pairs replicated
+    // per snapshot, and their transitive closures. The oracle replays the
+    // gid-keyed EXACT jaccard graph + recursive-CTE components + the
+    // keep-newest window — valid for the same two reasons as q97: the
+    // banded graph equals the exact graph on this corpus (q144 pins
+    // recall_bp = 10000, and every derived edge is either an identical-
+    // signature j=1.0 copy or a corpus pair verbatim), and the verify
+    // step's jaccard is one integer division on both engines.
+    "q146_cross_snapshot_dedup" -> Q(
+      "Cross-snapshot near-dup dedup: banded families over the 3-snapshot " +
+        "union, keep-newest survivor per family",
+      """WITH RECURSIVE
+        |v AS (
+        |  SELECT 0 AS snap, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 1, doc_id, CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT 2, doc_id, CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END
+        |  FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT 2, doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+        |k AS (SELECT snap * 1099511627776 + doc_id AS gid, snap, doc_id,
+        |        text, LENGTH(text) AS n_chars FROM v),
+        |t AS (SELECT gid, string_split(text, ' ') AS toks FROM k),
+        |s AS (SELECT gid,
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(1, len(toks) - 1),
+        |                                 i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |      FROM t),
+        |g AS (SELECT DISTINCT gid, unnest(sh) AS g FROM s),
+        |sz AS (SELECT gid, COUNT(*) AS n FROM g GROUP BY gid),
+        |inter AS (SELECT a.gid AS u, b.gid AS v, COUNT(*) AS ninter
+        |          FROM g a JOIN g b ON a.g = b.g AND a.gid < b.gid
+        |          GROUP BY u, v),
+        |pairs AS (SELECT u, v FROM inter
+        |          JOIN sz na ON na.gid = u JOIN sz nb ON nb.gid = v
+        |          WHERE CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) >= 0.7),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |mins AS (SELECT u AS gid, MIN(v) AS mn FROM reach GROUP BY u),
+        |asg AS (SELECT k.snap, k.doc_id, k.gid, k.n_chars,
+        |          LEAST(COALESCE(m.mn, k.gid), k.gid) AS cluster_id
+        |        FROM k LEFT JOIN mins m ON m.gid = k.gid),
+        |rk AS (SELECT snap, doc_id, cluster_id,
+        |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |           ORDER BY snap DESC, n_chars DESC, gid ASC) AS rn
+        |       FROM asg)
+        |SELECT snap, doc_id, cluster_id, CAST(rn = 1 AS INTEGER) AS keep
+        |FROM rk ORDER BY snap, doc_id""".stripMargin) { (s, dir) =>
+      crossSnapshotDedup(deriveSnapshots(Tables(s, dir, "documents")))
     })
+
+  /** The registered three-snapshot derivation (q146/SnapshotDedupSpec):
+    * q132's change conventions over the corpus, shared so the spec folds
+    * exactly what the oracle replays.
+    */
+  private[graft] def deriveSnapshots(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    def changed = when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+      .otherwise(col("text")).as("text")
+    base.select(lit(0).as("snap"), col("doc_id"), col("text"))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(lit(1).as("snap"), col("doc_id"), changed))
+      .unionByName(base
+        .filter(pmod(col("doc_id"), lit(11)) =!= 0 &&
+          pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(lit(2).as("snap"), col("doc_id"), changed))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(lit(2).as("snap"), (col("doc_id") + 1000000L).as("doc_id"),
+          col("text")))
+  }
 
 
   /** Connected components over the EXACT cosine>=0.4 pair graph (the
@@ -1796,6 +1876,77 @@ object Dedup {
         coalesce(col("n_par"), lit(-1L)).as("n_par"),
         coalesce(col("n_dropped"), lit(-1L)).as("n_dropped"))
       .orderBy("doc_id")
+  }
+
+  /** Snapshot-id stride for the cross-snapshot global key: `gid = snap ·
+    * 2^40 + doc_id`. 2^40 ids per snapshot and 2^23 snapshots fit in the
+    * positive int64 range — both far beyond any real corpus — and the
+    * [[withSnapGid]] guard turns a violation into a loud plan-time error
+    * instead of a silent collision (the q107 chunk-stride precedent).
+    */
+  val SnapStride: Long = 1L << 40
+
+  /** Tag each (snap, doc_id) row with its collision-guarded global id. */
+  def withSnapGid(snapshots: DataFrame): DataFrame =
+    snapshots.withColumn("gid",
+      when(col("doc_id") < 0 || col("doc_id") >= SnapStride || col("snap") < 0,
+        raise_error(concat(lit("snap gid out of range: "),
+          col("snap").cast("string"), lit(":"), col("doc_id").cast("string"))))
+        .otherwise(col("snap").cast("long") * lit(SnapStride) + col("doc_id")))
+
+  /** KEEP-NEWEST ranking over a cross-snapshot component assignment: one
+    * survivor per near-dup family, preferring the HIGHEST snapshot (the
+    * freshest crawl of the page), then `n_chars` DESC / gid ASC for
+    * determinism — [[rankRepresentatives]] with the snapshot axis
+    * prepended. Same scale shape: the window shuffles (cluster, snap,
+    * n_chars, gid) quads only and partitions by family, whose size is
+    * bounded by members × snapshots, never by the corpus.
+    */
+  private[graft] def keepNewest(
+      keyed: DataFrame, assignment: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("snap").desc, col("n_chars").desc, col("gid"))
+    keyed
+      .join(assignment.select(col("id").as("gid"), col("component").as("cluster_id")), "gid")
+      .withColumn("rnk", row_number().over(w))
+      .select(col("snap"), col("doc_id"), col("cluster_id"),
+        when(col("rnk") === 1, 1).otherwise(0).as("keep"))
+      .orderBy("snap", "doc_id")
+  }
+
+  /** q146: CROSS-SNAPSHOT near-dup dedup — the re-crawl case (CommonCrawl
+    * N-snapshot union): the same page appears near-identically in many
+    * historical snapshots, and training on the union without collapsing
+    * them over-weights every long-lived page by its crawl count. Rows are
+    * keyed (snap, doc_id) — the same id recurring across snapshots is the
+    * NORMAL case, not a violation — mapped to a collision-guarded gid;
+    * near-dup families are the banded minhash graph over the UNION
+    * ([[minhashPairs]] + connected components, exactly q97's machinery on
+    * gid keys, so cross-snapshot identity edges, within-snapshot near-dup
+    * edges and their transitive closures all land in one family); the
+    * keep rule is [[keepNewest]]: the freshest member survives.
+    *
+    * This one-shot form is the REBUILD/audit path and the oracle's
+    * replay target. The production path at 100 TB is the q110 contracted
+    * merge applied per snapshot: persist the gid-keyed band index +
+    * component store for snapshot 0, then fold each later snapshot via
+    * [[absorbBatch]] — O(snapshot) work per fold, never O(union) — and
+    * apply [[keepNewest]] to the stored assignment. SnapshotDedupSpec
+    * pins the fold chain component- and keep-identical to this one-shot
+    * on the derived three-snapshot corpus.
+    */
+  def crossSnapshotDedup(
+      snapshots: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val keyed = withSnapGid(snapshots)
+      .select(col("gid"), col("snap"), col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+    val u = keyed.select(col("gid").as("doc_id"), col("text"))
+    val comps = graft.operators.ConnectedComponents.run(
+      u.select(col("doc_id").as("id")),
+      minhashPairs(u, threshold)
+        .select(col("a").as("src"), col("b").as("dst")))
+    keepNewest(keyed, comps)
   }
 
   /** Artifact location for a corpus dir's band index, fingerprinted by
