@@ -116,6 +116,23 @@ object ShardExport {
       epoch: Int,
       packTokens: Int,
       shardTokens: Int): String = {
+    appendAssembly(spark, batch, epochDir, epoch, packTokens, shardTokens)
+      .repartition(col("shard_id"))
+      .write.mode(SaveMode.Append).partitionBy("shard_id").parquet(epochDir)
+    epochDir
+  }
+
+  /** The rows [[append]] writes, exposed pre-write so PlanShapeSpec can
+    * pin the per-batch plan the ingest stream re-executes every
+    * micro-batch (bounded-state broadcast, batch-only scan of the epoch).
+    */
+  private[graft] def appendAssembly(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      epochDir: String,
+      epoch: Int,
+      packTokens: Int,
+      shardTokens: Int): DataFrame = {
     val existing = spark.read.parquet(epochDir)
     // bounded: one row per source / one global max. localCheckpoint
     // severs the write plan's lazy scan of the very directory it appends
@@ -136,9 +153,6 @@ object ShardExport {
       .select(col("source"), col("pack_id"), col("shard_id"))
     pd.join(assigned, Seq("source", "pack_id"))
       .select(col("shard_id"), col("source"), col("pack_id"), col("doc_id"), col("text"))
-      .repartition(col("shard_id"))
-      .write.mode(SaveMode.Append).partitionBy("shard_id").parquet(epochDir)
-    epochDir
   }
 
   /** Roll an epoch dir back to its day-0 state: delete every `shard_id=`

@@ -516,4 +516,87 @@ class PlanShapeSpec extends SparkSpec {
       exchanges.forall(l => l.contains("doc_id") || l.contains("source")),
       s"unexpected exchange keys:\n${exchanges.mkString("\n")}")
   }
+
+  // ---- per-micro-batch plans of the daily-ops streams ------------------
+  // DriftMonitorStream / NoveltyMonitorStream / ShardIngestStream compose
+  // a frozen parquet artifact with each micro-batch inside foreachBatch;
+  // the plan they re-execute every batch is exactly the batch function
+  // over (parquet artifact, batch frame), pinned here: the artifact side
+  // stays a parquet scan and the gauge stays off the corpus-shuffle paths.
+
+  private def streamArtifacts: (String, String, String) = {
+    import org.apache.spark.sql.functions.pmod
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val base = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_plans").toString
+    graft.queries.Curation.scoreHistogram(base).write.parquet(s"$root/hist")
+    graft.queries.Curation.hashedWindowStore(base).write.parquet(s"$root/win")
+    val epochDir = graft.ops.ShardExport.write(
+      base, s"$root/shards", epoch = 1, packTokens = 512, shardTokens = 2048)
+    (s"$root/hist", s"$root/win", epochDir)
+  }
+
+  /** Execute, then render the FINAL adaptive plan — the stream pins below
+    * assert runtime truths (exchange reuse, realized joins) the static
+    * `isFinalPlan=false` rendering cannot show.
+    */
+  private def executedPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("drift-monitor stream per-batch plan: artifact stays a parquet scan, reconcile subtree reused, totals broadcast") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val (hist, _, _) = streamArtifacts
+    val batch = graft.queries.Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val p = executedPlanOf(graft.queries.Curation
+      .driftMonitor(spark.read.parquet(hist), batch))
+    assert(p.contains(hist), "the frozen histogram must stay a file scan:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source totals must broadcast back:\n" + p)
+    // the totals branch references the reconcile subtree a second time —
+    // AQE must REUSE its exchanges so the batch histogram is computed
+    // once per micro-batch, not twice
+    assert(p.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      "the duplicated reconcile subtree must reuse exchanges:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("novelty-monitor stream per-batch plan: stored window set stays a parquet scan, anti join, no text exchange") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val (_, win, _) = streamArtifacts
+    val batch = graft.queries.Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val p = executedPlanOf(graft.queries.Curation
+      .hashedContentNovelty(spark.read.parquet(win), batch))
+    assert(p.contains(win), "the frozen window store must stay a file scan:\n" + p)
+    assert(p.contains("LeftAnti"), "novelty must be an anti join:\n" + p)
+    // the anti join keys on the 8-byte hashed window — an exchange
+    // carrying `text` would mean string windows crossed the wire
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"no exchange may carry text:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("shard-ingest stream per-batch plan: bounded pack-offset state broadcasts, epoch never rescanned") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val (_, _, epochDir) = streamArtifacts
+    val batch = graft.queries.Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+    val p = executedPlanOf(graft.ops.ShardExport
+      .appendAssembly(spark, batch, epochDir,
+        epoch = 1, packTokens = 512, shardTokens = 2048))
+    // the epoch's only contribution is the materialized one-row-per-source
+    // offset table — the per-batch plan must not rescan the epoch files
+    assert(!p.contains(epochDir),
+      "the epoch dir must not be rescanned per micro-batch:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the pack-offset state must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
