@@ -392,6 +392,38 @@ object Training {
       stratifiedTokenSample(Tables(s, dir, "documents"), budgetPerSource = 600L)
     },
 
+    // PADDING-WASTE calibration sweep (see [[paddingSweep]]): the
+    // batch-scheduler question — how many length buckets buy how much
+    // padding back — answered from ONE corpus scan via the
+    // q130/q135/q138 house pattern: the scan builds the exact
+    // length histogram, the {1,2,4,8,16} grid sweeps THAT (bounded ×5
+    // fan-out over bounded rows). All-integer bucket math (ceil by
+    // integer div), one IEEE division for the bp rate.
+    "q148_padding_sweep" -> Q(
+      "Length-bucketed batching sweep: padded/wasted tokens at " +
+        "{1,2,4,8,16} quantile buckets, from the exact length histogram",
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS l FROM documents),
+        |h AS (SELECT l, COUNT(*) AS n FROM t GROUP BY l),
+        |tot AS (SELECT SUM(n) AS total FROM h),
+        |c AS (SELECT l, n, SUM(n) OVER (ORDER BY l) AS cum FROM h),
+        |grid AS (SELECT unnest([1, 2, 4, 8, 16]) AS g),
+        |gb AS (SELECT g, l, n,
+        |         (g * cum + total - 1) // total AS bucket
+        |       FROM c CROSS JOIN grid CROSS JOIN tot),
+        |bk AS (SELECT g, bucket, MAX(l) AS bmax, SUM(n) AS nb,
+        |         SUM(n * l) AS ctoks
+        |       FROM gb GROUP BY g, bucket),
+        |agg AS (SELECT g, SUM(nb * bmax) AS padded,
+        |          SUM(nb * bmax) - SUM(ctoks) AS waste
+        |        FROM bk GROUP BY g)
+        |SELECT CAST(g AS INTEGER) AS n_buckets,
+        |  CAST(padded AS BIGINT) AS padded_tokens,
+        |  CAST(waste AS BIGINT) AS waste_tokens,
+        |  CAST(FLOOR(10000.0 * waste / padded) AS BIGINT) AS waste_bp
+        |FROM agg ORDER BY n_buckets""".stripMargin) { (s, dir) =>
+      paddingSweep(Tables(s, dir, "documents"))
+    },
+
     // GROUP-HOLDOUT splitting: q82 measures how near-dups leak across a
     // doc-keyed split; this PREVENTS the leak structurally. The split is
     // keyed by the near-dup CLUSTER id (q97's minhash components), so
@@ -449,6 +481,55 @@ object Training {
         when(coalesce(col("n_hit"), lit(0L)) > 0 && col("split_orig") =!= "train", 1)
           .otherwise(0).as("moved"))
       .orderBy("doc_id")
+  }
+
+  /** q148: padding-waste vs bucket-count curve for length-bucketed
+    * batching — padded batches waste `bucket_max − len` tokens per
+    * sequence, and bucketing by length quantiles is the standard
+    * mitigation; this sweep tells the recipe owner what each granularity
+    * buys BEFORE a training run pays for it. Quantile buckets by
+    * cumulative count: `bucket(l) = ceil(g · cum(l) / total)` (integer
+    * ceil-div, so equal lengths always share a bucket and both engines
+    * agree exactly); per bucket the pad target is the bucket max.
+    *
+    * Scale shape (the q130/q135/q138 calibration-sweep pattern): ONE
+    * corpus scan builds the exact length histogram — bounded by the
+    * model's context length, not the corpus — and the grid sweeps the
+    * histogram: a ×|grid| fan-out over bounded rows, one
+    * single-partition cumsum window over the histogram (kilobytes), and
+    * (g, bucket)-keyed rollups. The corpus is never re-scanned or
+    * re-keyed however many granularities are swept.
+    */
+  def paddingSweep(
+      docs: DataFrame, grid: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val h = docs.select(size(split(col("text"), " ", -1)).cast("long").as("l"))
+      .groupBy("l").agg(count(lit(1)).as("n"))
+    val wc = Window.orderBy(col("l").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // total rides a full-frame window over the SAME single-partition
+    // histogram sort as the cumsum — one corpus scan, not a second
+    // aggregate branch re-deriving the histogram for one number
+    val wAll = Window.orderBy(col("l").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = h.withColumn("cum", sum("n").over(wc))
+      .withColumn("total", sum("n").over(wAll))
+    val gb = c
+      .select(col("l"), col("n"), col("cum"), col("total"),
+        explode(array(grid.map(g => lit(g.toLong)): _*)).as("g"))
+      .withColumn("bucket",
+        expr("(g * cum + total - 1) div total"))
+    val bk = gb.groupBy("g", "bucket").agg(
+      max(col("l")).as("bmax"), sum(col("n")).as("nb"),
+      sum(col("n") * col("l")).as("ctoks"))
+    bk.groupBy("g").agg(
+        sum(col("nb") * col("bmax")).as("padded"),
+        (sum(col("nb") * col("bmax")) - sum(col("ctoks"))).as("waste"))
+      .select(col("g").cast("int").as("n_buckets"),
+        col("padded").cast("long").as("padded_tokens"),
+        col("waste").cast("long").as("waste_tokens"),
+        floor(lit(10000.0) * col("waste") / col("padded"))
+          .cast("long").as("waste_bp"))
+      .orderBy("n_buckets")
   }
 
   /** q93: deterministic stratified sample to a token budget per source.

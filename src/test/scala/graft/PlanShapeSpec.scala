@@ -517,6 +517,16 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected exchange keys:\n${exchanges.mkString("\n")}")
   }
 
+  test("q148 padding sweep: ONE corpus scan; the grid sweeps the length histogram") {
+    val p = planOf("q148_padding_sweep")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans == 1,
+      s"the sweep must cost one corpus scan however many granularities, got $docScans:\n" + p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   // ---- per-micro-batch plans of the daily-ops streams ------------------
   // DriftMonitorStream / NoveltyMonitorStream / ShardIngestStream compose
   // a frozen parquet artifact with each micro-batch inside foreachBatch;

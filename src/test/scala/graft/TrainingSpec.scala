@@ -160,4 +160,26 @@ class TrainingSpec extends SparkSpec {
         s"$t: approx ${approx(t)} vs exact $e")
     }
   }
+
+  test("padding sweep: exact planted waste, monotone in bucket count, zero at full granularity") {
+    import spark.implicits._
+    // one doc per length 1..8: g=1 pads all to 8 (waste 64-36=28);
+    // g=2 buckets {1-4},{5-8} (waste (16-10)+(32-26)=12); g=8 gives one
+    // length per bucket — zero waste
+    val docs = (1 to 8)
+      .map(n => Tuple1((1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("text")
+    val out = graft.queries.Training
+      .paddingSweep(docs, grid = Seq(1, 2, 4, 8))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1) == (64L, 28L), s"g=1: ${out(1)}")
+    // ceil(2·cum/8): lengths 1-4 → bucket 1 (pad to 4), 5-8 → bucket 2
+    assert(out(2) == (48L, 12L), s"g=2: ${out(2)}")
+    // ceil(l/2) pairs: pads to 2/4/6/8
+    assert(out(4) == (40L, 4L), s"g=4: ${out(4)}")
+    assert(out(8) == (36L, 0L), "one bucket per length must waste nothing")
+    // waste can only shrink as granularity grows
+    val ws = Seq(1, 2, 4, 8).map(g => out(g)._2)
+    assert(ws == ws.sorted.reverse, s"waste must be monotone non-increasing: $ws")
+  }
 }
