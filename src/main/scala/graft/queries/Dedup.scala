@@ -1629,7 +1629,82 @@ object Dedup {
       val merged = incrementalComponentMerge(s, gidDocs(2), path, threshold = 0.7)
       keepNewest(keyed,
         merged.select(col("doc_id").as("id"), col("cluster_id").as("component")))
+    },
+
+    // BATCH RETRACTION (see [[retractManifest]]): the store holds the FULL
+    // corpus absorbed; the query retracts the %5==0 batch and must
+    // reproduce a from-scratch q97 manifest over the remaining corpus —
+    // the retract-equals-rebuild contract, mirror of q110/q112. Pure
+    // probe (no store mutation), so verify/bench reps are independent.
+    "q149_dedup_retract" -> Q(
+      "Dedup-manifest batch retraction: touched clusters re-derived from " +
+        "surviving members via the index, equals the rebuild without the batch",
+      retractOracleSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path = fullComponentIndexFor(docs, dir, threshold = 0.7)
+      retractManifest(s,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        path, threshold = 0.7)
     })
+
+  /** q149's oracle: the q97 from-scratch manifest replay restricted to the
+    * corpus WITHOUT the retracted batch (doc_id % 5 <> 0) — what the store
+    * must equal after the un-absorb.
+    */
+  private lazy val retractOracleSql: String =
+    """WITH RECURSIVE
+      |rd AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 5 <> 0),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM rd),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |             ELSE list_transform(range(1, len(toks) - 1),
+      |                                 i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+      |      FROM t),
+      |g AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ninter
+      |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY u, v),
+      |pairs AS (
+      |  SELECT u, v FROM inter
+      |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v
+      |  WHERE CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) >= 0.7),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+      |comp AS (
+      |  SELECT LEAST(COALESCE(m.mn, d.doc_id), d.doc_id) AS cluster_id,
+      |         d.doc_id
+      |  FROM rd d LEFT JOIN mins m ON m.doc_id = d.doc_id)
+      |SELECT cluster_id, doc_id, n_chars,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |         ORDER BY n_chars DESC, doc_id) = 1 AS INTEGER) AS keep
+      |FROM comp JOIN rd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Warm-reusable FULL-corpus band index + component manifest (q149's
+    * store — the `_full` suffix keeps it from ever colliding with the
+    * %5<>0 corpus store q66/q110 warm-reuse at the unsuffixed path). Never
+    * mutated by its consumer: [[retractManifest]] is a probe.
+    */
+  private def fullComponentIndexFor(
+      docs: DataFrame, dir: String, threshold: Double): String = synchronized {
+    val path = indexPathFor(dir) + "_full"
+    val sub = manifestSubdir(path, threshold)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(sub, "_SUCCESS"))
+    if (!reusable) {
+      persistBandIndex(docs, path)
+      persistComponents(docs, path, threshold)
+    }
+    path
+  }
 
   /** q146/q147's shared oracle: the gid-keyed exact-jaccard graph +
     * recursive components + keep-newest window over the derived
@@ -1933,6 +2008,134 @@ object Dedup {
         coalesce(col("n_par"), lit(-1L)).as("n_par"),
         coalesce(col("n_dropped"), lit(-1L)).as("n_dropped"))
       .orderBy("doc_id")
+  }
+
+  /** q149: RETRACT a previously-absorbed batch from the dedup manifest —
+    * the un-absorb the daily loop needs when the gauges (q123 drift, q126
+    * audit, q144 recall) flag a batch AFTER [[absorbBatch]] ran. Exactly
+    * symmetric to [[incrementalManifest]] and O(touched), never O(corpus):
+    * stored rows of clusters containing NO batch member pass through
+    * verbatim (removing docs can only split clusters, never move a doc
+    * between untouched ones); clusters with a batch member re-derive from
+    * their SURVIVING members — candidate pairs come from the INDEX's own
+    * band + shingle artifacts (no text rescan, no re-minhash), components
+    * re-run on that bounded subgraph, and the survivors re-rank through
+    * the shared [[rankRepresentatives]] window. A batch doc that had
+    * BRIDGED two pre-existing clusters splits them back apart (the
+    * subgraph without it has no cross edge — DedupRetractSpec plants
+    * exactly that case), which is the part a naive "delete the rows"
+    * retraction gets wrong. Oracle: the q97 from-scratch replay over the
+    * corpus MINUS the batch — equality is the retract-equals-rebuild
+    * contract, the mirror image of q110/q112's.
+    */
+  def retractManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      batchIds: DataFrame,
+      docsAfter: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      broadcastCeiling: Long = IncrementalBroadcastCeiling): DataFrame = {
+    val store = spark.read.parquet(manifestSubdir(indexPath, threshold))
+    val batchSmall =
+      batchIds.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(broadcastCeiling)
+    def hinted(df: DataFrame): DataFrame = if (batchSmall) broadcast(df) else df
+    val ids = batchIds.select(col("doc_id"))
+    val touched = store.join(hinted(ids), Seq("doc_id"))
+      .select(col("component")).distinct()
+    val untouched = store.join(hinted(touched), Seq("component"), "left_anti")
+      .select(col("component").as("cluster_id"), col("doc_id"),
+        col("n_chars"), col("keep"))
+    val survivors = store.join(hinted(touched), Seq("component"))
+      .join(hinted(ids), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    // pairs among survivors, index-backed: the store's band rows restricted
+    // to the bounded survivor set equi-join on (band, bhash), verified by
+    // the stored shingle sets — the corpus-sized artifacts stream against
+    // the broadcast survivor set, the same O(touched) shape as the absorb
+    val sb = spark.read.parquet(s"$indexPath/bands")
+      .join(hinted(survivors), Seq("doc_id"))
+    val cand = sb.as("x")
+      .join(sb.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val shs = spark.read.parquet(s"$indexPath/shingles")
+      .join(hinted(survivors), Seq("doc_id"))
+    val pairs = cand
+      .join(shs.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(shs.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        HashExpressions.jaccardSorted(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= threshold)
+    val comps = graft.operators.ConnectedComponents.run(
+      survivors.select(col("doc_id").as("id")),
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val reranked = rankRepresentatives(
+      comps.select(col("component").as("cluster_id"), col("id").as("doc_id")),
+      docsAfter)
+    untouched.unionByName(reranked).orderBy("doc_id")
+  }
+
+  /** File-level retraction of the MOST RECENT absorbed batch from the
+    * three-artifact store: bands and shingles drop the batch's rows,
+    * the exact index drops fingerprints the batch introduced (keeper ∈
+    * batch — first-seen-wins means a pre-existing fingerprint's keeper is
+    * never a batch doc), and the manifest swaps to [[retractManifest]]'s
+    * output. Write-aside → swap (the [[absorbBatch]] rename pattern), so
+    * probes never see a half-retracted store. LIFO contract: retract the
+    * latest batch, or any batch no later absorb depended on — retracting
+    * an older batch whose fingerprints later batches re-introduced would
+    * need per-row batch tags the append-only layout deliberately omits.
+    * The rewrite is O(store) I/O — the honest price of an un-absorb, and
+    * in production it rides the scheduled [[compactBandIndex]] rewrite
+    * (retraction is compaction with a filter). Sibling stores: the
+    * histogram store retracts by count subtraction (mergeable statistic);
+    * the window store CANNOT retract without per-window refcounts — its
+    * absorb is the one deliberately irreversible step, re-derive it from
+    * the corrected corpus instead.
+    */
+  def retractBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      batchIds: DataFrame,
+      docsAfter: DataFrame,
+      indexPath: String,
+      threshold: Double): Unit = {
+    val ids = broadcast(batchIds.select(col("doc_id")))
+    val sub = manifestSubdir(indexPath, threshold)
+    retractManifest(spark, batchIds, docsAfter, indexPath, threshold)
+      .select(col("doc_id"), col("cluster_id").as("component"),
+        col("n_chars"), col("keep"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(sub + ".next")
+    // re-select each artifact's own column order after the key-fronting
+    // anti join: the retracted store must be schema-identical to what the
+    // original writers produce, not just row-equivalent
+    val bands = spark.read.parquet(s"$indexPath/bands")
+    bands.join(ids, Seq("doc_id"), "left_anti")
+      .select(bands.columns.map(col).toSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").partitionBy("band")
+      .parquet(s"$indexPath/bands.next")
+    val shingles = spark.read.parquet(s"$indexPath/shingles")
+    shingles.join(ids, Seq("doc_id"), "left_anti")
+      .select(shingles.columns.map(col).toSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$indexPath/shingles.next")
+    val exact = spark.read.parquet(s"$indexPath/exact_fp")
+    exact.join(ids.select(col("doc_id").as("keep_id")), Seq("keep_id"), "left_anti")
+      .select(exact.columns.map(col).toSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$indexPath/exact_fp.next")
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (part <- Seq(sub, s"$indexPath/bands", s"$indexPath/shingles",
+        s"$indexPath/exact_fp")) {
+      val p = new org.apache.hadoop.fs.Path(part)
+      val fs = p.getFileSystem(conf)
+      fs.delete(p, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(part + ".next"), p))
+        throw new java.io.IOException(s"retractBatch: could not swap $part")
+    }
   }
 
   /** Snapshot-id stride for the cross-snapshot global key: `gid = snap ·
