@@ -57,6 +57,58 @@ object Relational {
       .orderBy("event_type", "hour_id")
   }
 
+  /** q151: sequential funnel over an event stream — see the registration
+    * comment for the one-shuffle shape and the fold ≡ join-chain
+    * argument. `horizonUs` bounds each step's distance from the step
+    * before it (72 h registered); `steps` is the ordered type sequence.
+    * Exposed so FunnelSpec can drive planted orderings, horizon edges
+    * and same-microsecond ties through the identical arithmetic.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      horizonUs: Long = 72L * 3600L * 1000000L): DataFrame = {
+    val rank = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (t, i)) =>
+        when(col("event_type") === t, i).otherwise(acc) }
+    val per = events
+      .filter(col("event_type").isin(steps.map(x => x: Any): _*))
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("tu"), rank.as("idx")).as("ev"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"),
+          struct(lit(0).as("s"), lit(0L).as("tp")),
+          (st, ev) =>
+            when(ev("idx") === st("s") &&
+                (st("s") === 0 || ev("tu") <= st("tp") + lit(horizonUs)),
+              struct((st("s") + 1).as("s"), ev("tu").as("tp")))
+              .otherwise(st))("s").as("sc"))
+    // ≤ |steps|+1 histogram rows; each fans out to the steps it reached,
+    // so n_users(step) = Σ hist — never a second pass over users
+    val reached = per.filter(col("sc") >= 1)
+      .groupBy("sc").agg(count(lit(1)).as("n"))
+      .select(explode(sequence(lit(1), col("sc"))).as("step"), col("n"))
+      .groupBy("step").agg(sum("n").as("n_users"))
+    val w = Window.orderBy("step")
+    val names = array(steps.map(lit): _*)
+    reached
+      .select(col("step").cast("int").as("step"),
+        element_at(names, col("step")).as("step_name"),
+        col("n_users").cast("long").as("n_users"),
+        first("n_users")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("base"),
+        coalesce(lag("n_users", 1).over(w), col("n_users")).as("prev"))
+      .select(col("step"), col("step_name"), col("n_users"),
+        floor(lit(10000.0) * col("n_users") / col("base"))
+          .cast("long").as("conv_total_bp"),
+        floor(lit(10000.0) * col("n_users") / col("prev"))
+          .cast("long").as("conv_step_bp"))
+      .orderBy("step")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_scan_project" -> Q(
       "Projection + pushed filter over lineitem (PushedFilters + ReadSchema pruning)",
@@ -482,6 +534,52 @@ object Relational {
           sum(when(starts, 1L).otherwise(0L)).as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy("gap_min")
+    },
+
+    // FUNNEL ANALYSIS — the third classic event-sequence operator next
+    // to sessionization (q25) and the as-of join (q26): how many users
+    // progress view → click → purchase, each step within 72 h of the
+    // step before it. ONE shuffle, not one per step: the per-step
+    // chain-of-joins formulation (the oracle's replay, and the textbook
+    // SQL) re-keys the events table once per funnel step; here each
+    // user's step events collect into ONE sorted list (partial
+    // ObjectHashAggregate, payload bounded by that user's funnel events)
+    // and a codegen'd `aggregate` fold walks it — advance on the first
+    // event of the awaited type inside the horizon. The fold and the
+    // join chain provably agree: sorting by (ts, step-rank) puts any
+    // candidate with ts ≥ t_prev after the advancing event, so the first
+    // qualifying event in fold order IS the chain's MIN(ts) — ties at
+    // the same microsecond advance in step order in both. Timestamps
+    // stay internal (epoch-µs longs; the output is counts — the
+    // no-timestamp house rule); conversions are floored basis points
+    // (single IEEE division). Skew note: a bot user's list grows with
+    // its own event count only — the corpus never concentrates.
+    "q151_funnel" -> Q(
+      "Funnel analysis: users reaching view -> click -> purchase, each " +
+        "step within 72h of the previous, via one sorted per-user fold",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |      JOIN v ON v.user_id = e.user_id
+        |        AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 72 HOUR
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |      JOIN c ON c.user_id = e.user_id
+        |        AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL 72 HOUR
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |n AS (SELECT 1 AS step, 'view' AS step_name,
+        |             (SELECT COUNT(*) FROM v) AS n_users
+        |      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p))
+        |SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(FLOOR(10000.0 * n_users /
+        |       FIRST_VALUE(n_users) OVER (ORDER BY step)) AS BIGINT)
+        |    AS conv_total_bp,
+        |  CAST(FLOOR(10000.0 * n_users /
+        |       LAG(n_users, 1, n_users) OVER (ORDER BY step)) AS BIGINT)
+        |    AS conv_step_bp
+        |FROM n ORDER BY step""".stripMargin) { (s, dir) =>
+      funnel(Tables(s, dir, "events"))
     },
 
     "q26_asof_join" -> Q(
