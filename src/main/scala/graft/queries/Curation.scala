@@ -674,6 +674,124 @@ object Curation {
     path
   }
 
+  /** The REFCOUNTED window store — the retractable variant of
+    * [[windowStore]] (q150). Schema `(g, rc)` with `rc` = the number of
+    * corpus docs whose distinct k-gram window set contains `g`.
+    * [[windowStore]]'s DISTINCT layout makes its absorb deliberately
+    * irreversible (q149's `retractBatch` scaladoc had to document it as
+    * the one store family that cannot un-absorb): dropping a flagged
+    * batch's window rows would also delete windows OTHER docs carry. The
+    * per-window doc count is exactly the information an un-absorb needs
+    * — shared windows decrement and survive, windows only the batch
+    * carried reach zero and disappear. Presence (the set the q124/q133
+    * gauges anti-join against) is `SELECT g`: every row's count is
+    * positive by the store invariant, so a refcounted store serves
+    * [[contentNovelty]] unchanged, duplicate-`g` delta rows included
+    * (anti joins don't care about multiplicity).
+    */
+  def refcountedWindowStore(
+      docs: org.apache.spark.sql.DataFrame, k: Int = 5): org.apache.spark.sql.DataFrame =
+    docs.select(explode(array_distinct(Text.shinglesSpaceSplit(col("text"), k))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("rc"))
+
+  /** ABSORB a batch into a refcounted store: blindly append the batch's
+    * per-window doc counts as DELTA rows — O(batch) with NO store read at
+    * all (cheaper than [[appendToWindowStore]]'s anti join, and no
+    * self-read hazard to checkpoint around). The store holds up to one
+    * extra row per window per absorb until the next retract or
+    * [[compactRefcountedStore]] collapses them; all deltas are positive,
+    * so presence ≡ row existence throughout. Absorbs are COUNTED, not
+    * idempotent: re-absorbing a batch double-counts it, and each
+    * [[retractFromRefcountedStore]] cancels exactly one absorb.
+    */
+  def absorbIntoRefcountedStore(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      path: String,
+      k: Int = 5): Unit =
+    refcountedWindowStore(batch, k)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd").parquet(path)
+
+  /** RETRACT a previously-absorbed batch from a refcounted store — the
+    * q149 un-absorb for the window-set family, O(store) I/O but O(touched)
+    * shuffle: rows whose window the batch never carried stream through
+    * VERBATIM (LEFT ANTI against the batch's window set — scan → filter →
+    * write, the store itself is never re-keyed); rows for touched windows
+    * — bounded by the batch's window count, not the store — re-sum per
+    * window, subtract the batch's doc counts, and survive only above
+    * zero. Write-aside → swap (q149's rename pattern), so a concurrent
+    * gauge never sees a half-retracted store. Contract, mirroring q149's
+    * LIFO clause: each retract must cancel exactly one prior absorb of
+    * the SAME batch — retracting a batch never absorbed (or twice) makes
+    * shared windows under-count, and nothing can detect it after the
+    * fact because counts are the only record.
+    */
+  def retractFromRefcountedStore(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      path: String,
+      k: Int = 5,
+      broadcastCeiling: Long = graft.queries.Dedup.IncrementalBroadcastCeiling): Unit = {
+    // materialize the batch's window counts once — they drive BOTH joins
+    // and must not recompute between the store read and the swap; the
+    // checkpoint also gives the broadcast gate an exact size
+    val bw = refcountedWindowStore(batch, k)
+      .select(col("g"), col("rc").as("dn")).localCheckpoint()
+    val small =
+      bw.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(broadcastCeiling)
+    def hinted(df: org.apache.spark.sql.DataFrame) = if (small) broadcast(df) else df
+    val store = spark.read.parquet(path)
+    val untouched = store.join(hinted(bw.select(col("g"))), Seq("g"), "left_anti")
+    val touched = store.join(hinted(bw.select(col("g"))), Seq("g"))
+      .groupBy("g").agg(sum(col("rc")).as("rc_stored"))
+      .join(hinted(bw), Seq("g"))
+      .select(col("g"), (col("rc_stored") - col("dn")).as("rc"))
+      .filter(col("rc") > 0)
+    untouched.select(col("g"), col("rc"))
+      .unionByName(touched.select(col("g"), col("rc")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path + ".next")
+    swapInto(spark, path)
+  }
+
+  /** Scheduled maintenance rewrite for a refcounted store (the
+    * [[graft.queries.Dedup.compactBandIndex]] move): collapse the absorb
+    * delta rows to one net row per window. Changes nothing a gauge or a
+    * retract can observe — presence and net counts are invariant
+    * (RefcountStoreSpec pins both) — it only buys back the extra rows
+    * and fragmented files absorbs accumulate.
+    */
+  def compactRefcountedStore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val st = spark.read.parquet(path)
+    // clamp BEFORE toInt (the IvfIndex.compactIndex rule): a missing-stats
+    // Long.MaxValue estimate must degrade to many partitions, not wrap
+    // negative and collapse the rewrite into one task
+    val nOut = math.max(1,
+      (st.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(targetFileBytes))
+        .min(BigInt(1 << 20)).toInt)
+    st.groupBy("g").agg(sum(col("rc")).as("rc"))
+      .repartition(nOut, col("g"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path + ".next")
+    swapInto(spark, path)
+  }
+
+  /** Atomically replace `path` with `path + ".next"` (q149's
+    * delete-then-rename swap, shared by the refcounted-store rewrites).
+    */
+  private def swapInto(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(path + ".next"), p))
+      throw new java.io.IOException(s"refcounted store: could not swap $path")
+  }
+
   /** q125: QUALITY ENSEMBLE — fuse several weak quality signals into one
     * rank (the FineWeb-Edu-style move: no single heuristic is trustworthy,
     * their fused percentile is). Signals must be COMPARABLE before
@@ -956,6 +1074,58 @@ object Curation {
     path
   }
 
+  /** ABSORB a batch into a stored [[scoreHistogram]] artifact — q121's
+    * "(2) summing it into the stored day-N histogram" step materialized
+    * as a store mutation. Counts are a mergeable sufficient statistic,
+    * so absorb = read, add, write-aside → swap: the store stays one
+    * EXACT row per (source, score) — ≤1001 rows per source, kilobytes
+    * of I/O — and the only corpus-touching work is the batch's own
+    * histogram scan. Like the refcounted window store's absorb, this is
+    * COUNTED, not idempotent: each absorb adds its batch once, and each
+    * [[retractFromHistogramStore]] cancels exactly one absorb.
+    */
+  def absorbIntoHistogramStore(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    spark.read.parquet(path).select(col("source"), col("score"), col("n"))
+      .union(scoreHistogram(batch).select(col("source"), col("score"), col("n")))
+      .groupBy("source", "score").agg(sum("n").as("n"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path + ".next")
+    swapInto(spark, path)
+  }
+
+  /** RETRACT a previously-absorbed batch from a stored histogram — the
+    * count-subtraction un-absorb q149's sibling-store scaladoc promised
+    * for this family. Exact by the same mergeable-statistic argument as
+    * the absorb (subtraction is the inverse of addition — no recall
+    * argument, no approximation); rows whose count reaches zero drop,
+    * and a NEGATIVE net raises at execution time (`raise_error`, the
+    * q107-guard house pattern) instead of writing a corrupt store —
+    * unlike the corpus-scale q150 store, this one is small enough to
+    * afford the loud contract check, so retracting a batch that was
+    * never absorbed fails instead of silently under-counting.
+    */
+  def retractFromHistogramStore(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    spark.read.parquet(path).select(col("source"), col("score"), col("n"))
+      .union(scoreHistogram(batch)
+        .select(col("source"), col("score"), (-col("n")).as("n")))
+      .groupBy("source", "score").agg(sum("n").as("n"))
+      .select(col("source"), col("score"),
+        when(col("n") < 0, raise_error(concat(
+          lit("histogram retract underflow (batch never absorbed?) at "),
+          col("source"), lit(":"), col("score").cast("string"))))
+          .otherwise(col("n")).as("n"))
+      .filter(col("n") > 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path + ".next")
+    swapInto(spark, path)
+  }
+
   /** q118: CURRICULUM staging — partition the corpus into `stages` global
     * quality quantiles (ascending [[densityScore]]), the scheduling input
     * for quality-ordered training (feed stage 1 early, stage `stages`
@@ -1124,9 +1294,10 @@ object Curation {
       |GROUP BY a.shard_id""".stripMargin
 
   /** Shared oracle: the q124 novelty replay (string windows, store =
-    * doc_id%5≠0, batch = %5==0). Three consumers, one definition: q124
+    * doc_id%5≠0, batch = %5==0). Four consumers, one definition: q124
     * (direct store), q131 (absorbed store ≡ rebuild), q133 (hashed twin
-    * — identical counts absent a 64-bit window collision).
+    * — identical counts absent a 64-bit window collision), q150
+    * (absorb∘absorb∘retract ≡ rebuild, the refcounted store).
     */
   private val NoveltyOracleSql =
     """WITH sh AS (
@@ -1146,6 +1317,29 @@ object Curation {
       |    AS novelty_bp
       |FROM n LEFT JOIN nv ON nv.source = n.source
       |ORDER BY n.source""".stripMargin
+
+  /** Shared oracle: the q115/q121 from-scratch threshold solve over the
+    * WHOLE corpus (stored %5≠0 histogram + %5==0 batch). Two consumers,
+    * one definition: q121 (absorbed-at-query merge ≡ rebuild), q152
+    * (absorb∘absorb∘retract store ≡ rebuild — the count-subtraction
+    * mirror).
+    */
+  private val ThresholdOracleSql =
+    """WITH sc AS (
+      |  SELECT doc_id, source,
+      |    CAST(FLOOR(1000.0 * LENGTH(REPLACE(text, ' ', '')) / LENGTH(text))
+      |         AS BIGINT) AS score
+      |  FROM documents WHERE LENGTH(text) > 0),
+      |h AS (SELECT source, score, COUNT(*) AS n FROM sc GROUP BY source, score),
+      |c AS (SELECT source, score, n,
+      |        SUM(n) OVER (PARTITION BY source ORDER BY score DESC
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        SUM(n) OVER (PARTITION BY source) AS total
+      |      FROM h)
+      |SELECT source, CAST(MAX(total) AS BIGINT) AS n_total, MAX(score) AS thr
+      |FROM c
+      |WHERE cum >= CEIL(0.7 * total)
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** Shared oracle: q125's ensemble chain up to the per-doc percentiles
     * and fused score (CTE `ens`, no ORDER BY). Two consumers — q125
@@ -2105,26 +2299,44 @@ object Curation {
     "q121_incremental_thresholds" -> Q(
       "Incremental per-source threshold re-solve: stored score histogram + " +
         "batch histogram merge (exact mergeable statistic), equals rebuild",
-      """WITH sc AS (
-        |  SELECT doc_id, source,
-        |    CAST(FLOOR(1000.0 * LENGTH(REPLACE(text, ' ', '')) / LENGTH(text))
-        |         AS BIGINT) AS score
-        |  FROM documents WHERE LENGTH(text) > 0),
-        |h AS (SELECT source, score, COUNT(*) AS n FROM sc GROUP BY source, score),
-        |c AS (SELECT source, score, n,
-        |        SUM(n) OVER (PARTITION BY source ORDER BY score DESC
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |        SUM(n) OVER (PARTITION BY source) AS total
-        |      FROM h)
-        |SELECT source, CAST(MAX(total) AS BIGINT) AS n_total, MAX(score) AS thr
-        |FROM c
-        |WHERE cum >= CEIL(0.7 * total)
-        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      ThresholdOracleSql) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val storedPath = histogramIndexFor(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
       incrementalThresholds(
         s.read.parquet(storedPath),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        keepFraction = 0.7)
+    },
+
+    // HISTOGRAM-STORE RETRACTION (see [[retractFromHistogramStore]]): the
+    // count-subtraction un-absorb, driven through the full lifecycle the
+    // q150 registration established — pid-scoped store seeded with the
+    // day-0 histogram (doc_id%5>1), written FRESH each call (absorbs are
+    // counted), day-1 (%5==1) absorbed, day-2 (%5==0) absorbed then
+    // FLAGGED and retracted (negative nets would raise), and q121's
+    // solve runs over the retracted store merged with the day-2 batch.
+    // Oracle: q121's verbatim (shared ThresholdOracleSql) — equal values
+    // ⟺ the retracted store equals the %5≠0 rebuild, the exact
+    // mergeable-statistic mirror of q121's incremental-equals-rebuild.
+    "q152_threshold_retract" -> Q(
+      "Histogram-store retraction: flagged day-2 batch un-absorbed by " +
+        "exact count subtraction, thresholds re-solved as if never absorbed",
+      ThresholdOracleSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path = histogramPathFor(dir) + "_retract_pid" +
+        ProcessHandle.current().pid()
+      Curation.synchronized {
+        scoreHistogram(docs.filter(pmod(col("doc_id"), lit(5)) > 1)).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(path)
+        absorbIntoHistogramStore(s, docs.filter(pmod(col("doc_id"), lit(5)) === 1), path)
+        val flagged = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        absorbIntoHistogramStore(s, flagged, path)
+        retractFromHistogramStore(s, flagged, path)
+      }
+      incrementalThresholds(
+        s.read.parquet(path),
         docs.filter(pmod(col("doc_id"), lit(5)) === 0),
         keepFraction = 0.7)
     },
@@ -2489,6 +2701,41 @@ object Curation {
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .option("compression", "zstd").parquet(path)
         appendToWindowStore(s, docs.filter(pmod(col("doc_id"), lit(5)) === 1), path)
+      }
+      contentNovelty(
+        s.read.parquet(path), docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    },
+
+    // REFCOUNTED NOVELTY STORE + RETRACTION (see [[refcountedWindowStore]]):
+    // q149's un-absorb for the window-set store — the one family q149's
+    // retractBatch had to document as irreversible. Day-0 store
+    // (doc_id%5>1) written FRESH each call (absorbs are counted, not
+    // idempotent — a warm-reused mutated store would double-count on
+    // re-run), day-1 batch (%5==1) absorbed, then the day-2 batch
+    // (%5==0) absorbed, FLAGGED, and retracted — the gauge-after-absorb
+    // story q149 tells, replayed on the window store — and the novelty
+    // gauge runs as if the flagged batch never landed. Oracle: q124's
+    // replay over the %5≠0 window set — values equal ⟺ absorb∘absorb∘
+    // retract left EXACTLY the base∪day-1 presence set (the
+    // retract-equals-rebuild contract); RefcountStoreSpec additionally
+    // pins the (g, net count) table itself, which the gauge can't see.
+    "q150_novelty_retract" -> Q(
+      "Refcounted novelty store: flagged day-2 batch absorbed then " +
+        "retracted (shared windows decrement and survive, batch-only " +
+        "windows vanish), day-2 novelty gauged as if never absorbed",
+      NoveltyOracleSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_rc_k5_pid" +
+        ProcessHandle.current().pid()
+      Curation.synchronized {
+        refcountedWindowStore(docs.filter(pmod(col("doc_id"), lit(5)) > 1)).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(path)
+        absorbIntoRefcountedStore(s, docs.filter(pmod(col("doc_id"), lit(5)) === 1), path)
+        val flagged = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        absorbIntoRefcountedStore(s, flagged, path)
+        retractFromRefcountedStore(s, flagged, path)
       }
       contentNovelty(
         s.read.parquet(path), docs.filter(pmod(col("doc_id"), lit(5)) === 0))

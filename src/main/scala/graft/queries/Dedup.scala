@@ -2091,9 +2091,11 @@ object Dedup {
     * in production it rides the scheduled [[compactBandIndex]] rewrite
     * (retraction is compaction with a filter). Sibling stores: the
     * histogram store retracts by count subtraction (mergeable statistic);
-    * the window store CANNOT retract without per-window refcounts — its
-    * absorb is the one deliberately irreversible step, re-derive it from
-    * the corrected corpus instead.
+    * the window store retracts via its refcounted variant
+    * ([[graft.queries.Curation.refcountedWindowStore]], q150) — the
+    * DISTINCT-layout store of q124/q131 stays irreversible by design,
+    * because without per-window counts nothing records whether a window
+    * predates the batch.
     */
   def retractBatch(
       spark: org.apache.spark.sql.SparkSession,
