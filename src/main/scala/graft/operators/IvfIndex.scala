@@ -184,6 +184,59 @@ object IvfIndex {
       .partitionBy("bucket")
       .parquet(path)
 
+  /** RETRACT previously-appended vectors from a persisted index — the
+    * vector store's entry in the un-absorb family (dedup q149, window
+    * q150, histogram q152), and the most partition-friendly of them:
+    * re-assigning the batch under the FROZEN model names exactly the
+    * `bucket=` directories its rows landed in ([[appendToIndex]] used
+    * the same assignment — the model is deterministic and the path is
+    * fingerprinted by the centroids, so the buckets cannot have moved),
+    * so only those directories are read (partition-pruned scan) and only
+    * those rewrite; untouched buckets are never opened. The touched-
+    * bucket list is a ≤k driver collect (the nProbe-collect bound), the
+    * batch ids broadcast, and the rewrite is a per-bucket write-aside →
+    * swap — a probe concurrent with the swap sees each bucket either
+    * whole-old or whole-new, never half-retracted. A bucket whose every
+    * row retracts disappears (partitionBy writes no empty directory),
+    * which is exactly what [[searchIndexed]]'s `bucket IN` pruning
+    * expects of an absent bucket. LIFO contract as everywhere in the
+    * family: retract cancels one prior append of the same batch.
+    */
+  def retractFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      model: Model,
+      batch: DataFrame,
+      path: String,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val assigned = assign(model, batch, embCol)
+      .select(col(idCol), col("bucket"))
+    val touched: Seq[Int] = assigned.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val idx = spark.read.parquet(path)
+      .filter(col("bucket").isin(touched: _*))
+    val cols = idx.columns.toSeq
+    idx.join(broadcast(assigned.select(col(idCol))), Seq(idCol), "left_anti")
+      .select(cols.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("bucket")
+      .parquet(path + ".retract")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    for (b <- touched) {
+      val dst = new org.apache.hadoop.fs.Path(s"$path/bucket=$b")
+      val src = new org.apache.hadoop.fs.Path(s"$path.retract/bucket=$b")
+      fs.delete(dst, true)
+      // a fully-retracted bucket has no survivors and no src dir — the
+      // delete alone is the correct result
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(s"retractFromIndex: could not swap $dst")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".retract"), true)
+  }
+
   /** INDEX COMPACTION — the vector-side twin of the band-index rewrite
     * ([[graft.queries.Dedup.compactBandIndex]]): daily [[appendToIndex]]
     * calls add one small file set per batch to each touched `bucket=`

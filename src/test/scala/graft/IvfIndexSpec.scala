@@ -143,6 +143,59 @@ class IvfIndexSpec extends SparkSpec {
       "compaction changed search results")
   }
 
+  test("retractFromIndex: retract(append(batch)) restores content, prunes to touched buckets") {
+    // base = everything but cluster 0; the batch = cluster 0's vectors —
+    // geometrically concentrated, so its assignment touches FEW buckets
+    // and the rest of the index must come through the retract without
+    // their files even being opened for write
+    val model = IvfIndex.fit(corpus, k = 10)
+    val base = corpus.filter(col("label") =!= 0)
+    val batch = corpus.filter(col("label") === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_retract").toString + "/idx"
+    graft.ops.Bucketing.writePartitioned(IvfIndex.assign(model, base), path, Seq("bucket"))
+    def rows() = spark.read.parquet(path)
+      .select("vec_id", "bucket").collect().map(_.toSeq).toSet
+    def files() = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .map[(String, Long)](p => (p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toArray.toSeq.map(_.asInstanceOf[(String, Long)])
+      finally s.close()
+    }
+    val beforeRows = rows()
+    val beforeFiles = files().toSet
+    IvfIndex.appendToIndex(model, batch, path)
+    val touched = IvfIndex.assign(model, batch)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.size < 10, "fixture drift: cluster 0 should not hit every bucket")
+
+    IvfIndex.retractFromIndex(spark, model, batch, path)
+    assert(rows() === beforeRows,
+      "retract must restore the exact pre-append index content")
+    val untouchedAfter = files().filterNot { case (p, _) =>
+      touched.exists(b => p.contains(s"bucket=$b/")) }.toSet
+    val untouchedBefore = beforeFiles.filterNot { case (p, _) =>
+      touched.exists(b => p.contains(s"bucket=$b/")) }
+    assert(untouchedAfter === untouchedBefore,
+      "retract must not rewrite (or even re-date) untouched bucket directories")
+
+    // a bucket the base never populated but the batch created must
+    // DISAPPEAR on retract, not linger empty (searchIndexed's bucket IN
+    // pruning treats absence as emptiness)
+    val baseBuckets = beforeRows.map(_(1).asInstanceOf[Int])
+    for (b <- touched -- baseBuckets)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/bucket=$b")),
+        s"batch-only bucket $b must vanish on retract")
+
+    val queries = corpus.filter(col("vec_id") < 10)
+    def topk5(indexed: org.apache.spark.sql.DataFrame) =
+      IvfIndex.searchIndexed(model, queries, indexed, k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(topk5(spark.read.parquet(path)) === topk5(IvfIndex.assign(model, base)),
+      "search over the retracted index must equal the pre-append build")
+  }
+
   test("quantized index + asymmetric scoring + float rerank: recall >= 0.9 vs the float path") {
     val model = IvfIndex.fit(corpus, k = 10)
     val queries = corpus.filter(col("vec_id") < 20)
