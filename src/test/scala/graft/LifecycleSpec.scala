@@ -17,7 +17,14 @@ import graft.queries.{Curation, Dedup, Tables}
   * gauge → absorb, with a store COMPACTION at the day-1/day-2 boundary so
   * day 2 exercises the two cross-store interactions no isolated spec
   * covers: append-after-compact (the batch lands in a rewritten store)
-  * and gauge-after-compact (the probes run against it).
+  * and gauge-after-compact (the probes run against it). Day 3 is the
+  * RETRACTION day: a poisoned batch absorbs into every store, is
+  * flagged, and is un-absorbed everywhere (q149 band/exact/manifest,
+  * q150 refcounted windows, q152 histogram, IVF retractFromIndex, shard
+  * resetAppended) — every store must return to its exact day-2 state,
+  * against artifacts that have been through two absorbs and a compaction.
+  * The refcounted window store runs ALONGSIDE the distinct one from day 0
+  * and must agree with its presence set at every boundary.
   *
   * Every day boundary asserts the incremental-equals-rebuild contract for
   * every store SIMULTANEOUSLY — the stored state must equal a from-scratch
@@ -73,7 +80,13 @@ class LifecycleSpec extends SparkSpec {
     val winPath = s"$root/windows"
     Curation.windowStore(day0).write
       .option("compression", "zstd").parquet(winPath)
-    var histPath = s"$root/hist_d0"
+    // the REFCOUNTED window store runs alongside the DISTINCT one from day
+    // 0: same presence set every day (cross-representation agreement), and
+    // the only window representation the day-3 retraction can un-absorb
+    val rcWinPath = s"$root/windows_rc"
+    Curation.refcountedWindowStore(day0).write
+      .option("compression", "zstd").parquet(rcWinPath)
+    val histPath = s"$root/hist"
     Curation.scoreHistogram(day0).write
       .option("compression", "zstd").parquet(histPath)
     val model = IvfIndex.fit(e0, k = 4)
@@ -87,6 +100,10 @@ class LifecycleSpec extends SparkSpec {
     def ivfTopk(indexed: DataFrame): Set[(Long, Long, Int)] =
       IvfIndex.searchIndexed(model, ivfQueries, indexed, k = 5, nProbe = 4)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    def rcNet(): Map[String, Long] =
+      spark.read.parquet(rcWinPath).groupBy("g").agg(sum("rc").as("rc"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     /** One simulated day: every gauge runs against the stored artifacts
       * and is pinned to its fresh-state twin, then every store absorbs the
@@ -180,12 +197,8 @@ class LifecycleSpec extends SparkSpec {
       Dedup.absorbBatch(spark, batch, corpusNext, bandRoot, Thr)
       Dedup.appendToExactIndex(spark, batch, bandRoot)
       Curation.appendToWindowStore(spark, batch, winPath)
-      val nextHist = s"$root/hist_d$d"
-      spark.read.parquet(histPath)
-        .unionByName(Curation.scoreHistogram(batch))
-        .groupBy("source", "score").agg(sum("n").as("n"))
-        .write.option("compression", "zstd").parquet(nextHist)
-      histPath = nextHist
+      Curation.absorbIntoRefcountedStore(spark, batch, rcWinPath)
+      Curation.absorbIntoHistogramStore(spark, batch, histPath)
       IvfIndex.appendToIndex(model, batchEmb, ivfPath)
 
       // -- post-absorb: every store ≡ a from-scratch rebuild --
@@ -208,6 +221,10 @@ class LifecycleSpec extends SparkSpec {
       assert(ws.collect().map(_.getString(0)).toSet ==
         Curation.windowStore(corpusNext).collect().map(_.getString(0)).toSet,
         clue + "absorbed window store diverges from a from-scratch rebuild")
+      assert(rcNet() ==
+        Curation.refcountedWindowStore(corpusNext).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap,
+        clue + "absorbed refcounted store diverges from a from-scratch rebuild")
       assert(spark.read.parquet(histPath).collect().map(_.toSeq).toSet ==
         Curation.scoreHistogram(corpusNext).collect().map(_.toSeq).toSet,
         clue + "absorbed histogram diverges from a from-scratch rebuild")
@@ -239,6 +256,14 @@ class LifecycleSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$bandRoot/$sub"),
         java.nio.file.Paths.get(s"$bandRoot2/$sub"))
     bandRoot = bandRoot2
+    // refcounted window store: collapse the day-1 absorb deltas; net
+    // counts invariant, one row per window afterwards
+    val rcNetBeforeCompact = rcNet()
+    Curation.compactRefcountedStore(spark, rcWinPath)
+    assert(rcNet() == rcNetBeforeCompact,
+      "refcounted-store compaction changed the net counts")
+    assert(spark.read.parquet(rcWinPath).count() == rcNetBeforeCompact.size,
+      "refcounted-store compaction must leave one row per window")
     // IVF: compact to a new root, content-identically
     val ivfPath2 = s"$root/ivf_d1c"
     IvfIndex.compactIndex(spark, ivfPath, ivfPath2)
@@ -254,5 +279,72 @@ class LifecycleSpec extends SparkSpec {
     val c2 = c1.unionByName(day2)
     runDay(2, day2, c1, c2, e2, e0.unionByName(e1),
       e0.unionByName(e1).unionByName(e2))
+
+    // ---- DAY 3: a POISONED batch lands, absorbs everywhere, is flagged,
+    // and is UN-ABSORBED from every store — the q149/q150/q152 retraction
+    // contracts asserted simultaneously, against stores that have been
+    // through two absorbs and a compaction (no isolated retract spec
+    // starts from that state). The batch mixes derived copies (real dedup
+    // hits whose removal must not take pre-existing members with them)
+    // with spam-suffixed clones (novel windows/scores that must vanish).
+    val day3 = copiesOf(day2, 300000L).unionByName(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(col("text"), lit(" click here free offer buy now")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .withColumn("n_chars", length(col("text")).cast(
+          docs.schema("n_chars").dataType)))
+    val e3 = emb.filter(pmod(col("vec_id"), lit(5)) === 1)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"), col("label"))
+
+    def storeRows(sub: String) = spark.read.parquet(s"$bandRoot/$sub")
+      .collect().map(_.toSeq).toSet
+    val bandParts = Seq("bands", "shingles", "exact_fp", "manifest_bp7000")
+    val bandBefore = bandParts.map(p => p -> storeRows(p)).toMap
+    val rcBefore = rcNet()
+    val histBefore = spark.read.parquet(histPath)
+      .collect().map(_.toSeq).toSet
+    val ivfBefore = spark.read.parquet(ivfPath)
+      .select("vec_id", "bucket").collect().map(_.toSeq).toSet
+    val manifestBefore = storedManifest.collect().map(_.toSeq).toSet
+    val shardMax = storedManifest
+      .agg(max(col("shard_id").cast("long"))).head.getLong(0)
+
+    Dedup.absorbBatch(spark, day3, c2.unionByName(day3), bandRoot, Thr)
+    Dedup.appendToExactIndex(spark, day3, bandRoot)
+    Curation.absorbIntoRefcountedStore(spark, day3, rcWinPath)
+    Curation.absorbIntoHistogramStore(spark, day3, histPath)
+    IvfIndex.appendToIndex(model, e3, ivfPath)
+    ShardExport.append(spark, day3, epochDir,
+      epoch = 1, packTokens = 512, shardTokens = 2048)
+    assert(storeRows("manifest_bp7000") != bandBefore("manifest_bp7000"),
+      "day 3: the poisoned absorb must actually change the manifest")
+    assert(rcNet() != rcBefore,
+      "day 3: the poisoned absorb must actually change the window counts")
+
+    Dedup.retractBatch(spark, day3.select("doc_id"), c2, bandRoot, Thr)
+    Curation.retractFromRefcountedStore(spark, day3, rcWinPath)
+    Curation.retractFromHistogramStore(spark, day3, histPath)
+    IvfIndex.retractFromIndex(spark, model, e3, ivfPath)
+    ShardExport.resetAppended(epochDir, shardMax)
+
+    for (p <- bandParts)
+      assert(storeRows(p) == bandBefore(p),
+        s"day 3: $p not restored by retraction")
+    assert(rcNet() == rcBefore,
+      "day 3: refcounted window store not restored by retraction")
+    assert(spark.read.parquet(histPath).collect().map(_.toSeq).toSet
+      == histBefore,
+      "day 3: histogram store not restored by retraction")
+    assert(spark.read.parquet(ivfPath).select("vec_id", "bucket")
+      .collect().map(_.toSeq).toSet == ivfBefore,
+      "day 3: IVF index not restored by retraction")
+    assert(ShardExport.manifest(spark, epochDir)
+      .collect().map(_.toSeq).toSet == manifestBefore,
+      "day 3: shard epoch not restored by retraction")
+    val audit3 = ShardExport.audit(spark, epochDir,
+      ShardExport.manifest(spark, epochDir)).collect()
+    assert(audit3.nonEmpty && audit3.forall(_.getString(1) == "ok"),
+      "day 3: post-retraction audit must attest every surviving shard ok")
   }
 }
