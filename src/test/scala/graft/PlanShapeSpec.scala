@@ -517,6 +517,23 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected exchange keys:\n${exchanges.mkString("\n")}")
   }
 
+  test("q151 funnel: one events scan, no joins, partial per-user collect") {
+    // the load-bearing claim vs the textbook chain-of-joins: ONE scan of
+    // events (the chain re-keys it once per funnel step), ZERO joins, the
+    // step filter pushed into the scan, and the per-user list built with
+    // a partial (map-side) ObjectHashAggregate — the only corpus-scale
+    // exchange is the user_id hash partitioning
+    val p = planOf("q151_funnel")
+    val eventScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(eventScans == 1, s"funnel must scan events once, got $eventScans:\n" + p)
+    assert(!p.contains("Join"), "funnel must not join:\n" + p)
+    assert(p.contains("PushedFilters: [In(event_type"),
+      "step-type filter must push to the scan:\n" + p)
+    assert(p.contains("partial_collect_list"),
+      "per-user list must aggregate map-side first:\n" + p)
+  }
+
   test("q148 padding sweep: ONE corpus scan; the grid sweeps the length histogram") {
     val p = planOf("q148_padding_sweep")
     val docScans = p.linesIterator.count(l =>
