@@ -64,50 +64,127 @@ object Relational {
     * Exposed so FunnelSpec can drive planted orderings, horizon edges
     * and same-microsecond ties through the identical arithmetic.
     */
-  def funnel(
-      events: DataFrame,
-      steps: Seq[String] = Seq("view", "click", "purchase"),
-      horizonUs: Long = 72L * 3600L * 1000000L): DataFrame = {
+  /** Shared funnel core: per-user sorted (tu, step-rank) event lists —
+    * ONE scan, one shuffle, collected once however many horizons fold
+    * over it (q151 folds one, q153 folds the grid).
+    */
+  private def funnelEvents(events: DataFrame, steps: Seq[String]): DataFrame = {
     val rank = steps.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (t, i)) =>
         when(col("event_type") === t, i).otherwise(acc) }
-    val per = events
+    events
       .filter(col("event_type").isin(steps.map(x => x: Any): _*))
       .select(col("user_id"),
         struct(unix_micros(col("ts")).as("tu"), rank.as("idx")).as("ev"))
       .groupBy("user_id")
       .agg(sort_array(collect_list(col("ev"))).as("evs"))
-      .select(col("user_id"),
-        aggregate(col("evs"),
-          struct(lit(0).as("s"), lit(0L).as("tp")),
-          (st, ev) =>
-            when(ev("idx") === st("s") &&
-                (st("s") === 0 || ev("tu") <= st("tp") + lit(horizonUs)),
-              struct((st("s") + 1).as("s"), ev("tu").as("tp")))
-              .otherwise(st))("s").as("sc"))
-    // ≤ |steps|+1 histogram rows; each fans out to the steps it reached,
-    // so n_users(step) = Σ hist — never a second pass over users
+  }
+
+  /** The funnel fold over one user's sorted list: advance on the first
+    * event of the awaited type within `horizonUs` of the previous step.
+    * One definition for q151, q153 and their specs.
+    */
+  private def scFold(evs: org.apache.spark.sql.Column, horizonUs: Long) =
+    aggregate(evs,
+      struct(lit(0).as("s"), lit(0L).as("tp")),
+      (st, ev) =>
+        when(ev("idx") === st("s") &&
+            (st("s") === 0 || ev("tu") <= st("tp") + lit(horizonUs)),
+          struct((st("s") + 1).as("s"), ev("tu").as("tp")))
+          .otherwise(st))("s")
+
+  /** Shared conversion tail: per-step user counts + floored-bp
+    * conversions from a (grpCols..., sc) frame — ≤ |steps|+1 histogram
+    * rows per group; each row fans out to the steps it reached, so
+    * n_users(step) = Σ hist, never a second pass over users.
+    */
+  private def convTable(
+      per: DataFrame, steps: Seq[String], grpCols: Seq[String]): DataFrame = {
     val reached = per.filter(col("sc") >= 1)
-      .groupBy("sc").agg(count(lit(1)).as("n"))
-      .select(explode(sequence(lit(1), col("sc"))).as("step"), col("n"))
-      .groupBy("step").agg(sum("n").as("n_users"))
-    val w = Window.orderBy("step")
+      .groupBy((grpCols :+ "sc").map(col): _*).agg(count(lit(1)).as("n"))
+      .select((grpCols.map(col) :+
+        explode(sequence(lit(1), col("sc"))).as("step") :+ col("n")): _*)
+      .groupBy((grpCols :+ "step").map(col): _*).agg(sum("n").as("n_users"))
+    val w = (if (grpCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(grpCols.map(col): _*)).orderBy("step")
     val names = array(steps.map(lit): _*)
     reached
-      .select(col("step").cast("int").as("step"),
-        element_at(names, col("step")).as("step_name"),
-        col("n_users").cast("long").as("n_users"),
+      .select((grpCols.map(col) :+
+        col("step").cast("int").as("step") :+
+        element_at(names, col("step")).as("step_name") :+
+        col("n_users").cast("long").as("n_users") :+
         first("n_users")
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("base"),
-        coalesce(lag("n_users", 1).over(w), col("n_users")).as("prev"))
-      .select(col("step"), col("step_name"), col("n_users"),
+          .as("base") :+
+        coalesce(lag("n_users", 1).over(w), col("n_users")).as("prev")): _*)
+      .select((grpCols.map(col) :+ col("step") :+ col("step_name") :+
+        col("n_users") :+
         floor(lit(10000.0) * col("n_users") / col("base"))
-          .cast("long").as("conv_total_bp"),
+          .cast("long").as("conv_total_bp") :+
         floor(lit(10000.0) * col("n_users") / col("prev"))
-          .cast("long").as("conv_step_bp"))
-      .orderBy("step")
+          .cast("long").as("conv_step_bp")): _*)
+      .orderBy((grpCols :+ "step").map(col): _*)
   }
+
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      horizonUs: Long = 72L * 3600L * 1000000L): DataFrame =
+    convTable(
+      funnelEvents(events, steps)
+        .select(col("user_id"), scFold(col("evs"), horizonUs).as("sc")),
+      steps, Nil)
+
+  /** q153: the q138 calibration-sweep pattern applied to the funnel —
+    * conversion at every candidate horizon from ONE pass: the per-user
+    * event lists collect once ([[funnelEvents]] — the corpus is never
+    * re-keyed per horizon, unlike the chain-of-joins form which would
+    * re-key events |grid|×|steps| times), the grid folds over the
+    * COLLECTED lists (a ×|grid| fan-out over one row per user), and the
+    * conversion tail partitions by horizon (3×|steps| bounded rows).
+    */
+  def funnelSweep(
+      events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      horizonsHours: Seq[Long] = Seq(24L, 72L, 168L)): DataFrame = {
+    val per = funnelEvents(events, steps)
+      .select(explode(array(horizonsHours.map(h =>
+        struct(lit(h.toInt).as("horizon_h"),
+          scFold(col("evs"), h * 3600L * 1000000L).as("sc"))): _*)).as("g"))
+      .select(col("g")("horizon_h").as("horizon_h"), col("g")("sc").as("sc"))
+    convTable(per, steps, Seq("horizon_h"))
+  }
+
+  /** One horizon's slice of q153's oracle: the q151 chain-of-joins
+    * replay with `INTERVAL h HOUR` bounds, tagged with its grid point.
+    * One template for every grid point (and q151's SQL is this chain at
+    * h=72) so the sweep cannot drift from the registered single-horizon
+    * form.
+    */
+  private def funnelHorizonSql(h: Long): String =
+    s"""(WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       |            WHERE event_type = 'view' GROUP BY user_id),
+       | c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       |       JOIN v ON v.user_id = e.user_id
+       |         AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL $h HOUR
+       |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+       | p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       |       JOIN c ON c.user_id = e.user_id
+       |         AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL $h HOUR
+       |       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+       | n AS (SELECT 1 AS step, 'view' AS step_name,
+       |              (SELECT COUNT(*) FROM v) AS n_users
+       |       UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+       |       UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p))
+       | SELECT $h AS horizon_h, step, step_name,
+       |   CAST(n_users AS BIGINT) AS n_users,
+       |   CAST(FLOOR(10000.0 * n_users /
+       |        FIRST_VALUE(n_users) OVER (ORDER BY step)) AS BIGINT)
+       |     AS conv_total_bp,
+       |   CAST(FLOOR(10000.0 * n_users /
+       |        LAG(n_users, 1, n_users) OVER (ORDER BY step)) AS BIGINT)
+       |     AS conv_step_bp
+       | FROM n)""".stripMargin
 
   val all: Map[String, Q] = Map(
     "q01_scan_project" -> Q(
@@ -580,6 +657,23 @@ object Relational {
         |    AS conv_step_bp
         |FROM n ORDER BY step""".stripMargin) { (s, dir) =>
       funnel(Tables(s, dir, "events"))
+    },
+
+    // FUNNEL HORIZON SWEEP — q138's calibration-sweep move applied to
+    // q151: before a product team commits to "within 72h", sweep the
+    // horizon grid {24h, 72h, 168h} in ONE pass. The per-user event
+    // lists collect once and the grid folds over them — the corpus is
+    // never re-keyed per horizon, where the oracle's chain-of-joins
+    // replay re-keys events per (horizon, step). Oracle: the q151 chain
+    // per grid point, UNION ALL'd (built by [[funnelHorizonSql]] from
+    // one template so the grid points cannot drift from each other);
+    // FunnelSpec pins the h=72 slice row-identical to q151.
+    "q153_funnel_sweep" -> Q(
+      "Funnel horizon sweep: view -> click -> purchase conversion at " +
+        "24h/72h/168h step horizons from one pass over per-user event lists",
+      Seq(24L, 72L, 168L).map(funnelHorizonSql).mkString(
+        "", "\nUNION ALL\n", "\nORDER BY horizon_h, step")) { (s, dir) =>
+      funnelSweep(Tables(s, dir, "events"))
     },
 
     "q26_asof_join" -> Q(

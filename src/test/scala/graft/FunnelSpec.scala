@@ -91,6 +91,29 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("the sweep's 72h slice is row-identical to the registered funnel") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val events = Tables(spark, dir, "events")
+      val slice = Relational.funnelSweep(events)
+        .filter(col("horizon_h") === 72).drop("horizon_h")
+        .collect().map(_.toSeq).toSeq
+      val single = Relational.funnel(events).collect().map(_.toSeq).toSeq
+      assert(slice == single, s"$dir: sweep slice diverges from q151")
+    }
+  }
+
+  test("a longer horizon never loses users at any step") {
+    val out = Relational.funnelSweep(
+      Tables(spark, "/root/testdata/sf0.01", "events"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3)).toMap
+    for (step <- 1 to 3) {
+      assert(out((24, step)) <= out((72, step)), s"step $step: 24h > 72h")
+      assert(out((72, step)) <= out((168, step)), s"step $step: 72h > 168h")
+    }
+    assert(out((24, 3)) < out((168, 3)),
+      "fixture drift: the sweep should actually differentiate the horizons")
+  }
+
   test("conversion basis points divide against base and previous step") {
     val hour = 3600L * 1000000L
     val rows = (1L to 4L).flatMap { u =>
