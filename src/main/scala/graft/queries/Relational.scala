@@ -126,14 +126,22 @@ object Relational {
       .orderBy((grpCols :+ "step").map(col): _*)
   }
 
+  /** Per-user funnel position (user_id, sc) — q151 before its conversion
+    * rollup; exposed package-private so FunnelStreamSpec can pin the
+    * online fold user-for-user against the batch one.
+    */
+  private[graft] def funnelUserStates(
+      events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      horizonUs: Long = 72L * 3600L * 1000000L): DataFrame =
+    funnelEvents(events, steps)
+      .select(col("user_id"), scFold(col("evs"), horizonUs).as("sc"))
+
   def funnel(
       events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase"),
       horizonUs: Long = 72L * 3600L * 1000000L): DataFrame =
-    convTable(
-      funnelEvents(events, steps)
-        .select(col("user_id"), scFold(col("evs"), horizonUs).as("sc")),
-      steps, Nil)
+    convTable(funnelUserStates(events, steps, horizonUs), steps, Nil)
 
   /** q153: the q138 calibration-sweep pattern applied to the funnel —
     * conversion at every candidate horizon from ONE pass: the per-user
