@@ -50,7 +50,12 @@ object Extras {
   /** Single-pass form of q60's ordered funnel: ONE scan + one groupBy
     * shuffle of the stage-relevant events, then a per-user walk of the
     * time-sorted event structs (an `aggregate` HOF state machine: current
-    * stage + its timestamp), then a 4-row cumulative histogram. Semantics
+    * stage + its timestamp), then a 4-row cumulative histogram. The same
+    * walk, factored into a reusable core (`Relational.funnelEvents` /
+    * `scFold` / `convTable`), powers the CONVERSION-rate funnel family —
+    * q151 (tie-inclusive 72 h form with bp conversions), q153 (horizon
+    * sweep) and `streaming/FunnelStream` (the online state machine);
+    * q60 keeps this strict-`>` stage-count form and its own oracle. Semantics
     * are identical to the chained form — the walk takes the FIRST
     * qualifying event in (ts, event_type) order, which IS each stage's
     * minimum, and strict `>` plus lexicographic tie order make equal-ts

@@ -621,16 +621,25 @@ object Relational {
         .orderBy("gap_min")
     },
 
-    // FUNNEL ANALYSIS — the third classic event-sequence operator next
-    // to sessionization (q25) and the as-of join (q26): how many users
-    // progress view → click → purchase, each step within 72 h of the
-    // step before it. ONE shuffle, not one per step: the per-step
-    // chain-of-joins formulation (the oracle's replay, and the textbook
-    // SQL) re-keys the events table once per funnel step; here each
-    // user's step events collect into ONE sorted list (partial
-    // ObjectHashAggregate, payload bounded by that user's funnel events)
-    // and a codegen'd `aggregate` fold walks it — advance on the first
-    // event of the awaited type inside the horizon. The fold and the
+    // FUNNEL ANALYSIS, conversion-rate form — the event-sequence family
+    // member between sessionization (q25) and the as-of join (q26).
+    // q60 already registers the stage-COUNT funnel (signup→view→click→
+    // purchase, strict `>`, 12 h, lexicographic tie order, counts only);
+    // this is the CONVERSION form a growth dashboard reads — per-step
+    // users plus floored-bp conversion vs the base and the previous
+    // step, tie-INCLUSIVE (a click at the view's microsecond counts, in
+    // step order) with a 72 h horizon — and the root of a family q60's
+    // single registration can't host: the horizon sweep (q153) and the
+    // online state machine (streaming/FunnelStream) fold the same core.
+    // ONE shuffle, not one per step (q60's funnelSinglePass argument,
+    // factored here into funnelEvents/scFold/convTable so the three
+    // family members cannot drift): the per-step chain-of-joins
+    // formulation (the oracle's replay, and the textbook SQL) re-keys
+    // the events table once per funnel step; here each user's step
+    // events collect into ONE sorted list (partial ObjectHashAggregate,
+    // payload bounded by that user's funnel events) and a codegen'd
+    // `aggregate` fold walks it — advance on the first event of the
+    // awaited type inside the horizon. The fold and the
     // join chain provably agree: sorting by (ts, step-rank) puts any
     // candidate with ts ≥ t_prev after the advancing event, so the first
     // qualifying event in fold order IS the chain's MIN(ts) — ties at
