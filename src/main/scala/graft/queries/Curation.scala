@@ -733,6 +733,27 @@ object Curation {
       path: String,
       k: Int = 5,
       broadcastCeiling: Long = graft.queries.Dedup.IncrementalBroadcastCeiling): Unit = {
+    retractedRefcountedRows(spark, batch, path, k, broadcastCeiling)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path + ".next")
+    swapInto(spark, path)
+  }
+
+  /** The rows [[retractFromRefcountedStore]] writes, exposed pre-write
+    * (the ShardExport.appendAssembly precedent) so PlanShapeSpec can pin
+    * the load-bearing shape: below the ceiling the store STREAMS through
+    * a broadcast anti join on the untouched branch and only the touched
+    * subset (bounded by the batch's window count) re-keys — the store
+    * itself is never sort-merge shuffled. The two parquet reads of the
+    * store (pass-through + touched) are deliberate: 2× scan I/O on the
+    * streamed side beats one scan followed by a corpus-scale exchange.
+    */
+  private[graft] def retractedRefcountedRows(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      path: String,
+      k: Int = 5,
+      broadcastCeiling: Long = graft.queries.Dedup.IncrementalBroadcastCeiling): org.apache.spark.sql.DataFrame = {
     // materialize the batch's window counts once — they drive BOTH joins
     // and must not recompute between the store read and the swap; the
     // checkpoint also gives the broadcast gate an exact size
@@ -750,9 +771,6 @@ object Curation {
       .filter(col("rc") > 0)
     untouched.select(col("g"), col("rc"))
       .unionByName(touched.select(col("g"), col("rc")))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "zstd").parquet(path + ".next")
-    swapInto(spark, path)
   }
 
   /** Scheduled maintenance rewrite for a refcounted store (the

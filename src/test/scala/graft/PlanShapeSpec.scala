@@ -574,6 +574,28 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("q150 retraction assembly: the store streams through broadcast joins, never sort-merge shuffled") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rc_planshape").toString + "/store"
+    graft.queries.Curation
+      .refcountedWindowStore(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      .write.parquet(root)
+    val p = executedPlanOf(graft.queries.Curation.retractedRefcountedRows(
+      spark, docs.filter(pmod(col("doc_id"), lit(5)) === 0), root))
+    assert(p.contains(root), "the store must stay a file scan:\n" + p)
+    // below the ceiling BOTH branches (pass-through anti join + touched
+    // semi restriction) hash against the broadcast batch window set; the
+    // only aggregation exchange is over the touched subset
+    assert(p.contains("BroadcastHashJoin") &&
+      p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "untouched rows must pass through a broadcast LEFT ANTI:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus-scale store must never sort-merge shuffle:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("drift-monitor stream per-batch plan: artifact stays a parquet scan, reconcile subtree reused, totals broadcast") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val (hist, _, _) = streamArtifacts
