@@ -143,6 +143,32 @@ object Relational {
       horizonUs: Long = 72L * 3600L * 1000000L): DataFrame =
     convTable(funnelUserStates(events, steps, horizonUs), steps, Nil)
 
+  /** q154: the q151 funnel segmented by acquisition cohort — the
+    * growth-dashboard cut: did conversion change for users whose funnel
+    * STARTED in week N? The cohort key is the epoch-week of each user's
+    * first step-1 event, computed from the SAME collected list the fold
+    * walks (`array_min` over the step-0 entries — no second scan, no
+    * extra shuffle; the conversion tail partitions by cohort). Week ids
+    * use the q141 floor-safe integer division so both engines bucket
+    * identically for any epoch sign.
+    */
+  def cohortFunnel(
+      events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      horizonUs: Long = 72L * 3600L * 1000000L): DataFrame = {
+    val weekUs = 604800000000L
+    val per = funnelEvents(events, steps)
+      .select(col("user_id"), col("evs"), scFold(col("evs"), horizonUs).as("sc"))
+      .filter(col("sc") >= 1)
+      .select(
+        array_min(filter(col("evs"), e => e("idx") === lit(0)))("tu").as("t1u"),
+        col("sc"))
+      .select(
+        expr(s"(t1u - pmod(t1u, ${weekUs}L)) div ${weekUs}L").as("cohort_week"),
+        col("sc"))
+    convTable(per, steps, Seq("cohort_week"))
+  }
+
   /** q153: the q138 calibration-sweep pattern applied to the funnel —
     * conversion at every candidate horizon from ONE pass: the per-user
     * event lists collect once ([[funnelEvents]] — the corpus is never
@@ -691,6 +717,48 @@ object Relational {
       Seq(24L, 72L, 168L).map(funnelHorizonSql).mkString(
         "", "\nUNION ALL\n", "\nORDER BY horizon_h, step")) { (s, dir) =>
       funnelSweep(Tables(s, dir, "events"))
+    },
+
+    // COHORT-SEGMENTED FUNNEL (see [[cohortFunnel]]): q151 cut by the
+    // epoch-week of each user's first view — the per-cohort conversion
+    // trend a growth team actually tracks (is this week's acquisition
+    // converting worse than last week's?). Same one-shuffle core; the
+    // cohort key is read off the already-collected event list. Oracle:
+    // the q151 chain with the cohort key joined onto each stage's user
+    // set, conversions windowed PER COHORT. A cohort with zero clicks
+    // simply has no step-2 row — identically on both sides, so the
+    // funnel's monotone structure keeps the frames aligned.
+    "q154_cohort_funnel" -> Q(
+      "Cohort-segmented funnel: per first-view-week conversion through " +
+        "view -> click -> purchase, 72h step horizon, one pass",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |      JOIN v ON v.user_id = e.user_id
+        |        AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 72 HOUR
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |      JOIN c ON c.user_id = e.user_id
+        |        AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL 72 HOUR
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |k AS (SELECT user_id,
+        |        CAST(epoch_us(t1) // 604800000000 AS BIGINT) AS cohort_week
+        |      FROM v),
+        |n AS (SELECT cohort_week, 1 AS step, 'view' AS step_name,
+        |             COUNT(*) AS n_users FROM k GROUP BY cohort_week
+        |      UNION ALL SELECT cohort_week, 2, 'click', COUNT(*)
+        |        FROM k JOIN c USING (user_id) GROUP BY cohort_week
+        |      UNION ALL SELECT cohort_week, 3, 'purchase', COUNT(*)
+        |        FROM k JOIN p USING (user_id) GROUP BY cohort_week)
+        |SELECT cohort_week, step, step_name, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(FLOOR(10000.0 * n_users / FIRST_VALUE(n_users)
+        |       OVER (PARTITION BY cohort_week ORDER BY step)) AS BIGINT)
+        |    AS conv_total_bp,
+        |  CAST(FLOOR(10000.0 * n_users / LAG(n_users, 1, n_users)
+        |       OVER (PARTITION BY cohort_week ORDER BY step)) AS BIGINT)
+        |    AS conv_step_bp
+        |FROM n ORDER BY cohort_week, step""".stripMargin) { (s, dir) =>
+      cohortFunnel(Tables(s, dir, "events"))
     },
 
     "q26_asof_join" -> Q(

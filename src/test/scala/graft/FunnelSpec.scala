@@ -114,6 +114,40 @@ class FunnelSpec extends SparkSpec {
       "fixture drift: the sweep should actually differentiate the horizons")
   }
 
+  test("cohort funnel sums back to the global funnel at every step") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val events = Tables(spark, dir, "events")
+      val byCohort = Relational.cohortFunnel(events)
+        .groupBy("step").agg(sum("n_users").as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val global = Relational.funnel(events)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(byCohort == global,
+        s"$dir: cohort partition must sum to the global funnel")
+      assert(Relational.cohortFunnel(events)
+        .select("cohort_week").distinct().count() > 1,
+        s"$dir: fixture drift — cohorts should actually differentiate")
+    }
+  }
+
+  test("cohorts anchor to the FIRST view and convert independently") {
+    val hour = 3600L * 1000000L
+    val week = 7L * 24L * 3600L * 1000000L
+    val d = evUs(Seq(
+      // cohort week 0: user 1 fully converts, user 2 stalls at view
+      (1L, 1 * hour, "view"), (1L, 2 * hour, "click"), (1L, 3 * hour, "purchase"),
+      (2L, 5 * hour, "view"),
+      // cohort week 2: user 3 reaches click only; their week-0 CLICK
+      // must not create a cohort (cohorts key on the first VIEW)
+      (3L, 1 * hour, "click"), (3L, 2 * week, "view"), (3L, 2 * week + hour, "click")))
+    val out = Relational.cohortFunnel(d)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(3))).toMap
+    assert(out == Map(
+      (0L, 1) -> 2L, (0L, 2) -> 1L, (0L, 3) -> 1L,
+      (2L, 1) -> 1L, (2L, 2) -> 1L),
+      s"got $out")
+  }
+
   test("conversion basis points divide against base and previous step") {
     val hour = 3600L * 1000000L
     val rows = (1L to 4L).flatMap { u =>
