@@ -120,6 +120,29 @@ object Similarity {
     * scales run it on the whole input. The sampling contract is written
     * down in PLANS.md § "Exact-tier scale policy".
     */
+  /** q155: flag TRAIN vectors semantically too close to any EVAL vector —
+    * q59's decontamination contract carried to embedding space, the
+    * paraphrase-robust tier the n-gram screens can't reach. The eval set
+    * broadcasts (tiny by definition — q59's exact precedent for the eval
+    * shingle set), so the θ-join on the cosine predicate is a
+    * BroadcastNestedLoopJoin doing |train| × |eval| comparisons entirely
+    * map-side — no shuffle of the corpus; the flagged rollup re-keys only
+    * close pairs. An eval set too large to broadcast buckets BOTH sides
+    * under the IVF quantizer and probes (q56's machinery) for the same
+    * candidates at bucket-join cost; this direct form is the
+    * oracle-replayable tier. Ids and counts only (FP-rank-safe at the
+    * q37-proven 0.4 operating point).
+    */
+  def semanticDecontam(
+      train: DataFrame, evalSet: DataFrame, threshold: Double): DataFrame = {
+    val ev = evalSet.select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    train.select(col("vec_id"), col("embedding"))
+      .join(broadcast(ev), Vectors.cosine(col("embedding"), col("ev")) >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_close"), min("eval_id").as("first_eval_id"))
+      .orderBy("vec_id")
+  }
+
   def blockedNearDupPairs(emb: DataFrame, threshold: Double, blocks: Int = 8): DataFrame = {
     val cells = (0 until blocks).map(lit(_))
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
@@ -260,6 +283,28 @@ object Similarity {
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       blockedNearDupPairs(emb(s, dir), threshold = 0.4)
         .orderBy("id_a", "id_b")
+    },
+
+    // SEMANTIC DECONTAMINATION (see [[semanticDecontam]]): q59's
+    // eval-vs-train screen in embedding space — the paraphrase-robust
+    // tier n-gram decontamination can't reach (a reworded benchmark
+    // question shares no 5-gram with the eval set but sits on top of it
+    // in embedding space). Same contract as q59: the eval side is TINY
+    // by definition and broadcasts; the threshold (0.4) and ids-only
+    // output reuse q37's proven FP-rank-safe operating point on this
+    // corpus. Oracle: the direct cross-set predicate replay.
+    "q155_semantic_decontam" -> Q(
+      "Semantic eval-vs-train decontamination: train vectors within " +
+        "cosine 0.4 of any eval vector (ids + counts only)",
+      """SELECT t.vec_id, CAST(COUNT(*) AS BIGINT) AS n_close,
+        |       MIN(e.vec_id) AS first_eval_id
+        |FROM embeddings t JOIN embeddings e
+        |  ON e.vec_id < 20 AND t.vec_id >= 20
+        |  AND list_cosine_similarity(t.embedding, e.embedding) >= 0.4
+        |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin) { (s, dir) =>
+      semanticDecontam(
+        emb(s, dir).filter(col("vec_id") >= 20),
+        emb(s, dir).filter(col("vec_id") < 20), threshold = 0.4)
     },
 
     // probeHamming=2 = the measured-reasonable operating point on this

@@ -36,6 +36,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(20).mkString("\n"))
   }
 
+  test("semantic decontam flags exactly the train vectors with a close eval neighbor") {
+    // independent replay of the q155 predicate over the corpus split
+    val ev = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    val tr = corpus.filter(col("vec_id") >= 20)
+      .select(col("vec_id"), col("embedding"))
+    val expected = tr.join(ev, Vectors.cosine(col("embedding"), col("ev")) >= 0.4)
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("eval_id").as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Similarity.semanticDecontam(
+      corpus.filter(col("vec_id") >= 20), corpus.filter(col("vec_id") < 20), 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty,
+      "fixture drift: the planted clusters should put train vectors near eval ones")
+    // and none of the flagged rows may be an eval vector itself
+    assert(got.keySet.forall(_ >= 20))
+  }
+
   test("multi-probe LSH: recall grows monotonically with probe radius, >=0.9 when widened") {
     val queries = corpus.filter(col("vec_id") < 20)
     def pairs(df: org.apache.spark.sql.DataFrame) =
