@@ -694,6 +694,27 @@ object Curation {
     docs.select(explode(array_distinct(Text.shinglesSpaceSplit(col("text"), k))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("rc"))
 
+  /** The XXH64-hashed twin of [[refcountedWindowStore]] (q156) — the
+    * q133 move for the retractable store: 8-byte window keys make the
+    * store ~an order of magnitude smaller and every absorb/retract join
+    * shuffle longs instead of strings, with identical counts absent a
+    * 64-bit collision (the same astronomically-remote event every hashed
+    * tier accepts). [[absorbIntoRefcountedStore]] /
+    * [[retractFromRefcountedStore]] take `hashed = true` to build their
+    * delta/window sets in this representation — ONE lifecycle
+    * definition, two key types, so the twins cannot drift.
+    */
+  def hashedRefcountedWindowStore(
+      docs: org.apache.spark.sql.DataFrame, k: Int = 5): org.apache.spark.sql.DataFrame =
+    docs.select(explode(array_distinct(transform(
+      Text.shinglesSpaceSplit(col("text"), k), s => xxhash64(s)))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("rc"))
+
+  private def rcStoreOf(
+      batch: org.apache.spark.sql.DataFrame, k: Int, hashed: Boolean) =
+    if (hashed) hashedRefcountedWindowStore(batch, k)
+    else refcountedWindowStore(batch, k)
+
   /** ABSORB a batch into a refcounted store: blindly append the batch's
     * per-window doc counts as DELTA rows — O(batch) with NO store read at
     * all (cheaper than [[appendToWindowStore]]'s anti join, and no
@@ -708,8 +729,9 @@ object Curation {
       spark: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame,
       path: String,
-      k: Int = 5): Unit =
-    refcountedWindowStore(batch, k)
+      k: Int = 5,
+      hashed: Boolean = false): Unit =
+    rcStoreOf(batch, k, hashed)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .option("compression", "zstd").parquet(path)
 
@@ -732,8 +754,9 @@ object Curation {
       batch: org.apache.spark.sql.DataFrame,
       path: String,
       k: Int = 5,
-      broadcastCeiling: Long = graft.queries.Dedup.IncrementalBroadcastCeiling): Unit = {
-    retractedRefcountedRows(spark, batch, path, k, broadcastCeiling)
+      broadcastCeiling: Long = graft.queries.Dedup.IncrementalBroadcastCeiling,
+      hashed: Boolean = false): Unit = {
+    retractedRefcountedRows(spark, batch, path, k, broadcastCeiling, hashed)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd").parquet(path + ".next")
     swapInto(spark, path)
@@ -753,11 +776,12 @@ object Curation {
       batch: org.apache.spark.sql.DataFrame,
       path: String,
       k: Int = 5,
-      broadcastCeiling: Long = graft.queries.Dedup.IncrementalBroadcastCeiling): org.apache.spark.sql.DataFrame = {
+      broadcastCeiling: Long = graft.queries.Dedup.IncrementalBroadcastCeiling,
+      hashed: Boolean = false): org.apache.spark.sql.DataFrame = {
     // materialize the batch's window counts once — they drive BOTH joins
     // and must not recompute between the store read and the swap; the
     // checkpoint also gives the broadcast gate an exact size
-    val bw = refcountedWindowStore(batch, k)
+    val bw = rcStoreOf(batch, k, hashed)
       .select(col("g"), col("rc").as("dn")).localCheckpoint()
     val small =
       bw.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(broadcastCeiling)
@@ -1312,10 +1336,11 @@ object Curation {
       |GROUP BY a.shard_id""".stripMargin
 
   /** Shared oracle: the q124 novelty replay (string windows, store =
-    * doc_id%5≠0, batch = %5==0). Four consumers, one definition: q124
+    * doc_id%5≠0, batch = %5==0). Five consumers, one definition: q124
     * (direct store), q131 (absorbed store ≡ rebuild), q133 (hashed twin
     * — identical counts absent a 64-bit window collision), q150
-    * (absorb∘absorb∘retract ≡ rebuild, the refcounted store).
+    * (absorb∘absorb∘retract ≡ rebuild, the refcounted store), q156 (the
+    * hashed refcounted twin — both arguments at once).
     */
   private val NoveltyOracleSql =
     """WITH sh AS (
@@ -2756,6 +2781,37 @@ object Curation {
         retractFromRefcountedStore(s, flagged, path)
       }
       contentNovelty(
+        s.read.parquet(path), docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    },
+
+    // HASHED REFCOUNTED STORE (see [[hashedRefcountedWindowStore]]):
+    // q150's lifecycle verbatim over the 8-byte XXH64 representation —
+    // the declared 100 TB store (q133's move, now for the retractable
+    // variant): absorb/retract join shuffles ship longs, the store is an
+    // order of magnitude smaller, counts identical absent a 64-bit
+    // collision. That identity is what lets the SAME string-window
+    // oracle hash-check this path's values (fifth NoveltyOracleSql
+    // consumer); RefcountStoreSpec pins the two stores' net-count tables
+    // in bijection on the testdata corpora.
+    "q156_novelty_retract_hashed" -> Q(
+      "Hashed refcounted novelty store: q150's absorb-absorb-retract " +
+        "lifecycle over 8-byte XXH64 window keys, gauge as if never absorbed",
+      NoveltyOracleSql) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_rcx_k5_pid" +
+        ProcessHandle.current().pid()
+      Curation.synchronized {
+        hashedRefcountedWindowStore(docs.filter(pmod(col("doc_id"), lit(5)) > 1)).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(path)
+        absorbIntoRefcountedStore(
+          s, docs.filter(pmod(col("doc_id"), lit(5)) === 1), path, hashed = true)
+        val flagged = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        absorbIntoRefcountedStore(s, flagged, path, hashed = true)
+        retractFromRefcountedStore(s, flagged, path, hashed = true)
+      }
+      hashedContentNovelty(
         s.read.parquet(path), docs.filter(pmod(col("doc_id"), lit(5)) === 0))
     },
 

@@ -65,6 +65,21 @@ class RefcountStoreSpec extends SparkSpec {
     assert(net(path) == Map("w1 w2 w3 w4 w5" -> 1L, "w2 w3 w4 w5 w6" -> 1L))
   }
 
+  test("the hashed twin's net counts are the string store's, keyed by xxhash64") {
+    // q156 ≡ q150 with g -> xxhash64(g): the two lifecycle stores must be
+    // in exact count bijection (no collisions on this corpus — the same
+    // check q133 rests on)
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val str = Curation.refcountedWindowStore(docs)
+      .select(xxhash64(col("g")).as("g"), col("rc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hashed = Curation.hashedRefcountedWindowStore(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed == str,
+      "hashed refcounted store must be the string store under xxhash64")
+  }
+
   test("q150 lifecycle on the corpus: absorb-absorb-retract equals one-shot rebuild") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val path = tmp("graft_rc_corpus")
