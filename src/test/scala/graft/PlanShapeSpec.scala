@@ -534,6 +534,20 @@ class PlanShapeSpec extends SparkSpec {
       "per-user list must aggregate map-side first:\n" + p)
   }
 
+  test("q153 funnel sweep: ONE events scan however many horizons; still no joins") {
+    // the sweep's reason to exist: the grid folds over the ONCE-collected
+    // per-user lists — a per-horizon chain-of-joins replay would scan and
+    // re-key events |grid| × |steps| times
+    val p = planOf("q153_funnel_sweep")
+    val eventScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(eventScans == 1,
+      s"the sweep must scan events once for the whole grid, got $eventScans:\n" + p)
+    assert(!p.contains("Join"), "the sweep must not join:\n" + p)
+    assert(p.contains("partial_collect_list"),
+      "per-user lists must aggregate map-side first:\n" + p)
+  }
+
   test("q148 padding sweep: ONE corpus scan; the grid sweeps the length histogram") {
     val p = planOf("q148_padding_sweep")
     val docScans = p.linesIterator.count(l =>
