@@ -1361,6 +1361,27 @@ object Curation {
       |FROM n LEFT JOIN nv ON nv.source = n.source
       |ORDER BY n.source""".stripMargin
 
+  /** q157: the pack manifest — see the registration comment. The q58
+    * cumsum kept at row grain, spans in pack-local coordinates.
+    */
+  def packManifest(
+      docs: org.apache.spark.sql.DataFrame, packTokens: Int = 512): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ", -1)).as("tok"))
+      .withColumn("off", coalesce(sum(col("tok")).over(w), lit(0)))
+      .select(col("source"),
+        floor(col("off") / packTokens).cast("long").as("pack_id"),
+        col("doc_id"),
+        pmod(col("off"), lit(packTokens.toLong)).cast("long").as("tok_start"),
+        (pmod(col("off"), lit(packTokens.toLong)) + col("tok"))
+          .cast("long").as("tok_end"),
+        when(pmod(col("off"), lit(packTokens.toLong)) + col("tok") > packTokens, 1)
+          .otherwise(0).cast("int").as("crosses_boundary"))
+      .orderBy("source", "pack_id", "doc_id")
+  }
+
   /** Shared oracle: the q115/q121 from-scratch threshold solve over the
     * WHOLE corpus (stored %5≠0 histogram + %5==0 batch). Two consumers,
     * one definition: q121 (absorbed-at-query merge ≡ rebuild), q152
@@ -1624,6 +1645,39 @@ object Curation {
     // exactly the packing pretraining loaders use. One window function +
     // one aggregate; the cumsum partitions by source so a 100 TB corpus
     // packs in parallel per stratum with no global coordination.
+    // PACK MANIFEST (the q58 rollup's per-doc form): the artifact a
+    // training LOADER actually consumes — for every doc its span inside
+    // its 512-token context window (tok_start/tok_end in pack-local
+    // coordinates) plus the crosses-boundary flag, which is exactly the
+    // information cross-document attention masking and loss masking
+    // need (a doc overshooting its pack must mask differently from one
+    // that ends inside it; q58's concat-then-chunk assigns packs by doc
+    // START, so the last doc of a pack may overshoot — the <1-doc
+    // overshoot documented there). Same scale shape as q58: one
+    // per-source-parallel window, no extra shuffle — the manifest is
+    // the SAME cumsum q58 aggregates, kept at row grain; in production
+    // it is written next to the q105 shards. Oracle replays the window
+    // and the mod arithmetic verbatim.
+    "q157_pack_manifest" -> Q(
+      "Pack manifest for the training loader: per-doc token spans inside " +
+        "each 512-token context window, with overshoot flags",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id,
+        |  CAST(off % 512 AS BIGINT) AS tok_start,
+        |  CAST(off % 512 + tok AS BIGINT) AS tok_end,
+        |  CAST(CASE WHEN off % 512 + tok > 512 THEN 1 ELSE 0 END AS INT)
+        |    AS crosses_boundary
+        |FROM c ORDER BY source, pack_id, doc_id""".stripMargin) { (s, dir) =>
+      packManifest(Tables(s, dir, "documents"))
+    },
+
     "q58_seq_packing" -> Q(
       "Sequence packing audit: 512-token context windows per source " +
         "(concat-then-chunk)",

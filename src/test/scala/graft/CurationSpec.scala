@@ -10,6 +10,41 @@ class CurationSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q157 pack manifest: spans tile each pack; only a pack's last doc may overshoot") {
+    import spark.implicits._
+    // planted: 4-token docs against a 10-token pack — offsets 0,4,8,12
+    // so doc 3 overshoots pack 0 (span 8..12) and doc 4 starts pack 1
+    // at local offset 2 (concat-then-chunk coordinates, not a reset)
+    val planted = Seq.tabulate(4)(i =>
+      (i.toLong + 1, "s0", (1 to 4).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = graft.queries.Curation.packManifest(planted, packTokens = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 4L, 0), (0L, 2L, 4L, 8L, 0), (0L, 3L, 8L, 12L, 1),
+      (1L, 4L, 2L, 6L, 0)), s"got ${got.toSeq}")
+
+    // corpus invariants: the manifest is q58's cumsum at row grain —
+    // per (source, pack) it must reproduce q58's doc counts and token
+    // sums exactly, and only the last doc of a pack may overshoot
+    val m = graft.queries.Curation
+      .packManifest(graft.queries.Tables(spark, dir, "documents"))
+    val fromManifest = m.groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_end") - col("tok_start")).as("sum_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val fromQ58 = SparkEntry.queries("q58_seq_packing")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(fromManifest == fromQ58,
+      "manifest rollup must equal q58's pack audit cell for cell")
+    val lastPerPack = m.groupBy("source", "pack_id").agg(max("doc_id").as("last_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    m.filter(col("crosses_boundary") === 1).collect().foreach { r =>
+      assert(lastPerPack((r.getString(0), r.getLong(1))) == r.getLong(2),
+        s"non-final doc overshoots its pack: $r")
+    }
+  }
+
   test("q57 mixture sampling: kept counts respect the per-stratum rate, deterministically") {
     val rows = SparkEntry.queries("q57_source_mixing")(spark, dir).collect()
     rows.foreach { r =>
