@@ -1631,6 +1631,45 @@ object Dedup {
         merged.select(col("doc_id").as("id"), col("cluster_id").as("component")))
     },
 
+    // SNAPSHOT RETRACTION (q149 at snapshot granularity): the truncated
+    // re-crawl case — snapshot 2 was ABSORBED into the gid-keyed store
+    // (the q147 production fold made durable), then the ingest gauges
+    // flag it (wrong volume, drifted quality) and the whole snapshot is
+    // un-absorbed via retractBatch; keep-newest then ranks the restored
+    // 0/1 store. The store here is pid-scoped and built fresh each call
+    // (it is MUTATED — the probe-only q147 store must never be): the
+    // house rule for counted lifecycles. Oracle: the SAME cross-snapshot
+    // template instantiated WITHOUT the snapshot-2 arms — equal values ⟺
+    // absorb∘retract left exactly the snapshots-0/1 families (q149's
+    // retract-equals-rebuild at gid keys, certified end-to-end through
+    // the keep-newest ranking).
+    "q158_snapshot_retract" -> Q(
+      "Snapshot retraction: a flagged snapshot-2 crawl absorbed into the " +
+        "gid-keyed store then un-absorbed; keep-newest over the restored " +
+        "snap-0/1 families",
+      crossSnapshotOracle(withSnap2 = false)) { (s, dir) =>
+      val thr = 0.7
+      val keyed = withSnapGid(deriveSnapshots(Tables(s, dir, "documents")))
+        .select(col("gid"), col("snap"), col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+      def gidDocs(n: Int) = keyed.filter(col("snap") === n)
+        .select(col("gid").as("doc_id"), col("text"), col("n_chars"))
+      val d01 = gidDocs(0).unionByName(gidDocs(1))
+      val d2 = gidDocs(2)
+      val path = indexPathFor(dir) + "_snapr_pid" + ProcessHandle.current().pid()
+      Dedup.synchronized {
+        persistBandIndex(d01, path)
+        persistComponents(d01, path, thr)
+        persistExactIndex(d01, path)
+        absorbBatch(s, d2, d01.unionByName(d2), path, thr)
+        appendToExactIndex(s, d2, path)
+        retractBatch(s, d2.select(col("doc_id")), d01, path, thr)
+      }
+      val manifest = s.read.parquet(manifestSubdir(path, thr))
+      keepNewest(keyed.filter(col("snap") < 2),
+        manifest.select(col("doc_id").as("id"), col("component")))
+    },
+
     // BATCH RETRACTION (see [[retractManifest]]): the store holds the FULL
     // corpus absorbed; the query retracts the %5==0 batch and must
     // reproduce a from-scratch q97 manifest over the remaining corpus —
@@ -1712,18 +1751,33 @@ object Dedup {
     * fold path (their equality is SnapshotDedupSpec's pin).
     */
   // lazy: declared after `all`, which references it during object init
-  private lazy val crossSnapshotOracleSql: String =
-    """WITH RECURSIVE
-        |v AS (
-        |  SELECT 0 AS snap, doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT 1, doc_id, CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END
-        |  FROM documents WHERE doc_id % 11 <> 0
+  /** The cross-snapshot replay, templated over the snapshot set: ONE
+    * definition of the gid-keyed jaccard graph + recursive CC +
+    * keep-newest, instantiated with (q146/q147) or without (q158) the
+    * snapshot-2 arms — so the retraction oracle cannot drift from the
+    * fold/audit oracle it mirrors.
+    */
+  private def crossSnapshotOracle(withSnap2: Boolean): String = {
+    val snap2Arms =
+      """
         |  UNION ALL
         |  SELECT 2, doc_id, CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END
         |  FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0
         |  UNION ALL
-        |  SELECT 2, doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+        |  SELECT 2, doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0""".stripMargin
+    s"""WITH RECURSIVE
+        |v AS (
+        |  SELECT 0 AS snap, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 1, doc_id, CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END
+        |  FROM documents WHERE doc_id % 11 <> 0${if (withSnap2) snap2Arms else ""}),""".stripMargin +
+      crossSnapshotOracleTail
+  }
+
+  private lazy val crossSnapshotOracleSql: String = crossSnapshotOracle(withSnap2 = true)
+
+  private lazy val crossSnapshotOracleTail: String =
+    """
         |k AS (SELECT snap * 1099511627776 + doc_id AS gid, snap, doc_id,
         |        text, LENGTH(text) AS n_chars FROM v),
         |t AS (SELECT gid, string_split(text, ' ') AS toks FROM k),

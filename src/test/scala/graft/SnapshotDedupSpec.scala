@@ -48,6 +48,18 @@ class SnapshotDedupSpec extends SparkSpec {
     }
   }
 
+  test("q158: absorbing then retracting snapshot 2 equals the snapshots-0/1 one-shot") {
+    val d = "/root/testdata/sf0.001"
+    val viaRetract = SparkEntry.queries("q158_snapshot_retract")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val oneShot01 = Dedup.crossSnapshotDedup(
+      Dedup.deriveSnapshots(Tables(spark, d, "documents"))
+        .filter(col("snap") < 2))
+      .collect().map(_.toSeq).toSeq
+    assert(viaRetract == oneShot01,
+      "snapshot retraction must restore exactly the snapshots-0/1 clustering")
+  }
+
   test("keep-newest prefers the freshest snapshot, then n_chars, then gid") {
     import spark.implicits._
     // one family of three versions across two snapshots (identical text ⇒
