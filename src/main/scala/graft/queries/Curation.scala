@@ -1382,6 +1382,44 @@ object Curation {
       .orderBy("source", "pack_id", "doc_id")
   }
 
+  /** q159: the [[packManifest]] fold RESUMED from a persisted day-0
+    * manifest — the continuation append. Where q120's immutable-file rule
+    * starts the batch in fresh packs (published shard files are never
+    * rewritten), the loader-manifest stream has no such constraint: the
+    * token stream is continuous across days, so day-1's first doc fills
+    * day-0's last partial context window. The resume offset per source is
+    * recovered from the manifest's own coordinates — spans are contiguous,
+    * so max(pack_id*packTokens + tok_end) IS the source's token total —
+    * one ≤n_sources-row aggregate off a single store scan, broadcast back
+    * onto the O(batch) window. The store rows pass through untouched:
+    * incremental ≡ rebuild over the (day, doc_id)-ordered union, which is
+    * exactly what the q159 oracle replays as one window.
+    */
+  def packManifestAppend(
+      store: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      packTokens: Int = 512): org.apache.spark.sql.DataFrame = {
+    val base = store.groupBy("source")
+      .agg(max(col("pack_id") * packTokens + col("tok_end")).as("base_off"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val appended = batch
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ", -1)).as("tok"))
+      .withColumn("local", coalesce(sum(col("tok")).over(w), lit(0)))
+      .join(broadcast(base), Seq("source"), "left")
+      .withColumn("off", coalesce(col("base_off"), lit(0L)) + col("local"))
+      .select(col("source"),
+        floor(col("off") / packTokens).cast("long").as("pack_id"),
+        col("doc_id"),
+        pmod(col("off"), lit(packTokens.toLong)).cast("long").as("tok_start"),
+        (pmod(col("off"), lit(packTokens.toLong)) + col("tok"))
+          .cast("long").as("tok_end"),
+        when(pmod(col("off"), lit(packTokens.toLong)) + col("tok") > packTokens, 1)
+          .otherwise(0).cast("int").as("crosses_boundary"))
+    store.unionByName(appended).orderBy("source", "pack_id", "doc_id")
+  }
+
   /** Shared oracle: the q115/q121 from-scratch threshold solve over the
     * WHOLE corpus (stored %5≠0 histogram + %5==0 batch). Two consumers,
     * one definition: q121 (absorbed-at-query merge ≡ rebuild), q152
@@ -1676,6 +1714,52 @@ object Curation {
         |    AS crosses_boundary
         |FROM c ORDER BY source, pack_id, doc_id""".stripMargin) { (s, dir) =>
       packManifest(Tables(s, dir, "documents"))
+    },
+
+    // PACK CONTINUATION ([[packManifestAppend]]): the daily loader-manifest
+    // shape — day-0's manifest (persisted parquet, probe-only: written once
+    // per process then only scanned) extended by the day-1 batch CONTINUING
+    // the token stream, first batch doc filling day-0's last partial
+    // window. Store rows pass through byte-identical; the batch costs one
+    // per-source window + a ≤20-row broadcast of resume offsets — O(batch),
+    // the store never re-packed. Batch convention here is %7 (NOT the usual
+    // %5): source = src(doc_id % 20), so a %5 split puts whole sources on
+    // one side and the mid-window resume would never fire on the fixture;
+    // 7 is coprime with 20, so EVERY source has both days and the oracle
+    // genuinely certifies the continuation. Incremental ≡ rebuild: one
+    // window over the (day, doc_id)-ordered corpus reproduces every span
+    // the two-step fold produced.
+    "q159_pack_append" -> Q(
+      "Pack-manifest continuation: day-1 docs resume the day-0 token " +
+        "stream from its persisted manifest, filling the last partial window",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS tok,
+        |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS day
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY day, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id,
+        |  CAST(off % 512 AS BIGINT) AS tok_start,
+        |  CAST(off % 512 + tok AS BIGINT) AS tok_end,
+        |  CAST(CASE WHEN off % 512 + tok > 512 THEN 1 ELSE 0 END AS INT)
+        |    AS crosses_boundary
+        |FROM c ORDER BY source, pack_id, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val storePath = s"${sys.props("java.io.tmpdir")}/graft_packstore_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_p512_pid" +
+        ProcessHandle.current().pid()
+      Curation.synchronized {
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(storePath, "_SUCCESS"))) {
+          packManifest(docs.filter(col("doc_id") % 7 =!= 0)).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(storePath)
+        }
+      }
+      packManifestAppend(
+        s.read.parquet(storePath), docs.filter(col("doc_id") % 7 === 0))
     },
 
     "q58_seq_packing" -> Q(

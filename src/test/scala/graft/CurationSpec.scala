@@ -45,6 +45,64 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q159 pack append: batch resumes the store's token stream exactly") {
+    import spark.implicits._
+    // planted: store = docs 1,2 (4 tokens each, 10-token packs → total 8);
+    // batch = docs 11,12. Doc 11 must FILL pack 0's last partial window
+    // (span 8..12, crossing), doc 12 continues in pack 1 at local 2 —
+    // and because store ids < batch ids, the two-step fold must equal the
+    // one-shot manifest over the union verbatim.
+    def mk(ids: Seq[Long]) = ids.map(i =>
+      (i, "s0", (1 to 4).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val store = graft.queries.Curation.packManifest(mk(Seq(1L, 2L)), packTokens = 10)
+    val got = graft.queries.Curation
+      .packManifestAppend(store, mk(Seq(11L, 12L)), packTokens = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 4L, 0), (0L, 2L, 4L, 8L, 0), (0L, 11L, 8L, 12L, 1),
+      (1L, 12L, 2L, 6L, 0)), s"got ${got.toSeq}")
+    val oneShot = graft.queries.Curation
+      .packManifest(mk(Seq(1L, 2L)).unionByName(mk(Seq(11L, 12L))), packTokens = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(got.toSeq == oneShot.toSeq, "append must equal the one-shot fold")
+
+    // empty store: append degenerates to packManifest of the batch
+    val fromEmpty = graft.queries.Curation
+      .packManifestAppend(store.filter(lit(false)), mk(Seq(11L, 12L)), packTokens = 10)
+      .collect().map(_.toSeq)
+    val direct = graft.queries.Curation.packManifest(mk(Seq(11L, 12L)), packTokens = 10)
+      .collect().map(_.toSeq)
+    assert(fromEmpty.toSeq == direct.toSeq)
+
+    // corpus invariants (the oracle pins values; these pin the contract):
+    // store rows pass through byte-identical, and each source's first
+    // batch span starts at the store's token total for that source —
+    // %7 batch convention so every src(doc_id%20) source has both days
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val cStore = graft.queries.Curation
+      .packManifest(docs.filter(col("doc_id") % 7 =!= 0))
+    val res = graft.queries.Curation
+      .packManifestAppend(cStore, docs.filter(col("doc_id") % 7 === 0))
+    val storeSet = cStore.collect().map(_.toSeq).toSet
+    val through = res.filter(col("doc_id") % 7 =!= 0).collect().map(_.toSeq).toSet
+    assert(through == storeSet, "store spans must pass through untouched")
+    val totals = cStore.groupBy("source")
+      .agg(max(col("pack_id") * 512 + col("tok_end")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val firsts = res.filter(col("doc_id") % 7 === 0)
+      .withColumn("off", col("pack_id") * 512 + col("tok_start"))
+      .groupBy("source").agg(min(struct(col("doc_id"), col("off"))).as("f"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1).getLong(1))
+    firsts.foreach { case (source, off) =>
+      assert(off == totals(source),
+        s"$source: first batch span must resume at the store total")
+    }
+    // the continuation genuinely fires: some source resumes MID-window
+    assert(firsts.exists { case (_, off) => off % 512 != 0 },
+      "fixture must exercise a mid-window resume")
+  }
+
   test("q57 mixture sampling: kept counts respect the per-stratum rate, deterministically") {
     val rows = SparkEntry.queries("q57_source_mixing")(spark, dir).collect()
     rows.foreach { r =>
