@@ -662,4 +662,20 @@ class PlanShapeSpec extends SparkSpec {
       "the pack-offset state must broadcast:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q159 pack append: store manifest scanned not re-packed, resume offsets broadcast") {
+    val p = planOf("q159_pack_append")
+    // the store side contributes (a) pass-through rows and (b) the tiny
+    // per-source resume aggregate — both off parquet scans of the
+    // persisted manifest, never a re-derivation from documents text
+    assert(p.contains("graft_packstore_"),
+      "store spans must come from the persisted manifest artifact:\n" + p)
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans == 1,
+      s"only the batch may scan documents, got $docScans:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "resume offsets must broadcast onto the batch window:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
