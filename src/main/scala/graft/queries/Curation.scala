@@ -1398,12 +1398,34 @@ object Curation {
   def packManifestAppend(
       store: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame,
-      packTokens: Int = 512): org.apache.spark.sql.DataFrame = {
-    val base = store.groupBy("source")
+      packTokens: Int = 512): org.apache.spark.sql.DataFrame =
+    store.unionByName(
+        packSpans(batch, packResumeOffsets(store, packTokens), packTokens))
+      .orderBy("source", "pack_id", "doc_id")
+
+  /** Per-source resume offsets of a pack manifest: spans are contiguous,
+    * so max(pack_id*packTokens + tok_end) IS the source's token total.
+    * ≤ n_sources rows — small enough to broadcast, or to collect when the
+    * consumer must sever a read-write cycle ([[graft.streaming.PackIngestStream]]).
+    */
+  def packResumeOffsets(
+      store: org.apache.spark.sql.DataFrame,
+      packTokens: Int = 512): org.apache.spark.sql.DataFrame =
+    store.groupBy("source")
       .agg(max(col("pack_id") * packTokens + col("tok_end")).as("base_off"))
+
+  /** The batch's spans resumed from `base` (source, base_off) — the
+    * appended-only half of [[packManifestAppend]]: one per-source window
+    * over the batch, the base broadcast onto it. Sources absent from the
+    * base start at offset 0.
+    */
+  def packSpans(
+      batch: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame,
+      packTokens: Int = 512): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val appended = batch
+    batch
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ", -1)).as("tok"))
       .withColumn("local", coalesce(sum(col("tok")).over(w), lit(0)))
@@ -1417,7 +1439,6 @@ object Curation {
           .cast("long").as("tok_end"),
         when(pmod(col("off"), lit(packTokens.toLong)) + col("tok") > packTokens, 1)
           .otherwise(0).cast("int").as("crosses_boundary"))
-    store.unionByName(appended).orderBy("source", "pack_id", "doc_id")
   }
 
   /** Shared oracle: the q115/q121 from-scratch threshold solve over the

@@ -635,6 +635,62 @@ class StreamingSpec extends SparkSpec {
     assert(all.map(_._2).sorted.toSeq == rows.map(_._1).sorted.toSeq)
   }
 
+  test("streaming pack ingest: batch 1 bootstraps, batch 2 resumes the stream, published spans stay stable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING)
+    import spark.implicits._
+
+    val rows = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (r1, r2) = rows.partition(_._1 % 7 != 0)
+    def df(rs: Seq[(Long, String, String)]) =
+      rs.toDF("doc_id", "source", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-pack-ingest").toString
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.PackIngestStream.start(
+      input.toDF().toDF("doc_id", "source", "text"), store,
+      queryName = "pack_ingest_t")
+
+    def spans(d: org.apache.spark.sql.DataFrame) = d
+      .select("source", "pack_id", "doc_id", "tok_start", "tok_end", "crosses_boundary")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    def files(): Map[String, Long] =
+      new java.io.File(store).listFiles.toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+
+    input.addData(r1: _*)
+    q.processAllAvailable()
+    assert(spans(spark.read.parquet(store)) ==
+      spans(graft.queries.Curation.packManifest(df(r1))),
+      "batch 1 must bootstrap to exactly its own manifest")
+    val afterB1 = files()
+
+    input.addData(r2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // published span files are untouched; the store equals the two-day
+    // batch fold — stream == batch, q159's contract per micro-batch
+    afterB1.foreach { case (p, size) =>
+      assert(files().get(p).contains(size), s"published manifest file changed: $p")
+    }
+    assert(spans(spark.read.parquet(store)) ==
+      spans(graft.queries.Curation.packManifestAppend(
+        graft.queries.Curation.packManifest(df(r1)), df(r2))),
+      "streamed store must equal the batch continuation fold")
+  }
+
   test("streaming pinned-centroid assignment: zero-join scoring, stream==batch q96 ranks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
