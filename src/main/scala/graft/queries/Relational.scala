@@ -338,6 +338,33 @@ object Relational {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // PIVOT with an EXPLICIT value list — the scale-relevant form: without
+    // it Spark runs a values-discovery job (collect distinct event_type)
+    // before it can even plan, an extra corpus pass a 100 TB pipeline
+    // cannot afford for a vocabulary that is fixed in the schema contract.
+    // Explicit values keep it one pass: pivot lowers to a single groupBy
+    // with one conditional aggregate per column — exactly what the oracle
+    // spells out as COUNT(*) FILTER arms. Day keyed as a formatted string
+    // (the q110_hourly precedent: never emit raw timestamps cross-engine).
+    "q160_pivot_daily" -> Q(
+      "PIVOT (explicit value list): daily event-type count matrix, " +
+        "one pass, no values-discovery job",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    },
+
     "q11_join_inner" -> Q(
       "Inner join fact→dim with broadcast (no shuffle of orders)",
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

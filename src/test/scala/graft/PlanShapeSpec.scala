@@ -663,6 +663,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q160 pivot: explicit values keep it ONE events pass, a plain two-phase aggregate") {
+    val p = planOf("q160_pivot_daily")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans == 1, s"pivot must not re-scan events, got $scans:\n" + p)
+    // lowered to groupBy(day) + conditional aggregates: one hash exchange,
+    // no join, no expand
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Expand"), p)
+  }
+
   test("q159 pack append: store manifest scanned not re-packed, resume offsets broadcast") {
     val p = planOf("q159_pack_append")
     // the store side contributes (a) pass-through rows and (b) the tiny
