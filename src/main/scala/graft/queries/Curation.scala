@@ -1441,6 +1441,63 @@ object Curation {
           .otherwise(0).cast("int").as("crosses_boundary"))
   }
 
+  /** ABSORB a batch into a persisted pack-manifest store: q159's
+    * continuation made durable. The batch's spans land as NEW parquet
+    * files only (published rows immutable — the training loader's
+    * contract); the resume offsets are COLLECTED first (≤ n_sources
+    * rows), so the append plan never reads the directory it writes to —
+    * the parquet self-read hazard severed by construction, the
+    * [[graft.streaming.PackIngestStream]] discipline shared by the batch path.
+    */
+  def absorbIntoPackStore(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      path: String,
+      packTokens: Int = 512): Unit = {
+    val offsets = packResumeOffsets(spark.read.parquet(path), packTokens)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    packSpans(batch, offsets.toDF("source", "base_off"), packTokens)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd").parquet(path)
+  }
+
+  /** RETRACT a batch from a pack-manifest store. The stream is
+    * append-only, so ONLY the tail is retractable: a batch whose spans
+    * are the suffix of every source's token stream drops out exactly
+    * (the remaining rows ARE the pre-absorb manifest — offsets of
+    * earlier docs never depended on later ones). The guard makes the
+    * contract loud: if any surviving span of a source sits at or beyond
+    * a retracted span's start offset, the batch was NOT the tail and the
+    * rewrite raises (`raise_error`, the q107-guard house pattern)
+    * instead of silently writing a manifest with a hole in its stream.
+    * Write-aside then swap, like every mutated store here.
+    */
+  def retractFromPackStore(
+      spark: org.apache.spark.sql.SparkSession,
+      batchIds: org.apache.spark.sql.DataFrame,
+      path: String,
+      packTokens: Int = 512): Unit = {
+    val store = spark.read.parquet(path)
+    val ids = batchIds.select(col("doc_id"))
+    val dropStart = store.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("source")
+      .agg(min(col("pack_id") * packTokens + col("tok_start")).as("drop_start"))
+    store.join(ids, Seq("doc_id"), "left_anti")
+      .join(broadcast(dropStart), Seq("source"), "left")
+      .select(
+        when(col("drop_start").isNotNull &&
+            col("pack_id") * packTokens + col("tok_end") > col("drop_start"),
+          raise_error(concat(lit("pack retract: batch is not the stream tail at "),
+            col("source"), lit("/doc "), col("doc_id").cast("string"))))
+          .otherwise(col("source")).as("source"),
+        col("pack_id"), col("doc_id"), col("tok_start"), col("tok_end"),
+        col("crosses_boundary"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path + ".next")
+    swapInto(spark, path)
+  }
+
   /** Shared oracle: the q115/q121 from-scratch threshold solve over the
     * WHOLE corpus (stored %5≠0 histogram + %5==0 batch). Two consumers,
     * one definition: q121 (absorbed-at-query merge ≡ rebuild), q152

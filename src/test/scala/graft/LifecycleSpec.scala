@@ -96,6 +96,28 @@ class LifecycleSpec extends SparkSpec {
     val epochDir = ShardExport.write(
       day0, s"$root/shards", epoch = 1, packTokens = 512, shardTokens = 2048)
     var storedManifest = ShardExport.manifest(spark, epochDir).localCheckpoint()
+    // pack-manifest store (q159 family): the loader's continuous token
+    // stream — day batches RESUME it, so its rebuild twin is the one-shot
+    // fold over the ARRIVAL order, realized by remapping doc ids onto a
+    // day-strided gid before the one-shot window
+    var packPath = s"$root/packs"
+    Curation.packManifest(day0).write
+      .option("compression", "zstd").parquet(packPath)
+    val PackStride = 10000000L
+    var packDays: Seq[DataFrame] = Seq(day0)
+
+    def packRows(): Set[Seq[Any]] =
+      spark.read.parquet(packPath).collect().map(_.toSeq).toSet
+
+    def packRebuild(): Set[Seq[Any]] = {
+      val remapped = packDays.zipWithIndex.map { case (d, i) =>
+        d.select((col("doc_id") + lit(i * PackStride)).as("doc_id"),
+          col("source"), col("text"))
+      }.reduce(_ unionByName _)
+      Curation.packManifest(remapped)
+        .withColumn("doc_id", pmod(col("doc_id"), lit(PackStride)))
+        .collect().map(_.toSeq).toSet
+    }
 
     def ivfTopk(indexed: DataFrame): Set[(Long, Long, Int)] =
       IvfIndex.searchIndexed(model, ivfQueries, indexed, k = 5, nProbe = 4)
@@ -200,6 +222,8 @@ class LifecycleSpec extends SparkSpec {
       Curation.absorbIntoRefcountedStore(spark, batch, rcWinPath)
       Curation.absorbIntoHistogramStore(spark, batch, histPath)
       IvfIndex.appendToIndex(model, batchEmb, ivfPath)
+      Curation.absorbIntoPackStore(spark, batch, packPath)
+      packDays = packDays :+ batch
 
       // -- post-absorb: every store ≡ a from-scratch rebuild --
       assert(spark.read.parquet(manifestDir(bandRoot))
@@ -231,6 +255,8 @@ class LifecycleSpec extends SparkSpec {
       assert(ivfTopk(spark.read.parquet(ivfPath)) ==
         ivfTopk(IvfIndex.assign(model, embNext)),
         clue + "appended ANN index diverges from the one-shot full build")
+      assert(packRows() == packRebuild(),
+        clue + "absorbed pack store diverges from the arrival-order one-shot fold")
     }
 
     // ---- DAY 1: gauge + absorb against the day-0 stores ----------------
@@ -273,6 +299,14 @@ class LifecycleSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet,
       "IVF compaction changed the index content")
     ivfPath = ivfPath2
+    // pack store: collapse the day-1 append fragments into a fresh layout
+    // — rows immutable, so compaction is a content-identical rewrite
+    val packBefore = packRows()
+    val packPath2 = s"$root/packs_d1c"
+    spark.read.parquet(packPath).write
+      .option("compression", "zstd").parquet(packPath2)
+    packPath = packPath2
+    assert(packRows() == packBefore, "pack compaction changed the span content")
 
     // ---- DAY 2: gauge + absorb against the COMPACTED stores ------------
     // (append-after-compact and gauge-after-compact in one pass)
@@ -309,6 +343,7 @@ class LifecycleSpec extends SparkSpec {
     val manifestBefore = storedManifest.collect().map(_.toSeq).toSet
     val shardMax = storedManifest
       .agg(max(col("shard_id").cast("long"))).head.getLong(0)
+    val packBefore3 = packRows()
 
     Dedup.absorbBatch(spark, day3, c2.unionByName(day3), bandRoot, Thr)
     Dedup.appendToExactIndex(spark, day3, bandRoot)
@@ -317,16 +352,20 @@ class LifecycleSpec extends SparkSpec {
     IvfIndex.appendToIndex(model, e3, ivfPath)
     ShardExport.append(spark, day3, epochDir,
       epoch = 1, packTokens = 512, shardTokens = 2048)
+    Curation.absorbIntoPackStore(spark, day3, packPath)
     assert(storeRows("manifest_bp7000") != bandBefore("manifest_bp7000"),
       "day 3: the poisoned absorb must actually change the manifest")
     assert(rcNet() != rcBefore,
       "day 3: the poisoned absorb must actually change the window counts")
+    assert(packRows() != packBefore3,
+      "day 3: the poisoned absorb must actually extend the pack stream")
 
     Dedup.retractBatch(spark, day3.select("doc_id"), c2, bandRoot, Thr)
     Curation.retractFromRefcountedStore(spark, day3, rcWinPath)
     Curation.retractFromHistogramStore(spark, day3, histPath)
     IvfIndex.retractFromIndex(spark, model, e3, ivfPath)
     ShardExport.resetAppended(epochDir, shardMax)
+    Curation.retractFromPackStore(spark, day3.select("doc_id"), packPath)
 
     for (p <- bandParts)
       assert(storeRows(p) == bandBefore(p),
@@ -346,5 +385,19 @@ class LifecycleSpec extends SparkSpec {
       ShardExport.manifest(spark, epochDir)).collect()
     assert(audit3.nonEmpty && audit3.forall(_.getString(1) == "ok"),
       "day 3: post-retraction audit must attest every surviving shard ok")
+    assert(packRows() == packBefore3,
+      "day 3: pack store not restored by the tail retraction")
+    // the tail guard is loud: retracting a NON-tail batch (day 1, buried
+    // under day 2's spans) must raise, not write a holed stream
+    val ex = intercept[Exception] {
+      Curation.retractFromPackStore(spark, day1.select("doc_id"), packPath)
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")) ++ Iterator("")).mkString(" ")
+    assert(rootMsg(ex).contains("not the stream tail"),
+      s"non-tail retract must raise the guard, got: ${rootMsg(ex).take(200)}")
+    assert(packRows() == packBefore3,
+      "day 3: failed non-tail retract must leave the store untouched")
   }
 }
