@@ -1840,6 +1840,47 @@ object Curation {
         s.read.parquet(storePath), docs.filter(col("doc_id") % 7 === 0))
     },
 
+    // PACK RETRACTION ([[retractFromPackStore]]): the truncated-ingest
+    // case for the append-only token stream — the %7 batch is absorbed as
+    // the stream's tail, flagged, and un-absorbed; the restored store must
+    // equal the never-absorbed manifest, which is exactly what the oracle
+    // replays (q157's window over the %7≠0 corpus). The store is MUTATED
+    // (absorb∘retract), so per the counted-lifecycle house rule it is
+    // rebuilt fresh on every registered call — what the query measures is
+    // the lifecycle itself. Tail-only retractability is the operator's
+    // honest contract (earlier spans never depended on later ones; a
+    // non-tail retract raises — LifecycleSpec pins that guard).
+    "q161_pack_retract" -> Q(
+      "Pack-store retraction: the absorbed tail batch un-absorbed; the " +
+        "restored manifest equals the never-absorbed fold",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |c AS (
+        |  SELECT source, doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id,
+        |  CAST(off % 512 AS BIGINT) AS tok_start,
+        |  CAST(off % 512 + tok AS BIGINT) AS tok_end,
+        |  CAST(CASE WHEN off % 512 + tok > 512 THEN 1 ELSE 0 END AS INT)
+        |    AS crosses_boundary
+        |FROM c ORDER BY source, pack_id, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_packretract_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_p512_pid" +
+        ProcessHandle.current().pid()
+      Curation.synchronized {
+        packManifest(docs.filter(col("doc_id") % 7 =!= 0)).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        absorbIntoPackStore(s, batch, path)
+        retractFromPackStore(s, batch.select(col("doc_id")), path)
+      }
+      s.read.parquet(path).orderBy("source", "pack_id", "doc_id")
+    },
+
     "q58_seq_packing" -> Q(
       "Sequence packing audit: 512-token context windows per source " +
         "(concat-then-chunk)",
