@@ -2082,6 +2082,70 @@ object Curation {
         s.read.parquet(baseManifestPath), baseMax)
     },
 
+    // EPOCH REMAP audit ([[graft.ops.ShardExport.assignShards]]): shard
+    // assignment is a PURE function of (pack key, epoch) — the md5 skey
+    // reshuffles the global pack order per epoch — so giving a training
+    // run its epoch-2 global order costs one manifest computation over
+    // pack KEYS (tokens/512 rows, never the documents), not a second
+    // export of the corpus. The audit derives both epochs' assignments
+    // from ONE pack layout and flags movement; conservation (every pack
+    // assigned in both epochs, same token mass) is what the join + oracle
+    // hash-check certify. The oracle replays the 256-bucket two-pass
+    // cumsum as DuckDB's single global window — equal because bucket =
+    // the skey's first two hex chars, so (bucket, skey) order IS skey
+    // order (the q105 argument, here twice).
+    "q162_epoch_remap" -> Q(
+      "Epoch remap audit: epochs 1 and 2 shard assignments from one pack " +
+        "layout, movement flagged — reshuffle is manifest-only",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t),
+        |pk AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id,
+        |         SUM(n_toks) AS pack_toks
+        |       FROM p GROUP BY 1, 2),
+        |k1 AS (SELECT *,
+        |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+        |       FROM pk),
+        |c1 AS (SELECT source, pack_id,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k1),
+        |a1 AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_e1 FROM c1),
+        |k2 AS (SELECT *,
+        |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':2') AS skey
+        |       FROM pk),
+        |c2 AS (SELECT source, pack_id,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k2),
+        |a2 AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_e2 FROM c2)
+        |SELECT pk.source, pk.pack_id, CAST(pk.pack_toks AS BIGINT) AS pack_toks,
+        |  a1.shard_e1, a2.shard_e2,
+        |  CAST(CASE WHEN a1.shard_e1 <> a2.shard_e2 THEN 1 ELSE 0 END AS INT) AS moved
+        |FROM pk
+        |JOIN a1 ON a1.source = pk.source AND a1.pack_id = pk.pack_id
+        |JOIN a2 ON a2.source = pk.source AND a2.pack_id = pk.pack_id
+        |ORDER BY pk.source, pk.pack_id""".stripMargin) { (s, dir) =>
+      val pd = graft.ops.ShardExport.packedDocs(Tables(s, dir, "documents"), 512)
+      val packs = pd.groupBy("source", "pack_id").agg(sum("n_toks").as("pack_toks"))
+      val e1 = graft.ops.ShardExport.assignShards(packs, epoch = 1, shardTokens = 2048)
+        .select(col("source"), col("pack_id"), col("pack_toks"),
+          col("shard_id").as("shard_e1"))
+      val e2 = graft.ops.ShardExport.assignShards(packs, epoch = 2, shardTokens = 2048)
+        .select(col("source"), col("pack_id"), col("shard_id").as("shard_e2"))
+      e1.join(e2, Seq("source", "pack_id"))
+        .select(col("source"), col("pack_id"),
+          col("pack_toks").cast("long").as("pack_toks"),
+          col("shard_e1"), col("shard_e2"),
+          (col("shard_e1") =!= col("shard_e2")).cast("int").as("moved"))
+        .orderBy("source", "pack_id")
+    },
+
     // DECONTAMINATION: flag training documents sharing word-5-grams with a
     // held-out eval set (here: doc_id < 20). The eval shingle set is tiny
     // by construction, so the plan is explode → broadcast equi-join on the
