@@ -48,7 +48,7 @@ class SnapshotDedupSpec extends SparkSpec {
     }
   }
 
-  test("q158: absorbing then retracting snapshot 2 equals the snapshots-0/1 one-shot") {
+  test("q158: retracting snapshot 2 from the absorbed store equals the snapshots-0/1 one-shot") {
     val d = "/root/testdata/sf0.001"
     val viaRetract = SparkEntry.queries("q158_snapshot_retract")(spark, d)
       .collect().map(_.toSeq).toSeq
