@@ -1441,6 +1441,56 @@ object Curation {
           .otherwise(0).cast("int").as("crosses_boundary"))
   }
 
+  /** Power-of-two slot boundaries for [[boundaryPack]] — ONE list builds
+    * both the Spark cascade and the oracle's CASE arms, so the two
+    * engines cannot disagree on bucketing (and no float log2 enters:
+    * the house integer-exactness rule).
+    */
+  private val PackSlotBounds = Seq(16, 32, 64, 128, 256, 512)
+
+  /** q163: document-BOUNDARY packing — the no-crossing variant of q157
+    * (inference batching and finetuning without cross-document attention
+    * masking need windows where no doc straddles a boundary). Exact
+    * first-fit is a sequential recurrence a distributed plan cannot
+    * express; the standard scalable form is LENGTH-BUCKETED packing:
+    * docs land in the smallest power-of-two slot that holds them, a
+    * window of the 512 budget carries 512/slot equal-slot docs, and the
+    * per-doc waste is exactly slot − len. One `row_number` window per
+    * (source, slot) partition — MORE parallel than q157's per-source
+    * cumsum, nothing global; the assignment is a pure function of the
+    * (source, slot, doc_id) order, so the oracle replays it verbatim.
+    * Docs over the budget flag `oversize` (own window, zero pad — the
+    * training loader truncates; none exist on the fixture, the guard is
+    * for real corpora).
+    */
+  def boundaryPack(
+      docs: org.apache.spark.sql.DataFrame,
+      budget: Int = 512): org.apache.spark.sql.DataFrame = {
+    val len = size(split(col("text"), " ", -1))
+    val slot = PackSlotBounds.reverse
+      .foldLeft(lit(budget)) { (e, b) => when(len <= b, lit(b)).otherwise(e) }
+    val oversize = (len > budget).cast("int")
+    val capacity = floor(lit(budget.toDouble) / col("slot")).cast("long")
+    val w = Window.partitionBy("source", "slot").orderBy("doc_id")
+    docs
+      .select(col("source"), col("doc_id"), len.as("n_toks"),
+        slot.as("slot"), oversize.as("oversize"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1)
+      .select(col("source"), col("slot").cast("int").as("bucket_slot"),
+        col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+        floor(col("rn") / capacity).cast("long").as("window_id"),
+        pmod(col("rn"), capacity).cast("long").as("slot_pos"),
+        when(col("oversize") === 1, 0L)
+          .otherwise(col("slot") - col("n_toks")).cast("long").as("pad_tokens"),
+        col("oversize"))
+      .orderBy("source", "bucket_slot", "doc_id")
+  }
+
+  /** The oracle half of [[PackSlotBounds]]: the identical CASE cascade. */
+  private def slotCaseSql(budget: Int): String =
+    PackSlotBounds.map(b => s"WHEN ln <= $b THEN $b").mkString(
+      "CASE ", " ", s" ELSE $budget END")
+
   /** ABSORB a batch into a persisted pack-manifest store: q159's
     * continuation made durable. The batch's spans land as NEW parquet
     * files only (published rows immutable — the training loader's
@@ -1879,6 +1929,34 @@ object Curation {
         retractFromPackStore(s, batch.select(col("doc_id")), path)
       }
       s.read.parquet(path).orderBy("source", "pack_id", "doc_id")
+    },
+
+    // BOUNDARY packing ([[boundaryPack]]): q157's no-crossing sibling —
+    // length-bucketed equal-slot windows, one row_number per (source,
+    // slot) partition, per-doc waste exact. The slot cascade and the
+    // oracle's CASE arms come from the SAME boundary list, so the
+    // engines cannot drift on bucketing.
+    "q163_boundary_pack" -> Q(
+      "Document-boundary packing: length-bucketed equal-slot 512-token " +
+        "windows (no doc crosses a boundary), exact per-doc padding",
+      s"""WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS ln
+        |  FROM documents),
+        |s AS (SELECT source, doc_id, ln, ${slotCaseSql(512)} AS slot,
+        |        CASE WHEN ln > 512 THEN 1 ELSE 0 END AS oversize
+        |      FROM t),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY source, slot ORDER BY doc_id) - 1 AS rn
+        |      FROM s)
+        |SELECT source, CAST(slot AS INT) AS bucket_slot, doc_id,
+        |  CAST(ln AS BIGINT) AS n_toks,
+        |  CAST(rn // (512 // slot) AS BIGINT) AS window_id,
+        |  CAST(rn % (512 // slot) AS BIGINT) AS slot_pos,
+        |  CAST(CASE WHEN oversize = 1 THEN 0 ELSE slot - ln END AS BIGINT)
+        |    AS pad_tokens,
+        |  CAST(oversize AS INT) AS oversize
+        |FROM r ORDER BY source, bucket_slot, doc_id""".stripMargin) { (s, dir) =>
+      boundaryPack(Tables(s, dir, "documents"))
     },
 
     "q58_seq_packing" -> Q(

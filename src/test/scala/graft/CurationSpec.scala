@@ -103,6 +103,40 @@ class CurationSpec extends SparkSpec {
       "fixture must exercise a mid-window resume")
   }
 
+  test("q163 boundary pack: no window exceeds the budget; slots fill sequentially") {
+    import spark.implicits._
+    // planted: lens 10,16,17,500,600 against the 16/32/.../512 cascade
+    val planted = Seq(
+      (1L, "s0", (1 to 10).map(_ => "w").mkString(" ")),
+      (2L, "s0", (1 to 16).map(_ => "w").mkString(" ")),
+      (3L, "s0", (1 to 17).map(_ => "w").mkString(" ")),
+      (4L, "s0", (1 to 500).map(_ => "w").mkString(" ")),
+      (5L, "s0", (1 to 600).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = graft.queries.Curation.boundaryPack(planted)
+      .collect().map(r => (r.getLong(2), r.getInt(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getInt(7))).toSeq
+    assert(got == Seq(
+      (1L, 16, 0L, 0L, 6L, 0),   // slot 16, first of 32/window
+      (2L, 16, 0L, 1L, 0L, 0),   // same window, next slot, zero pad
+      (3L, 32, 0L, 0L, 15L, 0),  // next power of two
+      (4L, 512, 0L, 0L, 12L, 0), // own window
+      (5L, 512, 1L, 0L, 0L, 1)), // oversize: own window (cap 1), no pad, flagged
+      s"got $got")
+
+    // corpus invariants: every (source, slot, window) holds at most
+    // 512/slot docs whose slots sum within the budget — the no-crossing
+    // contract — and slot positions are exactly 0..n-1
+    val m = graft.queries.Curation
+      .boundaryPack(graft.queries.Tables(spark, dir, "documents"))
+    val viol = m.groupBy("source", "bucket_slot", "window_id")
+      .agg(count(lit(1)).as("n"), max("slot_pos").as("mx"))
+      .filter(col("n") * col("bucket_slot") > 512 || col("mx") =!= col("n") - 1)
+    assert(viol.isEmpty, "window over budget or non-sequential slots")
+    assert(m.filter(col("oversize") === 1).isEmpty,
+      "fixture has no oversize docs; the flag must not fire")
+  }
+
   test("q57 mixture sampling: kept counts respect the per-stratum rate, deterministically") {
     val rows = SparkEntry.queries("q57_source_mixing")(spark, dir).collect()
     rows.foreach { r =>
