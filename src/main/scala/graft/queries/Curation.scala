@@ -1959,6 +1959,65 @@ object Curation {
       boundaryPack(Tables(s, dir, "documents"))
     },
 
+    // RELEASE manifest — the last-mile composition no stand-alone query
+    // covers: q97's dedup keepers fed straight through the pack cumsum
+    // and the epoch-1 shard assignment in ONE declarative plan, per kept
+    // doc its (pack_id, shard_id) address. This is the artifact that
+    // walks from "raw corpus" to "what the loader reads" without a
+    // persisted intermediate: dedup graph → components → ranked keepers
+    // → per-source pack windows → md5-shuffled shard cumsum. Each stage
+    // is the verbatim stand-alone operator ([[graft.queries.Dedup.dedupManifest]],
+    // [[graft.ops.ShardExport.packedDocs]]/[[graft.ops.ShardExport.assignShards]]),
+    // so the cost is the honest sum of what it composes and no stage can
+    // disagree with its registered sibling; the oracle stitches the SAME
+    // shared CTEs (Dedup.KeeperCteSql + the q105/q162 pack-shard arms).
+    "q164_release_manifest" -> Q(
+      "Release manifest: dedup keepers packed and shard-assigned in one " +
+        "plan — per kept doc its (pack_id, shard_id) loader address",
+      s"""WITH RECURSIVE
+        |${graft.queries.Dedup.KeeperCteSql},
+        |kd AS (
+        |  SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_toks
+        |  FROM documents d JOIN keepers USING (doc_id)),
+        |p AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM kd),
+        |d2 AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id,
+        |         doc_id, n_toks
+        |       FROM p),
+        |pk AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+        |       FROM d2 GROUP BY source, pack_id),
+        |k1 AS (SELECT *,
+        |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+        |       FROM pk),
+        |c1 AS (SELECT source, pack_id,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k1),
+        |a1 AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_id FROM c1)
+        |SELECT d2.source, d2.doc_id, CAST(d2.n_toks AS BIGINT) AS n_toks,
+        |  d2.pack_id, a1.shard_id
+        |FROM d2 JOIN a1 ON a1.source = d2.source AND a1.pack_id = d2.pack_id
+        |ORDER BY d2.source, d2.pack_id, d2.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val keep = graft.queries.Dedup.dedupManifest(docs)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val pd = graft.ops.ShardExport
+        .packedDocs(docs.join(keep, Seq("doc_id"), "left_semi"), 512)
+      val packs = pd.groupBy("source", "pack_id")
+        .agg(sum("n_toks").as("pack_toks"))
+      val asg = graft.ops.ShardExport
+        .assignShards(packs, epoch = 1, shardTokens = 2048)
+        .select(col("source"), col("pack_id"), col("shard_id"))
+      pd.join(asg, Seq("source", "pack_id"))
+        .select(col("source"), col("doc_id"),
+          col("n_toks").cast("long").as("n_toks"),
+          col("pack_id"), col("shard_id"))
+        .orderBy("source", "pack_id", "doc_id")
+    },
+
     "q58_seq_packing" -> Q(
       "Sequence packing audit: 512-token context windows per source " +
         "(concat-then-chunk)",

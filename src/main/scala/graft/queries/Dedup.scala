@@ -898,6 +898,32 @@ object Dedup {
       |FROM comp JOIN documents USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** The q97 replay re-shaped as a reusable CTE chain ending in
+    * `keepers(doc_id)` — the keep=1 set of [[dedupManifest]]. Callers
+    * prepend `WITH RECURSIVE ` and append their own CTEs/SELECT; q164's
+    * release-manifest oracle composes its pack/shard arms onto it so the
+    * dedup stage of the composed chain cannot drift from q97's oracle.
+    */
+  private[queries] val KeeperCteSql: String =
+    s"""$ExactPairPrefixSql,
+      |pairs AS (SELECT u, v FROM pj WHERE j >= 0.7),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+      |comp AS (
+      |  SELECT LEAST(COALESCE(m.mn, d.doc_id), d.doc_id) AS cluster_id,
+      |         d.doc_id
+      |  FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id),
+      |rk AS (
+      |  SELECT cluster_id, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM comp JOIN documents USING (doc_id)),
+      |keepers AS (SELECT doc_id FROM rk WHERE rk = 1)""".stripMargin
+
   /** q110's oracle: the FROM-SCRATCH whole-corpus component replay (the
     * q97 CTE minus the ranking). Equality with the Spark side is the whole
     * point: the incremental merge must reproduce exactly what a full rerun

@@ -137,6 +137,23 @@ class CurationSpec extends SparkSpec {
       "fixture has no oversize docs; the flag must not fire")
   }
 
+  test("q164 release manifest: stages agree with their stand-alone siblings") {
+    val rel = SparkEntry.queries("q164_release_manifest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // the kept set IS q97's keep=1 set — the dedup stage cannot disagree
+    val keepers = SparkEntry.queries("q97_dedup_manifest")(spark, dir)
+      .filter(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rel.map(_._2).toSet == keepers,
+      "release manifest must carry exactly q97's keepers")
+    // every (source, pack) maps to one shard (the assignment is a pure
+    // function of the pack key), and no doc appears twice
+    assert(rel.map(_._2).distinct.length == rel.length)
+    val packShards = rel.map(t => (t._1, t._3) -> t._4).distinct
+    assert(packShards.map(_._1).distinct.length == packShards.length,
+      "a pack must land in exactly one shard")
+  }
+
   test("q57 mixture sampling: kept counts respect the per-stratum rate, deterministically") {
     val rows = SparkEntry.queries("q57_source_mixing")(spark, dir).collect()
     rows.foreach { r =>
