@@ -1491,6 +1491,45 @@ object Curation {
     PackSlotBounds.map(b => s"WHEN ln <= $b THEN $b").mkString(
       "CASE ", " ", s" ELSE $budget END")
 
+  /** q165: [[boundaryPack]]'s continuation — the q159 resume pattern at
+    * the (source, slot) grain, where it is even cheaper: equal-slot
+    * windows make the resume state a per-(source, slot) DOC COUNT (the
+    * next doc's rn), ≤ n_sources × n_slots rows recovered from the
+    * manifest's own coordinates (max window_id·capacity + slot_pos + 1).
+    * Batch docs continue numbering where the store stopped — the first
+    * batch doc of a partially-filled window takes its next slot. Same
+    * tail-only retractability argument as the token-stream store (later
+    * rns depend on earlier docs' existence, not their content).
+    */
+  def boundaryPackAppend(
+      store: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      budget: Int = 512): org.apache.spark.sql.DataFrame = {
+    val capacity = floor(lit(budget.toDouble) / col("bucket_slot")).cast("long")
+    val base = store.groupBy("source", "bucket_slot")
+      .agg(max(col("window_id") * capacity + col("slot_pos") + 1).as("base_rn"))
+    val len = size(split(col("text"), " ", -1))
+    val slot = PackSlotBounds.reverse
+      .foldLeft(lit(budget)) { (e, b) => when(len <= b, lit(b)).otherwise(e) }
+    val w = Window.partitionBy("source", "bucket_slot").orderBy("doc_id")
+    val cap2 = floor(lit(budget.toDouble) / col("bucket_slot")).cast("long")
+    val appended = batch
+      .select(col("source"), col("doc_id"), len.as("n_toks"),
+        slot.cast("int").as("bucket_slot"),
+        (len > budget).cast("int").as("oversize"))
+      .withColumn("local", row_number().over(w).cast("long") - 1)
+      .join(broadcast(base), Seq("source", "bucket_slot"), "left")
+      .withColumn("rn", coalesce(col("base_rn"), lit(0L)) + col("local"))
+      .select(col("source"), col("bucket_slot"), col("doc_id"),
+        col("n_toks").cast("long").as("n_toks"),
+        floor(col("rn") / cap2).cast("long").as("window_id"),
+        pmod(col("rn"), cap2).cast("long").as("slot_pos"),
+        when(col("oversize") === 1, 0L)
+          .otherwise(col("bucket_slot") - col("n_toks")).cast("long").as("pad_tokens"),
+        col("oversize"))
+    store.unionByName(appended).orderBy("source", "bucket_slot", "doc_id")
+  }
+
   /** ABSORB a batch into a persisted pack-manifest store: q159's
     * continuation made durable. The batch's spans land as NEW parquet
     * files only (published rows immutable — the training loader's
@@ -1957,6 +1996,51 @@ object Curation {
         |  CAST(oversize AS INT) AS oversize
         |FROM r ORDER BY source, bucket_slot, doc_id""".stripMargin) { (s, dir) =>
       boundaryPack(Tables(s, dir, "documents"))
+    },
+
+    // BOUNDARY-pack continuation ([[boundaryPackAppend]]): the q159
+    // daily shape at the (source, slot) grain — day-1 docs continue the
+    // per-bucket numbering where the persisted day-0 manifest stopped,
+    // the first batch doc of a partially-filled window taking its next
+    // slot. Resume state = one doc count per (source, slot), broadcast;
+    // the store is scanned once, never re-packed. %7 batch convention
+    // (the q159 argument: %5 is source-aligned on this fixture). Oracle
+    // certifies incremental ≡ rebuild via ROW_NUMBER over the
+    // (day, doc_id) order within each bucket.
+    "q165_boundary_pack_append" -> Q(
+      "Boundary-pack continuation: day-1 docs resume each (source, slot) " +
+        "bucket's numbering from the persisted manifest",
+      s"""WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS ln,
+        |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS day
+        |  FROM documents),
+        |s AS (SELECT source, doc_id, ln, day, ${slotCaseSql(512)} AS slot,
+        |        CASE WHEN ln > 512 THEN 1 ELSE 0 END AS oversize
+        |      FROM t),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY source, slot ORDER BY day, doc_id) - 1 AS rn
+        |      FROM s)
+        |SELECT source, CAST(slot AS INT) AS bucket_slot, doc_id,
+        |  CAST(ln AS BIGINT) AS n_toks,
+        |  CAST(rn // (512 // slot) AS BIGINT) AS window_id,
+        |  CAST(rn % (512 // slot) AS BIGINT) AS slot_pos,
+        |  CAST(CASE WHEN oversize = 1 THEN 0 ELSE slot - ln END AS BIGINT)
+        |    AS pad_tokens,
+        |  CAST(oversize AS INT) AS oversize
+        |FROM r ORDER BY source, bucket_slot, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val storePath = s"${sys.props("java.io.tmpdir")}/graft_bpackstore_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_b512_pid" +
+        ProcessHandle.current().pid()
+      Curation.synchronized {
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(storePath, "_SUCCESS"))) {
+          boundaryPack(docs.filter(col("doc_id") % 7 =!= 0)).write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(storePath)
+        }
+      }
+      boundaryPackAppend(
+        s.read.parquet(storePath), docs.filter(col("doc_id") % 7 === 0))
     },
 
     // RELEASE manifest — the last-mile composition no stand-alone query

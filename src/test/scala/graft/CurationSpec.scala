@@ -137,6 +137,37 @@ class CurationSpec extends SparkSpec {
       "fixture has no oversize docs; the flag must not fire")
   }
 
+  test("q165 boundary-pack append: buckets resume their numbering; store passes through") {
+    import spark.implicits._
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val store = graft.queries.Curation
+      .boundaryPack(docs.filter(col("doc_id") % 7 =!= 0))
+    val res = graft.queries.Curation
+      .boundaryPackAppend(store, docs.filter(col("doc_id") % 7 === 0))
+    assert(res.filter(col("doc_id") % 7 =!= 0).collect().map(_.toSeq).toSet ==
+      store.collect().map(_.toSeq).toSet,
+      "store rows must pass through untouched")
+    // per (source, slot): the first batch doc takes exactly the next rn
+    val counts = store.groupBy("source", "bucket_slot")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val firsts = res.filter(col("doc_id") % 7 === 0)
+      .withColumn("rn",
+        col("window_id") * floor(lit(512.0) / col("bucket_slot")).cast("long")
+          + col("slot_pos"))
+      .groupBy("source", "bucket_slot")
+      .agg(min(struct(col("doc_id"), col("rn"))).as("f"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getStruct(2).getLong(1)))
+    firsts.foreach { case (k, rn) =>
+      assert(rn == counts.getOrElse(k, 0L),
+        s"$k: first batch doc must take the next free slot")
+    }
+    // the mid-window continuation genuinely fires somewhere
+    val caps = Map(16 -> 32L, 32 -> 16L, 64 -> 8L, 128 -> 4L, 256 -> 2L, 512 -> 1L)
+    assert(firsts.exists { case ((_, s), rn) => rn % caps(s) != 0 },
+      "fixture must exercise a mid-window slot resume")
+  }
+
   test("q164 release manifest: stages agree with their stand-alone siblings") {
     val rel = SparkEntry.queries("q164_release_manifest")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
