@@ -1530,6 +1530,31 @@ object Curation {
     store.unionByName(appended).orderBy("source", "bucket_slot", "doc_id")
   }
 
+  /** q166: the per-source corpus integrity audit — see the registration
+    * comment. Duplicate ids are detected at the ID grain (a window over
+    * doc_id) so a duplicate SPANNING sources is charged to every source
+    * holding a copy; all other checks are row-local.
+    */
+  def integrityAudit(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("doc_id")
+    docs
+      .withColumn("id_n", count(lit(1)).over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"),
+        sum(when(col("id_n") > 1, 1).otherwise(0)).cast("long").as("n_dup_id"),
+        sum(when(col("text").isNull, 0)
+          .when(col("n_chars") =!= length(col("text")), 1)
+          .otherwise(0)).cast("long").as("n_chars_bad"),
+        sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1)
+          .otherwise(0)).cast("long").as("n_empty"))
+      .orderBy("source")
+  }
+
   /** ABSORB a batch into a persisted pack-manifest store: q159's
     * continuation made durable. The batch's spans land as NEW parquet
     * files only (published rows immutable — the training loader's
@@ -2041,6 +2066,38 @@ object Curation {
       }
       boundaryPackAppend(
         s.read.parquet(storePath), docs.filter(col("doc_id") % 7 === 0))
+    },
+
+    // CORPUS INTEGRITY audit ([[integrityAudit]]): the precondition gauge
+    // every other operator assumes — per source, the profile (docs, chars,
+    // id span) plus violation counts: duplicate ids, n_chars disagreeing
+    // with the text, empty/null text. One scan, two exchanges (the id
+    // grain for cross-source duplicate detection, then the source rollup).
+    // On the fixture every violation column is zero, which is exactly
+    // what the oracle attests (the q126 all-ok precedent: the damage
+    // paths — planted dup ids, doctored n_chars, empties — are exercised
+    // in CurationSpec where the data can safely be vandalized); the
+    // profile columns carry real per-source values, so the counting
+    // machinery itself is hash-checked, not just the zeros.
+    "q166_integrity_audit" -> Q(
+      "Corpus integrity audit: per-source profile + duplicate-id / " +
+        "n_chars-mismatch / empty-text violation counts",
+      """WITH d AS (
+        |  SELECT source, doc_id, text, n_chars,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS id_n
+        |  FROM documents)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        |  CAST(SUM(CASE WHEN id_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_id,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 0
+        |                WHEN n_chars <> LENGTH(text) THEN 1
+        |                ELSE 0 END) AS BIGINT) AS n_chars_bad,
+        |  CAST(SUM(CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+        |FROM d GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      integrityAudit(Tables(s, dir, "documents"))
     },
 
     // RELEASE manifest — the last-mile composition no stand-alone query

@@ -168,6 +168,33 @@ class CurationSpec extends SparkSpec {
       "fixture must exercise a mid-window slot resume")
   }
 
+  test("q166 integrity audit: planted damage is detected; the clean fixture audits zero") {
+    import spark.implicits._
+    // planted: doc 1 duplicated ACROSS sources (both charged), doc 3's
+    // n_chars doctored, doc 4 whitespace-only, doc 5 null text
+    val planted = Seq(
+      (1L, "sA", "alpha beta", 10L),
+      (1L, "sB", "alpha beta", 10L),
+      (3L, "sA", "gamma", 99L),
+      (4L, "sB", "   ", 3L),
+      (5L, "sB", null, 0L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val got = graft.queries.Curation.integrityAudit(planted)
+      .select("source", "n_dup_id", "n_chars_bad", "n_empty")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(("sA", 1L, 1L, 0L), ("sB", 1L, 0L, 2L)), s"got $got")
+
+    // clean fixture: every violation column is zero, profile is sane
+    val corpus = SparkEntry.queries("q166_integrity_audit")(spark, dir).collect()
+    assert(corpus.length == 20)
+    corpus.foreach { r =>
+      assert(r.getLong(5) == 0 && r.getLong(6) == 0 && r.getLong(7) == 0,
+        s"clean fixture must audit zero violations: $r")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
   test("q164 release manifest: stages agree with their stand-alone siblings") {
     val rel = SparkEntry.queries("q164_release_manifest")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
