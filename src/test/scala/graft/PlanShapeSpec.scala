@@ -674,6 +674,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Expand"), p)
   }
 
+  test("q163/q165 boundary pack: one documents scan; the append broadcasts its resume counts") {
+    val p = planOf("q163_boundary_pack")
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1, p)
+    assert(!p.contains("Join"), "the bucketed pack needs no join:\n" + p)
+    val pa = planOf("q165_boundary_pack_append")
+    assert(pa.contains("graft_bpackstore_"),
+      "append must read the persisted manifest artifact:\n" + pa)
+    assert(pa.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1,
+      "only the batch may scan documents:\n" + pa)
+    assert(pa.contains("BroadcastHashJoin") && !pa.contains("SortMergeJoin"), pa)
+  }
+
+  test("q164 release manifest: composed stages keep their stand-alone shapes — no cartesian, bounded broadcasts only") {
+    val p = planOf("q164_release_manifest")
+    assert(!p.contains("CartesianProduct"), p)
+    // the epoch shard assignment's 256-row bucket-offset table folds in as
+    // a literal CASE cascade (assignShards collects it) — no join may
+    // materialize for it; the only joins are the keeper semi join and the
+    // (source, pack_id) assignment join
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q166 integrity audit: one scan, two exchanges (id grain then source rollup)") {
+    val p = planOf("q166_integrity_audit")
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents")) == 1, p)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(l => l.contains("doc_id") || l.contains("source")),
+      s"unexpected exchange keys:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q159 pack append: store manifest scanned not re-packed, resume offsets broadcast") {
     val p = planOf("q159_pack_append")
     // the store side contributes (a) pass-through rows and (b) the tiny
