@@ -1504,16 +1504,37 @@ object Curation {
   def boundaryPackAppend(
       store: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame,
+      budget: Int = 512): org.apache.spark.sql.DataFrame =
+    store.unionByName(
+        boundarySpans(batch, boundaryResumeCounts(store, budget), budget))
+      .orderBy("source", "bucket_slot", "doc_id")
+
+  /** Per-(source, slot) resume counts of a boundary-pack manifest: the
+    * next doc's rn, recovered from the manifest's own coordinates.
+    * ≤ n_sources × n_slots rows.
+    */
+  def boundaryResumeCounts(
+      store: org.apache.spark.sql.DataFrame,
       budget: Int = 512): org.apache.spark.sql.DataFrame = {
     val capacity = floor(lit(budget.toDouble) / col("bucket_slot")).cast("long")
-    val base = store.groupBy("source", "bucket_slot")
+    store.groupBy("source", "bucket_slot")
       .agg(max(col("window_id") * capacity + col("slot_pos") + 1).as("base_rn"))
+  }
+
+  /** The batch's boundary-pack rows resumed from `base`
+    * (source, bucket_slot, base_rn) — the appended-only half of
+    * [[boundaryPackAppend]]. Buckets absent from the base start at rn 0.
+    */
+  def boundarySpans(
+      batch: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame,
+      budget: Int = 512): org.apache.spark.sql.DataFrame = {
     val len = size(split(col("text"), " ", -1))
     val slot = PackSlotBounds.reverse
       .foldLeft(lit(budget)) { (e, b) => when(len <= b, lit(b)).otherwise(e) }
     val w = Window.partitionBy("source", "bucket_slot").orderBy("doc_id")
     val cap2 = floor(lit(budget.toDouble) / col("bucket_slot")).cast("long")
-    val appended = batch
+    batch
       .select(col("source"), col("doc_id"), len.as("n_toks"),
         slot.cast("int").as("bucket_slot"),
         (len > budget).cast("int").as("oversize"))
@@ -1527,7 +1548,57 @@ object Curation {
         when(col("oversize") === 1, 0L)
           .otherwise(col("bucket_slot") - col("n_toks")).cast("long").as("pad_tokens"),
         col("oversize"))
-    store.unionByName(appended).orderBy("source", "bucket_slot", "doc_id")
+  }
+
+  /** ABSORB a batch into a persisted boundary-pack store — the
+    * [[absorbIntoPackStore]] discipline at the (source, slot) grain:
+    * resume counts COLLECTED first (no self-read), new files only.
+    */
+  def absorbIntoBoundaryPackStore(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      path: String,
+      budget: Int = 512): Unit = {
+    val counts = boundaryResumeCounts(spark.read.parquet(path), budget)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    import spark.implicits._
+    boundarySpans(batch, counts.toDF("source", "bucket_slot", "base_rn"), budget)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd").parquet(path)
+  }
+
+  /** RETRACT a batch from a boundary-pack store —
+    * [[retractFromPackStore]]'s sibling at the (source, slot) grain;
+    * tail-only for the same reason (later rns depend on earlier docs'
+    * existence), guarded per bucket: a surviving row at or beyond a
+    * retracted rn means the batch was not the bucket tail → raise.
+    */
+  def retractFromBoundaryPackStore(
+      spark: org.apache.spark.sql.SparkSession,
+      batchIds: org.apache.spark.sql.DataFrame,
+      path: String,
+      budget: Int = 512): Unit = {
+    val store = spark.read.parquet(path)
+    val ids = batchIds.select(col("doc_id"))
+    val capacity = floor(lit(budget.toDouble) / col("bucket_slot")).cast("long")
+    val dropStart = store.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("source", "bucket_slot")
+      .agg(min(col("window_id") * capacity + col("slot_pos")).as("drop_rn"))
+    store.join(ids, Seq("doc_id"), "left_anti")
+      .join(broadcast(dropStart), Seq("source", "bucket_slot"), "left")
+      .select(
+        when(col("drop_rn").isNotNull &&
+            col("window_id") * capacity + col("slot_pos") >= col("drop_rn"),
+          raise_error(concat(
+            lit("boundary-pack retract: batch is not the bucket tail at "),
+            col("source"), lit("/"), col("bucket_slot").cast("string"),
+            lit("/doc "), col("doc_id").cast("string"))))
+          .otherwise(col("source")).as("source"),
+        col("bucket_slot"), col("doc_id"), col("n_toks"),
+        col("window_id"), col("slot_pos"), col("pad_tokens"), col("oversize"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path + ".next")
+    swapInto(spark, path)
   }
 
   /** q166: the per-source corpus integrity audit — see the registration
@@ -2066,6 +2137,46 @@ object Curation {
       }
       boundaryPackAppend(
         s.read.parquet(storePath), docs.filter(col("doc_id") % 7 === 0))
+    },
+
+    // BOUNDARY-pack RETRACTION ([[retractFromBoundaryPackStore]]): q161's
+    // contract at the (source, slot) grain — the %7 batch absorbed as
+    // each bucket's tail, flagged, un-absorbed; the restored store must
+    // equal the never-absorbed manifest (q163's replay over the %7≠0
+    // corpus). Counted lifecycle → base rebuilt fresh per call; the
+    // non-tail guard is LifecycleSpec-style spec territory (CurationSpec).
+    "q167_boundary_pack_retract" -> Q(
+      "Boundary-pack retraction: the absorbed tail batch un-absorbed per " +
+        "bucket; restored manifest equals the never-absorbed fold",
+      s"""WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS ln
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |s AS (SELECT source, doc_id, ln, ${slotCaseSql(512)} AS slot,
+        |        CASE WHEN ln > 512 THEN 1 ELSE 0 END AS oversize
+        |      FROM t),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY source, slot ORDER BY doc_id) - 1 AS rn
+        |      FROM s)
+        |SELECT source, CAST(slot AS INT) AS bucket_slot, doc_id,
+        |  CAST(ln AS BIGINT) AS n_toks,
+        |  CAST(rn // (512 // slot) AS BIGINT) AS window_id,
+        |  CAST(rn % (512 // slot) AS BIGINT) AS slot_pos,
+        |  CAST(CASE WHEN oversize = 1 THEN 0 ELSE slot - ln END AS BIGINT)
+        |    AS pad_tokens,
+        |  CAST(oversize AS INT) AS oversize
+        |FROM r ORDER BY source, bucket_slot, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_bpackretract_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_b512_pid" +
+        ProcessHandle.current().pid()
+      Curation.synchronized {
+        boundaryPack(docs.filter(col("doc_id") % 7 =!= 0)).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        absorbIntoBoundaryPackStore(s, batch, path)
+        retractFromBoundaryPackStore(s, batch.select(col("doc_id")), path)
+      }
+      s.read.parquet(path).orderBy("source", "bucket_slot", "doc_id")
     },
 
     // CORPUS INTEGRITY audit ([[integrityAudit]]): the precondition gauge

@@ -22,6 +22,22 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** q168: per-label vector-payload integrity — see the registration
+    * comment. `forall`/`exists` are codegen'd HOFs; everything row-local
+    * until the label rollup.
+    */
+  def embeddingIntegrity(e: DataFrame, dim: Int): DataFrame =
+    e.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(size(col("embedding")) =!= dim, 1).otherwise(0))
+          .cast("long").as("n_bad_dim"),
+        sum(when(exists(col("embedding"), x => isnan(x)), 1).otherwise(0))
+          .cast("long").as("n_nan"),
+        sum(when(forall(col("embedding"), x => x === 0.0f), 1).otherwise(0))
+          .cast("long").as("n_zero"))
+      .orderBy("label")
+
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
@@ -672,6 +688,28 @@ object Similarity {
         |FROM documents d LEFT JOIN missing m ON m.source = d.source
         |GROUP BY d.source, m.n_missing ORDER BY d.source""".stripMargin) { (s, dir) =>
       embeddingCoverage(Tables(s, dir, "documents"), emb(s, dir))
+    },
+
+    // q104's sibling at VALUE grain ([[embeddingIntegrity]]): the vector
+    // payloads themselves — dim drift (a re-embedding run with the wrong
+    // model), NaN poisoning (overflow upstream), all-zero vectors (a
+    // failed encode that serializes as zeros and silently attracts
+    // nothing in cosine space). Row-local checks, one aggregate; the
+    // fixture audits zero violations with real per-label profiles (the
+    // q126/q166 all-ok precedent — damage paths planted in the spec).
+    "q168_embedding_integrity" -> Q(
+      "Embedding integrity audit: per-label dim-mismatch / NaN / " +
+        "all-zero vector counts",
+      """SELECT label,
+        |  COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bad_dim,
+        |  CAST(SUM(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        |  CAST(SUM(CASE WHEN len(list_filter(embedding, x -> x <> 0)) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      embeddingIntegrity(emb(s, dir), dim = 64)
     },
 
     "q98_embed_outliers" -> Q(

@@ -168,6 +168,36 @@ class CurationSpec extends SparkSpec {
       "fixture must exercise a mid-window slot resume")
   }
 
+  test("q167 boundary-pack retract: tail retract restores; non-tail raises") {
+    import spark.implicits._
+    def mk(ids: Seq[Long]) = ids.map(i =>
+      (i, "s0", (1 to 4).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bpr-spec").toString + "/store"
+    graft.queries.Curation.boundaryPack(mk(Seq(1L, 2L))).write.parquet(path)
+    graft.queries.Curation.absorbIntoBoundaryPackStore(spark, mk(Seq(11L, 12L)), path)
+    val before = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    // non-tail: docs 1,2 are buried under 11,12 in the slot-16 bucket
+    val ex = intercept[Exception] {
+      graft.queries.Curation.retractFromBoundaryPackStore(
+        spark, Seq(1L).toDF("doc_id"), path)
+    }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" ")
+    assert(msg(ex).contains("not the bucket tail"), msg(ex).take(200))
+    assert(spark.read.parquet(path).collect().map(_.toSeq).toSet == before,
+      "failed non-tail retract must leave the store untouched")
+    // tail retract restores the pre-absorb manifest exactly
+    graft.queries.Curation.retractFromBoundaryPackStore(
+      spark, Seq(11L, 12L).toDF("doc_id"), path)
+    assert(spark.read.parquet(path).collect().map(_.toSeq).toSet ==
+      graft.queries.Curation.boundaryPack(mk(Seq(1L, 2L)))
+        .collect().map(_.toSeq).toSet,
+      "tail retract must restore the never-absorbed manifest")
+  }
+
   test("q166 integrity audit: planted damage is detected; the clean fixture audits zero") {
     import spark.implicits._
     // planted: doc 1 duplicated ACROSS sources (both charged), doc 3's

@@ -122,4 +122,29 @@ class SimilaritySpec extends SparkSpec {
     assert(total > 0 && diag.toDouble / total > 0.2,
       s"diag=$diag total=$total")
   }
+
+  test("q168 embedding integrity: planted damage detected; clean fixture audits zero") {
+    import spark.implicits._
+    // planted per damage class: wrong dim, NaN element, all-zero vector,
+    // and one healthy control
+    val planted = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(1.0f, Float.NaN, 3.0f), 0),
+      (3L, Array(0.0f, 0.0f, 0.0f), 1),
+      (4L, Array(1.0f, 2.0f, 3.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingIntegrity(planted, dim = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((0, 2L, 1L, 1L, 0L), (1, 2L, 0L, 0L, 1L)), s"got $got")
+
+    val corpus = SparkEntry.queries("q168_embedding_integrity")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(corpus.length == 10)
+    corpus.foreach { r =>
+      assert(r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 0,
+        s"clean fixture must audit zero violations: $r")
+      assert(r.getLong(1) > 0)
+    }
+  }
 }
