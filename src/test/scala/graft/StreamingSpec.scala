@@ -691,6 +691,56 @@ class StreamingSpec extends SparkSpec {
       "streamed store must equal the batch continuation fold")
   }
 
+  test("streaming boundary-pack ingest: buckets resume across batches, stream==batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING)
+    import spark.implicits._
+
+    val rows = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (r1, r2) = rows.partition(_._1 % 7 != 0)
+    def df(rs: Seq[(Long, String, String)]) = rs.toDF("doc_id", "source", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-bpack-ingest").toString
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.BoundaryPackIngestStream.start(
+      input.toDF().toDF("doc_id", "source", "text"), store,
+      queryName = "bpack_ingest_t")
+
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+
+    input.addData(r1: _*)
+    q.processAllAvailable()
+    assert(rowsOf(spark.read.parquet(store)) ==
+      rowsOf(graft.queries.Curation.boundaryPack(df(r1))),
+      "batch 1 must bootstrap to exactly its own manifest")
+    val filesB1 = new java.io.File(store).listFiles.toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.length()).toMap
+
+    input.addData(r2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    filesB1.foreach { case (p, size) =>
+      val f = new java.io.File(p)
+      assert(f.exists && f.length() == size, s"published file changed: $p")
+    }
+    assert(rowsOf(spark.read.parquet(store)) ==
+      rowsOf(graft.queries.Curation.boundaryPackAppend(
+        graft.queries.Curation.boundaryPack(df(r1)), df(r2))),
+      "streamed store must equal the batch continuation fold")
+  }
+
   test("streaming pinned-centroid assignment: zero-join scoring, stream==batch q96 ranks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
