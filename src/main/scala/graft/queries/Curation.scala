@@ -2179,6 +2179,129 @@ object Curation {
       s.read.parquet(path).orderBy("source", "bucket_slot", "doc_id")
     },
 
+    // INCREMENTAL release (q164's day-2): the published release is
+    // immutable — today's batch flows through the q112 incremental
+    // manifest (batch-touching clusters re-ranked off the warm %5≠0
+    // store, O(batch)); NEW keepers append as new packs/shards under
+    // q120's offset rule (per-source pack_base, global shard base);
+    // keepers DEMOTED by the batch (a batch doc beat them, or their
+    // clusters merged) stay in their published address flagged
+    // 'revoked' — the loader masks them, files never rewrite. Additions
+    // are provably ⊆ batch (cluster merges can only promote one of the
+    // previous keepers — ranking over a union is the max of the maxima;
+    // CurationSpec pins it). Oracle: the keeper chain instantiated TWICE
+    // (store corpus and full corpus — Dedup.keeperCte tags) + both
+    // pack/shard arms, statuses from the keeper-set diff.
+    "q169_incremental_release" -> Q(
+      "Incremental release: published rows immutable, new keepers appended " +
+        "under the q120 offset rule, demoted keepers flagged revoked",
+      s"""WITH RECURSIVE
+        |${graft.queries.Dedup.keeperCte("_a", p => s"${p}doc_id % 5 <> 0")},
+        |${graft.queries.Dedup.keeperCte("_b", _ => "TRUE")},
+        |adds AS (SELECT doc_id FROM keepers_b
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM keepers_a)),
+        |t0 AS (
+        |  SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_toks
+        |  FROM documents d JOIN keepers_a USING (doc_id)),
+        |p0 AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t0),
+        |d0 AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id, n_toks FROM p0),
+        |pk0 AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+        |        FROM d0 GROUP BY source, pack_id),
+        |k0 AS (SELECT *,
+        |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+        |       FROM pk0),
+        |c0 AS (SELECT source, pack_id,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k0),
+        |a0 AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_id FROM c0),
+        |mx AS (SELECT MAX(shard_id) + 1 AS sbase FROM a0),
+        |np AS (SELECT source, MAX(pack_id) + 1 AS pack_base FROM d0 GROUP BY source),
+        |t1 AS (
+        |  SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_toks
+        |  FROM documents d JOIN adds USING (doc_id)),
+        |p1 AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t1),
+        |d1 AS (SELECT p1.source,
+        |         CAST(off // 512 AS BIGINT) + COALESCE(np.pack_base, 0) AS pack_id,
+        |         p1.doc_id, p1.n_toks
+        |       FROM p1 LEFT JOIN np ON np.source = p1.source),
+        |pk1 AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+        |        FROM d1 GROUP BY source, pack_id),
+        |k1 AS (SELECT *,
+        |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+        |       FROM pk1),
+        |c1 AS (SELECT source, pack_id,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k1),
+        |a1 AS (SELECT source, pack_id,
+        |         CAST(goff // 2048 AS BIGINT) + (SELECT sbase FROM mx) AS shard_id
+        |       FROM c1)
+        |SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  pack_id, shard_id, status FROM (
+        |  SELECT d0.source, d0.doc_id, d0.n_toks, d0.pack_id, a0.shard_id,
+        |    CASE WHEN d0.doc_id IN (SELECT doc_id FROM keepers_b)
+        |         THEN 'published' ELSE 'revoked' END AS status
+        |  FROM d0 JOIN a0 ON a0.source = d0.source AND a0.pack_id = d0.pack_id
+        |  UNION ALL
+        |  SELECT d1.source, d1.doc_id, d1.n_toks, d1.pack_id, a1.shard_id,
+        |    'added' AS status
+        |  FROM d1 JOIN a1 ON a1.source = d1.source AND a1.pack_id = d1.pack_id)
+        |ORDER BY source, pack_id, doc_id""".stripMargin) { (s, dir) =>
+      val thr = 0.7
+      val docs = Tables(s, dir, "documents")
+      val store = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val path = graft.queries.Dedup.componentIndexFor(store, dir, thr)
+      val m0 = s.read.parquet(graft.queries.Dedup.manifestSubdir(path, thr))
+      val keepers0 = m0.filter(col("keep") === 1).select(col("doc_id"))
+      val m1 = graft.queries.Dedup.incrementalManifest(s, batch, docs, path, thr)
+      val pub0 = graft.ops.ShardExport
+        .packedDocs(docs.join(keepers0, Seq("doc_id"), "left_semi"), 512)
+      val packs0 = pub0.groupBy("source", "pack_id")
+        .agg(sum("n_toks").as("pack_toks"))
+      val a0 = graft.ops.ShardExport
+        .assignShards(packs0, epoch = 1, shardTokens = 2048)
+        .select(col("source"), col("pack_id"), col("shard_id"))
+      // 1-row and per-source bounded aggregates — the q120 offset rule
+      val sbase = a0.agg(max("shard_id")).head.getLong(0) + 1
+      val np = pub0.groupBy("source")
+        .agg((max("pack_id") + 1).as("pack_base"))
+      val adds = m1.filter(col("keep") === 1).select(col("doc_id"))
+        .join(keepers0, Seq("doc_id"), "left_anti")
+      val add0 = graft.ops.ShardExport
+        .packedDocs(docs.join(adds, Seq("doc_id"), "left_semi"), 512)
+        .join(broadcast(np), Seq("source"), "left")
+        .select(col("source"),
+          (col("pack_id") + coalesce(col("pack_base"), lit(0L))).as("pack_id"),
+          col("doc_id"), col("n_toks"))
+      val packs1 = add0.groupBy("source", "pack_id")
+        .agg(sum("n_toks").as("pack_toks"))
+      val a1 = graft.ops.ShardExport
+        .assignShards(packs1, epoch = 1, shardTokens = 2048)
+        .select(col("source"), col("pack_id"),
+          (col("shard_id") + sbase).as("shard_id"))
+      val pubRows = pub0.join(a0, Seq("source", "pack_id"))
+        .join(m1.select(col("doc_id"), col("keep")), Seq("doc_id"), "left")
+        .select(col("source"), col("doc_id"),
+          col("n_toks").cast("long").as("n_toks"),
+          col("pack_id"), col("shard_id"),
+          when(col("keep") === 1, "published").otherwise("revoked").as("status"))
+      val addRows = add0.join(a1, Seq("source", "pack_id"))
+        .select(col("source"), col("doc_id"),
+          col("n_toks").cast("long").as("n_toks"),
+          col("pack_id"), col("shard_id"), lit("added").as("status"))
+      pubRows.unionByName(addRows).orderBy("source", "pack_id", "doc_id")
+    },
+
     // CORPUS INTEGRITY audit ([[integrityAudit]]): the precondition gauge
     // every other operator assumes — per source, the profile (docs, chars,
     // id span) plus violation counts: duplicate ids, n_chars disagreeing

@@ -301,7 +301,7 @@ object Dedup {
     out
   }
 
-  private def manifestSubdir(indexPath: String, threshold: Double): String =
+  private[queries] def manifestSubdir(indexPath: String, threshold: Double): String =
     s"$indexPath/manifest_bp${math.round(threshold * 10000)}"
 
   /** The shared core of the incremental paths (q110/q112): CC over the
@@ -904,25 +904,50 @@ object Dedup {
     * release-manifest oracle composes its pack/shard arms onto it so the
     * dedup stage of the composed chain cannot drift from q97's oracle.
     */
-  private[queries] val KeeperCteSql: String =
-    s"""$ExactPairPrefixSql,
-      |pairs AS (SELECT u, v FROM pj WHERE j >= 0.7),
-      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
-      |reach(u, v) AS (
-      |  SELECT u, v FROM edges
+  private[queries] val KeeperCteSql: String = keeperCte("", _ => "TRUE")
+
+  /** The keeper chain TEMPLATED over a CTE-name tag and a corpus
+    * predicate (`pred` receives the table-alias prefix to qualify
+    * `doc_id` where needed), so one WITH RECURSIVE can instantiate the
+    * q97 replay over several corpora — q169's incremental-release oracle
+    * runs it over the store corpus AND the full corpus side by side.
+    */
+  private[queries] def keeperCte(tag: String, pred: String => String): String =
+    s"""t$tag AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE ${pred("")}),
+      |s$tag AS (SELECT doc_id,
+      |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |             ELSE list_transform(range(1, len(toks) - 1),
+      |                                 i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+      |      FROM t$tag),
+      |g$tag AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM s$tag),
+      |sz$tag AS (SELECT doc_id, COUNT(*) AS n FROM g$tag GROUP BY doc_id),
+      |inter$tag AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS ninter
+      |  FROM g$tag a JOIN g$tag b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY u, v),
+      |pj$tag AS (
+      |  SELECT u, v, CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) AS j
+      |  FROM inter$tag
+      |  JOIN sz$tag na ON na.doc_id = u JOIN sz$tag nb ON nb.doc_id = v),
+      |pairs$tag AS (SELECT u, v FROM pj$tag WHERE j >= 0.7),
+      |edges$tag AS (SELECT u, v FROM pairs$tag UNION SELECT v, u FROM pairs$tag),
+      |reach$tag(u, v) AS (
+      |  SELECT u, v FROM edges$tag
       |  UNION
-      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
-      |comp AS (
+      |  SELECT r.u, e.v FROM reach$tag r JOIN edges$tag e ON r.v = e.u),
+      |mins$tag AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach$tag GROUP BY u),
+      |comp$tag AS (
       |  SELECT LEAST(COALESCE(m.mn, d.doc_id), d.doc_id) AS cluster_id,
       |         d.doc_id
-      |  FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id),
-      |rk AS (
+      |  FROM documents d LEFT JOIN mins$tag m ON m.doc_id = d.doc_id
+      |  WHERE ${pred("d.")}),
+      |rk$tag AS (
       |  SELECT cluster_id, doc_id,
       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
       |      ORDER BY n_chars DESC, doc_id) AS rk
-      |  FROM comp JOIN documents USING (doc_id)),
-      |keepers AS (SELECT doc_id FROM rk WHERE rk = 1)""".stripMargin
+      |  FROM comp$tag JOIN documents USING (doc_id)),
+      |keepers$tag AS (SELECT doc_id FROM rk$tag WHERE rk = 1)""".stripMargin
 
   /** q110's oracle: the FROM-SCRATCH whole-corpus component replay (the
     * q97 CTE minus the ranking). Equality with the Spark side is the whole
@@ -2362,7 +2387,7 @@ object Dedup {
     path
   }
 
-  private def componentIndexFor(
+  private[queries] def componentIndexFor(
       corpus: DataFrame, dir: String, threshold: Double): String = synchronized {
     val path = bandIndexFor(corpus, dir)
     val sub = manifestSubdir(path, threshold)

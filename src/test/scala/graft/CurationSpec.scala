@@ -198,6 +198,27 @@ class CurationSpec extends SparkSpec {
       "tail retract must restore the never-absorbed manifest")
   }
 
+  test("q169 incremental release: additions are batch docs, statuses agree with the keeper sets") {
+    val rel = SparkEntry.queries("q169_incremental_release")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getString(5)))
+    assert(Set("published", "revoked", "added").subsetOf(rel.map(_._2).toSet),
+      "fixture must exercise all three statuses")
+    // additions ⊆ batch: a cluster merge can only promote one of the
+    // previous keepers, so only batch docs can be new keepers
+    rel.filter(_._2 == "added").foreach { case (id, _) =>
+      assert(id % 5 == 0, s"added doc $id is not a batch doc")
+    }
+    // published ∪ revoked = yesterday's keeper set, verbatim addresses
+    val k1 = SparkEntry.queries("q97_dedup_manifest")(spark, dir)
+      .filter(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    rel.foreach { case (id, st) =>
+      if (st == "added" || st == "published")
+        assert(k1.contains(id), s"$st doc $id must be a today-keeper")
+      else assert(!k1.contains(id), s"revoked doc $id still keeps")
+    }
+  }
+
   test("q166 integrity audit: planted damage is detected; the clean fixture audits zero") {
     import spark.implicits._
     // planted: doc 1 duplicated ACROSS sources (both charged), doc 3's
