@@ -2658,6 +2658,61 @@ object Curation {
         .orderBy("source", "pack_id")
     },
 
+    // SHARD BALANCE audit: the gauge that justifies the md5 epoch
+    // shuffle — at 100 TB a skewed shard is a straggler training step,
+    // so the release pipeline checks per-shard token mass against the
+    // uniform share before publishing. Derived from pack KEYS (the q162
+    // argument: tokens/512 rows, no corpus pass); deviation in basis
+    // points via ONE division + floor (the q141 IEEE-exact rule). The
+    // final window runs over shard ROLLUP rows — bounded by total
+    // tokens / 2048, and at production scale this gauge runs per epoch
+    // on the manifest, kilobytes not terabytes.
+    "q170_shard_balance" -> Q(
+      "Shard balance audit: per-shard token mass vs the uniform share, " +
+        "deviation in basis points",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t),
+        |pk AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id,
+        |         SUM(n_toks) AS pack_toks
+        |       FROM p GROUP BY 1, 2),
+        |k AS (SELECT *,
+        |        md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+        |      FROM pk),
+        |c AS (SELECT source, pack_id, pack_toks,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k),
+        |sh AS (SELECT CAST(goff // 2048 AS BIGINT) AS shard_id,
+        |         COUNT(*) AS n_packs, CAST(SUM(pack_toks) AS BIGINT) AS n_tokens
+        |       FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+        |          COUNT(*) AS n_shards FROM sh)
+        |SELECT shard_id, n_packs, n_tokens,
+        |  CAST(FLOOR(10000.0 * ABS(n_tokens * tot.n_shards - tot.total)
+        |    / tot.total) AS BIGINT) AS dev_bp
+        |FROM sh CROSS JOIN tot ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val pd = graft.ops.ShardExport.packedDocs(Tables(s, dir, "documents"), 512)
+      val packs = pd.groupBy("source", "pack_id").agg(sum("n_toks").as("pack_toks"))
+      val sh = graft.ops.ShardExport
+        .assignShards(packs, epoch = 1, shardTokens = 2048)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_packs"),
+          sum("pack_toks").cast("long").as("n_tokens"))
+      val tot = sh.agg(sum("n_tokens").cast("long").as("total"),
+        count(lit(1)).as("n_shards"))
+      sh.crossJoin(broadcast(tot))
+        .select(col("shard_id"), col("n_packs"), col("n_tokens"),
+          floor(lit(10000.0) * abs(col("n_tokens") * col("n_shards") - col("total"))
+            / col("total")).cast("long").as("dev_bp"))
+        .orderBy("shard_id")
+    },
+
     // DECONTAMINATION: flag training documents sharing word-5-grams with a
     // held-out eval set (here: doc_id < 20). The eval shingle set is tiny
     // by construction, so the plan is explode → broadcast equi-join on the
