@@ -1601,6 +1601,94 @@ object Curation {
     swapInto(spark, path)
   }
 
+  /** q169's shared core (see the registration comment): the day-2
+    * incremental release — batch through the q112 incremental manifest,
+    * new keepers appended as tail packs/shards under the q120 offset
+    * rule, demoted keepers flagged 'revoked' at their immutable
+    * published address. Factored out so q171's retraction and the q169
+    * registration run the SAME absorb (twins cannot drift).
+    */
+  def incrementalRelease(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+      val thr = 0.7
+      val docs = Tables(s, dir, "documents")
+      val store = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val path = graft.queries.Dedup.componentIndexFor(store, dir, thr)
+      val m0 = s.read.parquet(graft.queries.Dedup.manifestSubdir(path, thr))
+      val keepers0 = m0.filter(col("keep") === 1).select(col("doc_id"))
+      val m1 = graft.queries.Dedup.incrementalManifest(s, batch, docs, path, thr)
+      val pub0 = graft.ops.ShardExport
+        .packedDocs(docs.join(keepers0, Seq("doc_id"), "left_semi"), 512)
+      val packs0 = pub0.groupBy("source", "pack_id")
+        .agg(sum("n_toks").as("pack_toks"))
+      val a0 = graft.ops.ShardExport
+        .assignShards(packs0, epoch = 1, shardTokens = 2048)
+        .select(col("source"), col("pack_id"), col("shard_id"))
+      // 1-row and per-source bounded aggregates — the q120 offset rule
+      val sbase = a0.agg(max("shard_id")).head.getLong(0) + 1
+      val np = pub0.groupBy("source")
+        .agg((max("pack_id") + 1).as("pack_base"))
+      val adds = m1.filter(col("keep") === 1).select(col("doc_id"))
+        .join(keepers0, Seq("doc_id"), "left_anti")
+      val add0 = graft.ops.ShardExport
+        .packedDocs(docs.join(adds, Seq("doc_id"), "left_semi"), 512)
+        .join(broadcast(np), Seq("source"), "left")
+        .select(col("source"),
+          (col("pack_id") + coalesce(col("pack_base"), lit(0L))).as("pack_id"),
+          col("doc_id"), col("n_toks"))
+      val packs1 = add0.groupBy("source", "pack_id")
+        .agg(sum("n_toks").as("pack_toks"))
+      val a1 = graft.ops.ShardExport
+        .assignShards(packs1, epoch = 1, shardTokens = 2048)
+        .select(col("source"), col("pack_id"),
+          (col("shard_id") + sbase).as("shard_id"))
+      val pubRows = pub0.join(a0, Seq("source", "pack_id"))
+        .join(m1.select(col("doc_id"), col("keep")), Seq("doc_id"), "left")
+        .select(col("source"), col("doc_id"),
+          col("n_toks").cast("long").as("n_toks"),
+          col("pack_id"), col("shard_id"),
+          when(col("keep") === 1, "published").otherwise("revoked").as("status"))
+      val addRows = add0.join(a1, Seq("source", "pack_id"))
+        .select(col("source"), col("doc_id"),
+          col("n_toks").cast("long").as("n_toks"),
+          col("pack_id"), col("shard_id"), lit("added").as("status"))
+      pubRows.unionByName(addRows).orderBy("source", "pack_id", "doc_id")
+  }
+
+  /** q171: un-absorb the day-2 batch from an incremental release. The
+    * absorb never rewrote a published file (additions are NEW tail
+    * packs/shards, demotions are in-place flags), so retraction is pure
+    * manifest surgery: drop 'added' rows, restore 'revoked' →
+    * 'published'. Guard (q161/q167 house pattern): an 'added' row whose
+    * doc is outside the retracted batch means the manifest was absorbed
+    * from a DIFFERENT batch — the retract raises loudly instead of
+    * removing somebody else's tail. The violation count is a 1-row
+    * aggregate broadcast onto the surviving rows so the guard cannot be
+    * filtered away before it evaluates.
+    */
+  def retractRelease(
+      manifest: org.apache.spark.sql.DataFrame,
+      batchIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bad = manifest.filter(col("status") === "added")
+      .join(batchIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+    manifest.filter(col("status") =!= "added")
+      .crossJoin(broadcast(bad))
+      .select(
+        when(col("n_bad") > 0,
+          raise_error(concat(
+            lit("release retract: manifest carries additions outside the "),
+            lit("retracted batch ("), col("n_bad").cast("string"),
+            lit(" docs) — wrong batch"))))
+          .otherwise(col("source")).as("source"),
+        col("doc_id"), col("n_toks"), col("pack_id"), col("shard_id"),
+        when(col("status") === "revoked", lit("published"))
+          .otherwise(col("status")).as("status"))
+      .orderBy("source", "pack_id", "doc_id")
+  }
+
   /** q166: the per-source corpus integrity audit — see the registration
     * comment. Duplicate ids are detected at the ID grain (a window over
     * doc_id) so a duplicate SPANNING sources is charged to every source
@@ -2256,50 +2344,54 @@ object Curation {
         |    'added' AS status
         |  FROM d1 JOIN a1 ON a1.source = d1.source AND a1.pack_id = d1.pack_id)
         |ORDER BY source, pack_id, doc_id""".stripMargin) { (s, dir) =>
-      val thr = 0.7
+      incrementalRelease(s, dir)
+    },
+
+    // RELEASE retraction ([[retractRelease]]): the absorb∘retract mirror
+    // of q169 under the immutable-publication contract. Because the
+    // day-2 absorb never rewrote a published file — additions appended
+    // as NEW tail packs/shards (q120's offset rule), demotions flagged
+    // in place — the un-absorb is pure manifest surgery: drop the
+    // 'added' tail rows, restore 'revoked' to 'published'; no corpus
+    // rescan, no pack re-cumsum, O(manifest) map-side work. The guard
+    // makes the contract loud (q161/q167 house pattern): an 'added' row
+    // whose doc is NOT in the retracted batch means this manifest was
+    // absorbed from a DIFFERENT batch, and the retract raises instead of
+    // silently publishing a release with somebody else's tail removed.
+    // Oracle: the restored manifest must equal the never-absorbed day-1
+    // release — the q164 template over the %5≠0 store corpus, every row
+    // 'published' (incremental-absorb∘retract ≡ rebuild-without-batch).
+    "q171_release_retract" -> Q(
+      "Release retraction: the day-2 batch un-published — added tail " +
+        "shards dropped, demoted keepers restored at their address",
+      s"""WITH RECURSIVE
+        |${graft.queries.Dedup.keeperCte("_a", p => s"${p}doc_id % 5 <> 0")},
+        |t0 AS (
+        |  SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_toks
+        |  FROM documents d JOIN keepers_a USING (doc_id)),
+        |p0 AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t0),
+        |d0 AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id, n_toks FROM p0),
+        |pk0 AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+        |        FROM d0 GROUP BY source, pack_id),
+        |k0 AS (SELECT *,
+        |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+        |       FROM pk0),
+        |c0 AS (SELECT source, pack_id,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k0),
+        |a0 AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_id FROM c0)
+        |SELECT d0.source, d0.doc_id, CAST(d0.n_toks AS BIGINT) AS n_toks,
+        |  d0.pack_id, a0.shard_id, 'published' AS status
+        |FROM d0 JOIN a0 ON a0.source = d0.source AND a0.pack_id = d0.pack_id
+        |ORDER BY d0.source, d0.pack_id, d0.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val store = docs.filter(col("doc_id") % 5 =!= 0)
-      val batch = docs.filter(col("doc_id") % 5 === 0)
-      val path = graft.queries.Dedup.componentIndexFor(store, dir, thr)
-      val m0 = s.read.parquet(graft.queries.Dedup.manifestSubdir(path, thr))
-      val keepers0 = m0.filter(col("keep") === 1).select(col("doc_id"))
-      val m1 = graft.queries.Dedup.incrementalManifest(s, batch, docs, path, thr)
-      val pub0 = graft.ops.ShardExport
-        .packedDocs(docs.join(keepers0, Seq("doc_id"), "left_semi"), 512)
-      val packs0 = pub0.groupBy("source", "pack_id")
-        .agg(sum("n_toks").as("pack_toks"))
-      val a0 = graft.ops.ShardExport
-        .assignShards(packs0, epoch = 1, shardTokens = 2048)
-        .select(col("source"), col("pack_id"), col("shard_id"))
-      // 1-row and per-source bounded aggregates — the q120 offset rule
-      val sbase = a0.agg(max("shard_id")).head.getLong(0) + 1
-      val np = pub0.groupBy("source")
-        .agg((max("pack_id") + 1).as("pack_base"))
-      val adds = m1.filter(col("keep") === 1).select(col("doc_id"))
-        .join(keepers0, Seq("doc_id"), "left_anti")
-      val add0 = graft.ops.ShardExport
-        .packedDocs(docs.join(adds, Seq("doc_id"), "left_semi"), 512)
-        .join(broadcast(np), Seq("source"), "left")
-        .select(col("source"),
-          (col("pack_id") + coalesce(col("pack_base"), lit(0L))).as("pack_id"),
-          col("doc_id"), col("n_toks"))
-      val packs1 = add0.groupBy("source", "pack_id")
-        .agg(sum("n_toks").as("pack_toks"))
-      val a1 = graft.ops.ShardExport
-        .assignShards(packs1, epoch = 1, shardTokens = 2048)
-        .select(col("source"), col("pack_id"),
-          (col("shard_id") + sbase).as("shard_id"))
-      val pubRows = pub0.join(a0, Seq("source", "pack_id"))
-        .join(m1.select(col("doc_id"), col("keep")), Seq("doc_id"), "left")
-        .select(col("source"), col("doc_id"),
-          col("n_toks").cast("long").as("n_toks"),
-          col("pack_id"), col("shard_id"),
-          when(col("keep") === 1, "published").otherwise("revoked").as("status"))
-      val addRows = add0.join(a1, Seq("source", "pack_id"))
-        .select(col("source"), col("doc_id"),
-          col("n_toks").cast("long").as("n_toks"),
-          col("pack_id"), col("shard_id"), lit("added").as("status"))
-      pubRows.unionByName(addRows).orderBy("source", "pack_id", "doc_id")
+      retractRelease(incrementalRelease(s, dir),
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
     },
 
     // CORPUS INTEGRITY audit ([[integrityAudit]]): the precondition gauge

@@ -219,6 +219,45 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q171 release retract: restores the never-absorbed day-1 release; wrong-batch retract raises") {
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val restored = SparkEntry.queries("q171_release_retract")(spark, dir).collect()
+    assert(restored.forall(_.getString(5) == "published"),
+      "a retracted release must carry no 'added'/'revoked' rows")
+    // absorb∘retract ≡ rebuild-without-batch: the restored rows must be
+    // the q164 chain over the %5≠0 store corpus, address for address
+    val store = docs.filter(col("doc_id") % 5 =!= 0)
+    val keep = graft.queries.Dedup.dedupManifest(store)
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val pd = graft.ops.ShardExport
+      .packedDocs(store.join(keep, Seq("doc_id"), "left_semi"), 512)
+    val asg = graft.ops.ShardExport
+      .assignShards(
+        pd.groupBy("source", "pack_id").agg(sum("n_toks").as("pack_toks")),
+        epoch = 1, shardTokens = 2048)
+      .select(col("source"), col("pack_id"), col("shard_id"))
+    val expected = pd.join(asg, Seq("source", "pack_id"))
+      .select(col("source"), col("doc_id"), col("n_toks").cast("long"),
+        col("pack_id"), col("shard_id"))
+      .collect().map(_.toSeq).toSet
+    assert(restored.map(r => r.toSeq.dropRight(1)).toSet == expected,
+      "retract must restore the never-absorbed day-1 release exactly")
+    // guard: retracting a DIFFERENT batch (one added doc missing from the
+    // id list) must raise, not silently drop somebody else's tail
+    val manifest = graft.queries.Curation.incrementalRelease(spark, dir)
+    val anAdd = manifest.filter(col("status") === "added")
+      .select(col("doc_id")).head.getLong(0)
+    val wrongBatch = docs.filter(col("doc_id") % 5 === 0)
+      .filter(col("doc_id") =!= anAdd).select(col("doc_id"))
+    val ex = intercept[Exception] {
+      graft.queries.Curation.retractRelease(manifest, wrongBatch).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("release retract")),
+      s"wrong-batch retract must trip the guard, got: $ex")
+  }
+
   test("q166 integrity audit: planted damage is detected; the clean fixture audits zero") {
     import spark.implicits._
     // planted: doc 1 duplicated ACROSS sources (both charged), doc 3's
