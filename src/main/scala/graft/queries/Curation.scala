@@ -1601,6 +1601,29 @@ object Curation {
     swapInto(spark, path)
   }
 
+  /** q164's shared core: dedup keepers → per-source pack cumsum →
+    * epoch-1 shard assignment in one declarative plan; per kept doc its
+    * (pack_id, shard_id) loader address. Factored out so the q172
+    * takedown locator probes the SAME chain the q164 registration runs.
+    */
+  def releaseManifest(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keep = graft.queries.Dedup.dedupManifest(docs)
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val pd = graft.ops.ShardExport
+      .packedDocs(docs.join(keep, Seq("doc_id"), "left_semi"), 512)
+    val packs = pd.groupBy("source", "pack_id")
+      .agg(sum("n_toks").as("pack_toks"))
+    val asg = graft.ops.ShardExport
+      .assignShards(packs, epoch = 1, shardTokens = 2048)
+      .select(col("source"), col("pack_id"), col("shard_id"))
+    pd.join(asg, Seq("source", "pack_id"))
+      .select(col("source"), col("doc_id"),
+        col("n_toks").cast("long").as("n_toks"),
+        col("pack_id"), col("shard_id"))
+      .orderBy("source", "pack_id", "doc_id")
+  }
+
   /** q169's shared core (see the registration comment): the day-2
     * incremental release — batch through the q112 incremental manifest,
     * new keepers appended as tail packs/shards under the q120 offset
@@ -2468,21 +2491,101 @@ object Curation {
         |  d2.pack_id, a1.shard_id
         |FROM d2 JOIN a1 ON a1.source = d2.source AND a1.pack_id = d2.pack_id
         |ORDER BY d2.source, d2.pack_id, d2.doc_id""".stripMargin) { (s, dir) =>
+      releaseManifest(Tables(s, dir, "documents"))
+    },
+
+    // TAKEDOWN impact locator ([[releaseManifest]] + [[packManifest]] +
+    // [[boundaryPack]] probed by one broadcast id set): the compliance
+    // question every published corpus eventually gets — "where does doc
+    // X physically live?" — answered as one row per (doc, artifact):
+    // its (pack_id, shard_id) release address, its (pack_id, tok_start)
+    // loader span, its (slot, rn) boundary-pack cell. Addresses are
+    // window functions of the WHOLE corpus, so each arm runs its
+    // sibling's verbatim plan (the q164 composition precedent) and the
+    // tiny takedown set semi-joins AFTER the window — Catalyst cannot
+    // (and must not) push the filter through row_number. In production
+    // the three manifests are persisted artifacts and the same
+    // broadcast semi-join probes them as stored parquet — O(takedown
+    // set) per artifact, no recomputation; the registered form attests
+    // the addresses themselves. A non-keeper takedown doc correctly has
+    // NO release row (its bytes were never published there) while its
+    // pack/boundary rows still locate it in the loader manifests.
+    "q172_takedown_locator" -> Q(
+      "Takedown impact locator: every published-artifact address " +
+        "(release shard, pack span, boundary slot) holding a takedown doc",
+      s"""WITH RECURSIVE
+        |${graft.queries.Dedup.KeeperCteSql},
+        |ids AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+        |kd AS (
+        |  SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_toks
+        |  FROM documents d JOIN keepers USING (doc_id)),
+        |p AS (
+        |  SELECT source, doc_id, n_toks,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM kd),
+        |d2 AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id,
+        |         doc_id, n_toks
+        |       FROM p),
+        |pk AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+        |       FROM d2 GROUP BY source, pack_id),
+        |k1 AS (SELECT *,
+        |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+        |       FROM pk),
+        |c1 AS (SELECT source, pack_id,
+        |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+        |      FROM k1),
+        |asg AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_id FROM c1),
+        |rel AS (
+        |  SELECT d2.source, d2.doc_id, 'release' AS artifact,
+        |    d2.pack_id AS a1, asg.shard_id AS a2
+        |  FROM d2 JOIN asg ON asg.source = d2.source AND asg.pack_id = d2.pack_id
+        |  JOIN ids ON ids.doc_id = d2.doc_id),
+        |t2 AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c2 AS (
+        |  SELECT source, doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t2),
+        |spans AS (
+        |  SELECT source, doc_id, 'pack_span' AS artifact,
+        |    CAST(off // 512 AS BIGINT) AS a1, CAST(off % 512 AS BIGINT) AS a2
+        |  FROM c2 JOIN ids USING (doc_id)),
+        |t3 AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS ln
+        |  FROM documents),
+        |s3 AS (SELECT source, doc_id, ${slotCaseSql(512)} AS slot FROM t3),
+        |r3 AS (SELECT *, ROW_NUMBER() OVER (
+        |         PARTITION BY source, slot ORDER BY doc_id) - 1 AS rn
+        |       FROM s3),
+        |bnd AS (
+        |  SELECT source, doc_id, 'boundary_slot' AS artifact,
+        |    CAST(slot AS BIGINT) AS a1, CAST(rn AS BIGINT) AS a2
+        |  FROM r3 JOIN ids USING (doc_id))
+        |SELECT * FROM (
+        |  SELECT * FROM rel UNION ALL
+        |  SELECT * FROM spans UNION ALL
+        |  SELECT * FROM bnd)
+        |ORDER BY doc_id, artifact""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val keep = graft.queries.Dedup.dedupManifest(docs)
-        .filter(col("keep") === 1).select(col("doc_id"))
-      val pd = graft.ops.ShardExport
-        .packedDocs(docs.join(keep, Seq("doc_id"), "left_semi"), 512)
-      val packs = pd.groupBy("source", "pack_id")
-        .agg(sum("n_toks").as("pack_toks"))
-      val asg = graft.ops.ShardExport
-        .assignShards(packs, epoch = 1, shardTokens = 2048)
-        .select(col("source"), col("pack_id"), col("shard_id"))
-      pd.join(asg, Seq("source", "pack_id"))
+      val ids = broadcast(docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id")))
+      val rel = releaseManifest(docs).join(ids, Seq("doc_id"), "left_semi")
+        .select(col("source"), col("doc_id"), lit("release").as("artifact"),
+          col("pack_id").as("a1"), col("shard_id").as("a2"))
+      val spans = packManifest(docs).join(ids, Seq("doc_id"), "left_semi")
+        .select(col("source"), col("doc_id"), lit("pack_span").as("artifact"),
+          col("pack_id").as("a1"), col("tok_start").as("a2"))
+      val capacity = floor(lit(512.0) / col("bucket_slot")).cast("long")
+      val bnd = boundaryPack(docs).join(ids, Seq("doc_id"), "left_semi")
         .select(col("source"), col("doc_id"),
-          col("n_toks").cast("long").as("n_toks"),
-          col("pack_id"), col("shard_id"))
-        .orderBy("source", "pack_id", "doc_id")
+          lit("boundary_slot").as("artifact"),
+          col("bucket_slot").cast("long").as("a1"),
+          (col("window_id") * capacity + col("slot_pos")).as("a2"))
+      rel.unionByName(spans).unionByName(bnd).orderBy("doc_id", "artifact")
     },
 
     "q58_seq_packing" -> Q(

@@ -258,6 +258,32 @@ class CurationSpec extends SparkSpec {
       s"wrong-batch retract must trip the guard, got: $ex")
   }
 
+  test("q172 takedown locator: arms agree with their stand-alone manifests; non-keepers carry no release row") {
+    val loc = SparkEntry.queries("q172_takedown_locator")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val ids = loc.map(_._1).toSet
+    assert(ids.nonEmpty && ids.forall(_ % 97 == 0))
+    val byArtifact = loc.groupBy(_._2)
+    // every takedown doc is located in BOTH loader manifests
+    assert(byArtifact("pack_span").map(_._1).toSet == ids,
+      "every takedown doc must have a pack span")
+    assert(byArtifact("boundary_slot").map(_._1).toSet == ids,
+      "every takedown doc must have a boundary-pack cell")
+    // pack spans are q157's rows verbatim
+    val q157 = SparkEntry.queries("q157_pack_manifest")(spark, dir)
+      .collect().map(r => r.getLong(2) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(byArtifact("pack_span").map(t => t._1 -> (t._3, t._4)).toMap ==
+      q157.filter { case (id, _) => ids.contains(id) },
+      "pack-span addresses must match q157")
+    // release rows exactly = takedown ∩ keepers, at their q164 address
+    val q164 = SparkEntry.queries("q164_release_manifest")(spark, dir)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(byArtifact.getOrElse("release", Array.empty[(Long, String, Long, Long)])
+      .map(t => t._1 -> (t._3, t._4)).toMap ==
+      q164.filter { case (id, _) => ids.contains(id) },
+      "release arm must be q164's rows verbatim — keepers only")
+  }
+
   test("q166 integrity audit: planted damage is detected; the clean fixture audits zero") {
     import spark.implicits._
     // planted: doc 1 duplicated ACROSS sources (both charged), doc 3's
