@@ -149,6 +149,70 @@ object Similarity {
     * oracle-replayable tier. Ids and counts only (FP-rank-safe at the
     * q37-proven 0.4 operating point).
     */
+  /** q173: the IVF counterpart of q144's banding-recall audit — the gauge
+    * for the ANN assumption itself. recall@k of the probe-pruned search vs
+    * the exact brute-force top-k (q36's oracled baseline), swept over the
+    * nProbe grid from ONE candidate pass: [[graft.operators.IvfIndex.Model.probeBuckets]]
+    * ranks a query's buckets nearest-first, and the nProbe=n probe set is
+    * a PREFIX of the nProbe=max ranking — so one search at max(probes)
+    * keeps each candidate's best probe_rank and the whole grid is a
+    * filter over that bounded statistic (the q130/q135/q148 sweep
+    * pattern), never a second corpus scan. Output per grid point:
+    * (n_probe, n_queries, n_true, n_caught, recall_bp). Scale shape:
+    * queries are a bounded broadcast (the audit samples them at 100 TB,
+    * q144's sampleBp argument), the corpus side streams once through the
+    * bucket join; everything downstream of the candidate set is
+    * candidate-sized. Structural ceiling: nProbe = k(=16) probes every
+    * bucket, so its candidate set IS the corpus and both rankings use the
+    * identical (sim desc, neighbor_id) order — recall_bp = 10000 exactly,
+    * which IvfIndexSpec pins along with monotonicity in nProbe.
+    */
+  def ivfRecallSweep(
+      model: graft.operators.IvfIndex.Model,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val spark2 = corpus.sparkSession
+    import spark2.implicits._
+    val maxProbe = probes.max
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .select(col("query_id"), col("qv"),
+          posexplode(model.probeBuckets(col("qv"), maxProbe)))
+        .withColumnRenamed("pos", "probe_rank")
+        .withColumnRenamed("col", "bucket"))
+    val c = graft.operators.IvfIndex.assign(model, corpus)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("bucket"))
+    // each candidate's BEST probe rank: the nProbe=n shortlist is exactly
+    // the candidates with probe_rank < n
+    val cand = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
+        Vectors.cosine(col("qv"), col("cv")).as("sim"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(min("probe_rank").as("probe_rank"), max("sim").as("sim"))
+    val exact = bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val grid = probes.toDF("n_probe")
+    val wn = Window.partitionBy("n_probe", "query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val caught = cand.crossJoin(broadcast(grid))
+      .filter(col("probe_rank") < col("n_probe"))
+      .withColumn("rank", row_number().over(wn)).filter(col("rank") <= k)
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("n_probe").agg(count(lit(1)).as("n_caught"))
+    val tot = broadcast(exact.agg(count(lit(1)).as("n_true"),
+      countDistinct("query_id").as("n_queries")))
+    grid.join(caught, Seq("n_probe"), "left").crossJoin(tot)
+      .select(col("n_probe"), col("n_queries"), col("n_true"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        floor(lit(10000.0) * coalesce(col("n_caught"), lit(0L)) / col("n_true"))
+          .cast("long").as("recall_bp"))
+      .orderBy("n_probe")
+  }
+
   def semanticDecontam(
       train: DataFrame, evalSet: DataFrame, threshold: Double): DataFrame = {
     val ev = evalSet.select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
@@ -353,6 +417,23 @@ object Similarity {
             k = 5, nProbe = 4)
           .select("query_id", "neighbor_id", "rank")
           .orderBy("query_id", "rank")
+    },
+
+    // ORACLE CLOSURE: rows-only is FINAL — same closed class as q38/q42
+    // (the recall NUMERATOR depends on the float probe-bucket ordering of
+    // the iterative k-means fit; any ANSI replay would itself be
+    // ulp-sensitive at the bucket boundary). What IS hard-pinned: q36's
+    // oracle hash-checks the exact-baseline side of the comparison, and
+    // IvfIndexSpec pins recall monotonicity in nProbe, the
+    // structural full-probe ceiling (nProbe=16 probes every bucket ⇒
+    // candidate set = corpus ⇒ recall_bp = 10000 exactly), and a floor at
+    // the nProbe=1 operating point.
+    "q173_ivf_recall_sweep" -> Q.noOracle(
+      "IVF recall audit: recall@5 vs the exact q36 baseline, swept over " +
+        "nProbe {1,2,4,8,16} from one candidate pass") { (s, dir) =>
+      val corpus = emb(s, dir)
+      ivfRecallSweep(modelFor(corpus, dir),
+        corpus.filter(col("vec_id") < 100), corpus, k = 5)
     },
 
     // The PERSISTED form of q42 — the actual 100 TB ANN story: the assigned

@@ -46,6 +46,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall > 0.7, s"recall@5 = $recall with 4/10 buckets probed")
   }
 
+  test("q173 recall sweep: monotone in nProbe, full-probe ceiling exact, sweep agrees with a direct search") {
+    val model = IvfIndex.fit(corpus, k = 10)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val sweep = Similarity
+      .ivfRecallSweep(model, queries, corpus, k = 5, probes = Seq(1, 2, 4, 10))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 4, 10))
+    sweep.foreach { case (_, (nq, nt, nc, _)) =>
+      assert(nq == 20 && nt == 100 && nc <= nt)
+    }
+    // recall is monotone non-decreasing in nProbe (probe sets are nested)
+    val bps = sweep.map(_._2._4)
+    assert(bps.zip(bps.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nProbe: ${bps.toSeq}")
+    // structural ceiling: probing every bucket IS brute force, exactly
+    assert(bps.last == 10000L,
+      s"full-probe recall must be exactly 10000 bp, got ${bps.last}")
+    // the sweep's grid point must agree with a direct search at that nProbe
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = IvfIndex.search(model, queries, corpus, k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val directCaught = (exact & direct).size.toLong
+    assert(sweep.find(_._1 == 4).get._2._3 == directCaught,
+      "the sweep's nProbe=4 numerator must equal the stand-alone search's")
+  }
+
   test("persisted index: scan prunes to exactly the probed bucket directories") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
