@@ -710,6 +710,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  private def joinCount(p: String, kind: String): Int =
+    p.linesIterator.count(_.contains(kind))
+
+  test("q171 release retract: surgery adds ONE 1-row guard nest to q169's plan, no new shuffle join") {
+    val p = planOf("q171_release_retract")
+    val p169 = planOf("q169_incremental_release")
+    assert(!p.contains("CartesianProduct"), p)
+    // the retract is manifest surgery: whatever shuffle joins appear are
+    // q169's own (the corpus-scale keep-flag join); the surgery itself
+    // adds exactly the 1-row violation-count broadcast nest
+    assert(joinCount(p, "SortMergeJoin") == joinCount(p169, "SortMergeJoin"),
+      "retract must add no shuffle join beyond q169's own:\n" + p)
+    assert(joinCount(p, "BroadcastNestedLoopJoin") ==
+      joinCount(p169, "BroadcastNestedLoopJoin") + 1,
+      "the wrong-batch guard must be one 1-row broadcast nest:\n" + p)
+  }
+
+  test("q172 takedown locator: arms keep their siblings' shapes; takedown probes are broadcast") {
+    val p = planOf("q172_takedown_locator")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the tiny takedown set must probe every arm via broadcast semi join
+    // (the release arm's big keeper joins are q164's own shapes)
+    val semis = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semis >= 3,
+      s"all three artifact arms must probe by broadcast semi join, got $semis:\n" + p)
+    assert(joinCount(p, "SortMergeJoin") <=
+      joinCount(planOf("q164_release_manifest"), "SortMergeJoin"),
+      "locator must add no shuffle join beyond the release arm's own:\n" + p)
+  }
+
+  test("q173 recall sweep: the grid multiplies no corpus scans; exact baseline runs once") {
+    val p = planOf("q173_ivf_recall_sweep")
+    // the exact baseline is a bounded collected artifact (broadcast local
+    // relation), so the plan scans embeddings only for the ONE candidate
+    // pass (assign side + probe side) — independent of the 5-point grid
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(scans <= 2, s"grid must not multiply embeddings scans, got $scans:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q159 pack append: store manifest scanned not re-packed, resume offsets broadcast") {
     val p = planOf("q159_pack_append")
     // the store side contributes (a) pass-through rows and (b) the tiny
