@@ -1638,6 +1638,37 @@ object Dedup {
       bandingRecallAudit(Tables(s, dir, "documents"))
     },
 
+    // THRESHOLD calibration sweep (see [[dedupThresholdSweep]]): pairs
+    // merged / docs touched at every candidate operating point ≥ 0.7,
+    // from ONE exact pair pass. Integer cross-multiplication decides
+    // membership on both engines — no float threshold compare anywhere.
+    "q174_dedup_threshold_sweep" -> Q(
+      "Dedup threshold calibration: pairs merged and docs touched at " +
+        "each candidate jaccard operating point, one pair pass",
+      s"""WITH $ExactPairPrefixSql,
+        |tp AS (
+        |  SELECT u, v, ninter, na.n + nb.n - ninter AS nunion
+        |  FROM inter
+        |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v
+        |  WHERE ninter * 10000 >= 7000 * (na.n + nb.n - ninter)),
+        |grid AS (SELECT UNNEST([7000, 7500, 8000, 8500, 9000]) AS thr_bp),
+        |pass AS (
+        |  SELECT g.thr_bp, tp.u, tp.v FROM grid g
+        |  JOIN tp ON tp.ninter * 10000 >= g.thr_bp * tp.nunion)
+        |SELECT g.thr_bp,
+        |  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs_affected
+        |FROM grid g
+        |LEFT JOIN (SELECT thr_bp, COUNT(*) AS n_pairs
+        |           FROM pass GROUP BY thr_bp) p USING (thr_bp)
+        |LEFT JOIN (SELECT thr_bp, COUNT(DISTINCT d) AS n_docs FROM
+        |             (SELECT thr_bp, u AS d FROM pass
+        |              UNION ALL SELECT thr_bp, v FROM pass)
+        |           GROUP BY thr_bp) d USING (thr_bp)
+        |ORDER BY g.thr_bp""".stripMargin) { (s, dir) =>
+      dedupThresholdSweep(Tables(s, dir, "documents"))
+    },
+
     // CROSS-SNAPSHOT dedup (see [[crossSnapshotDedup]]): three snapshots
     // DERIVED from the corpus with q132's change conventions (%11 removed
     // at snap 1, %7 upper-changed from snap 1 on, %13 re-added under
@@ -2098,6 +2129,64 @@ object Dedup {
         when(col("n_true_pairs") === 0, lit(10000L))
           .otherwise(floor(lit(10000.0) * col("n_caught") / col("n_true_pairs"))
             .cast("long")).as("recall_bp"))
+  }
+
+  /** q174: the OTHER dedup calibration axis. q144 audits whether the
+    * banding catches the pairs at the chosen threshold; this sweeps what
+    * the THRESHOLD CHOICE itself costs — for every candidate operating
+    * point, how many pairs would be merged and how many docs touched.
+    * One shared-shingle equi-join pass (the ExactPairPrefixSql shape,
+    * never a cross join) computes each pair's (ninter, nunion) ONCE,
+    * pre-filtered at the grid minimum; the grid then sweeps that bounded
+    * pair statistic (the q130/q148 pattern — no second corpus scan).
+    * Membership is decided by integer cross-multiplication
+    * (ninter·10000 ≥ thr_bp·nunion, the q141 convention), so the sweep
+    * is exact on both engines with no float threshold anywhere. Same
+    * audit-tier scale posture as q144: at 100 TB the exact pair tier
+    * runs over a `sampleBp` hash-gated subset, full-corpus here because
+    * the fixture's pair graph is small.
+    */
+  def dedupThresholdSweep(
+      docs: DataFrame,
+      gridBp: Seq[Int] = Seq(7000, 7500, 8000, 8500, 9000),
+      sampleBp: Long = 10000L): DataFrame = {
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val s =
+      if (sampleBp >= 10000L) docs
+      else docs.filter(
+        pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L))
+          < sampleBp)
+    val minBp = gridBp.min
+    val sh = shingled(s)
+    val g = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val sz = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val pairs = g.as("a")
+      .join(g.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      .agg(count(lit(1)).as("ninter"))
+      .join(sz.select(col("doc_id").as("u"), col("n").as("nu")), "u")
+      .join(sz.select(col("doc_id").as("v"), col("n").as("nv")), "v")
+      .select(col("u"), col("v"), col("ninter"),
+        (col("nu") + col("nv") - col("ninter")).as("nunion"))
+      .filter(col("ninter") * 10000 >= lit(minBp.toLong) * col("nunion"))
+    val grid = gridBp.toDF("thr_bp")
+    // ONE consumer of the pair pass: exploding each passing pair's two
+    // endpoints makes count/2 the pair count and countDistinct the
+    // affected-doc count in a single aggregation — a second consumer
+    // would re-run the whole shingle self-join
+    val agg = pairs.crossJoin(broadcast(grid))
+      .filter(col("ninter") * 10000 >= col("thr_bp") * col("nunion"))
+      .select(col("thr_bp"), explode(array(col("u"), col("v"))).as("d"))
+      .groupBy("thr_bp")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct("d").as("n_docs_affected"))
+    grid.join(broadcast(agg), Seq("thr_bp"), "left")
+      .select(col("thr_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+      .orderBy("thr_bp")
   }
 
   /** q143: the FULL three-tier dedup pipeline — the complete text-dedup

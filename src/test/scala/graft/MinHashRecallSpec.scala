@@ -15,6 +15,41 @@ import graft.queries.{Dedup, Tables}
   */
 class MinHashRecallSpec extends SparkSpec {
 
+  test("q174 threshold sweep: planted pairs step down the grid; corpus sweep agrees with q144's pair count") {
+    import spark.implicits._
+    // planted pairs at controlled 2-gram jaccard: 25 distinct words per
+    // doc → 24 distinct shingles, a shared p-word prefix → i = p-1
+    // shared shingles, j = i/(48-i). Three pairs, one per regime:
+    // i=24 → j=1.0, i=22 → j=22/26≈0.846, i=21 → j=21/27≈0.778.
+    def words(tag: String, n: Int) = (0 until n).map(i => s"w${tag}_$i")
+    def doc(id: Long, toks: Seq[String]) = (id, toks.mkString(" "))
+    val base = words("a", 25)
+    val rows = Seq(
+      doc(1L, base), doc(2L, base), // j = 1.0
+      doc(3L, words("b", 25)),
+      doc(4L, words("b", 23) ++ words("c", 2)), // j = 22/26
+      doc(5L, words("d", 25)),
+      doc(6L, words("d", 22) ++ words("e", 3))) // j = 21/27
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupThresholdSweep(rows)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (7000, 3L, 6L), (7500, 3L, 6L),     // all three pairs at >= 0.75
+      (8000, 2L, 4L),                     // the 0.778 pair drops out
+      (8500, 1L, 2L),                     // the 0.846 pair drops out
+      (9000, 1L, 2L)),                    // only the exact copy remains
+      s"got $got")
+
+    // corpus: the 7000 grid point must equal q144's exact pair count
+    // (same pair graph, same operating point, different gauges)
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val sweep7000 = Dedup.dedupThresholdSweep(corpus)
+      .filter(col("thr_bp") === 7000).head.getLong(1)
+    val q144true = Dedup.bandingRecallAudit(corpus).head.getLong(1)
+    assert(sweep7000 == q144true,
+      s"sweep(7000)=$sweep7000 must equal q144 n_true=$q144true")
+  }
+
   test("8x4 banding recall >= 0.9 against exact Jaccard ground truth (measured 1.0)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val sh = docs.select(

@@ -753,6 +753,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q174 threshold sweep: one pair pass (shingle self-join), the grid sweeps the bounded pair stat") {
+    val p = planOf("q174_dedup_threshold_sweep")
+    // the pair pass reads documents 4× by construction (the shingle
+    // self-join's two sides + the two size joins — q144's shape), and
+    // the single-consumer aggregation keeps that independent of the
+    // 5-point grid
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 4, s"grid must not multiply documents scans, got $scans:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q159 pack append: store manifest scanned not re-packed, resume offsets broadcast") {
     val p = planOf("q159_pack_append")
     // the store side contributes (a) pass-through rows and (b) the tiny
