@@ -301,7 +301,7 @@ object Dedup {
     out
   }
 
-  private[queries] def manifestSubdir(indexPath: String, threshold: Double): String =
+  private[graft] def manifestSubdir(indexPath: String, threshold: Double): String =
     s"$indexPath/manifest_bp${math.round(threshold * 10000)}"
 
   /** The shared core of the incremental paths (q110/q112): CC over the

@@ -741,6 +741,99 @@ class StreamingSpec extends SparkSpec {
       "streamed store must equal the batch continuation fold")
   }
 
+  test("streaming release ingest: live view == batch rebuild per micro-batch, published rows immutable, demotions tombstone at their address") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING)
+    import spark.implicits._
+
+    // planted corpus with full control of the pair graph: unique-word
+    // docs (no cross-doc shingles) plus one engineered near-dup family —
+    // doc 100 (25 words) is beaten in batch 2 by doc 200 (26 words,
+    // j = 24/25), and batch 3's doc 300 (doc 100's text verbatim) joins
+    // the family but cannot win
+    def uniq(d: Long, n: Int) =
+      (d, s"s${d % 2}", (0 until n).map(i => s"u${d}_$i").mkString(" "))
+    val fam = (0 until 25).map(i => s"f_$i")
+    val b1 = Seq(uniq(1L, 12), uniq(2L, 30), uniq(3L, 18),
+      (100L, "s0", fam.mkString(" ")))
+    val b2 = Seq(uniq(4L, 15), uniq(5L, 40),
+      (200L, "s0", (fam :+ "f_25").mkString(" ")))
+    val b3 = Seq(uniq(6L, 22), (300L, "s1", fam.mkString(" ")))
+    def cdf(batches: Seq[(Long, String, String)]*) =
+      batches.flatten.toDF("doc_id", "source", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-release-index").toString + "/idx"
+    val releaseDir = java.nio.file.Files
+      .createTempDirectory("graft-release-rel").toString + "/rel"
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.ReleaseIngestStream.start(
+      input.toDF().toDF("doc_id", "source", "text"), indexDir, releaseDir,
+      queryName = "release_ingest_t")
+
+    def rel() = spark.read.parquet(releaseDir)
+    def liveIds() = {
+      val r = rel()
+      r.filter(col("status") === "published")
+        .join(r.filter(col("status") === "revoked").select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    def expectIds(batches: Seq[(Long, String, String)]*) =
+      graft.queries.Dedup.dedupManifest(cdf(batches: _*))
+        .filter(col("keep") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def files() = new java.io.File(releaseDir).listFiles.toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.length()).toMap
+
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    assert(liveIds() == expectIds(b1),
+      "bootstrap live view must equal the batch-1 dedup keepers")
+    val filesB1 = files()
+
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    assert(liveIds() == expectIds(b1, b2),
+      "after batch 2 the live view must equal the cumulative rebuild")
+    assert(!liveIds().contains(100L) && liveIds().contains(200L),
+      "doc 200 must demote doc 100")
+    // the demotion is a tombstone AT the published address, not a rewrite
+    val pubRows = rel().filter(col("status") === "published")
+      .select("doc_id", "pack_id", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val revRows = rel().filter(col("status") === "revoked")
+      .select("doc_id", "pack_id", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(revRows.nonEmpty && revRows.subsetOf(pubRows),
+      "every tombstone must reference a published address")
+    filesB1.foreach { case (p, size) =>
+      val f = new java.io.File(p)
+      assert(f.exists && f.length() == size, s"published file changed: $p")
+    }
+    val filesB2 = files()
+
+    input.addData(b3: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(liveIds() == expectIds(b1, b2, b3),
+      "after batch 3 the live view must equal the cumulative rebuild")
+    assert(!liveIds().contains(300L),
+      "doc 300 joins the family but must not be published")
+    filesB2.foreach { case (p, size) =>
+      val f = new java.io.File(p)
+      assert(f.exists && f.length() == size, s"published file changed: $p")
+    }
+  }
+
   test("streaming pinned-centroid assignment: zero-join scoring, stream==batch q96 ranks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
