@@ -141,6 +141,45 @@ object ReleaseIngestStream {
     ()
   }
 
+  /** EPOCH-BOUNDARY compaction for the release store: fold the tombstones
+    * into a rewritten base — the live view (published LEFT ANTI revoked)
+    * becomes the new store verbatim, the masked rows and the accumulated
+    * per-micro-batch small files disappear. This is the one moment the
+    * immutable-publication contract licenses a rewrite: between epochs no
+    * loader holds addresses, so the store may shed what every reader
+    * already masks (the q129/[[graft.operators.IvfIndex.compactIndex]]
+    * contract: value-invisible on the folded view, file count shrinks).
+    * Write-aside then swap; output clustered by shard for the loader's
+    * sequential reads.
+    */
+  def compactRelease(
+      spark: org.apache.spark.sql.SparkSession,
+      releaseDir: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val rel = spark.read.parquet(releaseDir)
+    val live = rel.filter(col("status") === "published")
+      .join(rel.filter(col("status") === "revoked").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        col("pack_id"), col("shard_id"), col("status"))
+    // clamp BEFORE toInt (the IvfIndex.compactIndex lesson): an
+    // unavailable-stats fallback must degrade to many partitions, not one
+    val nOut = math.max(1,
+      (live.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(targetFileBytes))
+        .min(BigInt(1 << 20)).toInt)
+    live.repartition(nOut, col("shard_id"))
+      .sortWithinPartitions("shard_id", "pack_id", "doc_id")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(releaseDir + ".next")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(releaseDir)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(releaseDir + ".next"), p))
+      throw new java.io.IOException(
+        s"release compaction: could not swap into $releaseDir")
+  }
+
   /** Pack + shard the given docs under the q120 offset rule and emit
     * release rows with status 'published'. `packBases` / `shardBase` are
     * the collected continuation offsets (empty / 0 on bootstrap).

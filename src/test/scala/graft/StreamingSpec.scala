@@ -832,6 +832,22 @@ class StreamingSpec extends SparkSpec {
       val f = new java.io.File(p)
       assert(f.exists && f.length() == size, s"published file changed: $p")
     }
+
+    // epoch-boundary compaction: value-invisible on the live view, the
+    // tombstones and the per-micro-batch files fold away
+    val liveBefore = rel().filter(col("status") === "published")
+      .join(rel().filter(col("status") === "revoked").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select("source", "doc_id", "n_toks", "pack_id", "shard_id", "status")
+      .collect().map(_.toSeq).toSet
+    val nFilesBefore = files().size
+    graft.streaming.ReleaseIngestStream.compactRelease(spark, releaseDir)
+    assert(rel().filter(col("status") === "revoked").isEmpty,
+      "compaction must fold every tombstone away")
+    assert(rel().collect().map(_.toSeq).toSet == liveBefore,
+      "compaction must be value-invisible on the live view")
+    assert(files().size <= nFilesBefore,
+      "compaction must not grow the file count")
   }
 
   test("streaming pinned-centroid assignment: zero-join scoring, stream==batch q96 ranks") {
