@@ -2417,6 +2417,53 @@ object Curation {
         docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
     },
 
+    // REVIEW sample: the human-QA artifact every release ships — per
+    // source, a FIXED 5-doc sample of the dedup keepers chosen by
+    // md5(doc_id) order (q93's deterministic-ordering convention: the
+    // sample is reproducible across runs and engines, and uncorrelated
+    // with doc_id position), carrying the signals a reviewer triages by
+    // (tokens, chars, unique-word per-mille — integer `div`, positives
+    // only). One keeper semi join + one per-source window; the sample is
+    // k·n_sources rows however large the corpus. Oracle: the shared
+    // keeper CTE + the identical md5 ROW_NUMBER replay.
+    "q175_review_sample" -> Q(
+      "Release review sample: 5 md5-ordered keeper docs per source with " +
+        "reviewer triage signals",
+      s"""WITH RECURSIVE
+        |${graft.queries.Dedup.KeeperCteSql},
+        |rd AS (
+        |  SELECT d.source, d.doc_id, string_split(d.text, ' ') AS toks,
+        |    d.n_chars
+        |  FROM documents d JOIN keepers USING (doc_id)),
+        |rs AS (SELECT source, doc_id, len(toks) AS n_toks,
+        |        len(list_distinct(toks)) AS n_uniq, n_chars FROM rd),
+        |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |      FROM rs)
+        |SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id,
+        |  CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST((1000 * n_uniq) // n_toks AS BIGINT) AS uniq_pm
+        |FROM rr WHERE rnk <= 5 ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val keep = graft.queries.Dedup.dedupManifest(docs)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val toks = split(col("text"), " ", -1)
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("source"), col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"),
+          col("n_chars").cast("long").as("n_chars"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("doc_id"), col("n_toks"),
+          col("n_chars"),
+          expr("(n_uniq * 1000) div n_toks").cast("long").as("uniq_pm"))
+        .orderBy("source", "rank")
+    },
+
     // CORPUS INTEGRITY audit ([[integrityAudit]]): the precondition gauge
     // every other operator assumes — per source, the profile (docs, chars,
     // id span) plus violation counts: duplicate ids, n_chars disagreeing

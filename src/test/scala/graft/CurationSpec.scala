@@ -284,6 +284,25 @@ class CurationSpec extends SparkSpec {
       "release arm must be q164's rows verbatim — keepers only")
   }
 
+  test("q175 review sample: 5 dense-ranked keepers per source, signals bounded") {
+    val rows = SparkEntry.queries("q175_review_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.size == 20)
+    bySource.values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1L to 5L),
+        "ranks must be dense 1..5 per source")
+    }
+    val keepers = SparkEntry.queries("q97_dedup_manifest")(spark, dir)
+      .filter(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { case (_, _, id, nToks, nChars, uniqPm) =>
+      assert(keepers.contains(id), s"sampled doc $id is not a keeper")
+      assert(nToks > 0 && nChars > 0 && uniqPm >= 0 && uniqPm <= 1000)
+    }
+  }
+
   test("q166 integrity audit: planted damage is detected; the clean fixture audits zero") {
     import spark.implicits._
     // planted: doc 1 duplicated ACROSS sources (both charged), doc 3's
