@@ -434,8 +434,8 @@ object Similarity {
     // oracle hash-checks the exact-baseline side of the comparison, and
     // IvfIndexSpec pins recall monotonicity in nProbe, the
     // structural full-probe ceiling (nProbe=16 probes every bucket ⇒
-    // candidate set = corpus ⇒ recall_bp = 10000 exactly), and a floor at
-    // the nProbe=1 operating point.
+    // candidate set = corpus ⇒ recall_bp = 10000 exactly), and that the
+    // sweep's numerator equals a stand-alone search's at the same nProbe.
     "q173_ivf_recall_sweep" -> Q.noOracle(
       "IVF recall audit: recall@5 vs the exact q36 baseline, swept over " +
         "nProbe {1,2,4,8,16} from one candidate pass") { (s, dir) =>
