@@ -210,6 +210,24 @@ object HashKernels {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** |A ∩ B| of two sorted-distinct long arrays — the integer half of
+    * [[jaccardSorted]]'s merge, for callers that decide membership by
+    * exact cross-multiplication (ninter·10000 ≥ thr_bp·nunion) instead
+    * of a float compare.
+    */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** 64-bit SimHash over the token multiset — identical semantics to the HOF
     * form in [[Text.simHash]] (bit j = sign of Σ ±1 by bit j of xxhash64(t)).
     */
@@ -389,6 +407,32 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** (sorted-distinct array<long>) × 2 → |A ∩ B| as bigint (codegen'd). */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "intersect_count_sorted"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashKernels.intersectCountSorted(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.intersectCountSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graft.{shims => S}
 
@@ -403,6 +447,9 @@ object HashExpressions {
 
   def jaccardSorted(a: Column, b: Column): Column =
     S.column(JaccardSorted(S.expression(a), S.expression(b)))
+
+  def intersectCountSorted(a: Column, b: Column): Column =
+    S.column(IntersectCountSorted(S.expression(a), S.expression(b)))
 
   def repetitionStats(tokens: Column): Column =
     S.column(RepetitionStats(S.expression(tokens)))

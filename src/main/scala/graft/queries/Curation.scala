@@ -1630,10 +1630,22 @@ object Curation {
     * rule, demoted keepers flagged 'revoked' at their immutable
     * published address. Factored out so q171's retraction and the q169
     * registration run the SAME absorb (twins cannot drift).
+    *
+    * The multi-consumer stages are snapped once via
+    * `shims.realStats(localCheckpoint)` (the ConnectedComponents lever):
+    * the manifest merge feeds both the addition anti-join and the final
+    * keep-flag join, the published pack table feeds its shard
+    * assignment, the per-source offsets AND the final rows, and the
+    * shard assignment feeds the 1-row offset head action and the final
+    * join — without the snap, the offset action plus the final plan
+    * re-executed the whole dedup+pack+shard chain (measured 2× cost:
+    * 10.5 s → ~6 s at sf0.1). realStats installs the MEASURED size so
+    * the downstream broadcast-vs-shuffle choices stay honest.
     */
   def incrementalRelease(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.graft.{shims => S}
       val thr = 0.7
       val docs = Tables(s, dir, "documents")
       val store = docs.filter(col("doc_id") % 5 =!= 0)
@@ -1641,26 +1653,31 @@ object Curation {
       val path = graft.queries.Dedup.componentIndexFor(store, dir, thr)
       val m0 = s.read.parquet(graft.queries.Dedup.manifestSubdir(path, thr))
       val keepers0 = m0.filter(col("keep") === 1).select(col("doc_id"))
-      val m1 = graft.queries.Dedup.incrementalManifest(s, batch, docs, path, thr)
-      val pub0 = graft.ops.ShardExport
+      val m1 = S.realStats(
+        graft.queries.Dedup.incrementalManifest(s, batch, docs, path, thr)
+          .localCheckpoint())
+      val pub0 = S.realStats(graft.ops.ShardExport
         .packedDocs(docs.join(keepers0, Seq("doc_id"), "left_semi"), 512)
+        .localCheckpoint())
       val packs0 = pub0.groupBy("source", "pack_id")
         .agg(sum("n_toks").as("pack_toks"))
-      val a0 = graft.ops.ShardExport
+      val a0 = S.realStats(graft.ops.ShardExport
         .assignShards(packs0, epoch = 1, shardTokens = 2048)
         .select(col("source"), col("pack_id"), col("shard_id"))
+        .localCheckpoint())
       // 1-row and per-source bounded aggregates — the q120 offset rule
       val sbase = a0.agg(max("shard_id")).head.getLong(0) + 1
       val np = pub0.groupBy("source")
         .agg((max("pack_id") + 1).as("pack_base"))
       val adds = m1.filter(col("keep") === 1).select(col("doc_id"))
         .join(keepers0, Seq("doc_id"), "left_anti")
-      val add0 = graft.ops.ShardExport
+      val add0 = S.realStats(graft.ops.ShardExport
         .packedDocs(docs.join(adds, Seq("doc_id"), "left_semi"), 512)
         .join(broadcast(np), Seq("source"), "left")
         .select(col("source"),
           (col("pack_id") + coalesce(col("pack_base"), lit(0L))).as("pack_id"),
           col("doc_id"), col("n_toks"))
+        .localCheckpoint())
       val packs1 = add0.groupBy("source", "pack_id")
         .agg(sum("n_toks").as("pack_toks"))
       val a1 = graft.ops.ShardExport
@@ -1679,6 +1696,75 @@ object Curation {
           col("pack_id"), col("shard_id"), lit("added").as("status"))
       pubRows.unionByName(addRows).orderBy("source", "pack_id", "doc_id")
   }
+
+  /** q169's oracle CTE chain, ending in `relrows` = the full incremental-
+    * release manifest (the keeper chain instantiated twice + both
+    * pack/shard arms + statuses). Shared VERBATIM by q176's takedown
+    * wrapper so the two oracles cannot drift (the KeeperCteSql house
+    * pattern).
+    */
+  private[graft] val IncrementalReleaseOracleSql: String =
+    s"""WITH RECURSIVE
+      |${graft.queries.Dedup.keeperCte("_a", p => s"${p}doc_id % 5 <> 0")},
+      |${graft.queries.Dedup.keeperCte("_b", _ => "TRUE")},
+      |adds AS (SELECT doc_id FROM keepers_b
+      |         WHERE doc_id NOT IN (SELECT doc_id FROM keepers_a)),
+      |t0 AS (
+      |  SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_toks
+      |  FROM documents d JOIN keepers_a USING (doc_id)),
+      |p0 AS (
+      |  SELECT source, doc_id, n_toks,
+      |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM t0),
+      |d0 AS (SELECT source, CAST(off // 512 AS BIGINT) AS pack_id, doc_id, n_toks FROM p0),
+      |pk0 AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+      |        FROM d0 GROUP BY source, pack_id),
+      |k0 AS (SELECT *,
+      |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+      |       FROM pk0),
+      |c0 AS (SELECT source, pack_id,
+      |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+      |      FROM k0),
+      |a0 AS (SELECT source, pack_id, CAST(goff // 2048 AS BIGINT) AS shard_id FROM c0),
+      |mx AS (SELECT MAX(shard_id) + 1 AS sbase FROM a0),
+      |np AS (SELECT source, MAX(pack_id) + 1 AS pack_base FROM d0 GROUP BY source),
+      |t1 AS (
+      |  SELECT d.source, d.doc_id, len(string_split(d.text, ' ')) AS n_toks
+      |  FROM documents d JOIN adds USING (doc_id)),
+      |p1 AS (
+      |  SELECT source, doc_id, n_toks,
+      |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM t1),
+      |d1 AS (SELECT p1.source,
+      |         CAST(off // 512 AS BIGINT) + COALESCE(np.pack_base, 0) AS pack_id,
+      |         p1.doc_id, p1.n_toks
+      |       FROM p1 LEFT JOIN np ON np.source = p1.source),
+      |pk1 AS (SELECT source, pack_id, SUM(n_toks) AS pack_toks
+      |        FROM d1 GROUP BY source, pack_id),
+      |k1 AS (SELECT *,
+      |         md5(source || ':' || CAST(pack_id AS VARCHAR) || ':1') AS skey
+      |       FROM pk1),
+      |c1 AS (SELECT source, pack_id,
+      |        COALESCE(SUM(pack_toks) OVER (ORDER BY skey, source, pack_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS goff
+      |      FROM k1),
+      |a1 AS (SELECT source, pack_id,
+      |         CAST(goff // 2048 AS BIGINT) + (SELECT sbase FROM mx) AS shard_id
+      |       FROM c1),
+      |relrows AS (
+      |  SELECT source, doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      |    pack_id, shard_id, status FROM (
+      |    SELECT d0.source, d0.doc_id, d0.n_toks, d0.pack_id, a0.shard_id,
+      |      CASE WHEN d0.doc_id IN (SELECT doc_id FROM keepers_b)
+      |           THEN 'published' ELSE 'revoked' END AS status
+      |    FROM d0 JOIN a0 ON a0.source = d0.source AND a0.pack_id = d0.pack_id
+      |    UNION ALL
+      |    SELECT d1.source, d1.doc_id, d1.n_toks, d1.pack_id, a1.shard_id,
+      |      'added' AS status
+      |    FROM d1 JOIN a1 ON a1.source = d1.source AND a1.pack_id = d1.pack_id))""".stripMargin
 
   /** q171: un-absorb the day-2 batch from an incremental release. The
     * absorb never rewrote a published file (additions are NEW tail
@@ -1711,6 +1797,34 @@ object Curation {
           .otherwise(col("status")).as("status"))
       .orderBy("source", "pack_id", "doc_id")
   }
+
+  /** q176: EXECUTE a takedown against a release manifest — the write half
+    * of q172's locator, and the third manifest-surgery direction after
+    * q171's retract. Under the immutable-publication contract removal is
+    * a FLAG at the published address (exactly the demotion mechanism):
+    * every LIVE row ('published' or 'added') holding a takedown doc flips
+    * to 'taken_down'; everything else passes through verbatim. A row
+    * already 'revoked' stays revoked — the dedup demotion stands, there
+    * is nothing live to remove — which makes the op IDEMPOTENT and
+    * composable with retraction in either order. Dedup state is
+    * deliberately untouched: the taken-down doc remains its cluster's
+    * keeper, so its near-duplicates — the same content — can never be
+    * promoted into a later release by the incremental absorb.
+    * The takedown set is tiny by nature and probes by one broadcast
+    * join; the manifest itself is map-side work, no new shuffle.
+    */
+  def takedownRelease(
+      manifest: org.apache.spark.sql.DataFrame,
+      takedownIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    manifest.join(
+        broadcast(takedownIds.select(col("doc_id"), lit(1).as("__td"))),
+        Seq("doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        col("pack_id"), col("shard_id"),
+        when(col("__td") === 1 && col("status").isin("published", "added"),
+          lit("taken_down"))
+          .otherwise(col("status")).as("status"))
+      .orderBy("source", "pack_id", "doc_id")
 
   /** q166: the per-source corpus integrity audit — see the registration
     * comment. Duplicate ids are detected at the ID grain (a window over

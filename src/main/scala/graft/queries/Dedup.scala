@@ -2082,11 +2082,76 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXACT set-similarity self-join — every pair (u < v) with
+    * jaccard(shingles_u, shingles_v) ≥ minBp/10000, as
+    * (u, v, ninter, nunion) — WITHOUT the raw shared-shingle self-join.
+    * The raw join's output is Σ_h df(h)², quadratic in per-shingle
+    * document frequency, which is exactly what boilerplate inflates at
+    * corpus scale (measured: q174 went 1.99 s → 144 s from sf0.1 to the
+    * derived sf1 corpus on that shape — the corpus' duplicated text
+    * blocks are the fixture-scale stand-in for web boilerplate).
+    *
+    * This is the AllPairs/PPJoin prefix filter instead, and it is
+    * EXACT, not approximate: order all shingle hashes by (document
+    * frequency asc, hash asc) — a global total order, rarest first —
+    * and give each doc a PREFIX of its first n − ⌈t·n⌉ + 1 shingles in
+    * that order. Any pair with J ≥ t has ninter ≥ ⌈t·n⌉ common shingles
+    * (nunion ≥ n), and if its FIRST common shingle in the order missed
+    * a prefix, all ⌈t·n⌉ of them would have to fit in that doc's
+    * trailing ⌈t·n⌉ − 1 positions — impossible. So a self-join on
+    * prefix shingles alone loses no qualifying pair, while hot
+    * boilerplate shingles — maximal df, last in the order — fall out of
+    * every prefix and never generate a candidate. Candidates verify by
+    * the exact sorted-merge intersection count
+    * ([[HashExpressions.intersectCountSorted]], codegen'd), and
+    * membership is integer cross-multiplication (the q141 convention) —
+    * no float anywhere, so the result set is bit-identical to the raw
+    * join's on both engines. The candidate join also carries the length
+    * filter (J ≥ t forces minBp·max(n_u,n_v) ≤ 10000·min(n_u,n_v)),
+    * pruning size-mismatched candidates before the array verify. Both
+    * prefix conditions are cross-multiplied integers:
+    * rk ≤ n − ⌈minBp·n/10000⌉ + 1 ⇔ minBp·n ≤ 10000·(n − rk + 1).
+    *
+    * The df aggregate and the per-doc row_number window are one extra
+    * linear pass each over the exploded shingles — the same data the
+    * raw join already shuffled on h — and Spark's ReuseExchange dedups
+    * the repeated subtrees, so the overhead is a constant factor on the
+    * linear part while the quadratic part collapses to true candidates.
+    */
+  def exactJaccardPairs(docs: DataFrame, minBp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled(docs)
+    val e = sh.select(
+      col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("h"))
+    val dfreq = e.groupBy("h").agg(count(lit(1)).as("df"))
+    val pre = e.join(dfreq, "h")
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
+      .filter(lit(minBp.toLong) * col("n") <= lit(10000L) * (col("n") - col("rk") + 1))
+      .select(col("doc_id"), col("n"), col("h"))
+    val cand = pre.as("a")
+      .join(pre.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          lit(minBp.toLong) * greatest(col("a.n"), col("b.n")) <=
+            lit(10000L) * least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("u"), col("sh").as("sh_u")), "u")
+      .join(sh.select(col("doc_id").as("v"), col("sh").as("sh_v")), "v")
+      .select(col("u"), col("v"),
+        HashExpressions.intersectCountSorted(col("sh_u"), col("sh_v")).as("ninter"),
+        (size(col("sh_u")) + size(col("sh_v"))).cast("long").as("nsum"))
+      .select(col("u"), col("v"), col("ninter"),
+        (col("nsum") - col("ninter")).as("nunion"))
+      .filter(col("ninter") * 10000 >= lit(minBp.toLong) * col("nunion"))
+  }
+
   /** q144: BANDING RECALL AUDIT — the gauge for the assumption everything
     * minhash-tiered rests on: does the deterministic 8×4 banding still
     * catch every true pair at the operating threshold ON THIS CORPUS?
-    * The audit computes the EXACT jaccard pair graph (shared-shingle
-    * equi-join — the ExactPairPrefixSql shape, never a cross join) and
+    * The audit computes the EXACT jaccard pair graph
+    * ([[exactJaccardPairs]] — prefix-filtered, never a cross join) and
     * the banded graph over the same docs, and reports
     * (n_true, n_caught, recall_bp). MinHashRecallSpec pins recall = 1.0
     * as a test; THIS runs the same measurement as a registered,
@@ -2107,17 +2172,11 @@ object Dedup {
       else docs.filter(
         pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L))
           < sampleBp)
-    val sh = shingled(s)
-    val g = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val sz = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    val truePairs = g.as("a")
-      .join(g.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
-      .agg(count(lit(1)).as("ninter"))
-      .join(sz.select(col("doc_id").as("u"), col("n").as("nu")), "u")
-      .join(sz.select(col("doc_id").as("v"), col("n").as("nv")), "v")
-      .filter(col("ninter") / (col("nu") + col("nv") - col("ninter")) >= threshold)
+    // prefix-filtered exact pair graph at the truncated-bp floor (safe:
+    // prefix pruning at t' ≤ t loses nothing above t), then the exact
+    // float predicate this audit always used
+    val truePairs = exactJaccardPairs(s, (threshold * 10000).toInt)
+      .filter(col("ninter") / col("nunion") >= threshold)
       .select("u", "v")
     val caught = truePairs.join(
       minhashPairs(s, threshold).select(col("a").as("u"), col("b").as("v")),
@@ -2135,10 +2194,10 @@ object Dedup {
     * banding catches the pairs at the chosen threshold; this sweeps what
     * the THRESHOLD CHOICE itself costs — for every candidate operating
     * point, how many pairs would be merged and how many docs touched.
-    * One shared-shingle equi-join pass (the ExactPairPrefixSql shape,
-    * never a cross join) computes each pair's (ninter, nunion) ONCE,
-    * pre-filtered at the grid minimum; the grid then sweeps that bounded
-    * pair statistic (the q130/q148 pattern — no second corpus scan).
+    * One [[exactJaccardPairs]] pass (prefix-filtered, never a cross
+    * join) computes each pair's (ninter, nunion) ONCE, pre-filtered at
+    * the grid minimum; the grid then sweeps that bounded pair statistic
+    * (the q130/q148 pattern — no second corpus scan).
     * Membership is decided by integer cross-multiplication
     * (ninter·10000 ≥ thr_bp·nunion, the q141 convention), so the sweep
     * is exact on both engines with no float threshold anywhere. Same
@@ -2157,20 +2216,7 @@ object Dedup {
       else docs.filter(
         pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(10000L))
           < sampleBp)
-    val minBp = gridBp.min
-    val sh = shingled(s)
-    val g = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val sz = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    val pairs = g.as("a")
-      .join(g.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
-      .agg(count(lit(1)).as("ninter"))
-      .join(sz.select(col("doc_id").as("u"), col("n").as("nu")), "u")
-      .join(sz.select(col("doc_id").as("v"), col("n").as("nv")), "v")
-      .select(col("u"), col("v"), col("ninter"),
-        (col("nu") + col("nv") - col("ninter")).as("nunion"))
-      .filter(col("ninter") * 10000 >= lit(minBp.toLong) * col("nunion"))
+    val pairs = exactJaccardPairs(s, gridBp.min)
     val grid = gridBp.toDF("thr_bp")
     // ONE consumer of the pair pass: exploding each passing pair's two
     // endpoints makes count/2 the pair count and countDistinct the

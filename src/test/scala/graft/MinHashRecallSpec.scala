@@ -50,6 +50,53 @@ class MinHashRecallSpec extends SparkSpec {
       s"sweep(7000)=$sweep7000 must equal q144 n_true=$q144true")
   }
 
+  test("exactJaccardPairs (prefix filter) equals the brute-force pair graph, counts included") {
+    import spark.implicits._
+    def shOf(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id"),
+      HashExpressions.shingleHashSet(Text.tokens(col("text")), k = 3).as("sh"))
+    // brute force: every pair via cross join, same kernel, same
+    // cross-multiplied membership — the O(n²) oracle the prefix filter
+    // must reproduce exactly (pairs AND their ninter/nunion)
+    def brute(d: org.apache.spark.sql.DataFrame, minBp: Int) = {
+      val sh = shOf(d)
+      sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("u"), col("y.doc_id").as("v"),
+          HashExpressions.intersectCountSorted(col("x.sh"), col("y.sh")).as("ninter"),
+          (size(col("x.sh")) + size(col("y.sh"))).cast("long").as("nsum"))
+        .select(col("u"), col("v"), col("ninter"),
+          (col("nsum") - col("ninter")).as("nunion"))
+        .filter(col("ninter") * 10000 >= lit(minBp.toLong) * col("nunion"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    def got(d: org.apache.spark.sql.DataFrame, minBp: Int) =
+      Dedup.exactJaccardPairs(d, minBp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    for (minBp <- Seq(7000, 8000)) {
+      val t = brute(corpus, minBp)
+      assert(t.nonEmpty, "corpus must contain pairs at the operating point")
+      assert(got(corpus, minBp) === t, s"corpus minBp=$minBp diverged from brute force")
+    }
+    // planted edges: an exact duplicate (prefix length collapses to 1 at
+    // minBp=10000) and a hot boilerplate token shared by ALL docs — the
+    // frequency-ascending order must still find the true pairs while the
+    // hot token itself never enters a prefix
+    def wd(tag: String, n: Int) = (0 until n).map(i => s"w${tag}_$i")
+    val toy = Seq(
+      (1L, ("hot" +: wd("a", 24)).mkString(" ")),
+      (2L, ("hot" +: wd("a", 24)).mkString(" ")), // = doc 1 exactly
+      (3L, ("hot" +: wd("b", 24)).mkString(" ")),
+      (4L, ("hot" +: (wd("b", 22) ++ wd("c", 2))).mkString(" ")),
+      (5L, ("hot" +: wd("d", 24)).mkString(" "))).toDF("doc_id", "text")
+    for (minBp <- Seq(7000, 10000)) {
+      val t = brute(toy, minBp)
+      assert(got(toy, minBp) === t, s"toy minBp=$minBp diverged from brute force")
+    }
+    assert(got(toy, 10000).map(p => (p._1, p._2)) === Set((1L, 2L)),
+      "the exact-duplicate pair must survive the length-1 prefix at minBp=10000")
+  }
+
   test("8x4 banding recall >= 0.9 against exact Jaccard ground truth (measured 1.0)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val sh = docs.select(

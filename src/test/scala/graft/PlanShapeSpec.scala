@@ -753,15 +753,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("q174 threshold sweep: one pair pass (shingle self-join), the grid sweeps the bounded pair stat") {
+  test("q174 threshold sweep: one prefix-filtered pair pass, the grid sweeps the bounded pair stat") {
     val p = planOf("q174_dedup_threshold_sweep")
-    // the pair pass reads documents 4× by construction (the shingle
-    // self-join's two sides + the two size joins — q144's shape), and
-    // the single-consumer aggregation keeps that independent of the
-    // 5-point grid
+    // the prefix-filtered pair pass (exactJaccardPairs) references the
+    // shingled corpus a bounded constant number of times — the df
+    // aggregate, the two prefix-join sides, and the two verify-array
+    // joins — independent of the 5-point grid, and ReuseExchange
+    // collapses the repeated subtrees physically
     val scans = p.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("documents"))
-    assert(scans <= 4, s"grid must not multiply documents scans, got $scans:\n" + p)
+    assert(scans <= 6, s"grid must not multiply documents scans, got $scans:\n" + p)
+    // the prefix ranking (row_number over doc_id, the AllPairs filter)
+    // must be present — losing it silently reverts to the raw
+    // shared-shingle self-join, quadratic in shingle df
+    // (exchange reuse across the repeated subtrees happens when AQE
+    // finalizes stages, so it is not assertable on the static plan here)
+    assert(p.contains("row_number"), "prefix ranking window missing:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
