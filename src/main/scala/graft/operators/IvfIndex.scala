@@ -217,24 +217,49 @@ object IvfIndex {
     val idx = spark.read.parquet(path)
       .filter(col("bucket").isin(touched: _*))
     val cols = idx.columns.toSeq
-    idx.join(broadcast(assigned.select(col(idCol))), Seq(idCol), "left_anti")
-      .select(cols.map(col): _*)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .partitionBy("bucket")
-      .parquet(path + ".retract")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    try {
+      idx.join(broadcast(assigned.select(col(idCol))), Seq(idCol), "left_anti")
+        .select(cols.map(col): _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .partitionBy("bucket")
+        .parquet(path + ".retract")
+    } catch {
+      case e: Throwable =>
+        // no live bucket has been touched yet — shed the staging dir so a
+        // failed survivor-write leaves the index byte-identical
+        fs.delete(new org.apache.hadoop.fs.Path(path + ".retract"), true)
+        throw e
+    }
+    // Per-bucket rename-aside (the [[graft.ops.StoreSwap]] ordering; the
+    // aside dir lives OUTSIDE the index, because a `bucket=N.old` inside
+    // it would corrupt partition discovery): each touched bucket is
+    // whole-old or whole-new at every instant, and a crash mid-loop never
+    // deletes the only copy of a bucket — a complete version always sits
+    // at dst, aside, or src, so recovery is a replay of the retract (the
+    // left-anti is idempotent). Across buckets a concurrent probe can
+    // still observe a retracted/unretracted MIX while the loop runs: the
+    // atomicity contract is PER-BUCKET, not whole-index.
+    val aside = new org.apache.hadoop.fs.Path(path + ".retract.old")
+    fs.delete(aside, true)
+    fs.mkdirs(aside)
     for (b <- touched) {
       val dst = new org.apache.hadoop.fs.Path(s"$path/bucket=$b")
       val src = new org.apache.hadoop.fs.Path(s"$path.retract/bucket=$b")
-      fs.delete(dst, true)
-      // a fully-retracted bucket has no survivors and no src dir — the
-      // delete alone is the correct result
+      val old = new org.apache.hadoop.fs.Path(s"$path.retract.old/bucket=$b")
+      if (fs.exists(dst) && !fs.rename(dst, old))
+        throw new java.io.IOException(s"retractFromIndex: could not set aside $dst")
+      // a fully-retracted bucket has no survivors and no src dir — its
+      // absence at dst is the correct result ([[searchIndexed]]'s
+      // `bucket IN` pruning expects exactly that of an empty bucket)
       if (fs.exists(src) && !fs.rename(src, dst))
         throw new java.io.IOException(s"retractFromIndex: could not swap $dst")
     }
     fs.delete(new org.apache.hadoop.fs.Path(path + ".retract"), true)
+    fs.delete(aside, true)
+    ()
   }
 
   /** INDEX COMPACTION — the vector-side twin of the band-index rewrite

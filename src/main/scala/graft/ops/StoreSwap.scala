@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** The house swap for write-aside store rewrites: publish `path + ".next"`
+  * at `path` without ever holding the only complete copy in a half-deleted
+  * state. The naive delete-then-rename (the original q149 shape) has a
+  * crash window in which the live directory is already gone and `.next`
+  * has not yet been renamed — recovery exists (`.next` is complete) but a
+  * reader during the window sees a MISSING store, and the window is
+  * O(delete) = O(files) long. Rename-aside inverts the order:
+  *
+  *   1. `path`      -> `path + ".old"`   (metadata-only)
+  *   2. `path.next` -> `path`            (metadata-only)
+  *   3. delete `path + ".old"`           (slow part, AFTER publication)
+  *
+  * At every instant a complete copy of some store version exists on disk
+  * under a well-known name, the unreadable window shrinks to two renames,
+  * and crash recovery is mechanical by inspection: `.next` present and
+  * `path` absent -> redo step 2; `.old` present and `path` present ->
+  * redo step 3. A stale `.old` from a previous crash is cleared first so
+  * step 1 cannot collide. On a real object store (no atomic rename) the
+  * production analogue is write-new -> repoint -> retire, which this
+  * sequence degrades to gracefully.
+  */
+object StoreSwap {
+
+  /** Replace `path` with `path + ".next"` via rename-aside (see object
+    * doc). Tolerates a missing live dir (first publication) and a stale
+    * `.old` left by a prior crash.
+    */
+  def swapInto(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val next = new org.apache.hadoop.fs.Path(path + ".next")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = p.getFileSystem(conf)
+    fs.delete(old, true)
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"store swap: could not set aside $path")
+    if (!fs.rename(next, p))
+      throw new java.io.IOException(s"store swap: could not publish $path.next")
+    fs.delete(old, true)
+    ()
+  }
+}

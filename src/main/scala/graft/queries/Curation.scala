@@ -822,17 +822,14 @@ object Curation {
     swapInto(spark, path)
   }
 
-  /** Atomically replace `path` with `path + ".next"` (q149's
-    * delete-then-rename swap, shared by the refcounted-store rewrites).
+  /** Replace `path` with `path + ".next"` — shared by the refcounted /
+    * histogram / pack-store rewrites. Delegates to the house rename-aside
+    * swap ([[graft.ops.StoreSwap]]): the original delete-then-rename left
+    * only `.next` on disk during its crash window, weaker than the
+    * write-aside-then-swap atomicity these stores document.
     */
-  private def swapInto(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(path + ".next"), p))
-      throw new java.io.IOException(s"refcounted store: could not swap $path")
-  }
+  private def swapInto(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.ops.StoreSwap.swapInto(spark, path)
 
   /** q125: QUALITY ENSEMBLE — fuse several weak quality signals into one
     * rank (the FineWeb-Edu-style move: no single heuristic is trustworthy,
@@ -1153,7 +1150,21 @@ object Curation {
       spark: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame,
       path: String): Unit = {
-    spark.read.parquet(path).select(col("source"), col("score"), col("n"))
+    retractedHistogramRows(spark.read.parquet(path), batch)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path + ".next")
+    swapInto(spark, path)
+  }
+
+  /** The rows [[retractFromHistogramStore]] writes, exposed pre-write (the
+    * [[retractedRefcountedRows]] precedent): the retracted store as a pure
+    * view over the live store — what a PROBE-form registration measures
+    * without mutating anything.
+    */
+  private[graft] def retractedHistogramRows(
+      store: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    store.select(col("source"), col("score"), col("n"))
       .union(scoreHistogram(batch)
         .select(col("source"), col("score"), (-col("n")).as("n")))
       .groupBy("source", "score").agg(sum("n").as("n"))
@@ -1163,10 +1174,6 @@ object Curation {
           col("source"), lit(":"), col("score").cast("string"))))
           .otherwise(col("n")).as("n"))
       .filter(col("n") > 0)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "zstd").parquet(path + ".next")
-    swapInto(spark, path)
-  }
 
   /** q118: CURRICULUM staging — partition the corpus into `stages` global
     * quality quantiles (ascending [[densityScore]]), the scheduling input

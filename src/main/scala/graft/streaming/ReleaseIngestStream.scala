@@ -19,18 +19,40 @@ import graft.ops.ShardExport
   *
   * Discipline shared with [[PackIngestStream]]/[[BoundaryPackIngestStream]]:
   * everything the append plan needs from the directories it will mutate is
-  * COLLECTED first — and every such artifact is bounded: additions ⊆ batch
-  * (ranking over a union is the max of the maxima — q169's argument, so a
-  * previously demoted doc can never re-win), demotions are bounded by the
-  * batch-touched clusters, pack offsets are ≤ n_sources rows, the shard
-  * base is 1 row. The corpus-sized band/manifest stores are only ever
-  * SCANNED by distributed plans (the q110/q112 broadcast-gated shapes) and
-  * mutated write-aside-then-swap, after the release append. Restart
-  * semantics are the standard foreachBatch at-least-once file-sink
-  * contract.
+  * materialized first — but where the pack stream's resume state is
+  * genuinely bounded (≤ n_sources offset rows, collected), the release
+  * deltas are BATCH-sized (additions ⊆ batch — ranking over a union is the
+  * max of the maxima, q169's argument, so a previously demoted doc can
+  * never re-win; demotions are bounded by the batch-touched clusters), so
+  * they stage as WRITE-ASIDE parquet in a sibling `.delta` directory
+  * instead of crossing the driver: the release append plan reads only the
+  * staging dir plus the in-memory batch, severing the parquet self-read
+  * the same way, with the joins left distributed. The only collected
+  * artifacts are the pack offsets (≤ n_sources rows) and the 1-row shard
+  * base. The corpus-sized band/manifest stores are only ever SCANNED by
+  * distributed plans (the q110/q112 broadcast-gated shapes) and mutated
+  * write-aside-then-swap, after the release append.
+  *
+  * Restart semantics are foreachBatch at-least-once, made effectively
+  * idempotent by explicit replay detection at each commit point (batch
+  * ids already in the swapped manifest -> whole-absorb no-op; additions
+  * already at their published addresses -> the release append is observed
+  * as done; batch shingles already in the band index -> the index append
+  * is observed as done). The one replay that still duplicates state is a
+  * crash exactly between the band-table append and the shingle append
+  * inside [[graft.queries.Dedup.appendToBandIndex]] — the replay re-runs
+  * both, double-appending the batch's band rows; probes `.distinct()`
+  * their candidates, so the cost is storage (shed at the next
+  * compaction), never correctness.
   *
   * The FIRST batch bootstraps: band index + component manifest built over
-  * the batch, every keeper published from pack/shard zero.
+  * the batch, every keeper published from pack/shard zero. Bootstrap is
+  * complete only when BOTH the manifest and the release carry `_SUCCESS`
+  * — the manifest is written first, so gating on it alone would let a
+  * crash between the two replay down the incremental path against a
+  * release that does not exist, against a band index the batch would
+  * self-match through. Every bootstrap write is Overwrite, so a partial
+  * bootstrap replays the whole branch safely.
   */
 object ReleaseIngestStream {
 
@@ -67,8 +89,10 @@ object ReleaseIngestStream {
     val s = batch.sparkSession
     val b = batch.withColumn("n_chars", length(col("text")).cast("long"))
     val sub = Dedup.manifestSubdir(indexDir, threshold)
-    val bootstrapped = java.nio.file.Files
-      .exists(java.nio.file.Paths.get(sub, "_SUCCESS"))
+    def committed(dir: String) = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    // bootstrap completes only when BOTH artifacts exist (see object doc)
+    val bootstrapped = committed(sub) && committed(releaseDir)
     if (!bootstrapped) {
       Dedup.persistBandIndex(b, indexDir)
       Dedup.persistComponents(b, indexDir, threshold)
@@ -79,7 +103,20 @@ object ReleaseIngestStream {
         .write.mode(SaveMode.Overwrite)
         .option("compression", "zstd").parquet(releaseDir)
     } else {
-      import s.implicits._
+      val batchIds = b.select(col("doc_id"))
+      // FULL-replay guard (crash after the manifest swap, before the
+      // checkpoint commit): the swapped manifest already contains every
+      // batch id, so the absorb is a committed no-op — and recomputing the
+      // incremental manifest against a store that already holds the batch
+      // would feed duplicate doc rows into the ranking. Ingest doc_ids are
+      // unique across batches, so a PARTIAL overlap is a contract breach.
+      val nBatch = batchIds.count()
+      val nKnown = s.read.parquet(sub).select(col("doc_id"))
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi").count()
+      require(nKnown == 0L || nKnown == nBatch,
+        s"release ingest: $nKnown of $nBatch batch ids already in the " +
+          "manifest — doc_ids must be unique across batches")
+      if (nKnown == nBatch) return
       // the day-N+1 manifest, write-aside (its plan reads the live store
       // and the band index — nothing is mutated until it is on disk)
       val next = sub + ".next"
@@ -90,53 +127,77 @@ object ReleaseIngestStream {
           col("n_chars"), col("keep"))
         .write.mode(SaveMode.Overwrite)
         .option("compression", "zstd").parquet(next)
-      // bounded deltas + offsets, collected BEFORE any mutation so the
-      // release append never reads a directory it writes
+      // batch-sized deltas staged WRITE-ASIDE (never collected): the adds
+      // and the demoted keepers' published addresses land in a sibling
+      // staging dir, so the release append below reads only staging + the
+      // batch — no plan reads the directory it writes
+      val stage = releaseDir + ".delta"
       val k0 = s.read.parquet(sub).filter(col("keep") === 1).select(col("doc_id"))
       val k1 = s.read.parquet(next).filter(col("keep") === 1).select(col("doc_id"))
-      val adds = k1.join(k0, Seq("doc_id"), "left_anti")
-        .collect().map(_.getLong(0)).toSeq
-      val demoted = k0.join(k1, Seq("doc_id"), "left_anti")
-        .collect().map(_.getLong(0)).toSeq
+      k1.join(k0, Seq("doc_id"), "left_anti")
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(s"$stage/adds")
       val live = s.read.parquet(releaseDir)
       val pub = live.filter(col("status") === "published")
+      pub.join(k0.join(k1, Seq("doc_id"), "left_anti"), Seq("doc_id"), "left_semi")
+        .select(col("source"), col("doc_id"), col("n_toks"),
+          col("pack_id"), col("shard_id"))
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(s"$stage/demoted")
+      val adds = s.read.parquet(s"$stage/adds")
+      val demoted = s.read.parquet(s"$stage/demoted")
+      // bounded continuation offsets: ≤ n_sources pack rows + a 1-row
+      // shard base, null-safe for an EMPTY published set (a fully-revoked
+      // store after compaction, or a tombstone-only tail)
       val packBases = pub.groupBy("source")
         .agg((max("pack_id") + 1).as("pack_base"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val shardBase = pub.agg(max("shard_id")).head.getLong(0) + 1
-      val collisions = pub
-        .join(adds.toDF("a"), col("doc_id") === col("a"), "left_semi")
-        .limit(1).collect()
-      require(collisions.isEmpty,
-        "release ingest: a batch addition collides with a published doc " +
-          "(a demoted keeper can never re-win — duplicate absorb?)")
-      val revoked = pub
-        .join(demoted.toDF("d"), col("doc_id") === col("d"), "left_semi")
-        .select(col("source"), col("doc_id"), col("n_toks"),
-          col("pack_id"), col("shard_id"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4)))
-        .toSeq
-      val addRows = releaseRows(
-        b.join(adds.toDF("doc_id"), Seq("doc_id"), "left_semi"),
-        packBases, shardBase, packTokens, shardTokens)
-      val tombRows = revoked
-        .toDF("source", "doc_id", "n_toks", "pack_id", "shard_id")
-        .select(col("source"), col("doc_id"), col("n_toks"),
-          col("pack_id"), col("shard_id"), lit("revoked").as("status"))
-      addRows.unionByName(tombRows)
-        .write.mode(SaveMode.Append)
-        .option("compression", "zstd").parquet(releaseDir)
-      // now mutate the dedup state: band index grows, manifest swaps
-      Dedup.appendToBandIndex(b, indexDir)
+      val maxShard = pub.agg(max("shard_id")).head
+      val shardBase = if (maxShard.isNullAt(0)) 0L else maxShard.getLong(0) + 1
+      // Replay classification for the release append: additions ALL at
+      // their published addresses means the pre-crash append committed
+      // (adds + tombstones commit in one job) — observe it as done rather
+      // than failing forever on the collision require. A PARTIAL overlap
+      // is genuine corruption: a demoted keeper can never re-win (q169's
+      // max-of-maxima argument), so fresh adds are disjoint from pub.
+      val nAdds = adds.count()
+      val nDem = demoted.count()
+      val nAddsPub = pub.join(adds, Seq("doc_id"), "left_semi").count()
+      require(nAddsPub == 0L || nAddsPub == nAdds,
+        s"release ingest: $nAddsPub of $nAdds batch additions collide " +
+          "with published docs (a demoted keeper can never re-win)")
+      val nDemRev = live.filter(col("status") === "revoked")
+        .join(demoted.select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+      val releaseAppended =
+        (nAdds > 0L && nAddsPub == nAdds) ||
+          (nAdds == 0L && nDem > 0L && nDemRev == nDem)
+      if (!releaseAppended && (nAdds > 0L || nDem > 0L)) {
+        val addRows = releaseRows(
+          b.join(adds, Seq("doc_id"), "left_semi"),
+          packBases, shardBase, packTokens, shardTokens)
+        val tombRows = demoted
+          .select(col("source"), col("doc_id"), col("n_toks"),
+            col("pack_id"), col("shard_id"), lit("revoked").as("status"))
+        addRows.unionByName(tombRows)
+          .write.mode(SaveMode.Append)
+          .option("compression", "zstd").parquet(releaseDir)
+      }
+      // band index grows unless a replay already grew it (probe the
+      // shingle store — written second inside appendToBandIndex, so its
+      // presence implies the band append committed too; a crash between
+      // the two double-appends band rows only, which probes .distinct()
+      // away and the next compaction sheds)
+      val bandHasBatch = releaseAppended &&
+        s.read.parquet(s"$indexDir/shingles").select(col("doc_id"))
+          .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+          .limit(1).count() > 0L
+      if (!bandHasBatch) Dedup.appendToBandIndex(b, indexDir)
+      // commit point: the manifest swap (rename-aside — a complete
+      // manifest version exists on disk at every instant)
+      graft.ops.StoreSwap.swapInto(s, sub)
       val conf = s.sparkContext.hadoopConfiguration
-      val subPath = new org.apache.hadoop.fs.Path(sub)
-      val fs = subPath.getFileSystem(conf)
-      fs.delete(subPath, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(next), subPath))
-        throw new java.io.IOException(
-          s"release ingest: could not swap $next into $sub")
+      val stagePath = new org.apache.hadoop.fs.Path(stage)
+      stagePath.getFileSystem(conf).delete(stagePath, true)
     }
     ()
   }
@@ -171,13 +232,7 @@ object ReleaseIngestStream {
       .sortWithinPartitions("shard_id", "pack_id", "doc_id")
       .write.mode(SaveMode.Overwrite)
       .option("compression", "zstd").parquet(releaseDir + ".next")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(releaseDir)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(releaseDir + ".next"), p))
-      throw new java.io.IOException(
-        s"release compaction: could not swap into $releaseDir")
+    graft.ops.StoreSwap.swapInto(spark, releaseDir)
   }
 
   /** Pack + shard the given docs under the q120 offset rule and emit
