@@ -2843,6 +2843,32 @@ object Curation {
       rel.unionByName(spans).unionByName(bnd).orderBy("doc_id", "artifact")
     },
 
+    // TAKEDOWN EXECUTION ([[takedownRelease]]): the write half of q172's
+    // locator and the third manifest-surgery direction after q171's
+    // retract — every LIVE row ('published'/'added') holding a takedown
+    // doc (the q172 %97 convention) flips to 'taken_down' at its
+    // immutable published address; 'revoked' rows stay revoked (the
+    // dedup demotion stands), which makes the op idempotent and
+    // composable with retraction in either order. Oracle: q169's
+    // shared relrows template (IncrementalReleaseOracleSql, verbatim —
+    // the KeeperCteSql house pattern) wrapped in the same CASE flip, so
+    // the release arms cannot drift between the two oracles.
+    "q176_takedown_exec" -> Q(
+      "Takedown execution: live release rows holding a takedown doc flip " +
+        "to taken_down at their published address; revoked rows stand",
+      s"""$IncrementalReleaseOracleSql,
+        |td AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0)
+        |SELECT source, doc_id, n_toks, pack_id, shard_id,
+        |  CASE WHEN status IN ('published', 'added')
+        |        AND doc_id IN (SELECT doc_id FROM td)
+        |       THEN 'taken_down' ELSE status END AS status
+        |FROM relrows
+        |ORDER BY source, pack_id, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      takedownRelease(incrementalRelease(s, dir),
+        docs.filter(col("doc_id") % 97 === 0).select(col("doc_id")))
+    },
+
     "q58_seq_packing" -> Q(
       "Sequence packing audit: 512-token context windows per source " +
         "(concat-then-chunk)",

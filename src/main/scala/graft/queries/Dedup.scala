@@ -2381,20 +2381,23 @@ object Dedup {
       .select(shingles.columns.map(col).toSeq: _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd").parquet(s"$indexPath/shingles.next")
-    val exact = spark.read.parquet(s"$indexPath/exact_fp")
-    exact.join(ids.select(col("doc_id").as("keep_id")), Seq("keep_id"), "left_anti")
-      .select(exact.columns.map(col).toSeq: _*)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "zstd").parquet(s"$indexPath/exact_fp.next")
-    val conf = spark.sparkContext.hadoopConfiguration
-    for (part <- Seq(sub, s"$indexPath/bands", s"$indexPath/shingles",
-        s"$indexPath/exact_fp")) {
-      val p = new org.apache.hadoop.fs.Path(part)
-      val fs = p.getFileSystem(conf)
-      fs.delete(p, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(part + ".next"), p))
-        throw new java.io.IOException(s"retractBatch: could not swap $part")
+    // the exact-fingerprint tier is optional in the artifact (the release
+    // ingest index carries bands + shingles + manifest only)
+    val exactPath = s"$indexPath/exact_fp"
+    val hasExact = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(exactPath, "_SUCCESS"))
+    if (hasExact) {
+      val exact = spark.read.parquet(exactPath)
+      exact.join(ids.select(col("doc_id").as("keep_id")), Seq("keep_id"), "left_anti")
+        .select(exact.columns.map(col).toSeq: _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(s"$exactPath.next")
     }
+    val parts = Seq(sub, s"$indexPath/bands", s"$indexPath/shingles") ++
+      (if (hasExact) Seq(exactPath) else Nil)
+    // rename-aside swaps (graft.ops.StoreSwap): a complete version of
+    // every artifact exists on disk at each instant of the multi-store swap
+    parts.foreach(graft.ops.StoreSwap.swapInto(spark, _))
   }
 
   /** Snapshot-id stride for the cross-snapshot global key: `gid = snap ·

@@ -202,6 +202,75 @@ object ReleaseIngestStream {
     ()
   }
 
+  /** STORE-LEVEL inverse of [[ingest]] for the MOST RECENT absorbed batch
+    * (LIFO, the q149/q161 contract): the truncated-epoch case — a batch
+    * absorbs, its ingest gauges flag it, and the epoch must close WITHOUT
+    * it. The deltas the absorb published are RE-DERIVED from the stores
+    * themselves (manifest-with-batch vs the
+    * [[graft.queries.Dedup.retractManifest]] probe — the
+    * incremental-equals-rebuild contract read backwards), then undone in
+    * two mutations: release surgery drops the batch's published tail rows
+    * and the tombstones it wrote (its demoted keepers come back live at
+    * their original, never-rewritten address), write-aside → swap; then
+    * [[graft.queries.Dedup.retractBatch]] un-absorbs the dedup state
+    * (manifest + band/shingle stores). Guards are loud and replay-aware
+    * (the [[ingest]] symmetry): additions all published + demotions all
+    * revoked → fresh retract; all already absent → the release surgery
+    * committed before a crash, skip to the dedup un-absorb; anything
+    * partial → this store was not produced by absorbing THIS batch last.
+    * The rewrite is O(store) I/O — the honest un-absorb price (the
+    * retractBatch clause). At 100 TB the batch's release rows live
+    * exactly in the files its one append job wrote, so a production
+    * layout records the per-batch file manifest and retracts by dropping
+    * those files — O(batch) — instead of the row-level rewrite.
+    */
+  def retractIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      batchIds: DataFrame,
+      indexDir: String,
+      releaseDir: String,
+      threshold: Double = 0.7): Unit = {
+    val sub = Dedup.manifestSubdir(indexDir, threshold)
+    val ids = batchIds.select(col("doc_id"))
+    val m1 = spark.read.parquet(sub)
+    val docsAfter = m1.join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+    val m0 = Dedup.retractManifest(spark, ids, docsAfter, indexDir, threshold)
+    val k1 = m1.filter(col("keep") === 1).select(col("doc_id"))
+    val k0 = m0.filter(col("keep") === 1).select(col("doc_id"))
+    val adds = k1.join(k0, Seq("doc_id"), "left_anti")
+    val demoted = k0.join(k1, Seq("doc_id"), "left_anti")
+    val rel = spark.read.parquet(releaseDir)
+    val nAdds = adds.count()
+    val nDem = demoted.count()
+    val nAddsPub = rel.filter(col("status") === "published")
+      .join(adds, Seq("doc_id"), "left_semi").count()
+    val nDemRev = rel.filter(col("status") === "revoked")
+      .join(demoted, Seq("doc_id"), "left_semi").count()
+    val fresh = nAddsPub == nAdds && nDemRev == nDem
+    val alreadyDone = nAddsPub == 0L && nDemRev == 0L
+    require(fresh || alreadyDone,
+      s"release retract: $nAddsPub/$nAdds additions published, " +
+        s"$nDemRev/$nDem demotions revoked — this store was not produced " +
+        "by absorbing this batch last")
+    if (fresh && (nAdds > 0L || nDem > 0L)) {
+      val restored = rel
+        .join(broadcast(adds.select(col("doc_id"), lit(1).as("__a"))),
+          Seq("doc_id"), "left")
+        .join(broadcast(demoted.select(col("doc_id"), lit(1).as("__d"))),
+          Seq("doc_id"), "left")
+        .filter(coalesce(col("__a"), lit(0)) === 0 ||
+          col("status") =!= "published")
+        .filter(coalesce(col("__d"), lit(0)) === 0 ||
+          col("status") =!= "revoked")
+        .select(rel.columns.map(col).toSeq: _*)
+      restored.write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(releaseDir + ".next")
+      graft.ops.StoreSwap.swapInto(spark, releaseDir)
+    }
+    Dedup.retractBatch(spark, ids, docsAfter, indexDir, threshold)
+  }
+
   /** EPOCH-BOUNDARY compaction for the release store: fold the tombstones
     * into a rewritten base — the live view (published LEFT ANTI revoked)
     * becomes the new store verbatim, the masked rows and the accumulated

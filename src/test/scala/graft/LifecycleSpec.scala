@@ -400,4 +400,135 @@ class LifecycleSpec extends SparkSpec {
     assert(packRows() == packBefore3,
       "day 3: failed non-tail retract must leave the store untouched")
   }
+
+  test("release epoch-close: ingest batches, retract the flagged one, absorb after retract, compact, audit-clean") {
+    import graft.streaming.ReleaseIngestStream
+    // planted pair graph (the StreamingSpec release fixture conventions):
+    // unique-word docs plus one engineered near-dup family around doc 100
+    def uniq(d: Long, n: Int) =
+      (d, s"s${d % 2}", (0 until n).map(i => s"u${d}_$i").mkString(" "))
+    val fam = (0 until 25).map(i => s"f_$i")
+    val b1 = Seq(uniq(1L, 12), uniq(2L, 30), uniq(3L, 18),
+      (100L, "s0", fam.mkString(" ")))
+    // absorbed second: doc 300 is doc 100's text verbatim — same length,
+    // higher id, so it joins the family and loses (adds = {6})
+    val b3 = Seq(uniq(6L, 22), (300L, "s1", fam.mkString(" ")))
+    // absorbed LAST, then flagged: doc 200 (26 words) beats the family
+    // keeper — this batch has BOTH additions {4, 5, 200} and a demotion
+    // {100}, so its retraction exercises both surgery arms
+    val b2 = Seq(uniq(4L, 15), uniq(5L, 40),
+      (200L, "s0", (fam :+ "f_25").mkString(" ")))
+    // absorbed AFTER the retraction (append-after-retract): doc 400
+    // (27 family words) re-demotes 100, so the epoch ends with a live
+    // tombstone for compaction to fold
+    val b4 = Seq(uniq(7L, 19),
+      (400L, "s0", (fam ++ Seq("f_25", "f_26")).mkString(" ")))
+    def bdf(batch: Seq[(Long, String, String)]) = {
+      import spark.implicits._
+      batch.toDF("doc_id", "source", "text")
+    }
+    def expectIds(batches: Seq[(Long, String, String)]*) =
+      Dedup.dedupManifest(
+          bdf(batches.flatten)
+            .withColumn("n_chars", length(col("text")).cast("long")))
+        .filter(col("keep") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-epoch-idx").toString + "/idx"
+    val releaseDir = java.nio.file.Files
+      .createTempDirectory("graft-epoch-rel").toString + "/rel"
+    def rel() = spark.read.parquet(releaseDir)
+    def liveIds() = {
+      val r = rel()
+      r.filter(col("status") === "published")
+        .join(r.filter(col("status") === "revoked").select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+
+    ReleaseIngestStream.ingest(bdf(b1), indexDir, releaseDir)
+    ReleaseIngestStream.ingest(bdf(b3), indexDir, releaseDir)
+    ReleaseIngestStream.ingest(bdf(b2), indexDir, releaseDir)
+    assert(liveIds() == expectIds(b1, b3, b2),
+      "pre-retract live view must equal the cumulative rebuild")
+    assert(!liveIds().contains(100L), "doc 200 must demote doc 100")
+
+    // RETRACT the flagged last batch: additions un-publish, the demoted
+    // keeper comes back live at its original address, and the dedup
+    // state un-absorbs — the store must equal the never-absorbed epoch
+    ReleaseIngestStream.retractIngest(
+      spark, bdf(b2).select(col("doc_id")), indexDir, releaseDir)
+    assert(liveIds() == expectIds(b1, b3),
+      "retract-equals-rebuild: live view must equal the b1+b3 epoch")
+    assert(liveIds().contains(100L),
+      "the demoted keeper must be live again after the retraction")
+    assert(rel().filter(col("status") === "revoked").isEmpty,
+      "the retracted batch's tombstones must be gone")
+    // the un-absorbed manifest must equal the from-scratch rebuild
+    val manifest = spark.read.parquet(
+      Dedup.manifestSubdir(indexDir, 0.7))
+    assert(manifest.filter(col("keep") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      expectIds(b1, b3),
+      "the dedup manifest must un-absorb to the b1+b3 state")
+
+    // a RETRACTED store keeps absorbing: the replacement batch re-demotes
+    // doc 100, leaving a live tombstone for the epoch boundary to fold
+    ReleaseIngestStream.ingest(bdf(b4), indexDir, releaseDir)
+    assert(liveIds() == expectIds(b1, b3, b4),
+      "append-after-retract live view must equal the cumulative rebuild")
+    assert(!liveIds().contains(100L) && liveIds().contains(400L),
+      "doc 400 must re-demote doc 100")
+    val revoked = rel().filter(col("status") === "revoked")
+      .select("doc_id", "pack_id", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val published = rel().filter(col("status") === "published")
+      .select("doc_id", "pack_id", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(revoked.nonEmpty && revoked.subsetOf(published),
+      "every pre-compact tombstone must reference a published address")
+
+    // EPOCH CLOSE: compact, then the q166/q126-style integrity audit
+    // over the compacted store must come back clean
+    val relCols = Seq("source", "doc_id", "n_toks", "pack_id", "shard_id", "status")
+    val liveBefore = rel().filter(col("status") === "published")
+      .join(rel().filter(col("status") === "revoked").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(relCols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    ReleaseIngestStream.compactRelease(spark, releaseDir)
+    val closed = rel()
+    assert(closed.filter(col("status") =!= "published").isEmpty,
+      "audit: the closed epoch must hold only published rows")
+    assert(closed.select(relCols.map(col): _*).collect().map(_.toSeq).toSet == liveBefore,
+      "audit: compaction must be value-invisible on the live view")
+    assert(closed.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "audit: no duplicate doc_id in the closed epoch")
+    assert(closed.filter(
+        col("n_toks") <= 0 || col("pack_id") < 0 || col("shard_id") < 0).isEmpty,
+      "audit: every row carries a sane token count and address")
+    assert(closed.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      expectIds(b1, b3, b4),
+      "audit: the closed epoch is exactly the cumulative keeper set")
+
+    // AT-LEAST-ONCE replay of a fully-committed batch (the foreachBatch
+    // restart contract): every batch id already sits in the swapped
+    // manifest, so the absorb must observe itself as done — no duplicate
+    // release rows, no double-grown band index, manifest untouched
+    val storeBefore = rel().select(relCols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    val manifestBefore = spark.read.parquet(Dedup.manifestSubdir(indexDir, 0.7))
+      .collect().map(_.toSeq).toSet
+    val shinglesBefore = spark.read.parquet(s"$indexDir/shingles").count()
+    ReleaseIngestStream.ingest(bdf(b4), indexDir, releaseDir)
+    assert(rel().select(relCols.map(col): _*)
+        .collect().map(_.toSeq).toSet == storeBefore,
+      "replay: the release store must be byte-stable under a re-absorb")
+    assert(spark.read.parquet(Dedup.manifestSubdir(indexDir, 0.7))
+        .collect().map(_.toSeq).toSet == manifestBefore,
+      "replay: the manifest must be unchanged under a re-absorb")
+    assert(spark.read.parquet(s"$indexDir/shingles").count() == shinglesBefore,
+      "replay: the band index must not double-absorb the batch")
+  }
 }
