@@ -537,13 +537,9 @@ object Dedup {
       .option("compression", "zstd")
       .parquet(next)
     appendToBandIndex(newDocs, indexPath)
-    // swap (the ops.Compact pattern — metadata renames, not data copies)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val subPath = new org.apache.hadoop.fs.Path(sub)
-    val fs = subPath.getFileSystem(conf)
-    fs.delete(subPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(next), subPath))
-      throw new java.io.IOException(s"absorbBatch: could not swap $next into $sub")
+    // rename-aside swap (graft.ops.StoreSwap) — a complete manifest
+    // version exists on disk at every instant
+    graft.ops.StoreSwap.swapInto(spark, sub)
   }
 
   /** The 100 TB form of q65's cross-source overlap matrix: identical plan

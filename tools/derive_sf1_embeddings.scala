@@ -20,10 +20,12 @@ val replicas = (0 until 10).map { r =>
   if (r == 0) src
   else src.select(
     (col("vec_id") + lit(r.toLong * 1000000L)).as("vec_id"),
+    // keep element type FLOAT: Spark division yields double, and the
+    // PQ/quantized paths read the column as array<float>
     transform(col("embedding"), (x, i) =>
-      x + lit(0.05f) *
+      (x + lit(0.05f) *
         ((pmod(xxhash64(col("vec_id"), lit(r), i), lit(2001L)) - lit(1000L))
-          .cast("float") / lit(1000.0f))).as("embedding"),
+          .cast("float") / lit(1000.0f))).cast("float")).as("embedding"),
     col("label"))
 }
 replicas.reduce(_ unionByName _)
