@@ -2124,14 +2124,32 @@ object Dedup {
       .withColumn("rk",
         row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
       .filter(lit(minBp.toLong) * col("n") <= lit(10000L) * (col("n") - col("rk") + 1))
-      .select(col("doc_id"), col("n"), col("h"))
+      .select(col("doc_id"), col("n"), col("h"), col("rk"))
+    // PPJoin POSITIONAL filter on top of the prefix join — also exact:
+    // a common prefix token at ranks (rk_a, rk_b) bounds the whole
+    // intersection by 1 + min(n_a − rk_a, n_b − rk_b) (everything else in
+    // common must sit strictly after it on BOTH sides, in the shared df
+    // order), so the BEST such bound over the pair's prefix matches must
+    // still reach the jaccard overlap floor ninter ≥ t/(1+t)·(n_a+n_b)
+    // (J = i/(n_a+n_b−i) ≥ t ⟺ (1+t)·i ≥ t·(n_a+n_b)). Aggregating
+    // max(bound) per pair replaces the plain `.distinct()` — the same
+    // (u, v) shuffle with two small ints more payload — and drops
+    // candidates whose prefixes only touch near their tails, before the
+    // full-array verify ever ships their shingle sets.
     val cand = pre.as("a")
       .join(pre.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           lit(minBp.toLong) * greatest(col("a.n"), col("b.n")) <=
             lit(10000L) * least(col("a.n"), col("b.n")))
-      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
-      .distinct()
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"),
+        (lit(1L) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")))
+          .as("ub"),
+        (col("a.n") + col("b.n")).as("nsum2"))
+      .groupBy("u", "v")
+      .agg(max(col("ub")).as("ub"), first(col("nsum2")).as("nsum2"))
+      .filter(lit(10000L + minBp.toLong) * col("ub") >=
+        lit(minBp.toLong) * col("nsum2"))
+      .select(col("u"), col("v"))
     cand
       .join(sh.select(col("doc_id").as("u"), col("sh").as("sh_u")), "u")
       .join(sh.select(col("doc_id").as("v"), col("sh").as("sh_v")), "v")
