@@ -1881,6 +1881,45 @@ object Curation {
           .otherwise(col("status")).as("status"))
       .orderBy("source", "pack_id", "doc_id")
 
+  /** q177: takedown COMPLIANCE VERIFICATION — the read-back half that
+    * closes the takedown lifecycle (locate q172 → execute q176 → verify
+    * here). Takes a manifest that is CLAIMED post-takedown — this
+    * function never applies anything, it audits somebody else's write —
+    * and reports, per source: rows flipped to 'taken_down', takedown
+    * docs shielded by a standing dedup demotion ('revoked' rows — there
+    * was nothing live to remove, [[takedownRelease]]'s idempotence
+    * contract), and the number every compliance rotation actually
+    * watches, `n_live_leaks`: takedown docs still 'published'/'added'.
+    * Zero on a correctly executed manifest — the oracle replays exactly
+    * that clean state (the q126/q166 clean-corpus convention) and the
+    * planted-leak path (a live row the execution missed) is exercised in
+    * CurationSpec where a manifest can be safely doctored.
+    * Scale: the takedown set is tiny by nature (one broadcast probe);
+    * everything else is one map-side pass over the manifest + the
+    * per-source aggregate — no new shuffle beyond the groupBy.
+    */
+  def takedownVerify(
+      post: org.apache.spark.sql.DataFrame,
+      takedownIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    post.join(
+        broadcast(takedownIds.select(col("doc_id"), lit(1).as("__td"))),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("status") === "taken_down", 1).otherwise(0))
+          .cast("long").as("n_taken_down"),
+        sum(when(col("__td") === 1 && col("status") === "revoked", 1)
+          .otherwise(0)).cast("long").as("n_shielded"),
+        sum(when(col("__td") === 1 &&
+            col("status").isin("published", "added"), 1)
+          .otherwise(0)).cast("long").as("n_live_leaks"),
+        sum(when(col("status") === "published", 1).otherwise(0))
+          .cast("long").as("n_published"),
+        sum(when(col("status") === "added", 1).otherwise(0))
+          .cast("long").as("n_added"))
+      .orderBy("source")
+
   /** q166: the per-source corpus integrity audit — see the registration
     * comment. Duplicate ids are detected at the ID grain (a window over
     * doc_id) so a duplicate SPANNING sources is charged to every source
@@ -2867,6 +2906,46 @@ object Curation {
       val docs = Tables(s, dir, "documents")
       takedownRelease(incrementalRelease(s, dir),
         docs.filter(col("doc_id") % 97 === 0).select(col("doc_id")))
+    },
+
+    // TAKEDOWN VERIFICATION ([[takedownVerify]]): the read-back gauge that
+    // closes the lifecycle (locate q172 → execute q176 → verify). Audits
+    // the post-execution manifest per source: rows flipped to
+    // 'taken_down', takedown docs shielded by a standing dedup demotion
+    // (still 'revoked' — idempotence contract), and n_live_leaks — the
+    // compliance number, structurally zero on a correct execution, which
+    // is exactly the clean state the oracle replays (the q126/q166
+    // clean-corpus convention; the planted-leak path lives in
+    // CurationSpec). Oracle: q176's post-takedown manifest — the shared
+    // relrows template + the same CASE flip, verbatim — aggregated.
+    "q177_takedown_verify" -> Q(
+      "Takedown compliance verification: per-source taken_down/shielded " +
+        "counts and the live-leak gauge (zero on a correct execution)",
+      s"""$IncrementalReleaseOracleSql,
+        |td AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+        |post AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN status IN ('published', 'added')
+        |          AND doc_id IN (SELECT doc_id FROM td)
+        |         THEN 'taken_down' ELSE status END AS status,
+        |    CASE WHEN doc_id IN (SELECT doc_id FROM td) THEN 1 ELSE 0 END AS is_td
+        |  FROM relrows)
+        |SELECT source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN status = 'taken_down' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_taken_down,
+        |  CAST(SUM(CASE WHEN is_td = 1 AND status = 'revoked' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_shielded,
+        |  CAST(SUM(CASE WHEN is_td = 1 AND status IN ('published', 'added')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_live_leaks,
+        |  CAST(SUM(CASE WHEN status = 'published' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_published,
+        |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_added
+        |FROM post GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val td = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      takedownVerify(takedownRelease(incrementalRelease(s, dir), td), td)
     },
 
     "q58_seq_packing" -> Q(

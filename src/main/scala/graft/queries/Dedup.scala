@@ -1665,6 +1665,34 @@ object Dedup {
       dedupThresholdSweep(Tables(s, dir, "documents"))
     },
 
+    // QUADRATIC-BLOWUP gauge ([[pairBlowupAudit]]): Σ_h C(df(h),2) — the
+    // raw shared-shingle self-join's output size — against the true pair
+    // count at the 0.70 floor, plus the df shape behind it (max_df,
+    // posting count). The number an ops rotation reads to size sampleBp
+    // and to catch boilerplate pressure BEFORE the pair tier runs; the
+    // gauge itself is linear (df aggregate + 1-row fold), never the join
+    // it measures. Oracle: the same statistics off the string-gram df
+    // table (the shared ExactPairPrefixSql CTEs) — all integers, with the
+    // same exact integral halving.
+    "q178_pair_blowup_audit" -> Q(
+      "Pair-tier blowup gauge: raw self-join pair count (sum of C(df,2)) " +
+        "vs true pairs at the 0.70 floor, df shape alongside",
+      s"""WITH $ExactPairPrefixSql,
+        |dfr AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+        |  CAST((SELECT COUNT(*) FROM dfr) AS BIGINT) AS n_grams,
+        |  CAST((SELECT SUM(df) FROM dfr) AS BIGINT) AS n_postings,
+        |  CAST((SELECT MAX(df) FROM dfr) AS BIGINT) AS max_df,
+        |  CAST((SELECT SUM(df * (df - 1) // 2) FROM dfr) AS BIGINT)
+        |    AS n_raw_pairs,
+        |  CAST((SELECT COUNT(*) FROM inter
+        |        JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v
+        |        WHERE ninter * 10000 >= 7000 * (na.n + nb.n - ninter))
+        |       AS BIGINT) AS n_true_pairs""".stripMargin) { (s, dir) =>
+      pairBlowupAudit(Tables(s, dir, "documents"))
+    },
+
     // CROSS-SNAPSHOT dedup (see [[crossSnapshotDedup]]): three snapshots
     // DERIVED from the corpus with q132's change conventions (%11 removed
     // at snap 1, %7 upper-changed from snap 1 on, %13 re-added under
@@ -2247,6 +2275,41 @@ object Dedup {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
       .orderBy("thr_bp")
+  }
+
+  /** q178: the QUADRATIC-BLOWUP gauge for the exact pair tier — the
+    * statistic that predicted this engine's own measured scale-killer,
+    * registered as a schedulable query. The raw shared-shingle self-join
+    * emits Σ_h C(df(h), 2) pairs (`n_raw_pairs`), a number that grows with
+    * the SQUARE of per-shingle document frequency — i.e. with boilerplate
+    * pressure — while the true pair graph (`n_true_pairs`, the
+    * [[exactJaccardPairs]] output at the operating floor) grows only with
+    * the corpus' actual duplication. The measured instance: the derived
+    * 10× corpus put n_raw at 4.18e9 against 2.6e4 true pairs, the gap
+    * that turned q174's pre-prefix-filter shape into 144 s. Watching
+    * n_raw_pairs (plus max_df, the hottest shingle) per ingested corpus
+    * is how an ops rotation decides sampleBp and catches a boilerplate
+    * regression BEFORE scheduling the pair tier. Everything here is one
+    * linear pass over the exploded shingles (df aggregate + one 1-row
+    * fold) plus the already-prefix-filtered true-pair count — the gauge
+    * itself never materializes the quadratic join it measures.
+    */
+  def pairBlowupAudit(docs: DataFrame, minBp: Int = 7000): DataFrame = {
+    val sh = shingled(docs)
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val dfreq = e.groupBy("h").agg(count(lit(1)).as("df"))
+    // df·(df−1) is always even, so the integral DIV halving is exact —
+    // no float in the gauge (the q141 integer-arithmetic convention)
+    val stats = dfreq.agg(
+      count(lit(1)).as("n_grams"),
+      sum(col("df")).cast("long").as("n_postings"),
+      max(col("df")).cast("long").as("max_df"),
+      sum(expr("df * (df - 1) div 2")).cast("long").as("n_raw_pairs"))
+    val tp = exactJaccardPairs(docs, minBp)
+      .agg(count(lit(1)).as("n_true_pairs"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(tp))
   }
 
   /** q143: the FULL three-tier dedup pipeline — the complete text-dedup

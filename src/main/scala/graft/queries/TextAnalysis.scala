@@ -139,6 +139,46 @@ object TextAnalysis {
       |  CAST(FLOOR(1000.0 * n_bp / n_windows) AS BIGINT) AS bp_permille
       |FROM pd ORDER BY doc_id""".stripMargin
 
+  /** q179: the token COVERAGE CURVE — for each vocabulary budget N on the
+    * grid, the share of all token occurrences the top-N most frequent
+    * terms cover. The planning gauge behind a tokenizer's vocab-size
+    * choice (and behind OOV-rate expectations): one term-count pass, then
+    * the grid sweeps a bounded statistic (the q130/q148 house pattern).
+    *
+    * Scale posture: the full vocabulary is unbounded at corpus scale, so
+    * the cumulative machinery must never see it. Only the TOP max(grid)
+    * terms matter, and `orderBy.limit` plans as TakeOrdered — each
+    * partition keeps its local top-k, one bounded merge follows — after
+    * which the row_number window runs over ≤ max(grid) rows (a bounded
+    * single partition by construction, like the ≤1001-row adaptive
+    * threshold histograms). Ties break on the term string: the order is
+    * total, so the top-N SET is deterministic on both engines. The
+    * coverage share is integer cross-multiplication (covered·10000 DIV
+    * total) — no float anywhere.
+    */
+  def tokenCoverage(
+      docs: DataFrame,
+      grid: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cnt = docs
+      .select(explode(split(col("text"), " ", -1)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).cast("long").as("total_occ"))
+    val top = cnt.orderBy(col("cnt").desc, col("term").asc).limit(grid.max)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)))
+    top.join(broadcast(grid.toDF("n_top")), col("rnk") <= col("n_top"))
+      .groupBy("n_top")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("cnt")).cast("long").as("covered_occ"))
+      .crossJoin(broadcast(total))
+      .select(col("n_top"), col("n_terms"), col("covered_occ"),
+        col("total_occ"),
+        expr("covered_occ * 10000 div total_occ").as("covered_bp"))
+      .orderBy("n_top")
+  }
+
   val all: Map[String, Q] = Map(
     // BOILERPLATE detection (the CCNet/RefinedWeb header-footer screen):
     // a window that recurs across a large fraction of ONE SOURCE's
@@ -303,6 +343,41 @@ object TextAnalysis {
           size(keep).cast("long").as("n_after"),
           concat_ws(" ", keep).as("clean_text"))
         .orderBy("doc_id")
+    },
+
+    // Vocabulary-health diagnostic #3 ([[tokenCoverage]]): the coverage
+    // curve a tokenizer budget is planned against — what share of ALL
+    // token occurrences the top-N most frequent terms cover, swept over a
+    // vocabulary-size grid from ONE term-count pass (the q130/q148
+    // calibration-sweep pattern). Scale lever: the curve only needs the
+    // TOP max(grid) terms, taken with orderBy+limit (distributed
+    // TakeOrdered — a per-partition top-k then one bounded merge), so the
+    // window/cumsum machinery never sees the full vocabulary, which at
+    // corpus scale is exactly the thing that doesn't fit one reducer.
+    // Ordering ties break on the term string — total order, both engines.
+    // Coverage share is integer cross-multiplication (covered·10000 DIV
+    // total), no float anywhere.
+    "q179_token_coverage" -> Q(
+      "Token coverage curve: share of all token occurrences covered by " +
+        "the top-N terms, N swept from one term-count pass",
+      """WITH cnt AS (
+        |  SELECT term, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |tot AS (SELECT SUM(cnt) AS total_occ FROM cnt),
+        |rk AS (SELECT term, cnt,
+        |         ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
+        |       FROM cnt),
+        |grid AS (SELECT UNNEST([10, 100, 1000, 10000]) AS n_top)
+        |SELECT g.n_top,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(r.cnt) AS BIGINT) AS covered_occ,
+        |  CAST((SELECT total_occ FROM tot) AS BIGINT) AS total_occ,
+        |  CAST((SUM(r.cnt) * 10000) // (SELECT total_occ FROM tot) AS BIGINT)
+        |    AS covered_bp
+        |FROM grid g JOIN rk r ON r.rnk <= g.n_top
+        |GROUP BY g.n_top ORDER BY g.n_top""".stripMargin) { (s, dir) =>
+      tokenCoverage(Tables(s, dir, "documents"))
     },
 
     // Vocabulary-health diagnostic #2: the document-frequency histogram

@@ -861,4 +861,44 @@ class CurationSpec extends SparkSpec {
         s"alpha=0.5 rate $bp for $src outside [${r0(src)}, 10000]")
     }
   }
+
+  test("q177 takedown verify: clean execution leaks zero; a planted leak is charged to its source") {
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val td = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+    val manifest = graft.queries.Curation.incrementalRelease(spark, dir)
+    val post = graft.queries.Curation.takedownRelease(manifest, td)
+      .localCheckpoint()
+    val tdIds = td.collect().map(_.getLong(0)).toSet
+    assert(tdIds.nonEmpty)
+
+    // clean execution: zero live leaks everywhere; the flipped and
+    // shielded counts reconcile exactly against the post manifest
+    val v = graft.queries.Curation.takedownVerify(post, td).collect()
+    assert(v.map(_.getAs[Long]("n_live_leaks")).sum === 0L,
+      "a correct takedown execution must verify leak-free")
+    val postRows = post.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(5)))
+    assert(v.map(_.getAs[Long]("n_taken_down")).sum ===
+      postRows.count(_._3 == "taken_down").toLong)
+    assert(v.map(_.getAs[Long]("n_shielded")).sum ===
+      postRows.count(r => tdIds.contains(r._2) && r._3 == "revoked").toLong,
+      "shielded = takedown docs whose dedup demotion already stands")
+    // every takedown doc in the manifest is accounted: flipped or shielded
+    assert(v.map(r => r.getAs[Long]("n_taken_down") + r.getAs[Long]("n_shielded")).sum ===
+      postRows.count(r => tdIds.contains(r._2)).toLong)
+
+    // planted leak: widen the takedown set by one LIVE published doc the
+    // execution never saw — the verify against the unchanged manifest
+    // must report exactly one leak, charged to that doc's source (robust
+    // to a fixture where takedown ∩ keepers is empty: 'published' rows
+    // always exist)
+    import spark.implicits._
+    val leak = postRows.find(_._3 == "published").get
+    val td2 = td.unionByName(Seq(leak._2).toDF("doc_id"))
+    val v2 = graft.queries.Curation.takedownVerify(post, td2).collect()
+    assert(v2.map(_.getAs[Long]("n_live_leaks")).sum === 1L)
+    val charged = v2.filter(_.getAs[Long]("n_live_leaks") > 0)
+    assert(charged.length === 1 && charged.head.getString(0) === leak._1,
+      "the leak must be charged to the leaked doc's source")
+  }
 }

@@ -50,6 +50,34 @@ class MinHashRecallSpec extends SparkSpec {
       s"sweep(7000)=$sweep7000 must equal q144 n_true=$q144true")
   }
 
+  test("q178 blowup gauge: planted boilerplate inflates n_raw_pairs with zero true pairs; corpus n_true equals q144") {
+    import spark.implicits._
+    // six docs sharing a 5-word block over unique 20-word tails: exactly
+    // the 3 all-shared trigrams carry df=6 (everything touching a tail
+    // is per-doc unique), so n_raw = 3·C(6,2) = 45 raw join pairs while
+    // every pair's true jaccard is 3/43 — the boilerplate signature the
+    // gauge exists to surface (big n_raw_pairs, zero n_true_pairs)
+    val shared = (1 to 5).map(i => s"s$i")
+    val rows = (0 until 6).map(i =>
+      (i.toLong + 1, (shared ++ (1 to 20).map(j => s"u${i}_$j")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val g = Dedup.pairBlowupAudit(rows).head
+    assert(g.getAs[Long]("n_docs") === 6L)
+    assert(g.getAs[Long]("n_grams") === 123L)    // 3 shared + 6·20 tail-touching
+    assert(g.getAs[Long]("n_postings") === 138L) // 6 docs × 23 trigrams
+    assert(g.getAs[Long]("max_df") === 6L)
+    assert(g.getAs[Long]("n_raw_pairs") === 45L)
+    assert(g.getAs[Long]("n_true_pairs") === 0L)
+
+    // corpus: the true-pair count is q144's n_true verbatim (same pair
+    // graph, same floor), and the raw join always dominates it
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val cg = Dedup.pairBlowupAudit(corpus).head
+    val q144true = Dedup.bandingRecallAudit(corpus).head.getLong(1)
+    assert(cg.getAs[Long]("n_true_pairs") === q144true)
+    assert(cg.getAs[Long]("n_raw_pairs") >= cg.getAs[Long]("n_true_pairs"))
+  }
+
   test("exactJaccardPairs (prefix filter) equals the brute-force pair graph, counts included") {
     import spark.implicits._
     def shOf(d: org.apache.spark.sql.DataFrame) = d.select(

@@ -51,4 +51,29 @@ class VocabDiagnosticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("q179 token coverage matches an exact integer reference; curve is monotone and saturates") {
+    // from-scratch reference: full term-count table, (count desc, term asc)
+    // total order, exact integer cumulative coverage at each grid point
+    val counts = corpus.flatMap(_._3.split(" ", -1))
+      .groupBy(identity).map { case (t, hits) => (t, hits.length.toLong) }
+    val ranked = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+    val totalOcc = ranked.map(_._2).sum
+    val grid = Seq(10, 100, 1000, 10000)
+    val expected = grid.map { n =>
+      val top = ranked.take(n)
+      val cov = top.map(_._2).sum
+      (n, top.length.toLong, cov, totalOcc, cov * 10000L / totalOcc)
+    }
+    val got = SparkEntry.queries("q179_token_coverage")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    // shape: coverage is monotone in N and saturates at 10000 bp once the
+    // grid passes the full vocabulary
+    val bps = got.map(_._5)
+    assert(bps == bps.sorted, "coverage must be monotone in n_top")
+    if (counts.size <= grid.max)
+      assert(bps.last == 10000L, "full-vocab budget must cover everything")
+  }
 }
