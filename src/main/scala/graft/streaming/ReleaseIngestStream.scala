@@ -272,8 +272,9 @@ object ReleaseIngestStream {
   }
 
   /** EPOCH-BOUNDARY compaction for the release store: fold the tombstones
-    * into a rewritten base — the live view (published LEFT ANTI revoked)
-    * becomes the new store verbatim, the masked rows and the accumulated
+    * into a rewritten base — the live view (published LEFT ANTI any
+    * shadow: 'revoked' demotions AND 'taken_down' takedowns) becomes the
+    * new store verbatim, the masked rows and the accumulated
     * per-micro-batch small files disappear. This is the one moment the
     * immutable-publication contract licenses a rewrite: between epochs no
     * loader holds addresses, so the store may shed what every reader
@@ -288,7 +289,8 @@ object ReleaseIngestStream {
       targetFileBytes: Long = 128L << 20): Unit = {
     val rel = spark.read.parquet(releaseDir)
     val live = rel.filter(col("status") === "published")
-      .join(rel.filter(col("status") === "revoked").select(col("doc_id")),
+      .join(rel.filter(col("status").isin("revoked", "taken_down"))
+          .select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       .select(col("source"), col("doc_id"), col("n_toks"),
         col("pack_id"), col("shard_id"), col("status"))
@@ -331,5 +333,64 @@ object ReleaseIngestStream {
       .select(col("source"), col("doc_id"),
         col("n_toks").cast("long").as("n_toks"),
         col("pack_id"), col("shard_id"), lit("published").as("status"))
+  }
+
+  /** TAKEDOWN at the store level — the q176 manifest flip re-expressed in
+    * this store's delta-log mechanics: every takedown doc still LIVE
+    * (a 'published' row with no 'revoked'/'taken_down' shadow) gains a
+    * 'taken_down' tombstone row at its published address, in one append
+    * job. Published files never rewrite; the loader's mask and
+    * [[compactRelease]]'s epoch-close fold treat the takedown shadow
+    * exactly like a demotion's. A doc already demoted stays demoted —
+    * nothing live to remove ([[graft.queries.Curation.takedownVerify]]'s
+    * `n_shielded` class) — which makes the op idempotent AND naturally
+    * replay-safe: a crashed-then-replayed batch finds its docs shadowed,
+    * stages zero rows, appends nothing. The tombstones stage write-aside
+    * in a sibling dir first (the [[ingest]] discipline: the append plan
+    * reads only staging, never the directory it writes). The takedown set
+    * is tiny by nature — one broadcast semi-join against the live view.
+    */
+  def takedownIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      takedownIds: DataFrame,
+      releaseDir: String): Unit = {
+    val rel = spark.read.parquet(releaseDir)
+    val stage = releaseDir + ".tddelta"
+    rel.filter(col("status") === "published")
+      .join(rel.filter(col("status").isin("revoked", "taken_down"))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .join(broadcast(takedownIds.select(col("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        col("pack_id"), col("shard_id"), lit("taken_down").as("status"))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(stage)
+    val tomb = spark.read.parquet(stage)
+    if (tomb.limit(1).count() > 0L)
+      tomb.write.mode(SaveMode.Append)
+        .option("compression", "zstd").parquet(releaseDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    stagePath.getFileSystem(conf).delete(stagePath, true)
+  }
+
+  /** The loader's ONE-ROW-PER-DOC view of the delta-log store: the
+    * strongest shadow wins (taken_down > revoked > published). Tombstones
+    * copy their target's address verbatim, so folding is a single groupBy
+    * over the address columns — the pure view [[takedownVerify]]-style
+    * audits read (the unfolded store legitimately holds BOTH the published
+    * row and its shadow until [[compactRelease]] sheds them).
+    */
+  def foldedRelease(rel: DataFrame): DataFrame = {
+    val pri = when(col("status") === "taken_down", 3)
+      .when(col("status") === "revoked", 2).otherwise(1)
+    rel.groupBy("source", "doc_id", "n_toks", "pack_id", "shard_id")
+      .agg(max(pri).as("__pri"))
+      .select(col("source"), col("doc_id"), col("n_toks"),
+        col("pack_id"), col("shard_id"),
+        when(col("__pri") === 3, "taken_down")
+          .when(col("__pri") === 2, "revoked")
+          .otherwise("published").as("status"))
   }
 }

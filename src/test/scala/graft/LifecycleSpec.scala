@@ -530,5 +530,51 @@ class LifecycleSpec extends SparkSpec {
       "replay: the manifest must be unchanged under a re-absorb")
     assert(spark.read.parquet(s"$indexDir/shingles").count() == shinglesBefore,
       "replay: the band index must not double-absorb the batch")
+
+    // TAKEDOWN DAY (store level): re-open the epoch with b5 (doc 500
+    // re-demotes doc 400 — a fresh 'revoked' shadow in the store), then a
+    // takedown lands on one LIVE doc (7) and one already-DEMOTED doc
+    // (400) — the two classes q177's verifier distinguishes
+    import spark.implicits._
+    val b5 = Seq((500L, "s0", (fam ++ Seq("f_25", "f_26", "f_27")).mkString(" ")))
+    ReleaseIngestStream.ingest(bdf(b5), indexDir, releaseDir)
+    assert(liveIds() == expectIds(b1, b3, b4, b5) && !liveIds().contains(400L),
+      "doc 500 must re-demote doc 400 before the takedown day")
+    val tdIds = Seq(400L, 7L).toDF("doc_id")
+    val pubAddr7 = rel()
+      .filter(col("status") === "published" && col("doc_id") === 7L)
+      .select("source", "pack_id", "shard_id").head
+    ReleaseIngestStream.takedownIngest(spark, tdIds, releaseDir)
+    val tds = rel().filter(col("status") === "taken_down").collect()
+    assert(tds.length == 1 && tds.head.getLong(1) == 7L,
+      "exactly the live takedown doc gains a tombstone; the demoted doc is shielded")
+    assert((tds.head.getString(0), tds.head.getLong(3), tds.head.getLong(4)) ==
+      (pubAddr7.getString(0), pubAddr7.getLong(1), pubAddr7.getLong(2)),
+      "the takedown tombstone must sit at the published address verbatim")
+    // the folded loader view + q177's verifier: leak-free, one flip, one shield
+    val folded = ReleaseIngestStream.foldedRelease(rel()).localCheckpoint()
+    val v = graft.queries.Curation.takedownVerify(folded, tdIds).collect()
+    assert(v.map(_.getAs[Long]("n_live_leaks")).sum == 0L,
+      "a correct store-level takedown must verify leak-free")
+    assert(v.map(_.getAs[Long]("n_taken_down")).sum == 1L)
+    assert(v.map(_.getAs[Long]("n_shielded")).sum == 1L,
+      "the demoted takedown doc must verify as shielded, not flipped")
+    // idempotent replay: nothing left live to shadow — store byte-stable
+    val tdStoreBefore = rel().collect().map(_.toSeq).toSet
+    ReleaseIngestStream.takedownIngest(spark, tdIds, releaseDir)
+    assert(rel().collect().map(_.toSeq).toSet == tdStoreBefore,
+      "a replayed takedown must be a no-op on the store")
+    // epoch close folds BOTH shadow kinds; the taken-down doc is gone
+    val foldedPub = folded.filter(col("status") === "published")
+      .collect().map(_.toSeq).toSet
+    ReleaseIngestStream.compactRelease(spark, releaseDir)
+    val closed2 = rel()
+    assert(closed2.filter(col("status") =!= "published").isEmpty,
+      "the closed epoch must hold only published rows")
+    assert(closed2.collect().map(_.toSeq).toSet == foldedPub,
+      "epoch close must equal the folded live view verbatim")
+    assert(closed2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      expectIds(b1, b3, b4, b5) - 7L,
+      "the taken-down doc must be absent from the closed epoch")
   }
 }
