@@ -850,6 +850,78 @@ class StreamingSpec extends SparkSpec {
       "compaction must not grow the file count")
   }
 
+  test("streaming takedown: each micro-batch shadows exactly the live requests, stream==batch, published files immutable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // twin stores absorbed identically: A takes the STREAMED takedowns,
+    // B the batch takedownIngest — stream ≡ batch is row-set identity
+    def uniq(d: Long, n: Int) =
+      (d, s"s${d % 2}", (0 until n).map(i => s"u${d}_$i").mkString(" "))
+    val fam = (0 until 25).map(i => s"f_$i")
+    val b1 = Seq(uniq(1L, 12), uniq(2L, 30), (100L, "s0", fam.mkString(" ")))
+    val b2 = Seq(uniq(4L, 15), (200L, "s0", (fam :+ "f_25").mkString(" ")))
+    def bdf(batch: Seq[(Long, String, String)]) =
+      batch.toDF("doc_id", "source", "text")
+    val dirs = Seq("a", "b").map { t =>
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-td-idx-$t").toString + "/idx"
+      val rel = java.nio.file.Files
+        .createTempDirectory(s"graft-td-rel-$t").toString + "/rel"
+      graft.streaming.ReleaseIngestStream.ingest(bdf(b1), idx, rel)
+      graft.streaming.ReleaseIngestStream.ingest(bdf(b2), idx, rel)
+      rel
+    }
+    val (relA, relB) = (dirs.head, dirs.last)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .collect().map(_.toSeq).toSet
+    def files(dir: String) = new java.io.File(dir).listFiles.toSeq
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.length()).toMap
+    assert(rows(relA) == rows(relB), "twin stores must absorb identically")
+
+    val input = MemoryStream[Long]
+    val q = graft.streaming.TakedownStream.start(
+      input.toDF().toDF("doc_id"), relA, queryName = "takedown_t")
+
+    // micro-batch 1: doc 2 is live (flips), doc 100 was demoted by 200
+    // (shielded — no tombstone may appear for it)
+    val filesB1 = files(relA)
+    input.addData(2L, 100L)
+    q.processAllAvailable()
+    graft.streaming.ReleaseIngestStream.takedownIngest(
+      spark, Seq(2L, 100L).toDF("doc_id"), relB)
+    assert(rows(relA) == rows(relB), "stream must equal batch after batch 1")
+    val tds1 = spark.read.parquet(relA)
+      .filter(col("status") === "taken_down")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tds1 == Set(2L),
+      "only the live request flips; the demoted one is shielded")
+    filesB1.foreach { case (p, size) =>
+      val f = new java.io.File(p)
+      assert(f.exists && f.length() == size, s"published file changed: $p")
+    }
+
+    // micro-batch 2: the family keeper itself is taken down
+    input.addData(200L)
+    q.processAllAvailable()
+    q.stop()
+    graft.streaming.ReleaseIngestStream.takedownIngest(
+      spark, Seq(200L).toDF("doc_id"), relB)
+    assert(rows(relA) == rows(relB), "stream must equal batch after batch 2")
+
+    // the folded view verifies leak-free over everything requested so far
+    val folded = graft.streaming.ReleaseIngestStream
+      .foldedRelease(spark.read.parquet(relA))
+    val v = graft.queries.Curation.takedownVerify(
+      folded, Seq(2L, 100L, 200L).toDF("doc_id")).collect()
+    assert(v.map(_.getAs[Long]("n_live_leaks")).sum == 0L)
+    assert(v.map(_.getAs[Long]("n_taken_down")).sum == 2L)
+    assert(v.map(_.getAs[Long]("n_shielded")).sum == 1L)
+  }
+
   test("streaming pinned-centroid assignment: zero-join scoring, stream==batch q96 ranks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
