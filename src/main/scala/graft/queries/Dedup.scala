@@ -753,8 +753,13 @@ object Dedup {
     * batch-restricted pair set, AND seeds q97's component replay — one
     * definition, four hash checks that cannot drift apart.
     */
-  private val ExactPairPrefixSql =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** The exact-pair CTE chain parameterized by a corpus predicate, so the
+    * full-corpus oracles and the hash-gated SAMPLED tier (q180) replay the
+    * IDENTICAL pair definition — one template, twins cannot drift.
+    */
+  private def exactPairCte(pred: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |       WHERE $pred),
       |s AS (SELECT doc_id,
       |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |             ELSE list_transform(range(1, len(toks) - 1),
@@ -770,6 +775,43 @@ object Dedup {
       |  SELECT u, v, CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) AS j
       |  FROM inter
       |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v)""".stripMargin
+
+  private val ExactPairPrefixSql = exactPairCte("TRUE")
+
+  /** The deterministic keep-hash gate in DuckDB form — the q93/q139 house
+    * sampling convention, bit-identical to the engine's
+    * `pmod(pmod(doc_id, 2147483647) * 2654435761, 10000)` on positive ids
+    * (products stay under 2^63).
+    */
+  private def sampleGateSql(bp: Long): String =
+    s"((doc_id % 2147483647) * 2654435761) % 10000 < $bp"
+
+  /** q174's threshold-sweep oracle over [[exactPairCte]] with a corpus
+    * predicate — shared verbatim by the full-corpus registration and the
+    * hash-gated production form (q180).
+    */
+  private def thresholdSweepOracleSql(pred: String): String =
+    s"""WITH ${exactPairCte(pred)},
+      |tp AS (
+      |  SELECT u, v, ninter, na.n + nb.n - ninter AS nunion
+      |  FROM inter
+      |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v
+      |  WHERE ninter * 10000 >= 7000 * (na.n + nb.n - ninter)),
+      |grid AS (SELECT UNNEST([7000, 7500, 8000, 8500, 9000]) AS thr_bp),
+      |pass AS (
+      |  SELECT g.thr_bp, tp.u, tp.v FROM grid g
+      |  JOIN tp ON tp.ninter * 10000 >= g.thr_bp * tp.nunion)
+      |SELECT g.thr_bp,
+      |  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs_affected
+      |FROM grid g
+      |LEFT JOIN (SELECT thr_bp, COUNT(*) AS n_pairs
+      |           FROM pass GROUP BY thr_bp) p USING (thr_bp)
+      |LEFT JOIN (SELECT thr_bp, COUNT(DISTINCT d) AS n_docs FROM
+      |             (SELECT thr_bp, u AS d FROM pass
+      |              UNION ALL SELECT thr_bp, v FROM pass)
+      |           GROUP BY thr_bp) d USING (thr_bp)
+      |ORDER BY g.thr_bp""".stripMargin
 
   /** q33's oracle: the exact pair set with its jaccard (one integer
     * division — bit-identical cross-engine).
@@ -1641,28 +1683,27 @@ object Dedup {
     "q174_dedup_threshold_sweep" -> Q(
       "Dedup threshold calibration: pairs merged and docs touched at " +
         "each candidate jaccard operating point, one pair pass",
-      s"""WITH $ExactPairPrefixSql,
-        |tp AS (
-        |  SELECT u, v, ninter, na.n + nb.n - ninter AS nunion
-        |  FROM inter
-        |  JOIN sz na ON na.doc_id = u JOIN sz nb ON nb.doc_id = v
-        |  WHERE ninter * 10000 >= 7000 * (na.n + nb.n - ninter)),
-        |grid AS (SELECT UNNEST([7000, 7500, 8000, 8500, 9000]) AS thr_bp),
-        |pass AS (
-        |  SELECT g.thr_bp, tp.u, tp.v FROM grid g
-        |  JOIN tp ON tp.ninter * 10000 >= g.thr_bp * tp.nunion)
-        |SELECT g.thr_bp,
-        |  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
-        |  CAST(COALESCE(d.n_docs, 0) AS BIGINT) AS n_docs_affected
-        |FROM grid g
-        |LEFT JOIN (SELECT thr_bp, COUNT(*) AS n_pairs
-        |           FROM pass GROUP BY thr_bp) p USING (thr_bp)
-        |LEFT JOIN (SELECT thr_bp, COUNT(DISTINCT d) AS n_docs FROM
-        |             (SELECT thr_bp, u AS d FROM pass
-        |              UNION ALL SELECT thr_bp, v FROM pass)
-        |           GROUP BY thr_bp) d USING (thr_bp)
-        |ORDER BY g.thr_bp""".stripMargin) { (s, dir) =>
+      thresholdSweepOracleSql("TRUE")) { (s, dir) =>
       dedupThresholdSweep(Tables(s, dir, "documents"))
+    },
+
+    // The PRODUCTION shape of the calibration sweep: at 100 TB the exact
+    // pair tier never runs full-corpus — it runs over the deterministic
+    // keep-hash gate (`sampleBp`, the q93/q139 sampling convention), which
+    // bounds even the prefix-filtered join's linear true-pair term. This
+    // registers that exact operating mode: both engines gate with the
+    // SAME integer hash (bit-identical on positive ids), and the sweep
+    // template is q174's verbatim — one CTE chain, twins cannot drift.
+    // sampleBp=5000 keeps the gate-scale fixture exercising real pairs
+    // (6 at sf0.01) while both ENDPOINTS must pass the gate, the honest
+    // production semantics (a sampled pair tier estimates PAIR RATE, so
+    // the quadratic thinning — ~bp²/10^8 of pairs — is the point, not a
+    // bug; q144's recall audit runs the same gate for the same reason).
+    "q180_sampled_dedup_sweep" -> Q(
+      "Sampled dedup threshold sweep: the production hash-gated pair " +
+        "tier (sampleBp=5000), same template as q174",
+      thresholdSweepOracleSql(sampleGateSql(5000L))) { (s, dir) =>
+      dedupThresholdSweep(Tables(s, dir, "documents"), sampleBp = 5000L)
     },
 
     // QUADRATIC-BLOWUP gauge ([[pairBlowupAudit]]): Σ_h C(df(h),2) — the

@@ -50,6 +50,25 @@ class MinHashRecallSpec extends SparkSpec {
       s"sweep(7000)=$sweep7000 must equal q144 n_true=$q144true")
   }
 
+  test("q180 sampled sweep equals the full pair graph restricted to gate-passing endpoints") {
+    // a pair's jaccard does not depend on the rest of the corpus, so the
+    // hash-gated tier must equal the full tier filtered to pairs whose
+    // BOTH endpoints pass the gate — the production estimator's contract
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def gate(id: Long) = ((id % 2147483647L) * 2654435761L) % 10000L < 5000L
+    val full = Dedup.exactJaccardPairs(corpus, 7000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = full.filter(p => gate(p._1) && gate(p._2))
+    assert(expected.nonEmpty && expected.length < full.length,
+      "fixture must exercise a real, strict subset under the gate")
+    val sweep = Dedup.dedupThresholdSweep(corpus, sampleBp = 5000L).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    Seq(7000, 7500, 8000, 8500, 9000).foreach { bp =>
+      val exp = expected.count(p => p._3 * 10000L >= bp.toLong * p._4).toLong
+      assert(sweep(bp) == exp, s"bp=$bp: sweep=${sweep(bp)} expected=$exp")
+    }
+  }
+
   test("q178 blowup gauge: planted boilerplate inflates n_raw_pairs with zero true pairs; corpus n_true equals q144") {
     import spark.implicits._
     // six docs sharing a 5-word block over unique 20-word tails: exactly
