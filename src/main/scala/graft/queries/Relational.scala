@@ -365,6 +365,42 @@ object Relational {
         .orderBy("day")
     },
 
+    // UNPIVOT — q160's inverse, completing the reshaping pair: the wide
+    // day × event-type matrix melts back to long form, KEEPING the
+    // zero cells the pivot densified (the honest melt semantics — the
+    // plain groupBy long form has no row for a type absent on a day, the
+    // unpivoted matrix does). Dataset.unpivot is one local expand over
+    // the already-aggregated matrix: no new shuffle, 5 rows out per day
+    // row in, however wide the corpus. Oracle: DuckDB's SQL-standard
+    // UNPIVOT over the identical wide CTE.
+    "q181_unpivot_daily" -> Q(
+      "UNPIVOT: the q160 matrix melted back to (day, event_type, n), " +
+        "zero cells kept — the densified long form",
+      """WITH wide AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    COUNT(*) FILTER (event_type = 'click') AS click,
+        |    COUNT(*) FILTER (event_type = 'error') AS error,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |    COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |    COUNT(*) FILTER (event_type = 'view') AS view
+        |  FROM events GROUP BY 1)
+        |SELECT day, event_type, CAST(n AS BIGINT) AS n
+        |FROM wide UNPIVOT (n FOR event_type IN
+        |  (click, error, purchase, signup, view))
+        |ORDER BY day, event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("day")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "n")
+        .orderBy("day", "event_type")
+    },
+
     "q11_join_inner" -> Q(
       "Inner join fact→dim with broadcast (no shuffle of orders)",
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

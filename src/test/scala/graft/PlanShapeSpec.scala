@@ -674,6 +674,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Expand"), p)
   }
 
+  test("q181 unpivot: one events pass, no join; melt keeps zero cells (rows = 5 x days, mass-preserving)") {
+    val p = planOf("q181_unpivot_daily")
+    assert(p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events")) == 1,
+      s"unpivot must not re-scan events:\n$p")
+    assert(!p.contains("Join"), "the melt is a local expand, not a join:\n" + p)
+    val rows = SparkEntry.queries("q181_unpivot_daily")(spark, sf).collect()
+    val days = SparkEntry.queries("q160_pivot_daily")(spark, sf).count()
+    assert(rows.length.toLong == 5L * days,
+      "every day must melt to exactly its 5 type cells, zeros included")
+    assert(rows.map(_.getLong(2)).sum ==
+      queries.Tables(spark, sf, "events").count(),
+      "the melted counts must preserve total event mass")
+  }
+
   test("q163/q165 boundary pack: one documents scan; the append broadcasts its resume counts") {
     val p = planOf("q163_boundary_pack")
     assert(p.linesIterator.count(l =>
