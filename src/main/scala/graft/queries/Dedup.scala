@@ -1706,6 +1706,41 @@ object Dedup {
       dedupThresholdSweep(Tables(s, dir, "documents"), sampleBp = 5000L)
     },
 
+    // Per-source BLOWUP attribution ([[pairBlowupBySource]]): q178's
+    // gauge partitioned by the dial an ops rotation can actually turn —
+    // which source's postings create the raw join's output. share_bp is
+    // a true partition (contributions sum to 2·n_raw_pairs). Oracle: the
+    // same statistics off the string-gram tables; all integers, shares by
+    // integral cross-multiplication.
+    "q182_blowup_by_source" -> Q(
+      "Pair-tier blowup by source: each source's additive share of the " +
+        "raw self-join output (sums to 2x n_raw_pairs)",
+      s"""WITH t AS (SELECT d.source, d.doc_id, string_split(d.text, ' ') AS toks
+        |           FROM documents d),
+        |s AS (SELECT source, doc_id,
+        |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |             ELSE list_transform(range(1, len(toks) - 1),
+        |                                 i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |      FROM t),
+        |g AS (SELECT DISTINCT source, doc_id, unnest(sh) AS g FROM s),
+        |dfr AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+        |ps AS (SELECT source, g.g, COUNT(*) AS dfs
+        |       FROM g GROUP BY source, g.g),
+        |agg AS (
+        |  SELECT ps.source,
+        |    CAST(SUM(ps.dfs) AS BIGINT) AS n_postings,
+        |    CAST(SUM(ps.dfs * (dfr.df - 1)) AS BIGINT) AS raw_contrib
+        |  FROM ps JOIN dfr ON dfr.g = ps.g GROUP BY ps.source),
+        |tot AS (SELECT SUM(raw_contrib) AS contrib_total FROM agg),
+        |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT nd.source, nd.n_docs, agg.n_postings, agg.raw_contrib,
+        |  CAST((agg.raw_contrib * 10000) // (SELECT contrib_total FROM tot)
+        |       AS BIGINT) AS share_bp
+        |FROM nd JOIN agg ON agg.source = nd.source
+        |ORDER BY nd.source""".stripMargin) { (s, dir) =>
+      pairBlowupBySource(Tables(s, dir, "documents"))
+    },
+
     // QUADRATIC-BLOWUP gauge ([[pairBlowupAudit]]): Σ_h C(df(h),2) — the
     // raw shared-shingle self-join's output size — against the true pair
     // count at the 0.70 floor, plus the df shape behind it (max_df,
@@ -2351,6 +2386,41 @@ object Dedup {
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(tp))
+  }
+
+  /** q182: the per-SOURCE attribution of q178's blowup — the actionable
+    * dial. Raw self-join pairs don't decompose by source (a hot shingle
+    * pairs docs ACROSS sources), but each posting's contribution does:
+    * a source's share of the raw join output is
+    * Σ_h df_src(h)·(df(h) − 1) — every (doc-in-source, other-doc) ordered
+    * pair through a shared shingle — and those contributions are ADDITIVE
+    * (they sum to exactly 2·n_raw_pairs over sources), so `share_bp` is a
+    * true partition of the blowup. The ops read: the source(s) carrying
+    * the boilerplate get cleaned (q127's per-source flagger is the
+    * companion) or get a tighter sampleBp, BEFORE the pair tier runs.
+    * Cost: the same linear df pass as q178 plus one (source, h) count —
+    * still never the join being measured.
+    */
+  def pairBlowupBySource(docs: DataFrame): DataFrame = {
+    val sh = docs.select(
+      col("source"), col("doc_id"),
+      HashExpressions.shingleHashSet(
+        graft.functions.Text.tokens(col("text")), k = ShingleK).as("sh"))
+    val e = sh.select(col("source"), col("doc_id"), explode(col("sh")).as("h"))
+    val dfreq = e.groupBy("h").agg(count(lit(1)).as("df"))
+    val perSrc = e.groupBy("source", "h").agg(count(lit(1)).as("dfs"))
+      .join(dfreq, "h")
+      .groupBy("source")
+      .agg(sum(col("dfs")).cast("long").as("n_postings"),
+        sum(col("dfs") * (col("df") - 1)).cast("long").as("raw_contrib"))
+    val total = perSrc.agg(sum(col("raw_contrib")).as("contrib_total"))
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    nd.join(perSrc, "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_postings"),
+        col("raw_contrib"),
+        expr("raw_contrib * 10000 div contrib_total").as("share_bp"))
+      .orderBy("source")
   }
 
   /** q143: the FULL three-tier dedup pipeline — the complete text-dedup

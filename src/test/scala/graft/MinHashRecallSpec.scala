@@ -97,6 +97,31 @@ class MinHashRecallSpec extends SparkSpec {
     assert(cg.getAs[Long]("n_raw_pairs") >= cg.getAs[Long]("n_true_pairs"))
   }
 
+  test("q182 source attribution is a true partition of the blowup; planted even split lands 5000 bp each") {
+    import spark.implicits._
+    // the q178 planted corpus with sources alternating: each source holds
+    // 3 of the 6 boilerplate docs, so each contributes 3·3·(6−1) = 45 of
+    // the 90 ordered shared-shingle pairs — an even 5000 bp split
+    val shared = (1 to 5).map(i => s"s$i")
+    val rows = (0 until 6).map(i =>
+      (i.toLong + 1, s"src${i % 2}",
+        (shared ++ (1 to 20).map(j => s"u${i}_$j")).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val g = Dedup.pairBlowupBySource(rows).collect()
+    assert(g.length === 2)
+    assert(g.map(_.getAs[Long]("raw_contrib")).sum === 90L) // 2 × 45 raw pairs
+    assert(g.forall(_.getAs[Long]("share_bp") === 5000L))
+
+    // corpus: additivity against q178 — contributions sum to exactly
+    // twice the raw pair count (every unordered pair counted from both
+    // of its endpoints' sources)
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val bySrc = Dedup.pairBlowupBySource(corpus).collect()
+    val nRaw = Dedup.pairBlowupAudit(corpus).head.getAs[Long]("n_raw_pairs")
+    assert(bySrc.map(_.getAs[Long]("raw_contrib")).sum === 2L * nRaw,
+      "per-source contributions must partition the raw join output")
+  }
+
   test("exactJaccardPairs (prefix filter) equals the brute-force pair graph, counts included") {
     import spark.implicits._
     def shOf(d: org.apache.spark.sql.DataFrame) = d.select(
