@@ -178,6 +178,34 @@ object PqIndex {
       ivf.bucketOf(col(embCol)).as("bucket"),
       pq.encode(col(embCol)).as("codes"))
 
+  /** APPEND a batch to a persisted [[assign]]-layout code index under the
+    * FROZEN models — the PQ tier's entry in the store-lifecycle family
+    * (dedup band index, IVF float index, pack/release manifests): new
+    * vectors encode to 8-byte code rows and land as new files in their
+    * `bucket=` directories only, nothing rewrites. The frozen-model
+    * contract is the same as [[graft.operators.IvfIndex.appendToIndex]]'s:
+    * codebooks and coarse centroids are the deployed artifact, so the
+    * batch's bucket assignment is deterministic — which is also what lets
+    * [[graft.operators.IvfIndex.retractFromIndex]] un-absorb the SAME
+    * batch from this store verbatim (it re-derives the touched buckets by
+    * re-assigning under the frozen coarse model and drops rows by id;
+    * its survivor rewrite carries the store's own columns, codes
+    * included) and [[graft.operators.IvfIndex.compactIndex]] fold its
+    * small files (content-identical rewrite, schema-agnostic). The full
+    * cycle is pinned in PqIndexSpec.
+    */
+  def appendToIndex(
+      ivf: IvfIndex.Model,
+      pq: Model,
+      newVectors: DataFrame,
+      path: String,
+      embCol: String = "embedding"): Unit =
+    assign(ivf, pq, newVectors, embCol).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .partitionBy("bucket")
+      .parquet(path)
+
   /** IVFADC over a PERSISTED [[assign]]-layout code index — the shape a
     * 100 TB deployment actually runs (the q56/q62 story at the PQ tier):
     * `codesIndexed` is the code table written once partitioned by

@@ -122,6 +122,51 @@ class PqIndexSpec extends SparkSpec {
         s"got ${codeScan.head.selectedPartitions.partitionCount}")
   }
 
+  test("PQ code-index lifecycle: append adds exactly the batch, retract restores content, compact is content-identical") {
+    val ivf = IvfIndex.fit(corpus, k = 10)
+    val pq = PqIndex.fit(corpus, m = 16, numCodes = 16)
+    // MUTATED store → pid-scoped path (two concurrent JVMs must not race)
+    val path = s"/tmp/graft_pq_lifecycle_pid${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 5 === 0)
+    graft.ops.Bucketing.writePartitioned(
+      PqIndex.assign(ivf, pq, base), path, Seq("bucket"))
+    def store() = spark.read.parquet(path)
+    def rows() = store().select("vec_id", "codes", "bucket")
+      .collect().map(_.toSeq).toSet
+    val baseRows = rows()
+
+    // APPEND under the frozen models: exactly the batch's code rows land
+    PqIndex.appendToIndex(ivf, pq, batch, path)
+    val appended = rows()
+    val expectBatch = PqIndex.assign(ivf, pq, batch)
+      .select("vec_id", "codes", "bucket")
+      .collect().map(_.toSeq).toSet
+    assert(appended == baseRows ++ expectBatch,
+      "append must add exactly the batch's frozen-model code rows")
+
+    // RETRACT via the shared bucket surgery (schema-agnostic: survivor
+    // rewrite carries the store's own columns, codes included)
+    IvfIndex.retractFromIndex(spark, ivf, batch, path)
+    assert(rows() == baseRows,
+      "retract must restore the pre-append store content exactly")
+
+    // COMPACT: content-identical fold of the re-appended small files
+    PqIndex.appendToIndex(ivf, pq, batch, path)
+    val full = rows()
+    val dst = path + "_compact"
+    rm(new java.io.File(dst))
+    IvfIndex.compactIndex(spark, path, dst)
+    assert(spark.read.parquet(dst).select("vec_id", "codes", "bucket")
+        .collect().map(_.toSeq).toSet == full,
+      "compaction must be content-identical on the code store")
+    rm(new java.io.File(path)); rm(new java.io.File(dst))
+  }
+
   test("rerank repairs ADC rank inversions: top-1 agrees with IVF float search") {
     val ivf = IvfIndex.fit(corpus, k = 10)
     val pq = PqIndex.fit(corpus, m = 16, numCodes = 16)
