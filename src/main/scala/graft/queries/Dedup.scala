@@ -1268,6 +1268,22 @@ object Dedup {
         .orderBy("a", "b")
     },
 
+    // BANDED-tier skew gauge ([[bandSkewAudit]]): per-band bucket-size
+    // shape — candidate mass Σ C(size,2), largest bucket and its share —
+    // the hot-key predictor for the LSH join's (band, bhash) shuffle.
+    // Oracle closure (rows-only class): bucket identities live on the
+    // engine's minhash kernel (ShingleK/NumPerm/banding constants), which
+    // DuckDB cannot replay; the semantics are pinned where they can be —
+    // MinHashRecallSpec plants an identical-doc family (one bucket per
+    // band: max_bucket = family size, C(f,2) candidate mass) and asserts
+    // the every-doc-in-every-band mass invariant, while q33's oracle pins
+    // the banded join's OUTPUT equality to the exact pair graph.
+    "q183_band_skew" -> Q.noOracle(
+      "LSH band-bucket skew gauge: per-band candidate mass, largest " +
+        "bucket and share — the banded join's hot-key predictor") { (s, dir) =>
+      bandSkewAudit(Tables(s, dir, "documents"))
+    },
+
     // STRING shingles here (not the hashed kernel q33 uses) so DuckDB can
     // compute the identical sets and hash-check the values; the hashed form
     // stays the scale path (8-byte hashes through the shuffle) and is
@@ -2422,6 +2438,31 @@ object Dedup {
         expr("raw_contrib * 10000 div contrib_total").as("share_bp"))
       .orderBy("source")
   }
+
+  /** q183: the BANDED tier's skew gauge — [[pairBlowupAudit]]'s companion
+    * for the key the LSH join actually shuffles on: (band, bhash) bucket
+    * sizes. Per band: bucket count, the banded join's candidate-pair mass
+    * Σ C(size,2), and the largest bucket with its share of the band's
+    * rows — the number that predicts a hot-key straggler in
+    * [[minhashPairs]]' bucket join BEFORE it runs (a boilerplate-heavy
+    * corpus concentrates signatures exactly the way it concentrates
+    * shingle df). All integers off ONE banding pass — the same
+    * (doc, band, bhash) table every minhash path shuffles — and the gauge
+    * itself never joins. Where q178 sizes `sampleBp` for the exact tier,
+    * this sizes salting/AQE-skew expectations for the banded tier.
+    */
+  def bandSkewAudit(docs: DataFrame): DataFrame =
+    minhashBands(docs)
+      .groupBy("band", "bhash").agg(count(lit(1)).as("sz"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).cast("long").as("n_rows"),
+        max(col("sz")).cast("long").as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).cast("long").as("cand_pairs"))
+      .select(col("band"), col("n_buckets"), col("n_rows"), col("max_bucket"),
+        expr("max_bucket * 10000 div n_rows").as("max_share_bp"),
+        col("cand_pairs"))
+      .orderBy("band")
 
   /** q143: the FULL three-tier dedup pipeline — the complete text-dedup
     * pass a production corpus actually receives, in one plan:

@@ -122,6 +122,34 @@ class MinHashRecallSpec extends SparkSpec {
       "per-source contributions must partition the raw join output")
   }
 
+  test("q183 band skew: planted identical family occupies one bucket per band; mass invariant holds") {
+    import spark.implicits._
+    // 8 byte-identical docs (identical signatures → ONE bucket per band)
+    // over 20 unique-word docs — per band the family bucket carries
+    // C(8,2) = 28 of the candidate mass and max_bucket >= 8
+    val fam = (1 to 30).map(i => s"f_$i").mkString(" ")
+    val rows = ((1 to 8).map(i => (i.toLong, fam)) ++
+      (9 to 28).map(i => (i.toLong, (1 to 30).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val g = Dedup.bandSkewAudit(rows).collect()
+    assert(g.nonEmpty, "at least one band row")
+    g.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === 28L,
+        "every doc lands in every band exactly once")
+      assert(r.getAs[Long]("max_bucket") >= 8L,
+        "the identical family must share one bucket per band")
+      assert(r.getAs[Long]("cand_pairs") >= 28L,
+        "the family alone contributes C(8,2) candidate mass per band")
+      assert(r.getAs[Long]("max_share_bp") >= 8L * 10000L / 28L)
+    }
+    // corpus: the mass invariant — each band holds every doc once
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val n = corpus.count()
+    Dedup.bandSkewAudit(corpus).collect().foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+    }
+  }
+
   test("exactJaccardPairs (prefix filter) equals the brute-force pair graph, counts included") {
     import spark.implicits._
     def shOf(d: org.apache.spark.sql.DataFrame) = d.select(
