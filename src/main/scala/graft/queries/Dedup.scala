@@ -1284,6 +1284,35 @@ object Dedup {
       bandSkewAudit(Tables(s, dir, "documents"))
     },
 
+    // sampleBp RECOMMENDER ([[sampleBpRecommender]]): gauge → knob. For
+    // each candidate pair budget, the largest hash gate keeping the
+    // expected sampled raw mass inside it (both-endpoint thinning is
+    // quadratic: bp* = floor(sqrt(budget·10⁸ DIV n_raw)), one IEEE sqrt of
+    // an exact integer — correctly rounded, bit-identical cross-engine).
+    // Oracle: the same arithmetic off the string-gram df table (the
+    // unreferenced pair CTEs in the shared template are never planned).
+    "q184_samplebp_recommender" -> Q(
+      "sampleBp recommender: largest hash gate per candidate pair budget " +
+        "(quadratic thinning), from the q178 df pass",
+      s"""WITH ${exactPairCte("TRUE")},
+        |dfr AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+        |nr AS (SELECT SUM(df * (df - 1) // 2) AS n_raw_pairs FROM dfr),
+        |grid AS (SELECT UNNEST([10000, 100000, 1000000]) AS budget),
+        |rec AS (
+        |  SELECT budget, n_raw_pairs,
+        |    LEAST(10000, CAST(FLOOR(SQRT(CAST(
+        |      (CAST(budget AS BIGINT) * 100000000) // n_raw_pairs AS DOUBLE)))
+        |      AS BIGINT)) AS rec_bp
+        |  FROM grid, nr)
+        |SELECT CAST(budget AS BIGINT) AS budget,
+        |  CAST(n_raw_pairs AS BIGINT) AS n_raw_pairs,
+        |  CAST(rec_bp AS BIGINT) AS rec_bp,
+        |  CAST((n_raw_pairs * rec_bp * rec_bp) // 100000000 AS BIGINT)
+        |    AS expected_pairs
+        |FROM rec ORDER BY budget""".stripMargin) { (s, dir) =>
+      sampleBpRecommender(Tables(s, dir, "documents"))
+    },
+
     // STRING shingles here (not the hashed kernel q33 uses) so DuckDB can
     // compute the identical sets and hash-check the values; the hashed form
     // stays the scale path (8-byte hashes through the shuffle) and is
@@ -2463,6 +2492,41 @@ object Dedup {
         expr("max_bucket * 10000 div n_rows").as("max_share_bp"),
         col("cand_pairs"))
       .orderBy("band")
+
+  /** q184: the sampleBp RECOMMENDER — closes the loop from gauge to knob.
+    * q178 measures the raw pair mass; q180's `sampleBp` bounds what the
+    * sampled tier will actually face; this computes, for each candidate
+    * pair BUDGET, the largest gate that keeps the expected sampled raw
+    * mass inside it. Both endpoints must pass the gate, so the thinning
+    * is quadratic — E[sampled raw pairs] = n_raw·(bp/10⁴)² — giving
+    * bp* = ⌊√(budget·10⁸ DIV n_raw)⌋, clamped to 10000. Arithmetic is one
+    * integral division plus ONE IEEE sqrt of an exactly-representable
+    * integer (≤ 2^53) — correctly rounded and therefore bit-identical on
+    * both engines (the q79/q102 float-op convention); everything else is
+    * integer cross-multiplication. One row per budget from the SAME
+    * single df pass as q178 (the grid sweeps a 1-row statistic — the
+    * q130/q148 pattern).
+    */
+  def sampleBpRecommender(
+      docs: DataFrame,
+      budgets: Seq[Long] = Seq(10000L, 100000L, 1000000L)): DataFrame = {
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val sh = shingled(docs)
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val nRaw = e.groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(sum(expr("df * (df - 1) div 2")).cast("long").as("n_raw_pairs"))
+    budgets.toDF("budget").crossJoin(broadcast(nRaw))
+      .select(col("budget"), col("n_raw_pairs"),
+        least(lit(10000L),
+          coalesce(
+            floor(sqrt(expr("CAST(budget * 100000000 DIV n_raw_pairs AS DOUBLE)")))
+              .cast("long"),
+            lit(10000L))).as("rec_bp"))
+      .withColumn("expected_pairs",
+        expr("n_raw_pairs * rec_bp * rec_bp DIV 100000000"))
+      .orderBy("budget")
+  }
 
   /** q143: the FULL three-tier dedup pipeline — the complete text-dedup
     * pass a production corpus actually receives, in one plan:

@@ -150,6 +150,29 @@ class MinHashRecallSpec extends SparkSpec {
     }
   }
 
+  test("q184 recommender: expected mass within budget, gate maximal, monotone in budget") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val rows = Dedup
+      .sampleBpRecommender(corpus, Seq(100L, 2000L, 100000L, 100000000L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (budget, nRaw, bp, exp) =>
+      assert(bp >= 0L && bp <= 10000L)
+      if (bp < 10000L) {
+        assert(exp <= budget,
+          s"budget=$budget: expected sampled mass $exp must fit the budget")
+        // maximality in exact arithmetic: one more bp point would overshoot
+        assert(BigInt(nRaw) * BigInt(bp + 1) * BigInt(bp + 1) >
+          BigInt(budget) * BigInt(100000000L),
+          s"budget=$budget: gate $bp must be the largest admissible")
+      } else assert(BigInt(nRaw) * 10000L * 10000L <=
+        BigInt(budget) * BigInt(100000000L) || exp == nRaw,
+        "a full gate means the whole corpus fits (or is the clamp)")
+    }
+    val bps = rows.sortBy(_._1).map(_._3)
+    assert(bps.sameElements(bps.sorted), "rec_bp must be monotone in budget")
+  }
+
   test("exactJaccardPairs (prefix filter) equals the brute-force pair graph, counts included") {
     import spark.implicits._
     def shOf(d: org.apache.spark.sql.DataFrame) = d.select(
