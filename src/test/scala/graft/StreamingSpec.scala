@@ -1045,4 +1045,47 @@ class StreamingSpec extends SparkSpec {
         s"micro-batch $i: online novelty diverged from the batch gauge")
     }
   }
+
+  test("streaming blowup monitor: per-batch df-shape gauge equals q178 over the same rows; boilerplate spikes in its own batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // batch 1: clean unique-word docs. batch 2: a template-heavy segment —
+    // 6 docs sharing a 5-word block (the q178 planted signature). The
+    // monitor must show ~zero raw mass for batch 1 and the spike INSIDE
+    // batch 2, and each gauge must equal the batch q178 over the same rows.
+    val clean = (1 to 6).map(i =>
+      (i.toLong, (1 to 25).map(j => s"c${i}_$j").mkString(" ")))
+    val shared = (1 to 5).map(i => s"s$i")
+    val boiler = (11 to 16).map(i =>
+      (i.toLong, (shared ++ (1 to 20).map(j => s"u${i}_$j")).mkString(" ")))
+
+    val gauges = scala.collection.mutable.ArrayBuffer.empty[Array[Seq[Any]]]
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.BlowupMonitorStream.start(
+      input.toDF().toDF("doc_id", "text"),
+      onGauge = (_, df) =>
+        gauges.synchronized { gauges += df.collect().map(_.toSeq); () })
+    input.addData(clean: _*)
+    q.processAllAvailable()
+    input.addData(boiler: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(gauges.length == 2)
+    Seq(clean, boiler).zip(gauges).zipWithIndex.foreach { case ((rows, gauge), i) =>
+      val batchGauge = graft.queries.Dedup
+        .pairBlowupAudit(rows.toDF("doc_id", "text"))
+        .collect().map(_.toSeq)
+      assert(gauge.toSeq == batchGauge.toSeq,
+        s"micro-batch $i: online blowup gauge diverged from q178")
+    }
+    def rawOf(g: Array[Seq[Any]]) =
+      g.head(4).asInstanceOf[Long] // n_raw_pairs column position
+    assert(rawOf(gauges(0)) == 0L, "clean batch must carry zero raw mass")
+    assert(rawOf(gauges(1)) == 45L,
+      "the template segment must spike inside its own micro-batch")
+  }
 }
