@@ -460,6 +460,32 @@ object Multimodal {
     bandedHammingPairs(hashes, maxHamming)
   }
 
+  /** (doc_id, dh) dHash rows — the kernel [[dhashPairs]] hashes with,
+    * factored so the PERSISTED index ([[persistDhashIndex]]) and the
+    * incremental probe ([[incrementalDhashPairs]]) share it byte-for-byte
+    * (the minhashBands discipline: both forms MUST band identically or
+    * the incremental candidates diverge from the full run).
+    */
+  def dhashRows(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.flatMap(r => dHash64(r.payload).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "dh")
+  }
+
+  /** The (doc_id, dh, band, bhash) table of the shared 4×16-bit banding —
+    * the join key AND the persisted-index layout (partitioned by band).
+    */
+  private def fingerprintBands(hashes: DataFrame): DataFrame =
+    hashes.select(
+      col("doc_id"), col("dh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dh"), b * 16).bitwiseAND(lit(0xffffL)).as("bhash"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("dh"), col("b.band").as("band"), col("b.bhash").as("bhash"))
+
   /** The shared 64-bit-fingerprint blocking shape (q34/q70/q87): 4×16-bit
     * bands equi-joined, hamming-verified <= `maxHamming`. Input: (doc_id,
     * dh: long). Candidates only ever come from a band-key equi-join —
@@ -467,13 +493,7 @@ object Multimodal {
     * hash + id.
     */
   private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val bands = hashes.select(
-      col("doc_id"), col("dh"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("dh"), b * 16).bitwiseAND(lit(0xffffL)).as("bhash"))
-      }: _*)).as("b"))
-      .select(col("doc_id"), col("dh"), col("b.band").as("band"), col("b.bhash").as("bhash"))
+    val bands = fingerprintBands(hashes)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
@@ -483,6 +503,57 @@ object Multimodal {
         graft.functions.Text.hamming64(col("x.dh"), col("y.dh")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** PERSIST the image dHash band index — the q66 band-index contract at
+    * the image tier: the corpus hashes once, the (doc_id, dh, band,
+    * bhash) table lands partitioned by `band`, and every later batch
+    * probes it without rescanning a stored image. 32 bytes per image
+    * per band on disk; payload bytes never leave their partition.
+    */
+  def persistDhashIndex(media: DataFrame, path: String): Unit =
+    graft.ops.Bucketing.writePartitioned(
+      fingerprintBands(dhashRows(media)), s"$path/dhbands", Seq("band"))
+
+  /** APPEND a batch to a persisted dHash index — new files in the touched
+    * `band=` directories only, nothing rewrites (the appendToBandIndex /
+    * IvfIndex.appendToIndex contract).
+    */
+  def appendToDhashIndex(media: DataFrame, path: String): Unit =
+    fingerprintBands(dhashRows(media)).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .partitionBy("band")
+      .parquet(s"$path/dhbands")
+
+  /** INCREMENTAL image near-dup — q66's contract at the image tier: the
+    * new batch's dHash bands equi-join the PERSISTED index (new vs
+    * existing; no stored image rescans, no stored payload ever read) and
+    * the batch self-checks for within-batch duplicates, both arms
+    * hamming-verified. Output (new_id, existing_id, hamming); within-batch
+    * pairs keep new_id < existing_id (the q66 convention). Shuffle
+    * payload: 8-byte hashes + ids, whatever the corpus size.
+    */
+  def incrementalDhashPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      newMedia: DataFrame,
+      path: String,
+      maxHamming: Int): DataFrame = {
+    val newHashes = dhashRows(newMedia)
+    val nb = fingerprintBands(newHashes)
+    val store = spark.read.parquet(s"$path/dhbands")
+    val vsStore = nb.as("x")
+      .join(store.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("new_id"), col("y.doc_id").as("existing_id"),
+        graft.functions.Text.hamming64(col("x.dh"), col("y.dh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val within = bandedHammingPairs(newHashes, maxHamming)
+      .select(col("a").as("new_id"), col("b").as("existing_id"), col("hamming"))
+    vsStore.unionByName(within)
   }
 
   /** WAV payload → (sampleRate, mono float samples in [-1, 1]). 16-bit PCM

@@ -421,5 +421,40 @@ object Extras {
           Multimodal.videoPayloads(Tables(s, dir, "documents")),
           maxHamming = 8, minOverlap = 0.5)
           .orderBy("a", "b")
+    },
+
+    // INCREMENTAL image dedup ([[Multimodal.incrementalDhashPairs]]) —
+    // q66's contract at the image tier, closing the last dedup modality
+    // without an incremental form: the daily batch's dHash bands probe
+    // the PERSISTED index (no stored image is re-decoded or re-hashed —
+    // the property that matters when "stored" is a billion images) plus
+    // the within-batch self-check. Index shares the banding kernel with
+    // q70 byte-for-byte (fingerprintBands), so incremental ≡ full
+    // restricted — DHashSpec pins it, with the append path. rows-only
+    // (q70's JDK-decode closure class); ORACLE CLOSURE: FINAL.
+    "q185_image_incremental" -> Q.noOracle(
+      "Incremental image near-dup: new batch vs persisted dHash band " +
+        "index + within-batch, hamming <= 8") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path = dhashIndexFor(
+        Multimodal.imagePayloads(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)), dir)
+      Multimodal.incrementalDhashPairs(
+          s, Multimodal.imagePayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
+          path, maxHamming = 8)
+        .orderBy("new_id", "existing_id")
     })
+
+  /** Warm-reuse policy for the image dHash index (the Dedup.bandIndexFor
+    * convention): testdata corpora reuse the artifact across calls, any
+    * other dir rebuilds.
+    */
+  private def dhashIndexFor(media: DataFrame, dir: String): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_dhidx_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "dhbands", "_SUCCESS"))
+    if (!reusable) Multimodal.persistDhashIndex(media, path)
+    path
+  }
 }

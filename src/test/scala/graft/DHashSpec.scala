@@ -49,4 +49,55 @@ class DHashSpec extends SparkSpec {
     assert(pairs == expected,
       s"missing=${(expected -- pairs).take(5)} spurious=${(pairs -- expected).take(5)}")
   }
+
+  test("q185 incremental equals the full run restricted to batch-touching pairs; append absorbs the batch") {
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val store = Multimodal.imagePayloads(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    val batch = Multimodal.imagePayloads(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    val path = s"/tmp/graft_dhidx_spec_pid${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    Multimodal.persistDhashIndex(store, path)
+
+    // incremental ≡ full restricted (the q66 identity, image tier): the
+    // whole-corpus pair set restricted to pairs touching the batch, mapped
+    // to (new_id, existing_id) with the batch endpoint first
+    val full = Multimodal
+      .dhashPairs(Multimodal.imagePayloads(docs), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.collect {
+      case (a, b) if a % 5 == 0 || b % 5 == 0 =>
+        if (a % 5 == 0) (a, b) else (b, a)
+    }
+    val inc = Multimodal.incrementalDhashPairs(spark, batch, path, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-batch pairs keep new_id < existing_id; batch-vs-store pairs
+    // may have either orientation in `expected` — normalize both sides
+    def norm(p: (Long, Long)) =
+      if (p._1 % 5 == 0 && p._2 % 5 == 0)
+        (math.min(p._1, p._2), math.max(p._1, p._2)) else p
+    assert(inc.map(norm) == expected.map(norm),
+      s"missing=${(expected.map(norm) -- inc.map(norm)).take(5)} " +
+        s"spurious=${(inc.map(norm) -- expected.map(norm)).take(5)}")
+    assert(inc.nonEmpty, "fixture must exercise batch-touching pairs")
+
+    // APPEND the batch: a re-probe of the same batch now also matches
+    // itself through the store — every within-batch pair re-appears as a
+    // store hit (both orientations), proving the absorb landed
+    Multimodal.appendToDhashIndex(batch, path)
+    val reprobe = Multimodal
+      .incrementalDhashPairs(spark, batch, path, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withinBatch = expected.filter(p => p._1 % 5 == 0 && p._2 % 5 == 0)
+      .map(norm)
+    withinBatch.foreach { case (a, b) =>
+      assert(reprobe.contains((a, b)) && reprobe.contains((b, a)),
+        s"appended batch must be visible as store hits: ($a, $b)")
+    }
+    rm(new java.io.File(path))
+  }
 }
