@@ -689,6 +689,26 @@ class PlanShapeSpec extends SparkSpec {
       "the melted counts must preserve total event mass")
   }
 
+  test("pressure gauges never plan the join they measure") {
+    // q178 carries the prefix-filtered TRUE-pair join (that one is the
+    // measurement's subject at candidate grain and is allowed); its raw
+    // Σ C(df,2) arm, and the whole of q182/q183/q184, must stay pure
+    // aggregation — a SortMergeJoin on the shingle hash there would BE
+    // the quadratic blowup the gauges exist to predict.
+    // (the broadcast 1-row/grid cross — BroadcastNestedLoopJoin over an
+    // aggregate total — is the house-allowed bounded pattern; what must
+    // never appear is a shuffled join keyed on the shingle hash)
+    Seq("q182_blowup_by_source", "q184_samplebp_recommender").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not shuffle-join the posting table:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    val skew = planOf("q183_band_skew")
+    assert(!skew.contains("Join"),
+      "the band-skew gauge is two aggregations, never a join:\n" + skew)
+  }
+
   test("q163/q165 boundary pack: one documents scan; the append broadcasts its resume counts") {
     val p = planOf("q163_boundary_pack")
     assert(p.linesIterator.count(l =>
