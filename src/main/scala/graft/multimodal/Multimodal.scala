@@ -505,41 +505,40 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** PERSIST the image dHash band index — the q66 band-index contract at
-    * the image tier: the corpus hashes once, the (doc_id, dh, band,
-    * bhash) table lands partitioned by `band`, and every later batch
-    * probes it without rescanning a stored image. 32 bytes per image
-    * per band on disk; payload bytes never leave their partition.
+  /** PERSIST a 64-bit-fingerprint band index — the q66 band-index
+    * contract at the media tier: the corpus hashes once, the (doc_id, dh,
+    * band, bhash) table lands partitioned by `band`, and every later
+    * batch probes it without rescanning a stored payload. 32 bytes per
+    * item per band on disk; payload bytes never leave their partition.
     */
-  def persistDhashIndex(media: DataFrame, path: String): Unit =
+  private def persistFingerprintIndex(hashes: DataFrame, path: String): Unit =
     graft.ops.Bucketing.writePartitioned(
-      fingerprintBands(dhashRows(media)), s"$path/dhbands", Seq("band"))
+      fingerprintBands(hashes), s"$path/dhbands", Seq("band"))
 
-  /** APPEND a batch to a persisted dHash index — new files in the touched
-    * `band=` directories only, nothing rewrites (the appendToBandIndex /
-    * IvfIndex.appendToIndex contract).
+  /** APPEND a batch to a persisted fingerprint index — new files in the
+    * touched `band=` directories only, nothing rewrites (the
+    * appendToBandIndex / IvfIndex.appendToIndex contract).
     */
-  def appendToDhashIndex(media: DataFrame, path: String): Unit =
-    fingerprintBands(dhashRows(media)).write
+  private def appendToFingerprintIndex(hashes: DataFrame, path: String): Unit =
+    fingerprintBands(hashes).write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .option("compression", "zstd")
       .partitionBy("band")
       .parquet(s"$path/dhbands")
 
-  /** INCREMENTAL image near-dup — q66's contract at the image tier: the
-    * new batch's dHash bands equi-join the PERSISTED index (new vs
-    * existing; no stored image rescans, no stored payload ever read) and
-    * the batch self-checks for within-batch duplicates, both arms
-    * hamming-verified. Output (new_id, existing_id, hamming); within-batch
-    * pairs keep new_id < existing_id (the q66 convention). Shuffle
-    * payload: 8-byte hashes + ids, whatever the corpus size.
+  /** INCREMENTAL fingerprint near-dup — q66's contract for any 64-bit
+    * media fingerprint: the new batch's bands equi-join the PERSISTED
+    * index (new vs existing; no stored payload ever read) and the batch
+    * self-checks within itself, both arms hamming-verified. Output
+    * (new_id, existing_id, hamming); within-batch pairs keep
+    * new_id < existing_id (the q66 convention). Shuffle payload: 8-byte
+    * hashes + ids, whatever the corpus size.
     */
-  def incrementalDhashPairs(
+  private def incrementalFingerprintPairs(
       spark: org.apache.spark.sql.SparkSession,
-      newMedia: DataFrame,
+      newHashes: DataFrame,
       path: String,
       maxHamming: Int): DataFrame = {
-    val newHashes = dhashRows(newMedia)
     val nb = fingerprintBands(newHashes)
     val store = spark.read.parquet(s"$path/dhbands")
     val vsStore = nb.as("x")
@@ -555,6 +554,47 @@ object Multimodal {
       .select(col("a").as("new_id"), col("b").as("existing_id"), col("hamming"))
     vsStore.unionByName(within)
   }
+
+  /** The image instance of the fingerprint-index trio (q185). */
+  def persistDhashIndex(media: DataFrame, path: String): Unit =
+    persistFingerprintIndex(dhashRows(media), path)
+
+  def appendToDhashIndex(media: DataFrame, path: String): Unit =
+    appendToFingerprintIndex(dhashRows(media), path)
+
+  def incrementalDhashPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      newMedia: DataFrame,
+      path: String,
+      maxHamming: Int): DataFrame =
+    incrementalFingerprintPairs(spark, dhashRows(newMedia), path, maxHamming)
+
+  /** (doc_id, dh) audio-fingerprint rows — [[audioPairs]]' kernel,
+    * factored for the persisted-index forms exactly like [[dhashRows]].
+    */
+  def audioHashRows(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.flatMap(r => audioFingerprint64(r.payload).map(h => (r.doc_id, h))))
+      .toDF("doc_id", "dh")
+  }
+
+  /** The audio instance of the fingerprint-index trio (q186): identical
+    * mechanics to the image index — only the 64-bit kernel differs.
+    */
+  def persistAudioIndex(media: DataFrame, path: String): Unit =
+    persistFingerprintIndex(audioHashRows(media), path)
+
+  def appendToAudioIndex(media: DataFrame, path: String): Unit =
+    appendToFingerprintIndex(audioHashRows(media), path)
+
+  def incrementalAudioPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      newMedia: DataFrame,
+      path: String,
+      maxHamming: Int): DataFrame =
+    incrementalFingerprintPairs(spark, audioHashRows(newMedia), path, maxHamming)
 
   /** WAV payload → (sampleRate, mono float samples in [-1, 1]). 16-bit PCM
     * only (the fingerprint tier's contract; other depths return None and

@@ -442,6 +442,24 @@ object Extras {
           s, Multimodal.imagePayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
           path, maxHamming = 8)
         .orderBy("new_id", "existing_id")
+    },
+
+    // INCREMENTAL audio dedup — the q185 trio instantiated on the audio
+    // fingerprint (identical index mechanics, only the 64-bit kernel
+    // differs): the daily batch probes the persisted band index without
+    // re-decoding a stored WAV. rows-only (q87's closure class — DuckDB
+    // has no WAV decoder); ORACLE CLOSURE: FINAL. Incremental ≡ full
+    // restricted is pinned in AudioFingerprintSpec.
+    "q186_audio_incremental" -> Q.noOracle(
+      "Incremental audio near-dup: new batch vs persisted fingerprint " +
+        "band index + within-batch, hamming <= 6") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path = audioIndexFor(
+        Multimodal.audioPayloads(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)), dir)
+      Multimodal.incrementalAudioPairs(
+          s, Multimodal.audioPayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
+          path, maxHamming = 6)
+        .orderBy("new_id", "existing_id")
     })
 
   /** Warm-reuse policy for the image dHash index (the Dedup.bandIndexFor
@@ -455,6 +473,20 @@ object Extras {
       java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "dhbands", "_SUCCESS"))
     if (!reusable) Multimodal.persistDhashIndex(media, path)
+    path
+  }
+
+  /** [[dhashIndexFor]]'s warm-reuse policy for the audio fingerprint
+    * index (separate artifact root — the two kernels must never serve
+    * each other's bands).
+    */
+  private def audioIndexFor(media: DataFrame, dir: String): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_afidx_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "dhbands", "_SUCCESS"))
+    if (!reusable) Multimodal.persistAudioIndex(media, path)
     path
   }
 }

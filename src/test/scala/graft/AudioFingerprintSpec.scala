@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.multimodal.Multimodal
 
 /** Planted-family recall/precision for the audio near-dup tier (q87):
@@ -54,6 +56,37 @@ class AudioFingerprintSpec extends SparkSpec {
       a / 4 == b / 4 && isTwin(a) && isTwin(b)
     }
     assert(falsePos.isEmpty, s"cross-family pairs surfaced: $falsePos")
+  }
+
+  test("q186 incremental equals the full run restricted to batch-touching pairs") {
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val store = Multimodal.audioPayloads(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    val batch = Multimodal.audioPayloads(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    val path = s"/tmp/graft_afidx_spec_pid${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    Multimodal.persistAudioIndex(store, path)
+    val full = Multimodal
+      .audioPairs(Multimodal.audioPayloads(docs), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.collect {
+      case (a, b) if a % 5 == 0 || b % 5 == 0 =>
+        if (a % 5 == 0) (a, b) else (b, a)
+    }
+    val inc = Multimodal.incrementalAudioPairs(spark, batch, path, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def norm(p: (Long, Long)) =
+      if (p._1 % 5 == 0 && p._2 % 5 == 0)
+        (math.min(p._1, p._2), math.max(p._1, p._2)) else p
+    assert(inc.map(norm) == expected.map(norm),
+      s"missing=${(expected.map(norm) -- inc.map(norm)).take(5)} " +
+        s"spurious=${(inc.map(norm) -- expected.map(norm)).take(5)}")
+    assert(inc.nonEmpty, "fixture must exercise batch-touching pairs")
+    rm(new java.io.File(path))
   }
 
   test("fingerprint is total: short, silent, and non-WAV payloads return None, never throw") {
