@@ -1073,6 +1073,125 @@ object Multimodal {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** (packed-fid, dh) video frame-hash rows — [[videoPairs]]' extraction
+    * kernel factored for the persisted-index forms (the [[dhashRows]]
+    * discipline): frame split + per-frame dHash stay partition-local,
+    * only 16 bytes per frame ever shuffle.
+    */
+  def videoHashRows(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        videoFrames(r.payload).getOrElse(Nil).iterator.zipWithIndex.flatMap {
+          case (frame, idx) => dHash64(frame).map(h => (r.doc_id * FidWidth + idx, h))
+        }
+      })
+      .toDF("doc_id", "dh") // doc_id here is the packed fid
+  }
+
+  /** PERSIST the video frame index — the media-index contract at frame
+    * grain: the corpus decodes ONCE (the decode is the dominant cost at
+    * any scale), its frame-hash bands land partitioned by `band`, and the
+    * per-video frame counts — the overlap verify's denominators — persist
+    * alongside so a probe never re-opens a stored payload.
+    */
+  def persistVideoIndex(media: DataFrame, path: String): Unit = {
+    val fh = org.apache.spark.sql.graft.shims.realStats(
+      videoHashRows(media).localCheckpoint())
+    graft.ops.Bucketing.writePartitioned(
+      fingerprintBands(fh), s"$path/dhbands", Seq("band"))
+    fh.groupBy((col("doc_id") / FidWidth).cast("long").as("vid"))
+      .agg(count(lit(1)).as("nf"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(s"$path/vcounts")
+  }
+
+  /** APPEND a video batch to a persisted frame index: new band files plus
+    * the batch's (vid, nf) count rows — both append-only.
+    */
+  def appendToVideoIndex(media: DataFrame, path: String): Unit = {
+    val fh = org.apache.spark.sql.graft.shims.realStats(
+      videoHashRows(media).localCheckpoint())
+    fingerprintBands(fh).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .partitionBy("band")
+      .parquet(s"$path/dhbands")
+    fh.groupBy((col("doc_id") / FidWidth).cast("long").as("vid"))
+      .agg(count(lit(1)).as("nf"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd").parquet(s"$path/vcounts")
+  }
+
+  /** INCREMENTAL video near-dup — q66's contract at frame grain: the new
+    * batch decodes once, its frame bands probe the PERSISTED index (no
+    * stored video is re-opened — the denominators come from the persisted
+    * vcounts), the batch self-checks within itself, and both arms apply
+    * [[videoPairs]]' overlap verify (matched frames ≥ minOverlap of the
+    * smaller side). Output (new_id, existing_id, matched_frames, overlap);
+    * within-batch pairs keep new_id < existing_id.
+    */
+  def incrementalVideoPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      newMedia: DataFrame,
+      path: String,
+      maxHamming: Int,
+      minOverlap: Double): DataFrame = {
+    val fh = org.apache.spark.sql.graft.shims.realStats(
+      videoHashRows(newMedia).localCheckpoint())
+    val newCounts = fh
+      .groupBy((col("doc_id") / FidWidth).cast("long").as("vid"))
+      .agg(count(lit(1)).as("nf"))
+    val storeCounts = spark.read.parquet(s"$path/vcounts")
+    val nb = fingerprintBands(fh)
+    val store = spark.read.parquet(s"$path/dhbands")
+    val vsStore = nb.as("x")
+      .join(store.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash"))
+      .select(
+        col("x.doc_id").as("fa"), col("y.doc_id").as("fb"),
+        graft.functions.Text.hamming64(col("x.dh"), col("y.dh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .select(
+        (col("fa") / FidWidth).cast("long").as("va"), col("fa"),
+        (col("fb") / FidWidth).cast("long").as("vb"), col("fb"))
+      .filter(col("va") =!= col("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(least(countDistinct(col("fa")), countDistinct(col("fb")))
+        .as("matched_frames"))
+      .join(newCounts.withColumnRenamed("vid", "va")
+        .withColumnRenamed("nf", "nf_a"), "va")
+      .join(storeCounts.withColumnRenamed("vid", "vb")
+        .withColumnRenamed("nf", "nf_b"), "vb")
+      .select(
+        col("va").as("new_id"), col("vb").as("existing_id"),
+        col("matched_frames"),
+        (col("matched_frames").cast("double") / least(col("nf_a"), col("nf_b")))
+          .as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+    val within = bandedHammingPairs(fh, maxHamming)
+      .select(
+        (col("a") / FidWidth).cast("long").as("va"), col("a").as("fa"),
+        (col("b") / FidWidth).cast("long").as("vb"), col("b").as("fb"))
+      .filter(col("va") < col("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(least(countDistinct(col("fa")), countDistinct(col("fb")))
+        .as("matched_frames"))
+      .join(newCounts.withColumnRenamed("vid", "va")
+        .withColumnRenamed("nf", "nf_a"), "va")
+      .join(newCounts.withColumnRenamed("vid", "vb")
+        .withColumnRenamed("nf", "nf_b"), "vb")
+      .select(
+        col("va").as("new_id"), col("vb").as("existing_id"),
+        col("matched_frames"),
+        (col("matched_frames").cast("double") / least(col("nf_a"), col("nf_b")))
+          .as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+    vsStore.unionByName(within)
+  }
+
   /** Frame-sample stub: deterministic every-nth-byte "frames" from a payload,
     * the plumbing shape of video frame extraction (one row in → N rows out,
     * still partition-local via flatMap).

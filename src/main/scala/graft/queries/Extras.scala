@@ -460,6 +460,25 @@ object Extras {
           s, Multimodal.audioPayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
           path, maxHamming = 6)
         .orderBy("new_id", "existing_id")
+    },
+
+    // INCREMENTAL video dedup at FRAME grain — completes the media
+    // trio (image q185, audio q186): the persisted index carries the
+    // frame-hash bands AND the per-video frame counts (the overlap
+    // verify's denominators), so the daily batch decodes once and no
+    // stored video is ever re-opened. rows-only (q89's closure class —
+    // ISO-BMFF box walk + PNG grammar); ORACLE CLOSURE: FINAL.
+    // Incremental ≡ full restricted is pinned in VideoNearDupSpec.
+    "q187_video_incremental" -> Q.noOracle(
+      "Incremental video near-dup: new batch's frames vs the persisted " +
+        "frame index + within-batch, overlap >= 0.5 on the min side") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path = videoIndexFor(
+        Multimodal.videoPayloads(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)), dir)
+      Multimodal.incrementalVideoPairs(
+          s, Multimodal.videoPayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
+          path, maxHamming = 8, minOverlap = 0.5)
+        .orderBy("new_id", "existing_id")
     })
 
   /** Warm-reuse policy for the image dHash index (the Dedup.bandIndexFor
@@ -487,6 +506,23 @@ object Extras {
       java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "dhbands", "_SUCCESS"))
     if (!reusable) Multimodal.persistAudioIndex(media, path)
+    path
+  }
+
+  /** Warm-reuse policy for the video frame index (q187): both artifacts
+    * — frame bands and the vcounts denominators — must exist, or the
+    * index rebuilds (a crash between the two writes must not serve a
+    * denominator-less index).
+    */
+  private def videoIndexFor(media: DataFrame, dir: String): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_vfidx_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "dhbands", "_SUCCESS")) &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "vcounts", "_SUCCESS"))
+    if (!reusable) Multimodal.persistVideoIndex(media, path)
     path
   }
 }

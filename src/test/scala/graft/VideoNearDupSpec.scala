@@ -62,4 +62,36 @@ class VideoNearDupSpec extends SparkSpec {
     assert(trimPairs.nonEmpty)
     for (p <- trimPairs) assert(rows(p) == 1.0, s"pair $p overlap ${rows(p)} != 1.0")
   }
+
+  test("q187 incremental equals the full run restricted to batch-touching pairs") {
+    import org.apache.spark.sql.functions._
+    val nIds = 480L
+    val docs = (0L until nIds).map(id => (id, s"doc $id text")).toDF("doc_id", "text")
+    val store = Multimodal.videoPayloads(docs.filter(col("doc_id") % 5 =!= 0))
+    val batch = Multimodal.videoPayloads(docs.filter(col("doc_id") % 5 === 0))
+    val path = s"/tmp/graft_vfidx_spec_pid${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    Multimodal.persistVideoIndex(store, path)
+    val full = Multimodal
+      .videoPairs(Multimodal.videoPayloads(docs), maxHamming = 8, minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.collect {
+      case (a, b) if a % 5 == 0 || b % 5 == 0 =>
+        if (a % 5 == 0) (a, b) else (b, a)
+    }
+    val inc = Multimodal
+      .incrementalVideoPairs(spark, batch, path, maxHamming = 8, minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def norm(p: (Long, Long)) =
+      if (p._1 % 5 == 0 && p._2 % 5 == 0)
+        (math.min(p._1, p._2), math.max(p._1, p._2)) else p
+    assert(inc.map(norm) == expected.map(norm),
+      s"missing=${(expected.map(norm) -- inc.map(norm)).take(5)} " +
+        s"spurious=${(inc.map(norm) -- expected.map(norm)).take(5)}")
+    assert(inc.nonEmpty, "fixture must exercise batch-touching pairs")
+    rm(new java.io.File(path))
+  }
 }
