@@ -526,6 +526,70 @@ object Multimodal {
       .partitionBy("band")
       .parquet(s"$path/dhbands")
 
+  /** RETRACT a batch from a persisted fingerprint index — the media
+    * tier's entry in the un-absorb family (dedup q149, window q150,
+    * histogram q152, vector stores IvfIndex/PqIndex), closing the one
+    * store family that had persist/append only: without it a media
+    * takedown leaves fingerprints behind forever. Only doc ids are
+    * needed (the index is keyed by doc_id) — deliberately so, because a
+    * takedown usually arrives AFTER the payload is gone; nothing is
+    * re-decoded. Every doc fans out to ALL 4 bands, so unlike the
+    * IVF per-bucket retract there is no partition pruning to win — the
+    * honest shape is the [[graft.queries.Dedup.retractBatch]] one: a
+    * store-sized left-anti rewrite, write-aside → rename swap
+    * ([[graft.ops.StoreSwap]] — probes never see a half-retracted
+    * index), schema re-selected to the writer's own column order. LIFO
+    * contract as everywhere in the family; at 100 TB the rewrite rides
+    * the scheduled compaction (retraction is compaction with a filter).
+    */
+  private def retractFromFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      batchIds: DataFrame,
+      path: String): Unit = {
+    val ids = broadcast(batchIds.select(col("doc_id")))
+    val store = spark.read.parquet(s"$path/dhbands")
+    store.join(ids, Seq("doc_id"), "left_anti")
+      .select(store.columns.map(col).toSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("band")
+      .parquet(s"$path/dhbands.next")
+    graft.ops.StoreSwap.swapInto(spark, s"$path/dhbands")
+  }
+
+  /** COMPACT a persisted fingerprint index CONTENT-IDENTICALLY — the
+    * media instance of the [[graft.queries.Dedup.compactBandIndex]]
+    * contract: daily [[appendToFingerprintIndex]] calls add one small
+    * file set per batch to each `band=` directory, so after N days a
+    * probe opens N files per band. The rewrite lands few large
+    * (band, bhash, doc_id)-sorted runs — sorted so parquet rowgroup
+    * min/max on `bhash` turn a band probe into a rowgroup skip — sized
+    * from the source's plan-time estimate (no job). Writes to `dstPath`,
+    * source untouched (write-new → repoint → retire; probes never see a
+    * half-written index); the `band=` partitioning probes prune on is
+    * preserved exactly.
+    */
+  private def compactFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      targetFileBytes: Long): Unit = {
+    val bands = spark.read.parquet(s"$srcPath/dhbands")
+    // clamp BEFORE toInt (the IvfIndex.compactIndex guard): a missing-
+    // stats Long.MaxValue estimate must degrade to many partitions, not
+    // wrap negative and collapse the rewrite into one task
+    val nOut = math.max(1,
+      (bands.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(targetFileBytes))
+        .min(BigInt(1 << 20)).toInt)
+    bands
+      .repartition(nOut, col("band"), col("bhash"))
+      .sortWithinPartitions("band", "bhash", "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("band")
+      .parquet(s"$dstPath/dhbands")
+  }
+
   /** INCREMENTAL fingerprint near-dup — q66's contract for any 64-bit
     * media fingerprint: the new batch's bands equi-join the PERSISTED
     * index (new vs existing; no stored payload ever read) and the batch
@@ -569,6 +633,25 @@ object Multimodal {
       maxHamming: Int): DataFrame =
     incrementalFingerprintPairs(spark, dhashRows(newMedia), path, maxHamming)
 
+  /** Un-absorb a batch from the image index by doc id (LIFO; no payload
+    * needed — see [[retractFromFingerprintIndex]]).
+    */
+  def retractFromDhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      batchIds: DataFrame,
+      path: String): Unit =
+    retractFromFingerprintIndex(spark, batchIds, path)
+
+  /** Content-identical defragmentation of the image index (write-new →
+    * repoint; see [[compactFingerprintIndex]]).
+    */
+  def compactDhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      targetFileBytes: Long = 128L << 20): Unit =
+    compactFingerprintIndex(spark, srcPath, dstPath, targetFileBytes)
+
   /** (doc_id, dh) audio-fingerprint rows — [[audioPairs]]' kernel,
     * factored for the persisted-index forms exactly like [[dhashRows]].
     */
@@ -595,6 +678,25 @@ object Multimodal {
       path: String,
       maxHamming: Int): DataFrame =
     incrementalFingerprintPairs(spark, audioHashRows(newMedia), path, maxHamming)
+
+  /** Un-absorb a batch from the audio index by doc id (LIFO; see
+    * [[retractFromFingerprintIndex]]).
+    */
+  def retractFromAudioIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      batchIds: DataFrame,
+      path: String): Unit =
+    retractFromFingerprintIndex(spark, batchIds, path)
+
+  /** Content-identical defragmentation of the audio index (see
+    * [[compactFingerprintIndex]]).
+    */
+  def compactAudioIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      targetFileBytes: Long = 128L << 20): Unit =
+    compactFingerprintIndex(spark, srcPath, dstPath, targetFileBytes)
 
   /** WAV payload → (sampleRate, mono float samples in [-1, 1]). 16-bit PCM
     * only (the fingerprint tier's contract; other depths return None and
@@ -1122,6 +1224,63 @@ object Multimodal {
       .agg(count(lit(1)).as("nf"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .option("compression", "zstd").parquet(s"$path/vcounts")
+  }
+
+  /** Un-absorb a video batch from the frame index by VIDEO id (LIFO; no
+    * payload re-decoded — the whole point of a media retract): the band
+    * store is keyed by packed fid, so the batch's frame rows are named by
+    * `fid / FidWidth ∈ batch` rather than a direct id join; the vcounts
+    * denominators retract by vid directly. Both artifacts rewrite
+    * write-aside and swap in sequence — a complete version of each exists
+    * on disk at every instant, and a probe between the two swaps sees at
+    * worst a retracted band store with stale denominators for videos it
+    * can no longer match (overlap denominators join on surviving pairs
+    * only, so the stale rows are unreachable).
+    */
+  def retractFromVideoIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      batchIds: DataFrame,
+      path: String): Unit = {
+    val ids = broadcast(batchIds.select(col("doc_id").as("vid")))
+    val store = spark.read.parquet(s"$path/dhbands")
+    store.withColumn("vid", (col("doc_id") / FidWidth).cast("long"))
+      .join(ids, Seq("vid"), "left_anti")
+      .select(store.columns.map(col).toSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("band")
+      .parquet(s"$path/dhbands.next")
+    val counts = spark.read.parquet(s"$path/vcounts")
+    counts.join(ids, Seq("vid"), "left_anti")
+      .select(counts.columns.map(col).toSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(s"$path/vcounts.next")
+    graft.ops.StoreSwap.swapInto(spark, s"$path/dhbands")
+    graft.ops.StoreSwap.swapInto(spark, s"$path/vcounts")
+  }
+
+  /** Content-identical defragmentation of BOTH video-index artifacts —
+    * the frame bands via the shared rewrite and the vcounts denominators
+    * as a (vid)-sorted run (tiny — one row per video — but probes open it
+    * every call, so fragmentation costs every probe).
+    */
+  def compactVideoIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    compactFingerprintIndex(spark, srcPath, dstPath, targetFileBytes)
+    val counts = spark.read.parquet(s"$srcPath/vcounts")
+    val nOut = math.max(1,
+      (counts.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(targetFileBytes))
+        .min(BigInt(1 << 20)).toInt)
+    counts
+      .repartition(nOut, col("vid"))
+      .sortWithinPartitions("vid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(s"$dstPath/vcounts")
   }
 
   /** INCREMENTAL video near-dup — q66's contract at frame grain: the new

@@ -209,6 +209,29 @@ object IvfIndex {
       path: String,
       embCol: String = "embedding",
       idCol: String = "vec_id"): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    // CRASH RECOVERY, before anything reads the index: a prior retract may
+    // have died between setting a bucket aside (dst -> .retract.old) and
+    // publishing its survivor rewrite (src -> dst), leaving the ONLY
+    // complete copy of that bucket under the aside dir. Without this
+    // restore, the replay below would read `path` with the bucket absent,
+    // Overwrite `.retract` (destroying the survivor copy) and reset the
+    // aside dir (destroying the set-aside copy) — permanent loss of the
+    // bucket's surviving rows. A bucket present at BOTH dst and aside
+    // means the prior crash happened after its src->dst publish: dst is
+    // the newer (already-retracted) copy, keep it and drop the aside.
+    val asidePath = new org.apache.hadoop.fs.Path(path + ".retract.old")
+    if (fs.exists(asidePath)) {
+      for (st <- fs.listStatus(asidePath)
+           if st.getPath.getName.startsWith("bucket=")) {
+        val dst = new org.apache.hadoop.fs.Path(path + "/" + st.getPath.getName)
+        if (!fs.exists(dst) && !fs.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"retractFromIndex: crash recovery could not restore ${st.getPath} to $dst")
+      }
+      fs.delete(asidePath, true)
+    }
     val assigned = assign(model, batch, embCol)
       .select(col(idCol), col("bucket"))
     val touched: Seq[Int] = assigned.select(col("bucket")).distinct()
@@ -217,8 +240,6 @@ object IvfIndex {
     val idx = spark.read.parquet(path)
       .filter(col("bucket").isin(touched: _*))
     val cols = idx.columns.toSeq
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     try {
       idx.join(broadcast(assigned.select(col(idCol))), Seq(idCol), "left_anti")
         .select(cols.map(col): _*)
@@ -238,8 +259,10 @@ object IvfIndex {
     // it would corrupt partition discovery): each touched bucket is
     // whole-old or whole-new at every instant, and a crash mid-loop never
     // deletes the only copy of a bucket — a complete version always sits
-    // at dst, aside, or src, so recovery is a replay of the retract (the
-    // left-anti is idempotent). Across buckets a concurrent probe can
+    // at dst, aside, or src, so recovery is a replay of the retract: the
+    // entry preamble above first restores any bucket stranded at the
+    // aside dir (the crash window between the two renames), after which
+    // the left-anti rewrite is idempotent. Across buckets a concurrent probe can
     // still observe a retracted/unretracted MIX while the loop runs: the
     // atomicity contract is PER-BUCKET, not whole-index.
     val aside = new org.apache.hadoop.fs.Path(path + ".retract.old")

@@ -36,10 +36,20 @@ object StoreSwap {
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     val fs = p.getFileSystem(conf)
     fs.delete(old, true)
-    if (fs.exists(p) && !fs.rename(p, old))
+    val hadLive = fs.exists(p)
+    if (hadLive && !fs.rename(p, old))
       throw new java.io.IOException(s"store swap: could not set aside $path")
-    if (!fs.rename(next, p))
-      throw new java.io.IOException(s"store swap: could not publish $path.next")
+    if (!fs.rename(next, p)) {
+      // Step 2 failed with the live copy already set aside: roll it back so
+      // a transient rename failure never strands the store at `.old` (a
+      // caller retry would otherwise find `path` missing and turn a blip
+      // into an outage). If the rollback itself fails the message says
+      // where the surviving copy is.
+      if (hadLive && !fs.rename(old, p))
+        throw new java.io.IOException(
+          s"store swap: could not publish $path.next AND rollback failed — live copy is at $path.old")
+      throw new java.io.IOException(s"store swap: could not publish $path.next (live store restored)")
+    }
     fs.delete(old, true)
     ()
   }

@@ -1917,8 +1917,11 @@ object Curation {
   def takedownRelease(
       manifest: org.apache.spark.sql.DataFrame,
       takedownIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // same .distinct() rationale as [[takedownVerify]]: a duplicated feed
+    // id in this left join would emit the manifest row once per copy
     manifest.join(
-        broadcast(takedownIds.select(col("doc_id"), lit(1).as("__td"))),
+        broadcast(takedownIds.select(col("doc_id")).distinct()
+          .select(col("doc_id"), lit(1).as("__td"))),
         Seq("doc_id"), "left")
       .select(col("source"), col("doc_id"), col("n_toks"),
         col("pack_id"), col("shard_id"),
@@ -1947,8 +1950,15 @@ object Curation {
   def takedownVerify(
       post: org.apache.spark.sql.DataFrame,
       takedownIds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // .distinct() because the takedown FEED may carry duplicate ids — a
+    // replayed raw request stream, say; TakedownStream explicitly tells
+    // upstreams they need no dedup — and a left join on duplicated ids
+    // would duplicate manifest rows, inflating every per-source count
+    // including n_live_leaks. (takedownRelease/takedownIngest are safe
+    // via left/left_semi semantics against unique manifest rows.)
     post.join(
-        broadcast(takedownIds.select(col("doc_id"), lit(1).as("__td"))),
+        broadcast(takedownIds.select(col("doc_id")).distinct()
+          .select(col("doc_id"), lit(1).as("__td"))),
         Seq("doc_id"), "left")
       .groupBy("source")
       .agg(

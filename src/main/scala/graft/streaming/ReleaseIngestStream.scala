@@ -186,8 +186,13 @@ object ReleaseIngestStream {
       // shingle store — written second inside appendToBandIndex, so its
       // presence implies the band append committed too; a crash between
       // the two double-appends band rows only, which probes .distinct()
-      // away and the next compaction sheds)
-      val bandHasBatch = releaseAppended &&
+      // away and the next compaction sheds). The probe is UNCONDITIONAL —
+      // not gated on releaseAppended — because a batch with zero adds and
+      // zero demotions leaves no release-store footprint at all, so after
+      // a crash between appendToBandIndex and the manifest swap the replay
+      // would see releaseAppended=false and, were the probe gated, re-run
+      // appendToBandIndex and double-append BOTH band and shingle rows.
+      val bandHasBatch =
         s.read.parquet(s"$indexDir/shingles").select(col("doc_id"))
           .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
           .limit(1).count() > 0L

@@ -577,4 +577,88 @@ class LifecycleSpec extends SparkSpec {
       expectIds(b1, b3, b4, b5) - 7L,
       "the taken-down doc must be absent from the closed epoch")
   }
+
+  test("media day: all three fingerprint indexes absorb, retract and compact with rebuild identity at every boundary") {
+    import graft.multimodal.Multimodal
+    val docs = Tables(spark, dir, "documents")
+    // the q185/q186/q187 registration split: store = %5 != 0, batch = %5 == 0
+    val d0 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val d1 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val batchIds = d1.select("doc_id")
+    val root = java.nio.file.Files.createTempDirectory("graft_media_lc").toString
+    def bandSet(path: String) = spark.read.parquet(s"$path/dhbands")
+      .select("doc_id", "dh", "band", "bhash")
+      .collect().map(_.toSeq.toList).toSet
+    def vcSet(path: String) = spark.read.parquet(s"$path/vcounts")
+      .select("vid", "nf").collect().map(_.toSeq.toList).toSet
+    def pairSet(df: DataFrame) = df.collect().map(_.toSeq.toList).toSet
+
+    // ---- IMAGE (q185's store) -----------------------------------------
+    val ip = s"$root/img"
+    Multimodal.persistDhashIndex(Multimodal.imagePayloads(d0), ip)
+    val iSnap0 = bandSet(ip)
+    def iProbe() = pairSet(
+      Multimodal.incrementalDhashPairs(spark, Multimodal.imagePayloads(d1), ip, 8))
+    val iProbe0 = iProbe()
+    assert(iProbe0.nonEmpty, "fixture must exercise image store hits")
+    Multimodal.appendToDhashIndex(Multimodal.imagePayloads(d1), ip)
+    // incremental ≡ rebuild at the absorb boundary: the appended store
+    // must equal a from-scratch persist over the cumulative corpus
+    Multimodal.persistDhashIndex(Multimodal.imagePayloads(docs), s"$root/img_rb")
+    assert(bandSet(ip) == bandSet(s"$root/img_rb"),
+      "image append must equal the from-scratch rebuild")
+    // RETRACT day: the store and the probe must return to pre-append
+    Multimodal.retractFromDhashIndex(spark, batchIds, ip)
+    assert(bandSet(ip) == iSnap0, "image retract must restore the exact content")
+    assert(iProbe() == iProbe0, "image retract must restore the exact probe result")
+    // COMPACTION: content- and probe-identical through the rewrite
+    Multimodal.compactDhashIndex(spark, ip, s"$root/img_c")
+    assert(bandSet(s"$root/img_c") == iSnap0, "image compaction must be content-identical")
+    assert(pairSet(Multimodal.incrementalDhashPairs(
+      spark, Multimodal.imagePayloads(d1), s"$root/img_c", 8)) == iProbe0,
+      "image compaction must be probe-identical")
+
+    // ---- AUDIO (q186's store, same mechanics, audio kernel) -----------
+    val ap = s"$root/aud"
+    Multimodal.persistAudioIndex(Multimodal.audioPayloads(d0), ap)
+    val aSnap0 = bandSet(ap)
+    def aProbe() = pairSet(
+      Multimodal.incrementalAudioPairs(spark, Multimodal.audioPayloads(d1), ap, 6))
+    val aProbe0 = aProbe()
+    assert(aProbe0.nonEmpty, "fixture must exercise audio store hits")
+    Multimodal.appendToAudioIndex(Multimodal.audioPayloads(d1), ap)
+    Multimodal.persistAudioIndex(Multimodal.audioPayloads(docs), s"$root/aud_rb")
+    assert(bandSet(ap) == bandSet(s"$root/aud_rb"),
+      "audio append must equal the from-scratch rebuild")
+    Multimodal.retractFromAudioIndex(spark, batchIds, ap)
+    assert(bandSet(ap) == aSnap0, "audio retract must restore the exact content")
+    assert(aProbe() == aProbe0, "audio retract must restore the exact probe result")
+    Multimodal.compactAudioIndex(spark, ap, s"$root/aud_c")
+    assert(bandSet(s"$root/aud_c") == aSnap0, "audio compaction must be content-identical")
+
+    // ---- VIDEO (q187's store: frame bands + vcounts denominators) -----
+    val vp = s"$root/vid"
+    Multimodal.persistVideoIndex(Multimodal.videoPayloads(d0), vp)
+    val vSnap0 = bandSet(vp)
+    val vcSnap0 = vcSet(vp)
+    def vProbe() = pairSet(Multimodal.incrementalVideoPairs(
+      spark, Multimodal.videoPayloads(d1), vp, maxHamming = 8, minOverlap = 0.5))
+    val vProbe0 = vProbe()
+    assert(vProbe0.nonEmpty, "fixture must exercise video store hits")
+    Multimodal.appendToVideoIndex(Multimodal.videoPayloads(d1), vp)
+    Multimodal.persistVideoIndex(Multimodal.videoPayloads(docs), s"$root/vid_rb")
+    assert(bandSet(vp) == bandSet(s"$root/vid_rb") && vcSet(vp) == vcSet(s"$root/vid_rb"),
+      "video append must equal the from-scratch rebuild on BOTH artifacts")
+    // retract is keyed by VIDEO id; both artifacts must restore
+    Multimodal.retractFromVideoIndex(spark, batchIds, vp)
+    assert(bandSet(vp) == vSnap0, "video retract must restore the frame bands")
+    assert(vcSet(vp) == vcSnap0, "video retract must restore the denominators")
+    assert(vProbe() == vProbe0, "video retract must restore the exact probe result")
+    Multimodal.compactVideoIndex(spark, vp, s"$root/vid_c")
+    assert(bandSet(s"$root/vid_c") == vSnap0 && vcSet(s"$root/vid_c") == vcSnap0,
+      "video compaction must be content-identical on BOTH artifacts")
+    assert(pairSet(Multimodal.incrementalVideoPairs(
+      spark, Multimodal.videoPayloads(d1), s"$root/vid_c", 8, 0.5)) == vProbe0,
+      "video compaction must be probe-identical")
+  }
 }
