@@ -988,7 +988,7 @@ object Multimodal {
     * frames — far above [[VideoFrames]] and documented on [[videoPairs]].
     */
   val VideoFrames = 6
-  private val FidWidth = 64L
+  private[graft] val FidWidth = 64L
 
   /** Per-frame seed for a family's frame `f` — splitmix-style finalizer so
     * adjacent families decorrelate (the audio fixture's hash-spread

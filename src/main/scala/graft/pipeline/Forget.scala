@@ -1,0 +1,180 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.operators.IvfIndex
+import graft.queries.{Curation, Dedup}
+import graft.streaming.ReleaseIngestStream
+
+/** CROSS-STORE FORGET — "remove these documents everywhere": one doc list
+  * driven through every persisted store family's retract, closed by a
+  * residual audit. This is the compliance composition a production corpus
+  * runs for a right-to-be-forgotten or takedown order that must reach
+  * BEYOND the published release (q176's flip) into every derived artifact
+  * still carrying content-derived rows for the doc: dedup bands/shingles/
+  * exact fingerprints/manifest, window and histogram count-stores, vector
+  * indexes (float IVF and PQ codes), and the media fingerprint indexes.
+  *
+  * Each arm is the store's OWN retract operator — this object adds no new
+  * store mechanics, only the orchestration and the audit — so every arm
+  * keeps its family's atomicity story (write-aside → rename swap; probes
+  * never see a half-retracted store) and its spec-pinned retract-equals-
+  * rebuild contract. Arms are independent: a crash between arms leaves
+  * each store either fully-forgotten or untouched, and recovery for the
+  * id-keyed families is "re-run the arms [[residuals]] still flags"
+  * (every id-keyed retract is idempotent for an id set — a left-anti of
+  * absent ids is a no-op rewrite). The two COUNT-keyed stores (window
+  * refcounts, histogram) are the exception: their retracts subtract
+  * contributions and must run exactly once per forget — they keep their
+  * families' absorbed-once contract and are deliberately NOT re-runnable
+  * from the audit (no doc-keyed rows exist to flag; the histogram arm's
+  * underflow guard at least fails loudly on a double retract).
+  *
+  * Ordering: the release shadow lands FIRST (the published artifact is
+  * the compliance surface — after arm one, a loader fold already masks
+  * the doc) and the content-derived stores follow; the dedup manifest
+  * recompute re-derives touched clusters from survivors, so near-dup
+  * copies of a forgotten doc that remain in the corpus re-cluster among
+  * themselves and can still be deduped later. An exact fingerprint whose
+  * KEEPER is forgotten is dropped even if byte-identical copies remain
+  * (the fingerprint IS the forgotten content); the next absorb of such a
+  * copy re-enters it as new with a new keeper — conservative-correct for
+  * a forget.
+  *
+  * Scale: the forgotten set is tiny by nature; every arm broadcasts it
+  * and pays its store family's documented retract cost (partition-pruned
+  * per-bucket rewrite for IVF/PQ, O(store) left-anti rewrite for the
+  * band-shaped stores — ridden on the scheduled compaction in
+  * production, the q149 clause).
+  */
+object Forget {
+
+  /** Which persisted stores a forget must reach. Every field optional —
+    * a deployment passes the stores it actually runs.
+    */
+  final case class Stores(
+      dedupIndexDir: Option[String] = None,
+      dedupThreshold: Double = 0.7,
+      releaseDir: Option[String] = None,
+      refcountWindowPath: Option[String] = None,
+      refcountWindowHashed: Boolean = false,
+      histogramPath: Option[String] = None,
+      // (frozen coarse model, index path) — the float IVF index and/or the
+      // PQ code index; IvfIndex.retractFromIndex is schema-agnostic and
+      // serves both layouts verbatim
+      vectorIndexes: Seq[(IvfIndex.Model, String)] = Nil,
+      imageIndexPath: Option[String] = None,
+      audioIndexPath: Option[String] = None,
+      videoIndexPath: Option[String] = None)
+
+  /** Drive the forget through every configured store. `docs` must carry
+    * the forgotten documents' (doc_id, text, source, n_chars) — the
+    * count-store arms recompute the docs' contributions to subtract them;
+    * `vectors` the forgotten (vec_id, embedding) rows for the vector arms
+    * (ignored when `vectorIndexes` is empty).
+    */
+  def forgetEverywhere(
+      spark: SparkSession,
+      docs: DataFrame,
+      vectors: DataFrame,
+      stores: Stores): Unit = {
+    val ids = docs.select(col("doc_id"))
+    stores.releaseDir.foreach { d =>
+      ReleaseIngestStream.takedownIngest(spark, ids, d)
+    }
+    stores.dedupIndexDir.foreach { d =>
+      // survivors from the stored manifest itself (the retractIngest
+      // derivation) — the caller supplies only the forgotten docs
+      val sub = Dedup.manifestSubdir(d, stores.dedupThreshold)
+      val docsAfter = spark.read.parquet(sub)
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+      Dedup.retractBatch(spark, ids, docsAfter, d, stores.dedupThreshold)
+    }
+    stores.refcountWindowPath.foreach { p =>
+      Curation.retractFromRefcountedStore(
+        spark, docs, p, hashed = stores.refcountWindowHashed)
+    }
+    stores.histogramPath.foreach { p =>
+      Curation.retractFromHistogramStore(spark, docs, p)
+    }
+    stores.vectorIndexes.foreach { case (model, p) =>
+      IvfIndex.retractFromIndex(spark, model, vectors, p)
+    }
+    stores.imageIndexPath.foreach(p => Multimodal.retractFromDhashIndex(spark, ids, p))
+    stores.audioIndexPath.foreach(p => Multimodal.retractFromAudioIndex(spark, ids, p))
+    stores.videoIndexPath.foreach(p => Multimodal.retractFromVideoIndex(spark, ids, p))
+  }
+
+  /** One id-keyed store family for the residual audit: its rows and the
+    * column (in those rows) that names the doc/vec a row derives from.
+    */
+  final case class Family(store: String, rows: DataFrame, docKey: Column)
+
+  /** The standard family set for a [[Stores]] config — every id-keyed
+    * artifact the forget touches, under audit names matching the arm
+    * order. The count-keyed stores are ABSENT by construction: after an
+    * absorb their rows carry no doc attribution, so "residual" is not
+    * observable there (their guarantee is the retract-equals-rebuild spec
+    * pin, not an audit row).
+    */
+  def families(spark: SparkSession, stores: Stores): Seq[Family] = {
+    def read(p: String) = spark.read.parquet(p)
+    val dedup = stores.dedupIndexDir.toSeq.flatMap { d =>
+      val sub = Dedup.manifestSubdir(d, stores.dedupThreshold)
+      val exact =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/exact_fp", "_SUCCESS")))
+          Seq(Family("dedup_exact", read(s"$d/exact_fp"), col("keep_id")))
+        else Nil
+      Seq(
+        Family("dedup_bands", read(s"$d/bands"), col("doc_id")),
+        Family("dedup_shingles", read(s"$d/shingles"), col("doc_id")),
+        Family("dedup_manifest", read(sub), col("doc_id"))) ++ exact
+    }
+    val release = stores.releaseDir.toSeq.map { d =>
+      // the compliance question is about LIVE rows: fold the delta-log
+      // (strongest shadow wins) and audit what a loader would read
+      Family("release_live",
+        ReleaseIngestStream.foldedRelease(read(d))
+          .filter(col("status").isin("published", "added")),
+        col("doc_id"))
+    }
+    val vecs = stores.vectorIndexes.zipWithIndex.map { case ((_, p), i) =>
+      Family(s"vector_index_$i", read(p), col("vec_id"))
+    }
+    val media =
+      stores.imageIndexPath.toSeq.map(p =>
+        Family("media_image_bands", read(s"$p/dhbands"), col("doc_id"))) ++
+      stores.audioIndexPath.toSeq.map(p =>
+        Family("media_audio_bands", read(s"$p/dhbands"), col("doc_id"))) ++
+      stores.videoIndexPath.toSeq.flatMap(p => Seq(
+        Family("media_video_frames", read(s"$p/dhbands"),
+          (col("doc_id") / Multimodal.FidWidth).cast("long")),
+        Family("media_video_counts", read(s"$p/vcounts"), col("vid"))))
+    dedup ++ release ++ vecs ++ media
+  }
+
+  /** RESIDUAL AUDIT — per store family, the rows still referencing a
+    * forgotten doc: (store, n_rows, n_docs), one row per family, explicit
+    * zeros (a family with nothing left still reports — absence of a row
+    * would be indistinguishable from a family never audited). All-zero ⟺
+    * the forget reached everywhere; a nonzero row names the store to
+    * re-run. Read-only: this is both the post-forget verification and the
+    * pre-forget impact gauge ("how big is this takedown"), and the shape
+    * the registered form measures against warm stores. Each family costs
+    * one broadcast semi-join against its store — O(stores), no shuffle
+    * beyond the final tiny union.
+    */
+  def residuals(ids: DataFrame, fams: Seq[Family]): DataFrame = {
+    val idsB = broadcast(ids.select(col("doc_id")).distinct())
+    fams.map { f =>
+      f.rows.select(f.docKey.cast("long").as("doc_id"))
+        .join(idsB, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .select(lit(f.store).as("store"), col("n_rows"), col("n_docs"))
+    }.reduce(_.unionByName(_)).orderBy("store")
+  }
+}

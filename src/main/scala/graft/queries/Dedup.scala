@@ -1954,7 +1954,7 @@ object Dedup {
     * %5<>0 corpus store q66/q110 warm-reuse at the unsuffixed path). Never
     * mutated by its consumer: [[retractManifest]] is a probe.
     */
-  private def fullComponentIndexFor(
+  private[queries] def fullComponentIndexFor(
       docs: DataFrame, dir: String, threshold: Double): String = synchronized {
     val path = indexPathFor(dir) + "_full"
     val sub = manifestSubdir(path, threshold)
@@ -2810,7 +2810,7 @@ object Dedup {
     * artifact (fingerprint = plain md5, parameterless — the banding
     * fingerprint suffix in the path is irrelevant to it but harmless).
     */
-  private def exactIndexFor(corpus: DataFrame, dir: String): String = synchronized {
+  private[queries] def exactIndexFor(corpus: DataFrame, dir: String): String = synchronized {
     val path = indexPathFor(dir)
     val reusable = dir.startsWith("/root/testdata") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "exact_fp", "_SUCCESS"))

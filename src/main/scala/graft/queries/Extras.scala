@@ -469,6 +469,50 @@ object Extras {
     // stored video is ever re-opened. rows-only (q89's closure class —
     // ISO-BMFF box walk + PNG grammar); ORACLE CLOSURE: FINAL.
     // Incremental ≡ full restricted is pinned in VideoNearDupSpec.
+    // CROSS-STORE FORGET RESIDUAL AUDIT ([[graft.pipeline.Forget]]): the
+    // read arm of "remove these docs everywhere" — per persisted store
+    // family, the rows still referencing the takedown set (the q172 %97
+    // convention). Registered as the house probe form: the audit runs
+    // against the WARM ABSORBED stores, so the measured counts are the
+    // pre-forget impact gauge (and the exact quantity a post-forget run
+    // expects to be all-zero — ForgetEverywhereSpec drives the mutation
+    // and pins zero residuals plus planted-leak naming across ALL ELEVEN
+    // families including media/vector/release). Oracled over the
+    // SQL-replayable dedup families: bands fan out NumBands=8 rows per
+    // doc and shingle sets/manifest one each (structural constants of
+    // the writers), and the exact tier replays q113's md5 keeper
+    // derivation over the %5<>0 corpus its warm store holds. Each family
+    // costs one broadcast semi-join against its store — O(stores) probe
+    // work, nothing corpus-scale recomputes.
+    "q188_forget_residuals" -> Q(
+      "Cross-store forget-residual audit: per dedup store family, rows " +
+        "still referencing the %97 takedown set (pre-forget impact gauge)",
+      """WITH td AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM td),
+        |ex AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT MD5(LOWER(TRIM(text))) AS fp, MIN(doc_id) AS keep_id
+        |        FROM documents WHERE doc_id % 5 <> 0 GROUP BY fp) t
+        |  WHERE t.keep_id % 97 = 0)
+        |SELECT store, n_rows, n_docs FROM (
+        |  SELECT 'dedup_bands' AS store, 8 * n.c AS n_rows, n.c AS n_docs FROM n
+        |  UNION ALL SELECT 'dedup_exact', ex.c, ex.c FROM ex
+        |  UNION ALL SELECT 'dedup_manifest', n.c, n.c FROM n
+        |  UNION ALL SELECT 'dedup_shingles', n.c, n.c FROM n)
+        |ORDER BY store""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      val full = Dedup.fullComponentIndexFor(docs, dir, threshold = 0.7)
+      val exact = Dedup.exactIndexFor(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
+      val fams = graft.pipeline.Forget.families(
+          s, graft.pipeline.Forget.Stores(dedupIndexDir = Some(full)))
+          .filter(_.store != "dedup_exact") :+
+        graft.pipeline.Forget.Family(
+          "dedup_exact", s.read.parquet(s"$exact/exact_fp"), col("keep_id"))
+      graft.pipeline.Forget.residuals(ids, fams)
+    },
+
     "q187_video_incremental" -> Q.noOracle(
       "Incremental video near-dup: new batch's frames vs the persisted " +
         "frame index + within-batch, overlap >= 0.5 on the min side") { (s, dir) =>

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.operators.{IvfIndex, PqIndex}
+import graft.pipeline.Forget
+import graft.queries.{Curation, Dedup, Tables}
+import graft.streaming.ReleaseIngestStream
+
+/** Cross-store forget: one doc list driven through EVERY persisted store
+  * family's retract must leave zero residuals in every id-keyed store
+  * (the q177 planted-leak precedent extended to every family), leave the
+  * count-keyed stores equal to a rebuild without the docs, and the
+  * residual audit must name a store into which forgotten content is
+  * planted back.
+  */
+class ForgetEverywhereSpec extends SparkSpec {
+
+  test("one doc list retracts everywhere; audit all-zero; count stores equal rebuild; a planted leak is named") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val emb = Tables(spark, dir, "embeddings")
+    val td = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val tdIds = td.select("doc_id")
+    val tdVecs = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val keep = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_forget").toString
+
+    // ---- build every store family over the full corpus ----------------
+    val idx = s"$root/dedup"
+    val rel = s"$root/release"
+    ReleaseIngestStream.ingest(docs, idx, rel) // bootstrap: bands+manifest+release
+    Dedup.persistExactIndex(docs, idx)
+    val winPath = s"$root/win"
+    Curation.refcountedWindowStore(docs).write
+      .option("compression", "zstd").parquet(winPath)
+    val histPath = s"$root/hist"
+    Curation.scoreHistogram(docs).write
+      .option("compression", "zstd").parquet(histPath)
+    val model = IvfIndex.fit(emb, k = 4)
+    val ivfPath = s"$root/ivf"
+    graft.ops.Bucketing.writePartitioned(
+      IvfIndex.assign(model, emb), ivfPath, Seq("bucket"))
+    val pq = PqIndex.fit(emb, m = 8, numCodes = 16)
+    val pqPath = s"$root/pq"
+    graft.ops.Bucketing.writePartitioned(
+      PqIndex.assign(model, pq, emb), pqPath, Seq("bucket"))
+    val img = s"$root/img"
+    Multimodal.persistDhashIndex(Multimodal.imagePayloads(docs), img)
+    val aud = s"$root/aud"
+    Multimodal.persistAudioIndex(Multimodal.audioPayloads(docs), aud)
+    val vid = s"$root/vid"
+    Multimodal.persistVideoIndex(Multimodal.videoPayloads(docs), vid)
+
+    val stores = Forget.Stores(
+      dedupIndexDir = Some(idx),
+      releaseDir = Some(rel),
+      refcountWindowPath = Some(winPath),
+      histogramPath = Some(histPath),
+      vectorIndexes = Seq((model, ivfPath), (model, pqPath)),
+      imageIndexPath = Some(img),
+      audioIndexPath = Some(aud),
+      videoIndexPath = Some(vid))
+
+    def audit(): Map[String, Long] =
+      Forget.residuals(tdIds, Forget.families(spark, stores))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    // the family set covers every id-keyed artifact the config names
+    val expectedFams = Set(
+      "dedup_bands", "dedup_shingles", "dedup_manifest", "dedup_exact",
+      "release_live", "vector_index_0", "vector_index_1",
+      "media_image_bands", "media_audio_bands",
+      "media_video_frames", "media_video_counts")
+    assert(Forget.families(spark, stores).map(_.store).toSet == expectedFams)
+
+    // pre-forget impact gauge: the absorbed state IS the planted state —
+    // every family must show the docs (a family already at zero would
+    // make its post-forget zero vacuous)
+    val before = audit()
+    assert(before.keySet == expectedFams)
+    assert(before.values.forall(_ > 0),
+      s"every family must hold forgotten-doc rows before the forget: $before")
+
+    // ---- forget everywhere, audit all-zero -----------------------------
+    Forget.forgetEverywhere(spark, td, tdVecs, stores)
+    val after = audit()
+    assert(after.values.forall(_ == 0L),
+      s"forget must leave zero residuals in every family: $after")
+
+    // count-keyed stores (not id-auditable): must equal a from-scratch
+    // build over the surviving corpus — the retract-equals-rebuild pin
+    val winAfter = spark.read.parquet(winPath)
+      .collect().map(_.toSeq.toList).toSet
+    val winWant = Curation.refcountedWindowStore(keep)
+      .collect().map(_.toSeq.toList).toSet
+    assert(winAfter == winWant,
+      "refcounted window store must equal the rebuild without the docs")
+    val histAfter = spark.read.parquet(histPath)
+      .collect().map(_.toSeq.toList).toSet
+    val histWant = Curation.scoreHistogram(keep)
+      .collect().map(_.toSeq.toList).toSet
+    assert(histAfter == histWant,
+      "histogram store must equal the rebuild without the docs")
+
+    // the dedup manifest must equal the from-scratch manifest over the
+    // survivors (retract-equals-rebuild, end to end through the forget)
+    val sub = Dedup.manifestSubdir(idx, 0.7)
+    val mAfter = spark.read.parquet(sub)
+      .select("doc_id", "component", "n_chars", "keep")
+      .collect().map(_.toSeq.toList).toSet
+    val freshIdx = s"$root/dedup_rb"
+    Dedup.persistBandIndex(keep, freshIdx)
+    Dedup.persistComponents(keep, freshIdx, 0.7)
+    val mWant = spark.read.parquet(Dedup.manifestSubdir(freshIdx, 0.7))
+      .select("doc_id", "component", "n_chars", "keep")
+      .collect().map(_.toSeq.toList).toSet
+    assert(mAfter == mWant,
+      "dedup manifest must equal the rebuild without the forgotten docs")
+
+    // ---- planted leak: content sneaks back into ONE family -------------
+    Multimodal.appendToDhashIndex(Multimodal.imagePayloads(td), img)
+    val leak = audit()
+    assert(leak("media_image_bands") > 0,
+      "the audit must flag the store holding planted content")
+    assert(leak.filter(_._1 != "media_image_bands").values.forall(_ == 0L),
+      s"no other family may be flagged: $leak")
+  }
+}
