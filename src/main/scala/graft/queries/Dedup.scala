@@ -75,6 +75,14 @@ object Dedup {
     * SAME (ShingleK, NumPerm, NumBands, RowsPerBand), so the band values
     * are bit-identical across both forms.
     */
+  /** q183's pid-scoped band-table dump root (the q46 convention for
+    * registered side-effect artifacts): Verify and Bench each dump under
+    * their own pid, the oracle SQL interpolates the same val, and the
+    * driver replays DuckDB in-process with the Verify pid's file on disk.
+    */
+  private val q183Dir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_q183_pid${ProcessHandle.current().pid()}"
+
   def minhashBands(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -1271,17 +1279,39 @@ object Dedup {
     // BANDED-tier skew gauge ([[bandSkewAudit]]): per-band bucket-size
     // shape — candidate mass Σ C(size,2), largest bucket and its share —
     // the hot-key predictor for the LSH join's (band, bhash) shuffle.
-    // Oracle closure (rows-only class): bucket identities live on the
-    // engine's minhash kernel (ShingleK/NumPerm/banding constants), which
-    // DuckDB cannot replay; the semantics are pinned where they can be —
-    // MinHashRecallSpec plants an identical-doc family (one bucket per
-    // band: max_bucket = family size, C(f,2) candidate mass) and asserts
-    // the every-doc-in-every-band mass invariant, while q33's oracle pins
-    // the banded join's OUTPUT equality to the exact pair graph.
-    "q183_band_skew" -> Q.noOracle(
+    // ORACLED at the counts level (the r12 verdict's "gauge your gauges"):
+    // bucket identities still live on the engine's minhash kernel (DuckDB
+    // cannot replay ShingleK/NumPerm/banding), but the band table is
+    // DUMPED pid-scoped (the q46 artifact-readback move) and BOTH engines
+    // aggregate the same rows — every downstream count (bucket sizes,
+    // candidate mass, max share) is hash-checked. The kernel itself stays
+    // pinned where it can be: MinHashRecallSpec's planted identical-doc
+    // family and q33's output-equality oracle. The dump is the gauge's
+    // production shape anyway — a persisted band store whose skew is read
+    // off the index rows, not re-minhashed.
+    "q183_band_skew" -> Q(
       "LSH band-bucket skew gauge: per-band candidate mass, largest " +
-        "bucket and share — the banded join's hot-key predictor") { (s, dir) =>
-      bandSkewAudit(Tables(s, dir, "documents"))
+        "bucket and share — the banded join's hot-key predictor",
+      """SELECT band, n_buckets, n_rows, max_bucket,
+        |  max_bucket * 10000 // n_rows AS max_share_bp, cand_pairs
+        |FROM (
+        |  SELECT band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |    CAST(MAX(sz) AS BIGINT) AS max_bucket,
+        |    CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+        |  FROM (SELECT band, bhash, COUNT(*) AS sz
+        |        FROM read_parquet('$q183Dir/bands.parquet/*.parquet')
+        |        GROUP BY band, bhash) b
+        |  GROUP BY band) a
+        |ORDER BY band""".stripMargin.replace("$q183Dir", q183Dir)) { (s, dir) =>
+      val dump = s"$q183Dir/bands.parquet"
+      Dedup.synchronized {
+        minhashBands(Tables(s, dir, "documents")).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(dump)
+      }
+      bandSkewOf(s.read.parquet(dump))
     },
 
     // sampleBp RECOMMENDER ([[sampleBpRecommender]]): gauge → knob. For
@@ -2481,7 +2511,18 @@ object Dedup {
     * this sizes salting/AQE-skew expectations for the banded tier.
     */
   def bandSkewAudit(docs: DataFrame): DataFrame =
-    minhashBands(docs)
+    bandSkewOf(minhashBands(docs))
+
+  /** The skew aggregation alone, over an already-banded table — factored
+    * so q183 can run it on a DUMPED band table that DuckDB reads back
+    * (the q46 artifact-readback move): the bucket identities stay on the
+    * engine's minhash kernel, but every downstream count — bucket sizes,
+    * candidate mass, max share — becomes hash-checkable ("gauge your
+    * gauges"). Also the probe shape for a PERSISTED band store: the
+    * gauge is a pure function of the index rows, no re-minhashing.
+    */
+  private[graft] def bandSkewOf(bands: DataFrame): DataFrame =
+    bands
       .groupBy("band", "bhash").agg(count(lit(1)).as("sz"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_buckets"),
