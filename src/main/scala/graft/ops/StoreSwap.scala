@@ -39,7 +39,14 @@ object StoreSwap {
     val hadLive = fs.exists(p)
     if (hadLive && !fs.rename(p, old))
       throw new java.io.IOException(s"store swap: could not set aside $path")
-    if (!fs.rename(next, p)) {
+    // FileSystem.rename signals failure BOTH ways depending on the
+    // implementation — `false` on HDFS-style semantics, a thrown
+    // IOException on e.g. RawLocalFileSystem when the source is missing —
+    // so the publish guards against both.
+    val published =
+      try fs.rename(next, p)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!published) {
       // Step 2 failed with the live copy already set aside: roll it back so
       // a transient rename failure never strands the store at `.old` (a
       // caller retry would otherwise find `path` missing and turn a blip

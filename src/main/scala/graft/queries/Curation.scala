@@ -1839,7 +1839,7 @@ object Curation {
     * production shape: a locator reads stores, it does not re-release),
     * while q164's own registration keeps measuring the derivation.
     */
-  private def releaseManifestFor(
+  private[queries] def releaseManifestFor(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_relman_" +

@@ -478,39 +478,82 @@ object Extras {
     // expects to be all-zero — ForgetEverywhereSpec drives the mutation
     // and pins zero residuals plus planted-leak naming across ALL ELEVEN
     // families including media/vector/release). Oracled over the
-    // SQL-replayable dedup families: bands fan out NumBands=8 rows per
+    // SQL-replayable families: dedup bands fan out NumBands=8 rows per
     // doc and shingle sets/manifest one each (structural constants of
-    // the writers), and the exact tier replays q113's md5 keeper
-    // derivation over the %5<>0 corpus its warm store holds. Each family
-    // costs one broadcast semi-join against its store — O(stores) probe
-    // work, nothing corpus-scale recomputes.
+    // the writers), the exact tier replays q113's md5 keeper derivation
+    // over the %5<>0 corpus its warm store holds, the release manifest
+    // holds one row per KEEPER (the shared KeeperCteSql replay), and the
+    // IVF index one row per vector (the embeddings table replay). The
+    // media stores' fan-out depends on decode (frames per video,
+    // fingerprints per WAV) — those live in q189's rows-only sibling.
+    // Each family costs one broadcast semi-join against its store —
+    // O(stores) probe work, nothing corpus-scale recomputes.
     "q188_forget_residuals" -> Q(
-      "Cross-store forget-residual audit: per dedup store family, rows " +
-        "still referencing the %97 takedown set (pre-forget impact gauge)",
-      """WITH td AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+      "Cross-store forget-residual audit: per store family, rows still " +
+        "referencing the %97 takedown set (pre-forget impact gauge)",
+      s"""WITH RECURSIVE
+        |${Dedup.KeeperCteSql},
+        |td AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM td),
         |ex AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS c
         |  FROM (SELECT MD5(LOWER(TRIM(text))) AS fp, MIN(doc_id) AS keep_id
         |        FROM documents WHERE doc_id % 5 <> 0 GROUP BY fp) t
-        |  WHERE t.keep_id % 97 = 0)
+        |  WHERE t.keep_id % 97 = 0),
+        |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM keepers
+        |      WHERE doc_id % 97 = 0),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM embeddings
+        |      WHERE vec_id % 97 = 0)
         |SELECT store, n_rows, n_docs FROM (
         |  SELECT 'dedup_bands' AS store, 8 * n.c AS n_rows, n.c AS n_docs FROM n
         |  UNION ALL SELECT 'dedup_exact', ex.c, ex.c FROM ex
         |  UNION ALL SELECT 'dedup_manifest', n.c, n.c FROM n
-        |  UNION ALL SELECT 'dedup_shingles', n.c, n.c FROM n)
+        |  UNION ALL SELECT 'dedup_shingles', n.c, n.c FROM n
+        |  UNION ALL SELECT 'release_manifest', k.c, k.c FROM k
+        |  UNION ALL SELECT 'vector_index', v.c, v.c FROM v)
         |ORDER BY store""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
       val ids = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
       val full = Dedup.fullComponentIndexFor(docs, dir, threshold = 0.7)
       val exact = Dedup.exactIndexFor(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
+      val ivfPath = Similarity.persistedIndex(Similarity.modelFor(emb, dir), emb, dir)
       val fams = graft.pipeline.Forget.families(
           s, graft.pipeline.Forget.Stores(dedupIndexDir = Some(full)))
-          .filter(_.store != "dedup_exact") :+
+          .filter(_.store != "dedup_exact") ++ Seq(
         graft.pipeline.Forget.Family(
-          "dedup_exact", s.read.parquet(s"$exact/exact_fp"), col("keep_id"))
+          "dedup_exact", s.read.parquet(s"$exact/exact_fp"), col("keep_id")),
+        graft.pipeline.Forget.Family(
+          "release_manifest", Curation.releaseManifestFor(s, dir), col("doc_id")),
+        graft.pipeline.Forget.Family(
+          "vector_index", s.read.parquet(ivfPath), col("vec_id")))
       graft.pipeline.Forget.residuals(ids, fams)
+    },
+
+    // The media tiers of the q188 audit, split out as the rows-only
+    // sibling: residual rows in the warm image/audio dHash band stores
+    // and the video frame index (bands at fid grain + vcounts
+    // denominators) for the same %97 takedown set, probed against the
+    // %5<>0 store corpus the q185/q186/q187 registrations warm.
+    // ORACLE CLOSURE: rows-only is FINAL — the media stores' per-doc
+    // fan-out depends on JDK decode (fingerprints per WAV, frames per
+    // video), the q70/q87/q89 closure class; the value-level guarantee
+    // is ForgetEverywhereSpec's planted-leak + all-zero lifecycle over
+    // the same Forget.residuals code path.
+    "q189_forget_residuals_media" -> Q.noOracle(
+      "Media-tier forget-residual audit: rows still referencing the %97 " +
+        "takedown set in the image/audio/video fingerprint stores") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val ids = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val img = dhashIndexFor(Multimodal.imagePayloads(store), dir)
+      val aud = audioIndexFor(Multimodal.audioPayloads(store), dir)
+      val vid = videoIndexFor(Multimodal.videoPayloads(store), dir)
+      graft.pipeline.Forget.residuals(ids, graft.pipeline.Forget.families(
+        s, graft.pipeline.Forget.Stores(
+          imageIndexPath = Some(img), audioIndexPath = Some(aud),
+          videoIndexPath = Some(vid))))
     },
 
     "q187_video_incremental" -> Q.noOracle(

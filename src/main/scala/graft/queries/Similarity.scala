@@ -1087,7 +1087,7 @@ object Similarity {
     * read-only testdata dirs — a user dir rewritten mid-session must not
     * serve a stale quantizer.
     */
-  private def modelFor(corpus: DataFrame, dir: String): graft.operators.IvfIndex.Model = {
+  private[queries] def modelFor(corpus: DataFrame, dir: String): graft.operators.IvfIndex.Model = {
     def build() = graft.operators.IvfIndex.fit(
       corpus.limit(2048).coalesce(1), k = 16, maxIter = 5)
     if (dir.startsWith("/root/testdata")) models.computeIfAbsent(dir, _ => build())
@@ -1107,7 +1107,7 @@ object Similarity {
     * For an unchanged testdata dir, `fit` is deterministic (fixed seed +
     * sample) ⇒ same fingerprint ⇒ a completed warm index is reusable.
     */
-  private def persistedIndex(
+  private[queries] def persistedIndex(
       model: graft.operators.IvfIndex.Model, corpus: DataFrame, dir: String): String = synchronized {
     val fp = java.util.Arrays.deepHashCode(model.centroids.asInstanceOf[Array[AnyRef]])
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +

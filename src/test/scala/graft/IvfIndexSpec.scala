@@ -225,6 +225,40 @@ class IvfIndexSpec extends SparkSpec {
       "search over the retracted index must equal the pre-append build")
   }
 
+  test("retractFromIndex crash recovery: a bucket stranded at the aside dir is restored, zero loss") {
+    // the r12-advice crash window: a prior retract died BETWEEN the two
+    // per-bucket renames — the bucket's only complete copy sits at
+    // path+".retract.old"/bucket=b, absent from the index. A replay must
+    // restore it BEFORE the survivor rewrite (without the entry preamble
+    // the rewrite would compute survivors missing that bucket, then the
+    // aside reset would delete the last copy — permanent loss).
+    val model = IvfIndex.fit(corpus, k = 10)
+    val base = corpus.filter(col("label") =!= 0)
+    val batch = corpus.filter(col("label") === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_crash").toString + "/idx"
+    graft.ops.Bucketing.writePartitioned(IvfIndex.assign(model, base), path, Seq("bucket"))
+    def rows() = spark.read.parquet(path)
+      .select("vec_id", "bucket").collect().map(_.toSeq).toSet
+    val beforeRows = rows()
+    IvfIndex.appendToIndex(model, batch, path)
+    // strand a batch-touched bucket that also holds BASE rows (those are
+    // the rows at stake) at the aside dir, exactly as the crash leaves it
+    val touched = IvfIndex.assign(model, batch)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    val baseBuckets = beforeRows.map(_(1).asInstanceOf[Int]).toSet
+    val b = (touched intersect baseBuckets).head
+    val aside = java.nio.file.Paths.get(path + ".retract.old")
+    java.nio.file.Files.createDirectories(aside)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$path/bucket=$b"), aside.resolve(s"bucket=$b"))
+    // replay of the retract: preamble restores, rewrite completes
+    IvfIndex.retractFromIndex(spark, model, batch, path)
+    assert(rows() === beforeRows,
+      s"replayed retract must restore bucket $b's surviving rows exactly")
+    assert(!java.nio.file.Files.exists(aside), "the aside dir must be cleared")
+  }
+
   test("quantized index + asymmetric scoring + float rerank: recall >= 0.9 vs the float path") {
     val model = IvfIndex.fit(corpus, k = 10)
     val queries = corpus.filter(col("vec_id") < 20)
