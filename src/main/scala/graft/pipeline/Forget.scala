@@ -108,6 +108,54 @@ object Forget {
     stores.videoIndexPath.foreach(p => Multimodal.retractFromVideoIndex(spark, ids, p))
   }
 
+  /** TOMBSTONE LEDGER — "remember you forgot": a forget that does not
+    * survive the next re-crawl is not a forget, because the same document
+    * re-arrives under a fresh ingest and every store re-absorbs it. The
+    * ledger persists the forgotten ids (append-only, one narrow column,
+    * distinct-per-append) so ingest paths can refuse them FOREVER at the
+    * front door — compose [[filterForgotten]] before any absorb
+    * (Dedup.appendToBandIndex, ReleaseIngestStream.ingest, the media
+    * appends). Kept deliberately separate from the per-store retracts:
+    * the ledger is the durable POLICY ("these ids never come back"),
+    * the retracts are the one-time cleanup of state absorbed before the
+    * policy existed. At 100 TB the ledger is tiny relative to any store
+    * (forgotten sets are takedown-sized, accumulated over years), so the
+    * guard is one broadcast-gated anti join per batch — O(batch).
+    */
+  def appendTombstones(ids: DataFrame, path: String): Unit =
+    ids.select(col("doc_id")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd").parquet(path)
+
+  /** The ingest guard: drop batch rows whose doc_id is tombstoned. The
+    * ledger side broadcasts under the house size gate (it is takedown-
+    * sized by nature); above the gate the anti join plans as an ordinary
+    * equi-join under AQE rather than force-broadcasting an unbounded
+    * store. Distinct is NOT applied to the ledger here — an anti join is
+    * insensitive to right-side duplicates, so re-appended ids cost
+    * storage only (shed by [[compactTombstones]]).
+    */
+  def filterForgotten(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      broadcastCeiling: Long = Dedup.IncrementalBroadcastCeiling): DataFrame = {
+    val ledger = spark.read.parquet(path).select(col("doc_id"))
+    val small = ledger.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(broadcastCeiling)
+    batch.join(if (small) broadcast(ledger) else ledger, Seq("doc_id"), "left_anti")
+  }
+
+  /** Content-identical-up-to-duplicates ledger rewrite: distinct ids in
+    * few sorted files (daily appends fragment it like every append-only
+    * store; the distinct also sheds re-appended ids).
+    */
+  def compactTombstones(spark: SparkSession, srcPath: String, dstPath: String): Unit =
+    spark.read.parquet(srcPath).select(col("doc_id")).distinct()
+      .repartition(1).sortWithinPartitions("doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(dstPath)
+
   /** One id-keyed store family for the residual audit: its rows and the
     * column (in those rows) that names the doc/vec a row derives from.
     */

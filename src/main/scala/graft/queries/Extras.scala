@@ -556,6 +556,30 @@ object Extras {
           videoIndexPath = Some(vid))))
     },
 
+    // TOMBSTONE INGEST GUARD ([[graft.pipeline.Forget.filterForgotten]]):
+    // the lifecycle step AFTER q188/q189's audit — a forget that does not
+    // survive the next re-crawl is not a forget, so the forgotten ids
+    // persist in an append-only ledger and every ingest refuses them at
+    // the front door. The registered form replays the %5==0 daily batch
+    // arriving AFTER the %97 forget: one broadcast-gated anti join
+    // against the warm ledger, O(batch) — the forgotten rows (%97 ∩
+    // batch) drop, everything else passes verbatim. Fully oracled (the
+    // guard is pure id arithmetic); ForgetEverywhereSpec pins the
+    // end-to-end story (forget → tombstone → re-ingest refused → stores
+    // still residual-free).
+    "q190_forget_guard" -> Q(
+      "Tombstone ingest guard: the daily batch re-arriving after the %97 " +
+        "forget, forgotten rows refused at the front door",
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 5 = 0 AND doc_id % 97 <> 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      graft.pipeline.Forget.filterForgotten(
+          s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), tombstoneLedgerFor(s, dir))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "q187_video_incremental" -> Q.noOracle(
       "Incremental video near-dup: new batch's frames vs the persisted " +
         "frame index + within-batch, overlap >= 0.5 on the min side") { (s, dir) =>
@@ -567,6 +591,27 @@ object Extras {
           path, maxHamming = 8, minOverlap = 0.5)
         .orderBy("new_id", "existing_id")
     })
+
+  /** Warm tombstone ledger for q190 (the %97 forgotten set, the q172
+    * takedown convention): testdata dirs reuse; any other dir rebuilds
+    * from scratch (delete-then-append, because the ledger is append-only
+    * by design and a repeat build must not accumulate).
+    */
+  private def tombstoneLedgerFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_tombs_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.pipeline.Forget.appendTombstones(
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") % 97 === 0).select(col("doc_id")), path)
+    }
+    path
+  }
 
   /** Warm-reuse policy for the image dHash index (the Dedup.bandIndexFor
     * convention): testdata corpora reuse the artifact across calls, any

@@ -128,4 +128,75 @@ class ForgetEverywhereSpec extends SparkSpec {
     assert(leak.filter(_._1 != "media_image_bands").values.forall(_ == 0L),
       s"no other family may be flagged: $leak")
   }
+
+  test("resume-from-audit, id-keyed retract idempotence, and the tombstone guard") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val emb = Tables(spark, dir, "embeddings")
+    val td = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val tdVecs = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_forget_resume").toString
+
+    // id-keyed stores only — the re-runnable class the Forget doc names
+    val idx = s"$root/dedup"
+    Dedup.persistBandIndex(docs, idx)
+    Dedup.persistComponents(docs, idx, 0.7)
+    Dedup.persistExactIndex(docs, idx)
+    val img = s"$root/img"
+    Multimodal.persistDhashIndex(Multimodal.imagePayloads(docs), img)
+    val model = IvfIndex.fit(emb, k = 4)
+    val ivfPath = s"$root/ivf"
+    graft.ops.Bucketing.writePartitioned(
+      IvfIndex.assign(model, emb), ivfPath, Seq("bucket"))
+    val full = Forget.Stores(dedupIndexDir = Some(idx),
+      imageIndexPath = Some(img), vectorIndexes = Seq((model, ivfPath)))
+    def audit(): Map[String, Long] =
+      Forget.residuals(td.select("doc_id"), Forget.families(spark, full))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    // a PARTIAL forget (only the image arm ran before the "crash")
+    Forget.forgetEverywhere(spark, td, tdVecs,
+      Forget.Stores(imageIndexPath = Some(img)))
+    val mid = audit()
+    assert(mid("media_image_bands") == 0L, s"the completed arm must read zero: $mid")
+    assert(mid.filter(_._1 != "media_image_bands").values.forall(_ > 0L),
+      s"the audit must flag every arm still pending: $mid")
+    // RESUME: re-run exactly the flagged arms — convergence to all-zero
+    Forget.forgetEverywhere(spark, td, tdVecs,
+      Forget.Stores(dedupIndexDir = Some(idx), vectorIndexes = Seq((model, ivfPath))))
+    assert(audit().values.forall(_ == 0L), s"resume must converge: ${audit()}")
+    // id-keyed retract idempotence: re-running a completed arm is a no-op
+    def bandSet() = spark.read.parquet(s"$img/dhbands")
+      .select("doc_id", "dh", "band", "bhash").collect().map(_.toSeq.toList).toSet
+    val stable = bandSet()
+    Forget.forgetEverywhere(spark, td, tdVecs,
+      Forget.Stores(imageIndexPath = Some(img)))
+    assert(bandSet() == stable, "re-running an id-keyed arm must change nothing")
+
+    // TOMBSTONES: the forgotten docs re-arrive and are refused forever
+    val ledger = s"$root/tombs"
+    Forget.appendTombstones(td.select("doc_id"), ledger)
+    // a pure re-crawl of forgotten content passes NOTHING through
+    val recrawl = Forget.filterForgotten(spark, td, ledger)
+    assert(recrawl.isEmpty, "a re-crawl of forgotten docs must be fully refused")
+    // absorbing the guarded (empty) batch leaves the stores residual-free
+    Multimodal.appendToDhashIndex(Multimodal.imagePayloads(recrawl), img)
+    assert(audit()("media_image_bands") == 0L,
+      "a guarded re-ingest must leave no trace in any store")
+    // a mixed batch keeps exactly its non-forgotten rows
+    val mixed = docs.filter(pmod(col("doc_id"), lit(7)).isin(0, 1))
+    val passed = Forget.filterForgotten(spark, mixed, ledger)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = mixed.filter(pmod(col("doc_id"), lit(7)) === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(passed == want, "the guard must drop exactly the tombstoned rows")
+    // replayed appends dedupe away at compaction; content = the distinct ids
+    Forget.appendTombstones(td.select("doc_id"), ledger)
+    Forget.compactTombstones(spark, ledger, s"$ledger.compact")
+    val compacted = spark.read.parquet(s"$ledger.compact")
+      .collect().map(_.getLong(0)).toSet
+    val tdIds = td.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(compacted == tdIds, "compaction must yield exactly the distinct ids")
+  }
 }
