@@ -48,6 +48,15 @@ import graft.streaming.ReleaseIngestStream
   * per-bucket rewrite for IVF/PQ, O(store) left-anti rewrite for the
   * band-shaped stores — ridden on the scheduled compaction in
   * production, the q149 clause).
+  *
+  * STREAMING composition, deliberately not a ForgetStream: the full
+  * composition rewrites corpus-scale stores, which is the wrong cost
+  * model per micro-batch. Continuous compliance is the two O(batch)
+  * primitives — [[graft.streaming.TakedownStream]] with `tombstonePath`
+  * set (release shadow at the loader surface + ledger append, both
+  * replay-safe, in one micro-batch) — and THIS composition runs the
+  * store rewrites in the scheduled maintenance window over the
+  * accumulated tombstone delta, closed by [[residuals]].
   */
 object Forget {
 

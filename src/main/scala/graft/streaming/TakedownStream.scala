@@ -25,11 +25,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object TakedownStream {
 
+  /** `tombstonePath`, when set, also appends each micro-batch's ids to the
+    * [[graft.pipeline.Forget]] tombstone ledger, so the same request that
+    * shadows the published rows ALSO refuses the content at every future
+    * ingest ([[graft.pipeline.Forget.filterForgotten]]) — streaming
+    * compliance in one micro-batch. Ordering: shadow first (the loader
+    * surface is the legal deadline), ledger second; a replay after a
+    * crash between the two re-runs the (idempotent) shadow and appends
+    * duplicate ledger ids, which the guard is insensitive to and
+    * [[graft.pipeline.Forget.compactTombstones]] sheds.
+    */
   def start(
       takedownIds: DataFrame,
       releaseDir: String,
       queryName: String = "takedown_ingest",
       checkpointDir: Option[String] = None,
+      tombstonePath: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
     val writer = takedownIds.writeStream
       .queryName(queryName)
@@ -38,6 +49,8 @@ object TakedownStream {
         if (!batch.isEmpty) {
           ReleaseIngestStream.takedownIngest(
             batch.sparkSession, batch.toDF(), releaseDir)
+          tombstonePath.foreach(p =>
+            graft.pipeline.Forget.appendTombstones(batch.toDF(), p))
         }
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()

@@ -883,8 +883,11 @@ class StreamingSpec extends SparkSpec {
     assert(rows(relA) == rows(relB), "twin stores must absorb identically")
 
     val input = MemoryStream[Long]
+    val tombs = java.nio.file.Files
+      .createTempDirectory("graft-td-tombs").toString + "/ledger"
     val q = graft.streaming.TakedownStream.start(
-      input.toDF().toDF("doc_id"), relA, queryName = "takedown_t")
+      input.toDF().toDF("doc_id"), relA, queryName = "takedown_t",
+      tombstonePath = Some(tombs))
 
     // micro-batch 1: doc 2 is live (flips), doc 100 was demoted by 200
     // (shielded — no tombstone may appear for it)
@@ -920,6 +923,18 @@ class StreamingSpec extends SparkSpec {
     assert(v.map(_.getAs[Long]("n_live_leaks")).sum == 0L)
     assert(v.map(_.getAs[Long]("n_taken_down")).sum == 2L)
     assert(v.map(_.getAs[Long]("n_shielded")).sum == 1L)
+
+    // every streamed request also landed in the tombstone ledger, so the
+    // same content is refused at any future ingest front door
+    val ledgerIds = spark.read.parquet(tombs)
+      .collect().map(_.getLong(0)).toSet
+    assert(ledgerIds == Set(2L, 100L, 200L),
+      s"each micro-batch must tombstone its requests: $ledgerIds")
+    val reingest = graft.pipeline.Forget.filterForgotten(
+      spark, bdf(b1).unionByName(bdf(b2)), tombs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reingest == Set(1L, 4L),
+      "a re-ingest of the corpus must keep exactly the never-requested docs")
   }
 
   test("streaming pinned-centroid assignment: zero-join scoring, stream==batch q96 ranks") {
