@@ -610,6 +610,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("tombstone guard: broadcast anti join under the ceiling, ordinary equi-join above it") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_tombs_planshape").toString + "/ledger"
+    graft.pipeline.Forget.appendTombstones(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"), ledger)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val small = executedPlanOf(
+      graft.pipeline.Forget.filterForgotten(spark, batch, ledger))
+    assert(small.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      "a takedown-sized ledger must broadcast onto the batch:\n" + small)
+    assert(!small.contains("SortMergeJoin"), small)
+    // ceiling 0: the ledger may NOT be force-broadcast — an unbounded
+    // store through the driver is an OOM, not an optimization. The q66
+    // pin shape: withheld hints leave no `strategy=broadcast` in the
+    // static optimized plan (AQE may still pick one from RUNTIME sizes).
+    val bigDf = graft.pipeline.Forget.filterForgotten(
+      spark, batch, ledger, broadcastCeiling = 0L)
+    assert(!bigDf.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "no broadcast hint may survive above the ceiling")
+    // identical results on both shapes — the gate is a plan decision only
+    val a = graft.pipeline.Forget.filterForgotten(spark, batch, ledger)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = bigDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "both join shapes must pass the identical rows")
+  }
+
+  test("forget residual audit: every family probes through a broadcast semi join") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_forget_planshape").toString + "/dedup"
+    graft.queries.Dedup.persistBandIndex(docs, idx)
+    graft.queries.Dedup.persistComponents(docs, idx, 0.7)
+    val ids = docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id")
+    val p = executedPlanOf(graft.pipeline.Forget.residuals(
+      ids, graft.pipeline.Forget.families(
+        spark, graft.pipeline.Forget.Stores(dedupIndexDir = Some(idx)))))
+    assert(p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")) >= 3,
+      "each store family must probe via a broadcast LEFT SEMI:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "a store may never shuffle for its residual probe:\n" + p)
+  }
+
   test("drift-monitor stream per-batch plan: artifact stays a parquet scan, reconcile subtree reused, totals broadcast") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val (hist, _, _) = streamArtifacts
