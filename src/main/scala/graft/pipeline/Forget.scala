@@ -225,6 +225,9 @@ object Forget {
     * beyond the final tiny union.
     */
   def residuals(ids: DataFrame, fams: Seq[Family]): DataFrame = {
+    // loud, not an empty frame: an audit over zero families would read as
+    // "all clear" to a caller that misconfigured its Stores
+    require(fams.nonEmpty, "residuals: no store families configured")
     val idsB = broadcast(ids.select(col("doc_id")).distinct())
     fams.map { f =>
       f.rows.select(f.docKey.cast("long").as("doc_id"))
