@@ -567,6 +567,22 @@ object Extras {
     // guard is pure id arithmetic); ForgetEverywhereSpec pins the
     // end-to-end story (forget → tombstone → re-ingest refused → stores
     // still residual-free).
+    // CROSS-MODAL duplicate families ([[crossModalComponents]]): the
+    // union graph of q33's text pairs, q70's image pairs and q87's audio
+    // pairs (precision-first hamming 4 — see the function doc) folded
+    // into one component assignment — families that span modalities
+    // (paraphrased text + identical image) surface here and nowhere
+    // else. rows-only: two of the three edge sources are the
+    // JDK-decode closure class (q70/q87 — FINAL); the text arm alone is
+    // q33's oracle, and CrossModalSpec pins the full output against a
+    // direct union-find over the same three pair sets plus the planted
+    // image-family merge of text-unrelated docs.
+    "q191_crossmodal_components" -> Q.noOracle(
+      "Cross-modal duplicate families: components over the union of " +
+        "text minhash, image dHash and audio fingerprint edges") { (s, dir) =>
+      crossModalComponents(Tables(s, dir, "documents"))
+    },
+
     "q190_forget_guard" -> Q(
       "Tombstone ingest guard: the daily batch re-arriving after the %97 " +
         "forget, forgotten rows refused at the front door",
@@ -591,6 +607,44 @@ object Extras {
           path, maxHamming = 8, minOverlap = 0.5)
         .orderBy("new_id", "existing_id")
     })
+
+  /** CROSS-MODAL duplicate families: connected components over the UNION
+    * of the text near-dup graph (banded minhash, jaccard-verified), the
+    * image dHash graph and the audio fingerprint graph — the curation
+    * question no single-modality dedup answers: "the same post,
+    * re-uploaded with the same image but paraphrased text" is ONE family
+    * here even though each per-modality pass sees at most one edge of it.
+    * Every edge source is its registered sibling's kernel (q33/q70/q87 —
+    * banded candidates, never all-pairs), the union is edge-count-sized,
+    * and the component fold is the house [[graft.operators.ConnectedComponents]]
+    * (bounded rounds, realStats snapshots). Component id = min member id.
+    *
+    * Arm thresholds are PRECISION-FIRST, deliberately tighter than the
+    * pair-listing siblings where the kernels chain: a components fold
+    * amplifies every false pair TRANSITIVELY (one borderline edge merges
+    * two whole families forever), so the audio arm defaults to hamming 4
+    * — at q87's pair-listing 6 the audio kernel chains across families
+    * (measured at sf0.1: 8,014 pairs vs 4,218, and the chain diameter
+    * pushes the fold from 9 rounds to 23). The image kernel does not
+    * chain (unrelated patterns sit at ~32 bits), so its arm keeps 8.
+    * `maxIter` is sized for chain-heavy union graphs regardless.
+    */
+  def crossModalComponents(
+      docs: DataFrame,
+      threshold: Double = 0.7,
+      maxHammingImg: Int = 8,
+      maxHammingAud: Int = 4,
+      maxIter: Int = 64): DataFrame = {
+    def e(df: DataFrame) =
+      df.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    val edges = e(Dedup.minhashPairs(docs, threshold))
+      .unionByName(e(Multimodal.dhashPairs(Multimodal.imagePayloads(docs), maxHammingImg)))
+      .unionByName(e(Multimodal.audioPairs(Multimodal.audioPayloads(docs), maxHammingAud)))
+    graft.operators.ConnectedComponents
+      .run(docs.select(col("doc_id").as("id")), edges, maxIter = maxIter)
+      .select(col("component"), col("id").as("doc_id"))
+      .orderBy("doc_id")
+  }
 
   /** Warm tombstone ledger for q190 (the %97 forgotten set, the q172
     * takedown convention): testdata dirs reuse; any other dir rebuilds
