@@ -474,6 +474,43 @@ object Multimodal {
       .toDF("doc_id", "dh")
   }
 
+  /** The fingerprint band store's schema, pinned in read-back column
+    * order (data columns, then the `band` partition column). Every store
+    * read goes through [[readBandStore]] with THIS schema instead of
+    * inference so a FULLY-RETRACTED index stays readable: a retract whose
+    * survivors are zero publishes a directory with only `_SUCCESS` (an
+    * empty partitioned write emits no part files), and schema inference
+    * over it throws — a total takedown would brick the index for every
+    * subsequent probe. With the schema pinned, the empty store reads as
+    * an empty frame and probes return no pairs, which is the correct
+    * answer.
+    */
+  private val BandStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dh", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bhash", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType)))
+
+  /** [[BandStoreSchema]]'s sibling for the video index's per-video frame
+    * counts (one row per video; non-partitioned, so the zero-survivor
+    * retract emits only `_SUCCESS` here too).
+    */
+  private val VcountsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vid", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("nf", org.apache.spark.sql.types.LongType)))
+
+  /** Schema-pinned read of a fingerprint index's band store (see
+    * [[BandStoreSchema]] for why inference is never used).
+    */
+  private[graft] def readBandStore(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.schema(BandStoreSchema).parquet(s"$path/dhbands")
+
+  /** Schema-pinned read of a video index's frame-count denominators. */
+  private[graft] def readVcounts(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.schema(VcountsSchema).parquet(s"$path/vcounts")
+
   /** The (doc_id, dh, band, bhash) table of the shared 4×16-bit banding —
     * the join key AND the persisted-index layout (partitioned by band).
     */
@@ -541,13 +578,18 @@ object Multimodal {
     * index), schema re-selected to the writer's own column order. LIFO
     * contract as everywhere in the family; at 100 TB the rewrite rides
     * the scheduled compaction (retraction is compaction with a filter).
+    * A TOTAL takedown (zero survivors) publishes a directory holding
+    * only `_SUCCESS` — an empty partitioned write emits no part files —
+    * which stays probe-readable because every store read pins
+    * [[BandStoreSchema]] instead of inferring (probes of a fully-
+    * retracted index return empty results, they don't throw).
     */
   private def retractFromFingerprintIndex(
       spark: org.apache.spark.sql.SparkSession,
       batchIds: DataFrame,
       path: String): Unit = {
     val ids = broadcast(batchIds.select(col("doc_id")))
-    val store = spark.read.parquet(s"$path/dhbands")
+    val store = readBandStore(spark, path)
     store.join(ids, Seq("doc_id"), "left_anti")
       .select(store.columns.map(col).toSeq: _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -574,7 +616,7 @@ object Multimodal {
       srcPath: String,
       dstPath: String,
       targetFileBytes: Long): Unit = {
-    val bands = spark.read.parquet(s"$srcPath/dhbands")
+    val bands = readBandStore(spark, srcPath)
     // clamp BEFORE toInt (the IvfIndex.compactIndex guard): a missing-
     // stats Long.MaxValue estimate must degrade to many partitions, not
     // wrap negative and collapse the rewrite into one task
@@ -604,7 +646,7 @@ object Multimodal {
       path: String,
       maxHamming: Int): DataFrame = {
     val nb = fingerprintBands(newHashes)
-    val store = spark.read.parquet(s"$path/dhbands")
+    val store = readBandStore(spark, path)
     val vsStore = nb.as("x")
       .join(store.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
@@ -1242,7 +1284,7 @@ object Multimodal {
       batchIds: DataFrame,
       path: String): Unit = {
     val ids = broadcast(batchIds.select(col("doc_id").as("vid")))
-    val store = spark.read.parquet(s"$path/dhbands")
+    val store = readBandStore(spark, path)
     store.withColumn("vid", (col("doc_id") / FidWidth).cast("long"))
       .join(ids, Seq("vid"), "left_anti")
       .select(store.columns.map(col).toSeq: _*)
@@ -1250,7 +1292,7 @@ object Multimodal {
       .option("compression", "zstd")
       .partitionBy("band")
       .parquet(s"$path/dhbands.next")
-    val counts = spark.read.parquet(s"$path/vcounts")
+    val counts = readVcounts(spark, path)
     counts.join(ids, Seq("vid"), "left_anti")
       .select(counts.columns.map(col).toSeq: _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1271,7 +1313,7 @@ object Multimodal {
       dstPath: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     compactFingerprintIndex(spark, srcPath, dstPath, targetFileBytes)
-    val counts = spark.read.parquet(s"$srcPath/vcounts")
+    val counts = readVcounts(spark, srcPath)
     val nOut = math.max(1,
       (counts.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(targetFileBytes))
         .min(BigInt(1 << 20)).toInt)
@@ -1302,9 +1344,9 @@ object Multimodal {
     val newCounts = fh
       .groupBy((col("doc_id") / FidWidth).cast("long").as("vid"))
       .agg(count(lit(1)).as("nf"))
-    val storeCounts = spark.read.parquet(s"$path/vcounts")
+    val storeCounts = readVcounts(spark, path)
     val nb = fingerprintBands(fh)
-    val store = spark.read.parquet(s"$path/dhbands")
+    val store = readBandStore(spark, path)
     val vsStore = nb.as("x")
       .join(store.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash"))

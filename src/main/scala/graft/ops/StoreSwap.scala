@@ -25,9 +25,50 @@ import org.apache.spark.sql.SparkSession
   */
 object StoreSwap {
 
+  /** Prefix of the zero-byte exactly-once witness files a COUNT-keyed
+    * store's retract stamps into its directory (underscore-named, so
+    * every parquet read ignores them). A marker's presence means "this
+    * retract already subtracted from THIS store" — the batch-witness
+    * probe (`MediaDedupStream`/`ReleaseIngestStream` `hasBatch`) adapted
+    * to stores whose rows carry no doc attribution after an absorb.
+    * Markers are stamped into the `.next` directory BEFORE the swap, so
+    * the marker publishes atomically with the subtracted store: a crash
+    * before the swap leaves no marker and the retract re-runs cleanly; a
+    * crash after leaves the marker and the re-run skips. [[swapInto]]
+    * carries existing markers forward on every rewrite (absorbs,
+    * compactions, later retracts all swap through it), so the witness
+    * survives the store's whole lifecycle.
+    */
+  val RetractMarkerPrefix = "_retract_"
+
+  private def markerFile(path: String, id: String): org.apache.hadoop.fs.Path = {
+    val safe = id.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_')
+    new org.apache.hadoop.fs.Path(path, RetractMarkerPrefix + safe)
+  }
+
+  /** Has the retract named `id` already been applied to the store at
+    * `path`? (See [[RetractMarkerPrefix]].)
+    */
+  def hasRetractMarker(spark: SparkSession, path: String, id: String): Boolean = {
+    val m = markerFile(path, id)
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+  }
+
+  /** Stamp the retract witness for `id` into a store directory — called
+    * on the `.next` dir before [[swapInto]] so witness and subtraction
+    * publish in one rename.
+    */
+  def stampRetractMarker(spark: SparkSession, dir: String, id: String): Unit = {
+    val m = markerFile(dir, id)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(m)) fs.create(m).close()
+  }
+
   /** Replace `path` with `path + ".next"` via rename-aside (see object
     * doc). Tolerates a missing live dir (first publication) and a stale
-    * `.old` left by a prior crash.
+    * `.old` left by a prior crash. Retract witness markers
+    * ([[RetractMarkerPrefix]]) present on the live store are carried
+    * into `.next` before the swap so no rewrite can lose them.
     */
   def swapInto(spark: SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -37,6 +78,14 @@ object StoreSwap {
     val fs = p.getFileSystem(conf)
     fs.delete(old, true)
     val hadLive = fs.exists(p)
+    if (hadLive) {
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith(RetractMarkerPrefix))
+        .foreach { name =>
+          val t = new org.apache.hadoop.fs.Path(next, name)
+          if (!fs.exists(t)) fs.create(t).close()
+        }
+    }
     if (hadLive && !fs.rename(p, old))
       throw new java.io.IOException(s"store swap: could not set aside $path")
     // FileSystem.rename signals failure BOTH ways depending on the

@@ -26,11 +26,14 @@ import graft.streaming.ReleaseIngestStream
   * id-keyed families is "re-run the arms [[residuals]] still flags"
   * (every id-keyed retract is idempotent for an id set — a left-anti of
   * absent ids is a no-op rewrite). The two COUNT-keyed stores (window
-  * refcounts, histogram) are the exception: their retracts subtract
-  * contributions and must run exactly once per forget — they keep their
-  * families' absorbed-once contract and are deliberately NOT re-runnable
-  * from the audit (no doc-keyed rows exist to flag; the histogram arm's
-  * underflow guard at least fails loudly on a double retract).
+  * refcounts, histogram) subtract contributions and must apply exactly
+  * once per forget; that is enforced, not asked of the caller: the
+  * mandatory `forgetId` stamps a witness marker into each count store
+  * atomically with its subtraction
+  * ([[graft.ops.StoreSwap.stampRetractMarker]]), so re-running the same
+  * forget — crash recovery, an audit-driven retry — skips the applied
+  * count arms and the whole composition is safely re-runnable end to
+  * end.
   *
   * Ordering: the release shadow lands FIRST (the published artifact is
   * the compliance surface — after arm one, a loader fold already masks
@@ -83,12 +86,30 @@ object Forget {
     * count-store arms recompute the docs' contributions to subtract them;
     * `vectors` the forgotten (vec_id, embedding) rows for the vector arms
     * (ignored when `vectorIndexes` is empty).
+    *
+    * `forgetId` names this forget for the COUNT-keyed arms' exactly-once
+    * witness (the [[graft.ops.StoreSwap.stampRetractMarker]] contract):
+    * each count store records the id atomically with its subtraction, so
+    * re-running the same forget after a crash in a later arm skips the
+    * already-applied count arms instead of double-subtracting — the whole
+    * composition becomes audit-re-runnable like the id-keyed arms always
+    * were. It is REQUIRED whenever a count store is configured (the API
+    * refuses the silent-corruption configuration outright); pick any
+    * stable name for the order — the takedown ticket id, a date — and
+    * reuse it verbatim on retries.
     */
   def forgetEverywhere(
       spark: SparkSession,
       docs: DataFrame,
       vectors: DataFrame,
-      stores: Stores): Unit = {
+      stores: Stores,
+      forgetId: Option[String] = None): Unit = {
+    require(
+      forgetId.isDefined ||
+        (stores.refcountWindowPath.isEmpty && stores.histogramPath.isEmpty),
+      "forgetEverywhere: count-keyed stores configured (window refcounts / " +
+        "histogram) but no forgetId — their subtract arms must be " +
+        "exactly-once under re-runs; pass a stable forgetId")
     val ids = docs.select(col("doc_id"))
     stores.releaseDir.foreach { d =>
       ReleaseIngestStream.takedownIngest(spark, ids, d)
@@ -104,10 +125,10 @@ object Forget {
     }
     stores.refcountWindowPath.foreach { p =>
       Curation.retractFromRefcountedStore(
-        spark, docs, p, hashed = stores.refcountWindowHashed)
+        spark, docs, p, hashed = stores.refcountWindowHashed, onceId = forgetId)
     }
     stores.histogramPath.foreach { p =>
-      Curation.retractFromHistogramStore(spark, docs, p)
+      Curation.retractFromHistogramStore(spark, docs, p, onceId = forgetId)
     }
     stores.vectorIndexes.foreach { case (model, p) =>
       IvfIndex.retractFromIndex(spark, model, vectors, p)
@@ -181,8 +202,14 @@ object Forget {
     def read(p: String) = spark.read.parquet(p)
     val dedup = stores.dedupIndexDir.toSeq.flatMap { d =>
       val sub = Dedup.manifestSubdir(d, stores.dedupThreshold)
+      // existence through the Hadoop FileSystem for the path (the
+      // StoreSwap/IvfIndex discipline) — java.nio only sees the local
+      // filesystem, and on HDFS/object stores the exact tier would
+      // silently drop out of exactly the audit meant to catch residuals
+      val exactSuccess = new org.apache.hadoop.fs.Path(s"$d/exact_fp/_SUCCESS")
       val exact =
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/exact_fp", "_SUCCESS")))
+        if (exactSuccess.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(exactSuccess))
           Seq(Family("dedup_exact", read(s"$d/exact_fp"), col("keep_id")))
         else Nil
       Seq(
@@ -193,9 +220,11 @@ object Forget {
     val release = stores.releaseDir.toSeq.map { d =>
       // the compliance question is about LIVE rows: fold the delta-log
       // (strongest shadow wins) and audit what a loader would read
+      // foldedRelease emits exactly {published, revoked, taken_down} —
+      // the live set is the published rows alone
       Family("release_live",
         ReleaseIngestStream.foldedRelease(read(d))
-          .filter(col("status").isin("published", "added")),
+          .filter(col("status") === "published"),
         col("doc_id"))
     }
     val vecs = stores.vectorIndexes.zipWithIndex.map { case ((_, p), i) =>
@@ -203,13 +232,13 @@ object Forget {
     }
     val media =
       stores.imageIndexPath.toSeq.map(p =>
-        Family("media_image_bands", read(s"$p/dhbands"), col("doc_id"))) ++
+        Family("media_image_bands", Multimodal.readBandStore(spark, p), col("doc_id"))) ++
       stores.audioIndexPath.toSeq.map(p =>
-        Family("media_audio_bands", read(s"$p/dhbands"), col("doc_id"))) ++
+        Family("media_audio_bands", Multimodal.readBandStore(spark, p), col("doc_id"))) ++
       stores.videoIndexPath.toSeq.flatMap(p => Seq(
-        Family("media_video_frames", read(s"$p/dhbands"),
+        Family("media_video_frames", Multimodal.readBandStore(spark, p),
           (col("doc_id") / Multimodal.FidWidth).cast("long")),
-        Family("media_video_counts", read(s"$p/vcounts"), col("vid"))))
+        Family("media_video_counts", Multimodal.readVcounts(spark, p), col("vid"))))
     dedup ++ release ++ vecs ++ media
   }
 

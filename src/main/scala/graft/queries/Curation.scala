@@ -746,8 +746,13 @@ object Curation {
     * gauge never sees a half-retracted store. Contract, mirroring q149's
     * LIFO clause: each retract must cancel exactly one prior absorb of
     * the SAME batch — retracting a batch never absorbed (or twice) makes
-    * shared windows under-count, and nothing can detect it after the
-    * fact because counts are the only record.
+    * shared windows under-count, and counts alone carry no record of it.
+    * Pass `onceId` to make that contract ENFORCED instead of caller
+    * discipline: the retract stamps a zero-byte witness marker into the
+    * store atomically with the swap
+    * ([[graft.ops.StoreSwap.stampRetractMarker]]), and a re-run bearing
+    * the same id — an audit-driven retry, a crashed forget resumed —
+    * finds the marker and skips, so the subtract applies exactly once.
     */
   def retractFromRefcountedStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -755,10 +760,13 @@ object Curation {
       path: String,
       k: Int = 5,
       broadcastCeiling: Long = graft.queries.Dedup.IncrementalBroadcastCeiling,
-      hashed: Boolean = false): Unit = {
+      hashed: Boolean = false,
+      onceId: Option[String] = None): Unit = {
+    if (onceId.exists(graft.ops.StoreSwap.hasRetractMarker(spark, path, _))) return
     retractedRefcountedRows(spark, batch, path, k, broadcastCeiling, hashed)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd").parquet(path + ".next")
+    onceId.foreach(graft.ops.StoreSwap.stampRetractMarker(spark, path + ".next", _))
     swapInto(spark, path)
   }
 
@@ -1192,15 +1200,22 @@ object Curation {
     * q107-guard house pattern) instead of writing a corrupt store —
     * unlike the corpus-scale q150 store, this one is small enough to
     * afford the loud contract check, so retracting a batch that was
-    * never absorbed fails instead of silently under-counting.
+    * never absorbed fails instead of silently under-counting. `onceId`
+    * additionally makes a REPEATED retract of the same forget a no-op
+    * (the witness-marker contract — see [[retractFromRefcountedStore]]),
+    * closing the double-subtract that the underflow guard only catches
+    * when a count happens to cross zero.
     */
   def retractFromHistogramStore(
       spark: org.apache.spark.sql.SparkSession,
       batch: org.apache.spark.sql.DataFrame,
-      path: String): Unit = {
+      path: String,
+      onceId: Option[String] = None): Unit = {
+    if (onceId.exists(graft.ops.StoreSwap.hasRetractMarker(spark, path, _))) return
     retractedHistogramRows(spark.read.parquet(path), batch)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd").parquet(path + ".next")
+    onceId.foreach(graft.ops.StoreSwap.stampRetractMarker(spark, path + ".next", _))
     swapInto(spark, path)
   }
 

@@ -21,29 +21,36 @@ import graft.multimodal.Multimodal
   * emits exactly `incremental(B1, idx)` ++ `incremental(B2, idx+B1)` —
   * the MediaDedupStreamSpec twin-store pin.
   *
-  * Restart semantics (foreachBatch is at-least-once): effects are ordered
-  * results-then-absorb with an idempotence story for each —
+  * Restart semantics (foreachBatch is at-least-once): each micro-batch is
+  * first narrowed to its NOT-YET-ABSORBED remainder — an anti join of the
+  * batch's doc ids against the store's (one O(batch) equi-join; for video
+  * the absorbed-id witness is the vcounts artifact, written SECOND inside
+  * [[Multimodal.appendToVideoIndex]], so its presence implies the band
+  * append committed) — and effects run remainder-only, ordered
+  * results-then-absorb:
+  *   - a PURE replay (every doc already absorbed) yields an empty
+  *     remainder and skips both effects — a committed absorb implies the
+  *     results write, sequenced strictly before it, committed too;
+  *   - a PARTIAL overlap (duplicate submission, overlapping feeds, a
+  *     crash mid-absorb) probes and absorbs only the genuinely-new docs
+  *     instead of silently dropping the whole batch: already-absorbed
+  *     batch-mates are in the store by definition, so the remainder's
+  *     store probe still surfaces every pair against them — nothing a
+  *     full-batch run would flag is lost, it just arrives via the
+  *     store arm instead of the within-batch arm;
   *   - flagged pairs land at `resultsDir/batch=<id>` with Overwrite, so a
   *     replayed micro-batch rewrites its own directory byte-equivalently
-  *     (the store it probes is unchanged — see next point — so the pairs
-  *     recompute identically);
-  *   - the index append is guarded by a store probe for the batch's own
-  *     ids (the [[ReleaseIngestStream]] bandHasBatch discipline): a
-  *     replay that finds the batch already absorbed skips BOTH the
-  *     re-probe-write and the re-append, because a committed absorb
-  *     implies the results write — sequenced strictly before it —
-  *     committed too. For video the witness is the vcounts artifact,
-  *     written SECOND inside [[Multimodal.appendToVideoIndex]]: its
-  *     presence implies the band append committed, and a crash between
-  *     the two writes double-appends band rows only, which probes
-  *     `.distinct()` away (the dedup band-store argument) while the
-  *     join-sensitive denominators never duplicate.
+  *     (same remainder against the same store state recomputes the same
+  *     pairs). For video, a crash between the band append and the vcounts
+  *     write re-appends band rows only, which probes `.distinct()` away
+  *     (the dedup band-store argument) while the join-sensitive
+  *     denominators never duplicate.
   *
   * Scale: each micro-batch decodes ITS OWN payloads partition-local,
   * shuffles 8-byte hashes + ids, and equi-joins the band-partitioned
   * store — the q185/q186/q187 cost model per batch; the stream adds no
-  * state (every join is against the on-disk snapshot, and the guarded
-  * append replaces watermarked bookkeeping).
+  * state (every join is against the on-disk snapshot, and the
+  * remainder-guarded append replaces watermarked bookkeeping).
   */
 object MediaDedupStream {
 
@@ -53,42 +60,36 @@ object MediaDedupStream {
   private final case class Kernel(
       probe: (SparkSession, DataFrame, String) => DataFrame,
       absorb: (DataFrame, String) => Unit,
-      hasBatch: (SparkSession, DataFrame, String) => Boolean)
+      absorbedIds: (SparkSession, String) => DataFrame)
 
-  /** Has this batch already been absorbed? Image/audio witness: any batch
-    * id present in the single band artifact.
+  /** Absorbed doc ids for image/audio: distinct ids in the single band
+    * artifact (schema-pinned read — an empty, fully-retracted store reads
+    * as an empty frame, so every batch doc counts as new).
     */
-  private def bandsHaveBatch(
-      spark: SparkSession, batchIds: DataFrame, path: String): Boolean =
-    spark.read.parquet(s"$path/dhbands").select(col("doc_id"))
-      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
-      .limit(1).count() > 0L
+  private def bandIds(spark: SparkSession, path: String): DataFrame =
+    Multimodal.readBandStore(spark, path).select(col("doc_id")).distinct()
 
-  /** Video witness: the vcounts artifact (written second in the absorb,
-    * so its presence implies the band append committed).
+  /** Absorbed doc ids for video: the vcounts artifact (written second in
+    * the absorb, so a vid's presence implies its band append committed).
     */
-  private def vcountsHaveBatch(
-      spark: SparkSession, batchIds: DataFrame, path: String): Boolean =
-    spark.read.parquet(s"$path/vcounts").select(col("vid"))
-      .join(broadcast(batchIds.select(col("doc_id").as("vid"))),
-        Seq("vid"), "left_semi")
-      .limit(1).count() > 0L
+  private def vcountIds(spark: SparkSession, path: String): DataFrame =
+    Multimodal.readVcounts(spark, path).select(col("vid").as("doc_id"))
 
   private def image(maxHamming: Int) = Kernel(
     probe = (s, b, p) => Multimodal.incrementalDhashPairs(s, b, p, maxHamming),
     absorb = (b, p) => Multimodal.appendToDhashIndex(b, p),
-    hasBatch = bandsHaveBatch)
+    absorbedIds = bandIds)
 
   private def audio(maxHamming: Int) = Kernel(
     probe = (s, b, p) => Multimodal.incrementalAudioPairs(s, b, p, maxHamming),
     absorb = (b, p) => Multimodal.appendToAudioIndex(b, p),
-    hasBatch = bandsHaveBatch)
+    absorbedIds = bandIds)
 
   private def video(maxHamming: Int, minOverlap: Double) = Kernel(
     probe = (s, b, p) =>
       Multimodal.incrementalVideoPairs(s, b, p, maxHamming, minOverlap),
     absorb = (b, p) => Multimodal.appendToVideoIndex(b, p),
-    hasBatch = vcountsHaveBatch)
+    absorbedIds = vcountIds)
 
   private def run(
       media: DataFrame,
@@ -104,13 +105,19 @@ object MediaDedupStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val b = batch.toDF()
-          if (!kernel.hasBatch(s, b.select(col("doc_id")), indexPath)) {
-            kernel.probe(s, b, indexPath)
+          // the not-yet-absorbed remainder, pinned once (localCheckpoint)
+          // so the probe and the absorb see the identical row set; the
+          // store side of the anti join stays un-broadcast — it is the
+          // unbounded side, the batch is the small one
+          val remainder = batch.toDF()
+            .join(kernel.absorbedIds(s, indexPath), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          if (!remainder.isEmpty) {
+            kernel.probe(s, remainder, indexPath)
               .write.mode(SaveMode.Overwrite)
               .option("compression", "zstd")
               .parquet(s"$resultsDir/batch=$batchId")
-            kernel.absorb(b, indexPath)
+            kernel.absorb(remainder, indexPath)
           }
         }
       }

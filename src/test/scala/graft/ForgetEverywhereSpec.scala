@@ -84,8 +84,14 @@ class ForgetEverywhereSpec extends SparkSpec {
     assert(before.values.forall(_ > 0),
       s"every family must hold forgotten-doc rows before the forget: $before")
 
+    // the API refuses the silent-corruption configuration: count stores
+    // without a forget id
+    intercept[IllegalArgumentException] {
+      Forget.forgetEverywhere(spark, td, tdVecs, stores)
+    }
+
     // ---- forget everywhere, audit all-zero -----------------------------
-    Forget.forgetEverywhere(spark, td, tdVecs, stores)
+    Forget.forgetEverywhere(spark, td, tdVecs, stores, forgetId = Some("fe-order-1"))
     val after = audit()
     assert(after.values.forall(_ == 0L),
       s"forget must leave zero residuals in every family: $after")
@@ -119,6 +125,17 @@ class ForgetEverywhereSpec extends SparkSpec {
       .collect().map(_.toSeq.toList).toSet
     assert(mAfter == mWant,
       "dedup manifest must equal the rebuild without the forgotten docs")
+
+    // crash recovery: RE-RUNNING the same forget end to end must change
+    // nothing — the id-keyed arms are no-op left-antis, and the count
+    // arms skip on their exactly-once witness instead of double-
+    // subtracting (the corruption the r13 advice flagged)
+    Forget.forgetEverywhere(spark, td, tdVecs, stores, forgetId = Some("fe-order-1"))
+    assert(audit().values.forall(_ == 0L), "re-run must stay all-zero")
+    assert(spark.read.parquet(winPath).collect().map(_.toSeq.toList).toSet == winWant,
+      "re-run must not double-subtract the window refcounts")
+    assert(spark.read.parquet(histPath).collect().map(_.toSeq.toList).toSet == histWant,
+      "re-run must not double-subtract the histogram")
 
     // ---- planted leak: content sneaks back into ONE family -------------
     Multimodal.appendToDhashIndex(Multimodal.imagePayloads(td), img)

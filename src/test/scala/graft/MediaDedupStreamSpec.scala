@@ -92,6 +92,50 @@ class MediaDedupStreamSpec extends SparkSpec {
       "replay must not disturb committed results")
   }
 
+  test("image stream: a partial-overlap batch absorbs only its remainder, not nothing") {
+    // the r13 advice case: a batch that legitimately contains one doc_id
+    // already indexed (duplicate submission, overlapping feeds) must not
+    // be silently dropped wholesale — the genuinely-new docs still probe
+    // and absorb
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Byte])] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY)
+
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val store = Multimodal.imagePayloads(
+      docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3)))
+    val b1 = Multimodal.imagePayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    val root = java.nio.file.Files.createTempDirectory("graft_media_overlap").toString
+    val live = s"$root/live"
+    val twin = s"$root/twin"
+    val results = s"$root/results"
+    Multimodal.persistDhashIndex(store, live)
+    Multimodal.persistDhashIndex(store, twin)
+
+    // the batch twin runs the REMAINDER only — that is the contract
+    val exp1 = pairSet(Multimodal.incrementalDhashPairs(spark, b1, twin, 8))
+    Multimodal.appendToDhashIndex(b1, twin)
+
+    // mixed feed: the whole new batch plus one already-absorbed store doc
+    val mixed = mediaRows(b1) ++ mediaRows(store.orderBy("doc_id").limit(1))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MediaDedupStream.startImage(
+      input.toDF().toDF("doc_id", "payload"), live, results,
+      queryName = "media_dedup_image_overlap_t",
+      checkpointDir = Some(s"$root/ckpt"))
+    input.addData(mixed: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(pairSet(spark.read.parquet(s"$results/batch=0")) == exp1,
+      "the overlap batch must flag exactly the remainder's pairs")
+    assert(bandSet(live) == bandSet(twin),
+      "only the remainder may be absorbed — no drop, no double-absorb")
+  }
+
   test("video stream: frame-grain probe agrees with the batch operator and absorbs both artifacts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -114,4 +114,31 @@ class RefcountStoreSpec extends SparkSpec {
       "compaction must leave exactly one row per window")
     assert(net(path) == rebuilt)
   }
+
+  test("onceId retracts are exactly-once: same-id re-runs no-op, the witness survives rewrites") {
+    val base = docsDf(Seq(1L -> "w1 w2 w3 w4 w5 w6"))
+    val batch = docsDf(Seq(99L -> "w1 w2 w3 w4 w5 z1"))
+    val path = tmp("graft_rc_once")
+    Curation.refcountedWindowStore(base).write.parquet(path)
+    Curation.absorbIntoRefcountedStore(spark, batch, path)
+    Curation.retractFromRefcountedStore(spark, batch, path, onceId = Some("forget-1"))
+    val after = net(path)
+    assert(after == Map("w1 w2 w3 w4 w5" -> 1L, "w2 w3 w4 w5 w6" -> 1L))
+
+    // the double retract that used to corrupt silently (q150's documented
+    // violation) is now a no-op: the witness marker skips the subtract
+    Curation.retractFromRefcountedStore(spark, batch, path, onceId = Some("forget-1"))
+    assert(net(path) == after, "a re-run bearing the same onceId must change nothing")
+
+    // the witness is part of the store, not the session: it survives a
+    // compaction rewrite (markers are swap-carried) and still skips
+    Curation.compactRefcountedStore(spark, path)
+    Curation.retractFromRefcountedStore(spark, batch, path, onceId = Some("forget-1"))
+    assert(net(path) == after, "the witness must survive store rewrites")
+
+    // a DIFFERENT forget id is a different order and applies normally
+    Curation.absorbIntoRefcountedStore(spark, batch, path)
+    Curation.retractFromRefcountedStore(spark, batch, path, onceId = Some("forget-2"))
+    assert(net(path) == after, "a fresh onceId must subtract once, exactly")
+  }
 }
