@@ -26,6 +26,21 @@ object Extras {
   private val q46Dir: String =
     s"${sys.props("java.io.tmpdir")}/graft_q46_pid${ProcessHandle.current().pid()}"
 
+  /** q189's pid-scoped store-row dump root (the q183 convention): each
+    * media store family's doc-key rows dump here and BOTH engines run
+    * the residual-count audit over the same readback.
+    */
+  private val q189Dir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_q189_pid${ProcessHandle.current().pid()}"
+
+  /** The audit families q189 dumps, in the exact store-name vocabulary
+    * [[graft.pipeline.Forget.families]] emits for a media-only config
+    * (asserted at the registration so a drift fails loudly).
+    */
+  private val Q189Families: Seq[String] = Seq(
+    "media_audio_bands", "media_image_bands",
+    "media_video_counts", "media_video_frames")
+
   /** Per-source length profile. `approxMedian = false` (oracle mode) uses
     * exact `median` — a full per-group sort, fine at verification SF;
     * `approxMedian = true` is the 100 TB path: `percentile_approx` is a
@@ -531,29 +546,51 @@ object Extras {
       graft.pipeline.Forget.residuals(ids, fams)
     },
 
-    // The media tiers of the q188 audit, split out as the rows-only
-    // sibling: residual rows in the warm image/audio dHash band stores
-    // and the video frame index (bands at fid grain + vcounts
-    // denominators) for the same %97 takedown set, probed against the
-    // %5<>0 store corpus the q185/q186/q187 registrations warm.
-    // ORACLE CLOSURE: rows-only is FINAL — the media stores' per-doc
-    // fan-out depends on JDK decode (fingerprints per WAV, frames per
-    // video), the q70/q87/q89 closure class; the value-level guarantee
-    // is ForgetEverywhereSpec's planted-leak + all-zero lifecycle over
-    // the same Forget.residuals code path.
-    "q189_forget_residuals_media" -> Q.noOracle(
-      "Media-tier forget-residual audit: rows still referencing the %97 " +
-        "takedown set in the image/audio/video fingerprint stores") { (s, dir) =>
+    // The media tiers of the q188 audit — COUNTS-ORACLED since round 14
+    // via the q183 dump-readback move (the r13 verdict's #1 ask): the
+    // per-doc fan-out of each media store still rests on JDK decode
+    // (fingerprints per WAV, frames per video — the q70/q87/q89 closure
+    // class, spec-pinned), but the audit ARITHMETIC downstream of decode
+    // is plain SQL, so each warm store family's doc-key rows dump
+    // pid-scoped and BOTH engines run the residual count over the same
+    // readback — a bug in the join/count/distinct arithmetic of
+    // Forget.residuals is now driver-visible. The dump is also the
+    // audit's honest production shape: residuals are read off persisted
+    // index rows, never re-decoded. ForgetEverywhereSpec keeps the
+    // planted-leak + all-zero lifecycle over the same code path.
+    "q189_forget_residuals_media" -> Q(
+      "Media-tier forget-residual audit over dumped store rows: rows " +
+        "still referencing the %97 takedown set in the image/audio/video " +
+        "fingerprint stores",
+      Q189Families.map(fam =>
+        s"""SELECT '$fam' AS store,
+          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          |FROM read_parquet('$q189Dir/$fam.parquet/*.parquet')
+          |WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 97 = 0)""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY store")) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val ids = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
       val store = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       val img = dhashIndexFor(Multimodal.imagePayloads(store), dir)
       val aud = audioIndexFor(Multimodal.audioPayloads(store), dir)
       val vid = videoIndexFor(Multimodal.videoPayloads(store), dir)
-      graft.pipeline.Forget.residuals(ids, graft.pipeline.Forget.families(
+      val fams = graft.pipeline.Forget.families(
         s, graft.pipeline.Forget.Stores(
           imageIndexPath = Some(img), audioIndexPath = Some(aud),
-          videoIndexPath = Some(vid))))
+          videoIndexPath = Some(vid)))
+      assert(fams.map(_.store).toSet == Q189Families.toSet,
+        s"q189 families drifted: ${fams.map(_.store)}")
+      val dumped = Extras.synchronized {
+        fams.map { f =>
+          val path = s"$q189Dir/${f.store}.parquet"
+          f.rows.select(f.docKey.cast("long").as("doc_id"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .option("compression", "zstd").parquet(path)
+          graft.pipeline.Forget.Family(f.store, s.read.parquet(path), col("doc_id"))
+        }
+      }
+      graft.pipeline.Forget.residuals(ids, dumped)
     },
 
     // TOMBSTONE INGEST GUARD ([[graft.pipeline.Forget.filterForgotten]]):
