@@ -41,6 +41,13 @@ object Extras {
     "media_audio_bands", "media_image_bands",
     "media_video_counts", "media_video_frames")
 
+  /** q191's pid-scoped edge dump root (same convention): the engine
+    * folds over the readback and DuckDB replays the fold via the
+    * recursive CC CTE over the identical edge rows.
+    */
+  private val q191Dir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_q191_pid${ProcessHandle.current().pid()}"
+
   /** Per-source length profile. `approxMedian = false` (oracle mode) uses
     * exact `median` — a full per-group sort, fine at verification SF;
     * `approxMedian = true` is the 100 TB path: `percentile_approx` is a
@@ -609,15 +616,36 @@ object Extras {
     // pairs (precision-first hamming 4 — see the function doc) folded
     // into one component assignment — families that span modalities
     // (paraphrased text + identical image) surface here and nowhere
-    // else. rows-only: two of the three edge sources are the
-    // JDK-decode closure class (q70/q87 — FINAL); the text arm alone is
-    // q33's oracle, and CrossModalSpec pins the full output against a
-    // direct union-find over the same three pair sets plus the planted
-    // image-family merge of text-unrelated docs.
-    "q191_crossmodal_components" -> Q.noOracle(
+    // else. ORACLED since round 14 via the dump-readback move: the edge
+    // set dumps pid-scoped ([[crossModalEdges]]), the engine folds over
+    // the READBACK, and DuckDB replays the fold with the q146
+    // recursive-CTE CC machinery over the same edges — so the transitive
+    // fold (where one false edge merges families forever) is
+    // hash-checked, while the two JDK-decode edge kernels stay
+    // spec-closed (q70/q87's class; CrossModalSpec pins the union-find
+    // identity and the planted cross-modal merges).
+    "q191_crossmodal_components" -> Q(
       "Cross-modal duplicate families: components over the union of " +
-        "text minhash, image dHash and audio fingerprint edges") { (s, dir) =>
-      crossModalComponents(Tables(s, dir, "documents"))
+        "text minhash, image dHash and audio fingerprint edges",
+      """WITH RECURSIVE
+        |e0 AS (SELECT src, dst FROM read_parquet('$q191Dir/edges.parquet/*.parquet')),
+        |edges AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
+        |SELECT LEAST(COALESCE(m.mn, d.doc_id), d.doc_id) AS component, d.doc_id
+        |FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin.replace("$q191Dir", q191Dir)) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val dump = s"$q191Dir/edges.parquet"
+      Extras.synchronized {
+        crossModalEdges(docs).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(dump)
+      }
+      crossModalFold(docs, s.read.parquet(dump))
     },
 
     "q190_forget_guard" -> Q(
@@ -671,17 +699,40 @@ object Extras {
       threshold: Double = 0.7,
       maxHammingImg: Int = 8,
       maxHammingAud: Int = 4,
-      maxIter: Int = 64): DataFrame = {
+      maxIter: Int = 64): DataFrame =
+    crossModalFold(docs,
+      crossModalEdges(docs, threshold, maxHammingImg, maxHammingAud), maxIter)
+
+  /** The union edge set [[crossModalComponents]] folds — factored (the
+    * bandSkewOf discipline) so the q191 registration can DUMP it
+    * pid-scoped and fold over the readback, letting DuckDB replay the
+    * fold itself over the same edges (the q146 recursive-CTE CC
+    * machinery): the three edge kernels stay spec-closed (two are the
+    * JDK-decode class), but the transitive fold — where a precision bug
+    * amplifies — is hash-checked cross-engine.
+    */
+  def crossModalEdges(
+      docs: DataFrame,
+      threshold: Double = 0.7,
+      maxHammingImg: Int = 8,
+      maxHammingAud: Int = 4): DataFrame = {
     def e(df: DataFrame) =
       df.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-    val edges = e(Dedup.minhashPairs(docs, threshold))
+    e(Dedup.minhashPairs(docs, threshold))
       .unionByName(e(Multimodal.dhashPairs(Multimodal.imagePayloads(docs), maxHammingImg)))
       .unionByName(e(Multimodal.audioPairs(Multimodal.audioPayloads(docs), maxHammingAud)))
+  }
+
+  /** The component fold alone: every doc keeps an assignment (singletons
+    * keep themselves), component id = min member id.
+    */
+  def crossModalFold(
+      docs: DataFrame, edges: DataFrame, maxIter: Int = 64): DataFrame =
     graft.operators.ConnectedComponents
-      .run(docs.select(col("doc_id").as("id")), edges, maxIter = maxIter)
+      .run(docs.select(col("doc_id").as("id")),
+        edges.select(col("src"), col("dst")), maxIter = maxIter)
       .select(col("component"), col("id").as("doc_id"))
       .orderBy("doc_id")
-  }
 
   /** Warm tombstone ledger for q190 (the %97 forgotten set, the q172
     * takedown convention): testdata dirs reuse; any other dir rebuilds
