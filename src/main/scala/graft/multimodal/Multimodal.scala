@@ -644,9 +644,20 @@ object Multimodal {
       spark: org.apache.spark.sql.SparkSession,
       newHashes: DataFrame,
       path: String,
+      maxHamming: Int): DataFrame =
+    incrementalFingerprintPairsOver(newHashes, readBandStore(spark, path), maxHamming)
+
+  /** [[incrementalFingerprintPairs]] over an ALREADY-LOADED store band
+    * table — factored so the q185/q186 registrations can dump the store
+    * rows + batch hashes pid-scoped and probe the READBACK (the q183
+    * dump-readback oracle move: DuckDB replays the band equi-join and
+    * the `bit_count(xor(...))` hamming verify over the same rows).
+    */
+  private[graft] def incrementalFingerprintPairsOver(
+      newHashes: DataFrame,
+      store: DataFrame,
       maxHamming: Int): DataFrame = {
     val nb = fingerprintBands(newHashes)
-    val store = readBandStore(spark, path)
     val vsStore = nb.as("x")
       .join(store.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
@@ -1341,12 +1352,27 @@ object Multimodal {
       minOverlap: Double): DataFrame = {
     val fh = org.apache.spark.sql.graft.shims.realStats(
       videoHashRows(newMedia).localCheckpoint())
+    incrementalVideoPairsOver(
+      fh, readBandStore(spark, path), readVcounts(spark, path),
+      maxHamming, minOverlap)
+  }
+
+  /** [[incrementalVideoPairs]] over ALREADY-LOADED batch frame hashes +
+    * store artifacts — the dump-readback factoring
+    * ([[incrementalFingerprintPairsOver]]) at frame grain, so q187's
+    * oracle can replay the band join, hamming verify AND the overlap
+    * fold (denominators from the dumped vcounts) in DuckDB.
+    */
+  private[graft] def incrementalVideoPairsOver(
+      fh: DataFrame,
+      store: DataFrame,
+      storeCounts: DataFrame,
+      maxHamming: Int,
+      minOverlap: Double): DataFrame = {
     val newCounts = fh
       .groupBy((col("doc_id") / FidWidth).cast("long").as("vid"))
       .agg(count(lit(1)).as("nf"))
-    val storeCounts = readVcounts(spark, path)
     val nb = fingerprintBands(fh)
-    val store = readBandStore(spark, path)
     val vsStore = nb.as("x")
       .join(store.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash"))

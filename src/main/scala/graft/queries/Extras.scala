@@ -48,6 +48,86 @@ object Extras {
   private val q191Dir: String =
     s"${sys.props("java.io.tmpdir")}/graft_q191_pid${ProcessHandle.current().pid()}"
 
+  /** Per-query pid-scoped dump roots for the media incremental trio's
+    * dump-readback oracles (index rows + batch hash rows; video adds the
+    * vcounts denominators).
+    */
+  private def mediaDumpDir(q: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${q}_pid${ProcessHandle.current().pid()}"
+  private val q185Dir = mediaDumpDir("q185")
+  private val q186Dir = mediaDumpDir("q186")
+  private val q187Dir = mediaDumpDir("q187")
+
+  /** The q185/q186 oracle: DuckDB recomputes the batch's 4×16-bit bands
+    * off the dumped (doc_id, dh) rows — `>>` is arithmetic (sign-
+    * extending) on BIGINT in both engines, and the 0xffff mask erases
+    * the difference anyway — equi-joins them against the dumped index
+    * bands, and hamming-verifies with `bit_count(xor(...))`, replaying
+    * BOTH probe arms (vs-store and within-batch) of
+    * [[Multimodal.incrementalFingerprintPairsOver]].
+    */
+  private def mediaIncrementalOracleSql(dumpDir: String, maxHamming: Int): String =
+    s"""WITH idx AS (SELECT doc_id, dh, band, bhash
+      |  FROM read_parquet('$dumpDir/index.parquet/*.parquet')),
+      |b AS (SELECT doc_id, dh FROM read_parquet('$dumpDir/batch.parquet/*.parquet')),
+      |nb AS (SELECT doc_id, dh, band, (dh >> (16 * band)) & 65535 AS bhash
+      |       FROM b CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) bands),
+      |vs AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS existing_id,
+      |         CAST(bit_count(xor(x.dh, y.dh)) AS INTEGER) AS hamming
+      |       FROM nb x JOIN idx y
+      |         ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id <> y.doc_id),
+      |w AS (SELECT DISTINCT p.doc_id AS new_id, q.doc_id AS existing_id,
+      |        CAST(bit_count(xor(p.dh, q.dh)) AS INTEGER) AS hamming
+      |      FROM nb p JOIN nb q ON p.band = q.band AND p.bhash = q.bhash
+      |        AND p.doc_id < q.doc_id)
+      |SELECT new_id, existing_id, hamming FROM (
+      |  SELECT * FROM vs WHERE hamming <= $maxHamming
+      |  UNION ALL SELECT * FROM w WHERE hamming <= $maxHamming)
+      |ORDER BY new_id, existing_id""".stripMargin
+
+  /** q187's oracle: the q185 template at FRAME grain plus the overlap
+    * fold — per video pair, matched frames = least distinct-count of
+    * either side's matching fids, divided by the smaller frame count
+    * (batch counts recomputed off the dumped batch rows, store counts
+    * from the dumped vcounts) — one IEEE-exact division, both engines
+    * correctly rounded.
+    */
+  private def q187OracleSql: String =
+    s"""WITH idx AS (SELECT doc_id, dh, band, bhash
+      |  FROM read_parquet('$q187Dir/index.parquet/*.parquet')),
+      |vc AS (SELECT vid, nf FROM read_parquet('$q187Dir/vcounts.parquet/*.parquet')),
+      |bf AS (SELECT doc_id, dh FROM read_parquet('$q187Dir/batch.parquet/*.parquet')),
+      |nc AS (SELECT doc_id // ${Multimodal.FidWidth} AS vid, COUNT(*) AS nf FROM bf GROUP BY 1),
+      |nb AS (SELECT doc_id, dh, band, (dh >> (16 * band)) & 65535 AS bhash
+      |       FROM bf CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) bands),
+      |sp AS (SELECT DISTINCT x.doc_id AS fa, y.doc_id AS fb,
+      |         bit_count(xor(x.dh, y.dh)) AS hamming
+      |       FROM nb x JOIN idx y ON x.band = y.band AND x.bhash = y.bhash),
+      |spv AS (SELECT fa // ${Multimodal.FidWidth} AS va, fa, fb // ${Multimodal.FidWidth} AS vb, fb FROM sp
+      |        WHERE hamming <= 8 AND fa // ${Multimodal.FidWidth} <> fb // ${Multimodal.FidWidth}),
+      |vs0 AS (SELECT va, vb,
+      |          LEAST(COUNT(DISTINCT fa), COUNT(DISTINCT fb)) AS matched_frames
+      |        FROM spv GROUP BY va, vb),
+      |vs AS (SELECT va AS new_id, vb AS existing_id, matched_frames,
+      |         CAST(matched_frames AS DOUBLE) / LEAST(a.nf, b.nf) AS overlap
+      |       FROM vs0 JOIN nc a ON a.vid = vs0.va JOIN vc b ON b.vid = vs0.vb),
+      |wp AS (SELECT DISTINCT p.doc_id AS fa, q.doc_id AS fb,
+      |         bit_count(xor(p.dh, q.dh)) AS hamming
+      |       FROM nb p JOIN nb q ON p.band = q.band AND p.bhash = q.bhash
+      |         AND p.doc_id < q.doc_id),
+      |wpv AS (SELECT fa // ${Multimodal.FidWidth} AS va, fa, fb // ${Multimodal.FidWidth} AS vb, fb FROM wp
+      |        WHERE hamming <= 8 AND fa // ${Multimodal.FidWidth} < fb // ${Multimodal.FidWidth}),
+      |w0 AS (SELECT va, vb,
+      |         LEAST(COUNT(DISTINCT fa), COUNT(DISTINCT fb)) AS matched_frames
+      |       FROM wpv GROUP BY va, vb),
+      |w AS (SELECT va AS new_id, vb AS existing_id, matched_frames,
+      |        CAST(matched_frames AS DOUBLE) / LEAST(a.nf, b.nf) AS overlap
+      |      FROM w0 JOIN nc a ON a.vid = w0.va JOIN nc b ON b.vid = w0.vb)
+      |SELECT new_id, existing_id, matched_frames, overlap FROM (
+      |  SELECT * FROM vs WHERE overlap >= 0.5
+      |  UNION ALL SELECT * FROM w WHERE overlap >= 0.5)
+      |ORDER BY new_id, existing_id""".stripMargin
+
   /** Per-source length profile. `approxMedian = false` (oracle mode) uses
     * exact `median` — a full per-group sort, fine at verification SF;
     * `approxMedian = true` is the 100 TB path: `percentile_approx` is a
@@ -446,41 +526,66 @@ object Extras {
     },
 
     // INCREMENTAL image dedup ([[Multimodal.incrementalDhashPairs]]) —
-    // q66's contract at the image tier, closing the last dedup modality
-    // without an incremental form: the daily batch's dHash bands probe
-    // the PERSISTED index (no stored image is re-decoded or re-hashed —
-    // the property that matters when "stored" is a billion images) plus
-    // the within-batch self-check. Index shares the banding kernel with
-    // q70 byte-for-byte (fingerprintBands), so incremental ≡ full
-    // restricted — DHashSpec pins it, with the append path. rows-only
-    // (q70's JDK-decode closure class); ORACLE CLOSURE: FINAL.
-    "q185_image_incremental" -> Q.noOracle(
+    // q66's contract at the image tier: the daily batch's dHash bands
+    // probe the PERSISTED index (no stored image is re-decoded or
+    // re-hashed — the property that matters when "stored" is a billion
+    // images) plus the within-batch self-check. Index shares the banding
+    // kernel with q70 byte-for-byte (fingerprintBands), so incremental ≡
+    // full restricted — DHashSpec pins it, with the append path.
+    // ORACLED since round 14 (dump-readback): the warm index rows and
+    // the batch's hash rows dump pid-scoped, the engine probes the
+    // READBACK ([[Multimodal.incrementalFingerprintPairsOver]]), and
+    // DuckDB replays banding + band equi-join + bit_count(xor()) hamming
+    // over the same rows — only the JDK image decode (dHash64 itself)
+    // stays spec-closed.
+    "q185_image_incremental" -> Q(
       "Incremental image near-dup: new batch vs persisted dHash band " +
-        "index + within-batch, hamming <= 8") { (s, dir) =>
+        "index + within-batch, hamming <= 8",
+      mediaIncrementalOracleSql(q185Dir, maxHamming = 8)) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val path = dhashIndexFor(
         Multimodal.imagePayloads(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)), dir)
-      Multimodal.incrementalDhashPairs(
-          s, Multimodal.imagePayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
-          path, maxHamming = 8)
+      Extras.synchronized {
+        Multimodal.readBandStore(s, path).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q185Dir/index.parquet")
+        Multimodal.dhashRows(
+            Multimodal.imagePayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q185Dir/batch.parquet")
+      }
+      Multimodal.incrementalFingerprintPairsOver(
+          s.read.parquet(s"$q185Dir/batch.parquet"),
+          s.read.parquet(s"$q185Dir/index.parquet"), maxHamming = 8)
         .orderBy("new_id", "existing_id")
     },
 
     // INCREMENTAL audio dedup — the q185 trio instantiated on the audio
     // fingerprint (identical index mechanics, only the 64-bit kernel
     // differs): the daily batch probes the persisted band index without
-    // re-decoding a stored WAV. rows-only (q87's closure class — DuckDB
-    // has no WAV decoder); ORACLE CLOSURE: FINAL. Incremental ≡ full
-    // restricted is pinned in AudioFingerprintSpec.
-    "q186_audio_incremental" -> Q.noOracle(
+    // re-decoding a stored WAV. ORACLED since round 14 via the same
+    // dump-readback as q185 (only the WAV fingerprint kernel stays
+    // spec-closed — AudioFingerprintSpec); incremental ≡ full restricted
+    // is pinned there too.
+    "q186_audio_incremental" -> Q(
       "Incremental audio near-dup: new batch vs persisted fingerprint " +
-        "band index + within-batch, hamming <= 6") { (s, dir) =>
+        "band index + within-batch, hamming <= 6",
+      mediaIncrementalOracleSql(q186Dir, maxHamming = 6)) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val path = audioIndexFor(
         Multimodal.audioPayloads(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)), dir)
-      Multimodal.incrementalAudioPairs(
-          s, Multimodal.audioPayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
-          path, maxHamming = 6)
+      Extras.synchronized {
+        Multimodal.readBandStore(s, path).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q186Dir/index.parquet")
+        Multimodal.audioHashRows(
+            Multimodal.audioPayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q186Dir/batch.parquet")
+      }
+      Multimodal.incrementalFingerprintPairsOver(
+          s.read.parquet(s"$q186Dir/batch.parquet"),
+          s.read.parquet(s"$q186Dir/index.parquet"), maxHamming = 6)
         .orderBy("new_id", "existing_id")
     },
 
@@ -661,15 +766,40 @@ object Extras {
         .orderBy("doc_id")
     },
 
-    "q187_video_incremental" -> Q.noOracle(
+    // INCREMENTAL video dedup at FRAME grain — completes the media trio
+    // (image q185, audio q186): the persisted index carries the
+    // frame-hash bands AND the per-video frame counts (the overlap
+    // verify's denominators), so the daily batch decodes once and no
+    // stored video is ever re-opened. ORACLED since round 14: index
+    // bands, vcounts AND the batch's frame hashes dump pid-scoped;
+    // DuckDB replays the band join, hamming verify and the whole
+    // overlap fold (matched-frame distinct counts / min frame count)
+    // over the same rows — only the frame extraction + dHash kernel
+    // (VideoNearDupSpec's class) stays spec-closed.
+    "q187_video_incremental" -> Q(
       "Incremental video near-dup: new batch's frames vs the persisted " +
-        "frame index + within-batch, overlap >= 0.5 on the min side") { (s, dir) =>
+        "frame index + within-batch, overlap >= 0.5 on the min side",
+      q187OracleSql) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val path = videoIndexFor(
         Multimodal.videoPayloads(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)), dir)
-      Multimodal.incrementalVideoPairs(
-          s, Multimodal.videoPayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
-          path, maxHamming = 8, minOverlap = 0.5)
+      Extras.synchronized {
+        Multimodal.readBandStore(s, path).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q187Dir/index.parquet")
+        Multimodal.readVcounts(s, path).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q187Dir/vcounts.parquet")
+        Multimodal.videoHashRows(
+            Multimodal.videoPayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0)))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q187Dir/batch.parquet")
+      }
+      Multimodal.incrementalVideoPairsOver(
+          s.read.parquet(s"$q187Dir/batch.parquet"),
+          s.read.parquet(s"$q187Dir/index.parquet"),
+          s.read.parquet(s"$q187Dir/vcounts.parquet"),
+          maxHamming = 8, minOverlap = 0.5)
         .orderBy("new_id", "existing_id")
     })
 
