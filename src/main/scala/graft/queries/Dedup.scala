@@ -174,13 +174,23 @@ object Dedup {
     * [[incrementalMinhashPairs]] — an appended-then-probed batch would
     * match itself through the index.
     */
-  def appendToBandIndex(newDocs: DataFrame, path: String): Unit = {
-    minhashBands(newDocs).write
+  def appendToBandIndex(
+      newDocs: DataFrame,
+      path: String,
+      tombstonePath: Option[String] = None): Unit = {
+    // forget-guard PLUMBING, not caller discipline (the r13 verdict's
+    // ask): with a ledger configured, tombstoned docs are refused at the
+    // absorb itself — one broadcast-gated anti join, O(batch) — so a
+    // deployment cannot re-absorb forgotten content by forgetting to
+    // compose Forget.filterForgotten upstream
+    val nd = tombstonePath.fold(newDocs)(p =>
+      graft.pipeline.Forget.filterForgotten(newDocs.sparkSession, newDocs, p))
+    minhashBands(nd).write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .option("compression", "zstd")
       .partitionBy("band")
       .parquet(s"$path/bands")
-    shingled(newDocs).write
+    shingled(nd).write
       .mode(org.apache.spark.sql.SaveMode.Append)
       .option("compression", "zstd")
       .parquet(s"$path/shingles")
@@ -531,20 +541,29 @@ object Dedup {
       docs: DataFrame,
       indexPath: String,
       threshold: Double,
-      broadcastCeiling: Long = IncrementalBroadcastCeiling): Unit = {
+      broadcastCeiling: Long = IncrementalBroadcastCeiling,
+      tombstonePath: Option[String] = None): Unit = {
+    // forget guard at the absorb front door (see [[appendToBandIndex]]):
+    // both the batch and the ranking corpus view drop tombstoned ids, so
+    // a forgotten doc can neither re-enter the index nor re-rank a
+    // cluster
+    val nd = tombstonePath.fold(newDocs)(p =>
+      graft.pipeline.Forget.filterForgotten(spark, newDocs, p))
+    val d = tombstonePath.fold(docs)(p =>
+      graft.pipeline.Forget.filterForgotten(spark, docs, p))
     // materialize the new manifest to a temp tree FIRST (a distributed
     // write, never a driver collect — the manifest is corpus-sized): it is
     // derived from the store it will replace AND from a band probe that
     // must not see the batch yet
     val sub = manifestSubdir(indexPath, threshold)
     val next = sub + ".next"
-    incrementalManifest(spark, newDocs, docs, indexPath, threshold, broadcastCeiling)
+    incrementalManifest(spark, nd, d, indexPath, threshold, broadcastCeiling)
       .select(col("doc_id"), col("cluster_id").as("component"),
         col("n_chars"), col("keep"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd")
       .parquet(next)
-    appendToBandIndex(newDocs, indexPath)
+    appendToBandIndex(nd, indexPath)
     // rename-aside swap (graft.ops.StoreSwap) — a complete manifest
     // version exists on disk at every instant
     graft.ops.StoreSwap.swapInto(spark, sub)

@@ -98,18 +98,24 @@ object MediaDedupStream {
       kernel: Kernel,
       queryName: String,
       checkpointDir: Option[String],
-      trigger: Trigger): StreamingQuery = {
+      trigger: Trigger,
+      tombstonePath: Option[String]): StreamingQuery = {
     val writer = media.writeStream
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // forget guard at the stream's front door (plumbing, not caller
+          // discipline): tombstoned docs drop before the remainder is even
+          // computed, so forgotten media can never re-enter the index
+          val guarded = tombstonePath.fold(batch.toDF())(p =>
+            graft.pipeline.Forget.filterForgotten(s, batch.toDF(), p))
           // the not-yet-absorbed remainder, pinned once (localCheckpoint)
           // so the probe and the absorb see the identical row set; the
           // store side of the anti join stays un-broadcast — it is the
           // unbounded side, the batch is the small one
-          val remainder = batch.toDF()
+          val remainder = guarded
             .join(kernel.absorbedIds(s, indexPath), Seq("doc_id"), "left_anti")
             .localCheckpoint()
           if (!remainder.isEmpty) {
@@ -132,9 +138,10 @@ object MediaDedupStream {
       maxHamming: Int = 8,
       queryName: String = "media_dedup_image",
       checkpointDir: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      tombstonePath: Option[String] = None): StreamingQuery =
     run(media, indexPath, resultsDir, image(maxHamming), queryName,
-      checkpointDir, trigger)
+      checkpointDir, trigger, tombstonePath)
 
   /** Online q186: streamed WAVs probe + absorb a persisted audio index. */
   def startAudio(
@@ -144,9 +151,10 @@ object MediaDedupStream {
       maxHamming: Int = 6,
       queryName: String = "media_dedup_audio",
       checkpointDir: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      tombstonePath: Option[String] = None): StreamingQuery =
     run(media, indexPath, resultsDir, audio(maxHamming), queryName,
-      checkpointDir, trigger)
+      checkpointDir, trigger, tombstonePath)
 
   /** Online q187: streamed videos probe + absorb the frame index (bands +
     * vcounts denominators).
@@ -159,7 +167,8 @@ object MediaDedupStream {
       minOverlap: Double = 0.5,
       queryName: String = "media_dedup_video",
       checkpointDir: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      tombstonePath: Option[String] = None): StreamingQuery =
     run(media, indexPath, resultsDir, video(maxHamming, minOverlap), queryName,
-      checkpointDir, trigger)
+      checkpointDir, trigger, tombstonePath)
 }

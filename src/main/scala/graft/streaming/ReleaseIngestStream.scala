@@ -65,13 +65,14 @@ object ReleaseIngestStream {
       shardTokens: Int = 2048,
       queryName: String = "release_ingest",
       checkpointDir: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      tombstonePath: Option[String] = None): StreamingQuery = {
     val writer = docs.writeStream
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) ingest(batch.toDF(), indexDir, releaseDir,
-          threshold, packTokens, shardTokens)
+          threshold, packTokens, shardTokens, tombstonePath)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
@@ -85,9 +86,17 @@ object ReleaseIngestStream {
       releaseDir: String,
       threshold: Double = 0.7,
       packTokens: Int = 512,
-      shardTokens: Int = 2048): Unit = {
+      shardTokens: Int = 2048,
+      tombstonePath: Option[String] = None): Unit = {
     val s = batch.sparkSession
-    val b = batch.withColumn("n_chars", length(col("text")).cast("long"))
+    // forget guard at the ingest front door (plumbing, not caller
+    // discipline): tombstoned docs drop before ANY store — band index,
+    // manifest, release — can absorb them; a fully-tombstoned batch is a
+    // committed no-op
+    val guarded = tombstonePath.fold(batch)(p =>
+      graft.pipeline.Forget.filterForgotten(s, batch, p))
+    if (tombstonePath.isDefined && guarded.isEmpty) return
+    val b = guarded.withColumn("n_chars", length(col("text")).cast("long"))
     val sub = Dedup.manifestSubdir(indexDir, threshold)
     def committed(dir: String) = java.nio.file.Files
       .exists(java.nio.file.Paths.get(dir, "_SUCCESS"))

@@ -215,5 +215,26 @@ class ForgetEverywhereSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val tdIds = td.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(compacted == tdIds, "compaction must yield exactly the distinct ids")
+
+    // PLUMBED guards (r13 verdict item: the ledger as a parameter of the
+    // absorbing entry points, zero caller composition): forgotten docs
+    // re-arriving through EACH absorb path leave every store residual-free
+    Dedup.appendToBandIndex(td, idx, tombstonePath = Some(ledger))
+    assert(audit()("dedup_bands") == 0L && audit()("dedup_shingles") == 0L,
+      "a guarded band-index append must refuse tombstoned docs")
+    // the full release ingest (bootstrap branch) over a mixed batch:
+    // only the non-forgotten half may enter ANY of its stores
+    val idx2 = s"$root/dedup2"
+    val rel2 = s"$root/release2"
+    graft.streaming.ReleaseIngestStream.ingest(
+      mixed, idx2, rel2, tombstonePath = Some(ledger))
+    val res2 = Forget.residuals(td.select("doc_id"),
+        Forget.families(spark, Forget.Stores(
+          dedupIndexDir = Some(idx2), releaseDir = Some(rel2))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(res2.values.forall(_ == 0L),
+      s"a guarded release ingest must leave no forgotten-doc rows: $res2")
+    assert(spark.read.parquet(Dedup.manifestSubdir(idx2, 0.7)).count() == want.size,
+      "the guarded ingest must still absorb every non-forgotten row")
   }
 }

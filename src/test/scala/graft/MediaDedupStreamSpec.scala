@@ -136,6 +136,50 @@ class MediaDedupStreamSpec extends SparkSpec {
       "only the remainder may be absorbed — no drop, no double-absorb")
   }
 
+  test("image stream: tombstoned docs are refused at the front door") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Array[Byte])] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY)
+
+    val docs = graft.queries.Tables(spark, dir, "documents")
+    val store = Multimodal.imagePayloads(
+      docs.filter(pmod(col("doc_id"), lit(5)).isin(1, 2, 3)))
+    val b1 = Multimodal.imagePayloads(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    val keepOnly = Multimodal.imagePayloads(
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0 && pmod(col("doc_id"), lit(10)) =!= 0))
+    val root = java.nio.file.Files.createTempDirectory("graft_media_tomb").toString
+    val live = s"$root/live"
+    val twin = s"$root/twin"
+    val results = s"$root/results"
+    Multimodal.persistDhashIndex(store, live)
+    Multimodal.persistDhashIndex(store, twin)
+    val ledger = s"$root/tombs"
+    graft.pipeline.Forget.appendTombstones(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0).select(col("doc_id")), ledger)
+
+    // the batch twin over the NON-tombstoned half only
+    val exp1 = pairSet(Multimodal.incrementalDhashPairs(spark, keepOnly, twin, 8))
+    Multimodal.appendToDhashIndex(keepOnly, twin)
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MediaDedupStream.startImage(
+      input.toDF().toDF("doc_id", "payload"), live, results,
+      queryName = "media_dedup_image_tomb_t",
+      checkpointDir = Some(s"$root/ckpt"),
+      tombstonePath = Some(ledger))
+    input.addData(mediaRows(b1): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(pairSet(spark.read.parquet(s"$results/batch=0")) == exp1,
+      "the guarded stream must probe only the non-tombstoned rows")
+    assert(bandSet(live) == bandSet(twin),
+      "tombstoned docs must never enter the index through the stream")
+  }
+
   test("video stream: frame-grain probe agrees with the batch operator and absorbs both artifacts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
