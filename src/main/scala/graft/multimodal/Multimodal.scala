@@ -672,6 +672,31 @@ object Multimodal {
     vsStore.unionByName(within)
   }
 
+  /** Verified fingerprint pairs AMONG a bounded doc set, index-backed —
+    * the media arm of a bridge-split retract (the
+    * [[graft.queries.Dedup.retractManifest]] survivor-pairs shape): the
+    * store's band rows restricted to the survivor set equi-join on
+    * (band, bhash) and hamming-verify off the STORED dh values, so no
+    * payload is ever re-decoded. The corpus-sized store streams against
+    * the hinted (broadcast-gated) survivor set; output (a, b), a < b.
+    */
+  private[graft] def survivorFingerprintPairs(
+      store: DataFrame,
+      survivors: DataFrame,
+      maxHamming: Int,
+      hinted: DataFrame => DataFrame): DataFrame = {
+    val sb = store.join(hinted(survivors.select(col("doc_id"))), Seq("doc_id"))
+    sb.as("x")
+      .join(sb.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        graft.functions.Text.hamming64(col("x.dh"), col("y.dh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"))
+  }
+
   /** The image instance of the fingerprint-index trio (q185). */
   def persistDhashIndex(media: DataFrame, path: String): Unit =
     persistFingerprintIndex(dhashRows(media), path)

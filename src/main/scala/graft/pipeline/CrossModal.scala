@@ -1,0 +1,209 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.queries.Dedup
+
+/** PERSISTED cross-modal duplicate-family store — the q191 one-shot fold
+  * ([[graft.queries.Extras.crossModalComponents]]) given the daily life
+  * every other dedup tier already has (q110/q112/q147's pattern): the
+  * union-graph component assignment persists next to the per-modality
+  * band indexes, each daily batch folds in via the CONTRACTED merge —
+  * O(batch) merge-graph work, the stored assignment scanned but never
+  * shuffled — and a takedown retracts with bridge-split correctness.
+  *
+  * The store is ONE artifact (`<path>/assignment`: component, doc_id) by
+  * design: the edges themselves live in the three modality indexes that
+  * already exist (text bands+shingles, image dHash bands, audio
+  * fingerprint bands — each with its own absorb/retract/compact
+  * lifecycle), so this store adds only the cross-modal FOLD state, never
+  * a second copy of any edge source. Every operation here takes the
+  * three index paths and derives edges index-backed — no payload is
+  * ever re-decoded and no text re-shingled.
+  *
+  * Exactness: [[incremental]] rides [[Dedup.contractedComponentsOver]]
+  * verbatim — the q110 contraction argument (stored component = min
+  * member id; contracting a connected subgraph to its representative
+  * preserves connectivity and min labels) does not care WHICH kernels
+  * produced the edges, only that the batch pair set equals the full
+  * graph's batch-touching edges, which each modality's incremental ≡
+  * full-restricted pin guarantees (DedupIndexSpec, DHashSpec,
+  * AudioFingerprintSpec). CrossModalSpec asserts incremental ≡ the q191
+  * rebuild and retract ≡ rebuild-without, including a planted
+  * cross-modal BRIDGE doc whose forget must split its family.
+  *
+  * 100 TB shape: the three edge probes are the q66/q185/q186 banded
+  * equi-joins (batch-sized shuffles against partitioned stores); the
+  * merge graph is O(batch pairs); retract recomputes only touched
+  * components, with survivor edges regenerated from the indexes
+  * restricted to the (takedown-bounded) touched membership.
+  */
+object CrossModal {
+
+  /** The three per-modality edge sources + thresholds, bundled so every
+    * lifecycle operation derives edges identically (one vocabulary — the
+    * q191 precision-first arm defaults).
+    */
+  final case class EdgeSources(
+      textIndexPath: String,
+      imageIndexPath: String,
+      audioIndexPath: String,
+      threshold: Double = 0.7,
+      maxHammingImg: Int = 8,
+      maxHammingAud: Int = 4)
+
+  private def assignmentDir(path: String) = s"$path/assignment"
+
+  /** Bootstrap the assignment from a full corpus (the q191 fold). */
+  def persist(docs: DataFrame, path: String): String = {
+    val out = assignmentDir(path)
+    graft.queries.Extras.crossModalComponents(docs)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(out)
+    out
+  }
+
+  /** Schema-pinned read of the assignment (the store survives a total
+    * takedown the same way the media indexes do).
+    */
+  def readAssignment(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "component", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType))))
+      .parquet(assignmentDir(path))
+
+  /** The batch's cross-modal edge set against the three persisted
+    * indexes + within itself: each arm is its modality's incremental
+    * probe (q66 / q185 / q186 — no stored payload re-decoded, no stored
+    * text re-shingled), unioned as (new_id, existing_id).
+    */
+  def incrementalEdges(
+      spark: SparkSession, batchDocs: DataFrame, src: EdgeSources): DataFrame = {
+    def e(df: DataFrame) = df.select(
+      col("new_id").cast("long").as("new_id"),
+      col("existing_id").cast("long").as("existing_id"))
+    e(Dedup.incrementalMinhashPairs(spark, batchDocs, src.textIndexPath, src.threshold))
+      .unionByName(e(Multimodal.incrementalDhashPairs(
+        spark, Multimodal.imagePayloads(batchDocs),
+        src.imageIndexPath, src.maxHammingImg)))
+      .unionByName(e(Multimodal.incrementalAudioPairs(
+        spark, Multimodal.audioPayloads(batchDocs),
+        src.audioIndexPath, src.maxHammingAud)))
+  }
+
+  /** The contracted merge over an already-derived batch edge set — split
+    * from [[incremental]] so the q192 registration can dump assignment +
+    * edges pid-scoped and merge over the READBACK (both engines then
+    * fold the same rows; DuckDB replays via the recursive CC CTE).
+    */
+  def mergeOver(
+      batchIds: DataFrame,
+      stored: DataFrame,
+      edges: DataFrame,
+      batchSmall: Boolean): DataFrame = {
+    def hinted(df: DataFrame): DataFrame =
+      if (batchSmall) broadcast(df) else df
+    val ct = Dedup.contractedComponentsOver(
+      batchIds.select(col("doc_id").as("id")),
+      stored.select(col("doc_id"), col("component")),
+      edges, hinted)
+    Dedup.mergedAssignment(stored.select(col("doc_id"), col("component")), ct)
+      .select(col("cluster_id").as("component"), col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Day-N assignment + day-N+1 batch → the updated full assignment
+    * (recomputing only batch-touching components). Pure — the store
+    * mutation is [[absorb]].
+    */
+  def incremental(
+      spark: SparkSession,
+      batchDocs: DataFrame,
+      path: String,
+      src: EdgeSources,
+      broadcastCeiling: Long = Dedup.IncrementalBroadcastCeiling): DataFrame = {
+    val batchSmall = batchDocs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(broadcastCeiling)
+    mergeOver(batchDocs.select(col("doc_id")),
+      readAssignment(spark, path),
+      incrementalEdges(spark, batchDocs, src), batchSmall)
+  }
+
+  /** Fold a batch into the store: merged assignment write-aside → swap,
+    * THEN the three modality-index appends (the assignment merge reads
+    * the indexes pre-batch, so it must plan first; a crash between the
+    * writes leaves the assignment correct-for-its-inputs and the next
+    * [[incremental]] against the partially-appended indexes is healed by
+    * re-running absorb — each index append is the store's own guarded
+    * append). `tombstonePath` guards the front door like every absorbing
+    * path.
+    */
+  def absorb(
+      spark: SparkSession,
+      batchDocs: DataFrame,
+      path: String,
+      src: EdgeSources,
+      broadcastCeiling: Long = Dedup.IncrementalBroadcastCeiling,
+      tombstonePath: Option[String] = None): Unit = {
+    val b = tombstonePath.fold(batchDocs)(p =>
+      Forget.filterForgotten(spark, batchDocs, p))
+    incremental(spark, b, path, src, broadcastCeiling)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(assignmentDir(path) + ".next")
+    Dedup.appendToBandIndex(b, src.textIndexPath)
+    Multimodal.appendToDhashIndex(Multimodal.imagePayloads(b), src.imageIndexPath)
+    Multimodal.appendToAudioIndex(Multimodal.audioPayloads(b), src.audioIndexPath)
+    graft.ops.StoreSwap.swapInto(spark, assignmentDir(path))
+  }
+
+  /** Un-absorb a doc set from the assignment with BRIDGE-SPLIT
+    * correctness (the q149 clause at the cross-modal tier): components
+    * touching a forgotten doc recompute from the surviving members'
+    * edges — regenerated index-backed per modality (stored bands +
+    * shingle sets for text, stored dh values for image/audio; nothing
+    * re-decodes) — so a family held together only by the forgotten doc
+    * falls apart, exactly as a rebuild without it would. Untouched
+    * components pass through verbatim; write-aside → swap. Retracting
+    * the docs from the three modality indexes is their own stores'
+    * retracts (composed by [[Forget.forgetEverywhere]]) — run THIS arm
+    * first: it reads the survivor rows, which the modality retracts
+    * preserve anyway, but ordering it first keeps every read against
+    * fully-consistent indexes.
+    */
+  def retract(
+      spark: SparkSession,
+      batchIds: DataFrame,
+      path: String,
+      src: EdgeSources): Unit = {
+    val store = readAssignment(spark, path)
+    val ids = broadcast(batchIds.select(col("doc_id")))
+    val touched = store.join(ids, Seq("doc_id"))
+      .select(col("component")).distinct()
+    val untouched = store.join(broadcast(touched), Seq("component"), "left_anti")
+      .select(col("component"), col("doc_id"))
+    val survivors = store.join(broadcast(touched), Seq("component"))
+      .join(ids, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    def hinted(df: DataFrame): DataFrame = broadcast(df)
+    val pairs = Dedup.survivorTextPairs(
+        spark, src.textIndexPath, survivors, src.threshold, hinted)
+      .unionByName(Multimodal.survivorFingerprintPairs(
+        Multimodal.readBandStore(spark, src.imageIndexPath),
+        survivors, src.maxHammingImg, hinted))
+      .unionByName(Multimodal.survivorFingerprintPairs(
+        Multimodal.readBandStore(spark, src.audioIndexPath),
+        survivors, src.maxHammingAud, hinted))
+    val comps = graft.operators.ConnectedComponents.run(
+      survivors.select(col("doc_id").as("id")),
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    untouched
+      .unionByName(comps.select(col("component"), col("id").as("doc_id")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(assignmentDir(path) + ".next")
+    graft.ops.StoreSwap.swapInto(spark, assignmentDir(path))
+  }
+}

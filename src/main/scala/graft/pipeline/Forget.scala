@@ -79,7 +79,10 @@ object Forget {
       vectorIndexes: Seq[(IvfIndex.Model, String)] = Nil,
       imageIndexPath: Option[String] = None,
       audioIndexPath: Option[String] = None,
-      videoIndexPath: Option[String] = None)
+      videoIndexPath: Option[String] = None,
+      // cross-modal assignment store + the three modality indexes its
+      // bridge-split retract regenerates survivor edges from
+      crossModal: Option[(String, CrossModal.EdgeSources)] = None)
 
   /** Drive the forget through every configured store. `docs` must carry
     * the forgotten documents' (doc_id, text, source, n_chars) — the
@@ -132,6 +135,13 @@ object Forget {
     }
     stores.vectorIndexes.foreach { case (model, p) =>
       IvfIndex.retractFromIndex(spark, model, vectors, p)
+    }
+    // the cross-modal arm runs BEFORE the modality-index retracts: its
+    // bridge-split recompute reads survivor rows from those indexes
+    // (which the later retracts preserve — survivors are never forgotten
+    // — but ordering it first keeps every read against untouched stores)
+    stores.crossModal.foreach { case (p, src) =>
+      CrossModal.retract(spark, ids, p, src)
     }
     stores.imageIndexPath.foreach(p => Multimodal.retractFromDhashIndex(spark, ids, p))
     stores.audioIndexPath.foreach(p => Multimodal.retractFromAudioIndex(spark, ids, p))
@@ -239,7 +249,11 @@ object Forget {
         Family("media_video_frames", Multimodal.readBandStore(spark, p),
           (col("doc_id") / Multimodal.FidWidth).cast("long")),
         Family("media_video_counts", Multimodal.readVcounts(spark, p), col("vid"))))
-    dedup ++ release ++ vecs ++ media
+    val xm = stores.crossModal.toSeq.map { case (p, _) =>
+      Family("crossmodal_assignment",
+        CrossModal.readAssignment(spark, p), col("doc_id"))
+    }
+    dedup ++ release ++ vecs ++ media ++ xm
   }
 
   /** RESIDUAL AUDIT — per store family, the rows still referencing a

@@ -328,22 +328,21 @@ object Dedup {
     * Also returns the batch id frame and the size-gated broadcast hint so
     * both callers join the corpus-sized store the same O(batch) way.
     */
-  private case class ContractedMerge(
+  private[graft] case class ContractedMerge(
       comps: DataFrame, batchIds: DataFrame, hinted: DataFrame => DataFrame)
 
-  private def contractedComponents(
-      spark: org.apache.spark.sql.SparkSession,
-      newDocs: DataFrame,
+  /** The contraction core over an ALREADY-DERIVED batch pair set —
+    * factored from [[contractedComponents]] so the CROSS-MODAL store
+    * ([[graft.pipeline.CrossModal]]) can fold union-of-modality edges
+    * through the exact same merge (one contraction argument, one code
+    * path — the incremental-equals-rebuild proof cannot drift between
+    * tiers). `pairs` carries (new_id, existing_id) with new_id ∈ batch.
+    */
+  private[graft] def contractedComponentsOver(
+      batchIds: DataFrame,
       stored: DataFrame,
-      indexPath: String,
-      threshold: Double,
-      broadcastCeiling: Long): ContractedMerge = {
-    val batchSmall =
-      newDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(broadcastCeiling)
-    def hinted(df: DataFrame): DataFrame = if (batchSmall) broadcast(df) else df
-    val pairs = incrementalMinhashPairs(spark, newDocs, indexPath, threshold)
-      .select(col("new_id"), col("existing_id"))
-    val batchIds = newDocs.select(col("doc_id").as("id"))
+      pairs: DataFrame,
+      hinted: DataFrame => DataFrame): ContractedMerge = {
     // endpoint → representative: stored component for corpus docs, own id
     // for batch docs. INNER join against the union map (not an outer join
     // against the store) so the batch-derived side can be the broadcast
@@ -357,6 +356,38 @@ object Dedup {
     val comps = graft.operators.ConnectedComponents.run(
       batchIds.unionByName(edges.select(col("dst").as("id"))), edges)
     ContractedMerge(comps, batchIds, hinted)
+  }
+
+  private def contractedComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      stored: DataFrame,
+      indexPath: String,
+      threshold: Double,
+      broadcastCeiling: Long): ContractedMerge = {
+    val batchSmall =
+      newDocs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(broadcastCeiling)
+    def hinted(df: DataFrame): DataFrame = if (batchSmall) broadcast(df) else df
+    val pairs = incrementalMinhashPairs(spark, newDocs, indexPath, threshold)
+      .select(col("new_id"), col("existing_id"))
+    contractedComponentsOver(newDocs.select(col("doc_id").as("id")), stored, pairs, hinted)
+  }
+
+  /** The full updated assignment off a [[ContractedMerge]] — the shared
+    * tail of [[incrementalComponentMerge]] and the cross-modal fold:
+    * untouched stored rows pass through, touched components remap, batch
+    * docs take their merge-graph component. Output (cluster_id, doc_id),
+    * unordered (callers order).
+    */
+  private[graft] def mergedAssignment(
+      stored: DataFrame, ct: ContractedMerge): DataFrame = {
+    val remap = ct.comps.select(col("id").as("component"), col("component").as("newc"))
+    val updatedCorpus = stored
+      .join(ct.hinted(remap), Seq("component"), "left")
+      .select(coalesce(col("newc"), col("component")).as("cluster_id"), col("doc_id"))
+    val batchAssign = ct.comps.join(ct.hinted(ct.batchIds), "id")
+      .select(col("component").as("cluster_id"), col("id").as("doc_id"))
+    updatedCorpus.unionByName(batchAssign)
   }
 
   /** Incremental connected-component MERGE — the production daily-batch
@@ -397,13 +428,7 @@ object Dedup {
       .select(col("doc_id"), col("component"))
     val ct = contractedComponents(
       spark, newDocs, stored, indexPath, threshold, broadcastCeiling)
-    val remap = ct.comps.select(col("id").as("component"), col("component").as("newc"))
-    val updatedCorpus = stored
-      .join(ct.hinted(remap), Seq("component"), "left")
-      .select(coalesce(col("newc"), col("component")).as("cluster_id"), col("doc_id"))
-    val batchAssign = ct.comps.join(ct.hinted(ct.batchIds), "id")
-      .select(col("component").as("cluster_id"), col("id").as("doc_id"))
-    updatedCorpus.unionByName(batchAssign).orderBy("doc_id")
+    mergedAssignment(stored, ct).orderBy("doc_id")
   }
 
   /** q112: the incremental dedup MANIFEST — [[incrementalComponentMerge]]
@@ -2638,6 +2663,38 @@ object Dedup {
     * corpus MINUS the batch — equality is the retract-equals-rebuild
     * contract, the mirror image of q110/q112's.
     */
+  /** Verified text near-dup pairs AMONG a bounded doc set, index-backed
+    * (factored from [[retractManifest]], shared with the cross-modal
+    * retract): the store's band rows restricted to the survivor set
+    * equi-join on (band, bhash), verified by the stored shingle sets —
+    * the corpus-sized artifacts stream against the hinted survivor set,
+    * the same O(touched) shape as the absorb. Output (a, b), a < b.
+    */
+  private[graft] def survivorTextPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      survivors: DataFrame,
+      threshold: Double,
+      hinted: DataFrame => DataFrame): DataFrame = {
+    val sb = spark.read.parquet(s"$indexPath/bands")
+      .join(hinted(survivors), Seq("doc_id"))
+    val cand = sb.as("x")
+      .join(sb.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val shs = spark.read.parquet(s"$indexPath/shingles")
+      .join(hinted(survivors), Seq("doc_id"))
+    cand
+      .join(shs.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(shs.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        HashExpressions.jaccardSorted(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= threshold)
+      .select(col("a"), col("b"))
+  }
+
   def retractManifest(
       spark: org.apache.spark.sql.SparkSession,
       batchIds: DataFrame,
@@ -2658,26 +2715,7 @@ object Dedup {
     val survivors = store.join(hinted(touched), Seq("component"))
       .join(hinted(ids), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
-    // pairs among survivors, index-backed: the store's band rows restricted
-    // to the bounded survivor set equi-join on (band, bhash), verified by
-    // the stored shingle sets — the corpus-sized artifacts stream against
-    // the broadcast survivor set, the same O(touched) shape as the absorb
-    val sb = spark.read.parquet(s"$indexPath/bands")
-      .join(hinted(survivors), Seq("doc_id"))
-    val cand = sb.as("x")
-      .join(sb.as("y"),
-        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val shs = spark.read.parquet(s"$indexPath/shingles")
-      .join(hinted(survivors), Seq("doc_id"))
-    val pairs = cand
-      .join(shs.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
-      .join(shs.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
-      .select(col("a"), col("b"),
-        HashExpressions.jaccardSorted(col("sh_a"), col("sh_b")).as("j"))
-      .filter(col("j") >= threshold)
+    val pairs = survivorTextPairs(spark, indexPath, survivors, threshold, hinted)
     val comps = graft.operators.ConnectedComponents.run(
       survivors.select(col("doc_id").as("id")),
       pairs.select(col("a").as("src"), col("b").as("dst")))
@@ -2854,7 +2892,7 @@ object Dedup {
     * unchanged testdata dir a completed warm index at the fingerprinted
     * path is reusable as-is.
     */
-  private def bandIndexFor(corpus: DataFrame, dir: String): String = synchronized {
+  private[queries] def bandIndexFor(corpus: DataFrame, dir: String): String = synchronized {
     val path = indexPathFor(dir)
     val reusable = dir.startsWith("/root/testdata") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS"))

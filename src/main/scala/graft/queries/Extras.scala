@@ -58,6 +58,14 @@ object Extras {
   private val q186Dir = mediaDumpDir("q186")
   private val q187Dir = mediaDumpDir("q187")
 
+  /** q192's pid-scoped dump root: the warm store assignment + the
+    * batch's union edge set, so DuckDB replays the contracted merge as a
+    * plain CC over star edges (doc → stored component) ∪ batch pairs —
+    * the q110 contraction argument made driver-checkable without
+    * replaying any modality kernel.
+    */
+  private val q192Dir = mediaDumpDir("q192")
+
   /** The q185/q186 oracle: DuckDB recomputes the batch's 4×16-bit bands
     * off the dumped (doc_id, dh) rows — `>>` is arithmetic (sign-
     * extending) on BIGINT in both engines, and the 0xffff mask erases
@@ -637,7 +645,8 @@ object Extras {
         |  UNION ALL SELECT 'dedup_manifest', n.c, n.c FROM n
         |  UNION ALL SELECT 'dedup_shingles', n.c, n.c FROM n
         |  UNION ALL SELECT 'release_manifest', k.c, k.c FROM k
-        |  UNION ALL SELECT 'vector_index', v.c, v.c FROM v)
+        |  UNION ALL SELECT 'vector_index', v.c, v.c FROM v
+        |  UNION ALL SELECT 'crossmodal_assignment', n.c, n.c FROM n)
         |ORDER BY store""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val emb = Tables(s, dir, "embeddings")
@@ -654,7 +663,14 @@ object Extras {
         graft.pipeline.Forget.Family(
           "release_manifest", Curation.releaseManifestFor(s, dir), col("doc_id")),
         graft.pipeline.Forget.Family(
-          "vector_index", s.read.parquet(ivfPath), col("vec_id")))
+          "vector_index", s.read.parquet(ivfPath), col("vec_id")),
+        // round 14: the cross-modal assignment joins the audit — one
+        // row per doc (the q97-manifest shape), so the oracle row is
+        // the plain takedown count
+        graft.pipeline.Forget.Family(
+          "crossmodal_assignment",
+          graft.pipeline.CrossModal.readAssignment(
+            s, crossModalIndexFor(docs, dir, "full")), col("doc_id")))
       graft.pipeline.Forget.residuals(ids, fams)
     },
 
@@ -751,6 +767,63 @@ object Extras {
           .option("compression", "zstd").parquet(dump)
       }
       crossModalFold(docs, s.read.parquet(dump))
+    },
+
+    // CROSS-MODAL INCREMENTAL fold ([[graft.pipeline.CrossModal]]) — the
+    // q191 family given the daily form every other dedup tier has
+    // (q110/q112/q147's pattern): day-N's persisted assignment + the
+    // batch's union-of-modality incremental edges (text q66, image q185,
+    // audio q186 — each probing ITS persisted index, nothing re-decoded)
+    // → the updated full assignment via the contracted merge,
+    // recomputing only batch-touching components. ORACLED by the merge
+    // replay: assignment + edges dump pid-scoped and DuckDB folds star
+    // edges (doc → stored component) ∪ batch pairs with the recursive CC
+    // CTE — exact by the q110 contraction argument (stored component =
+    // min member id). CrossModalSpec pins incremental ≡ the q191
+    // rebuild, the absorb/retract lifecycle and the bridge-split forget.
+    "q192_crossmodal_incremental" -> Q(
+      "Incremental cross-modal duplicate families: persisted assignment " +
+        "+ the batch's text/image/audio edges, contracted merge",
+      """WITH RECURSIVE
+        |a AS (SELECT component, doc_id
+        |      FROM read_parquet('$q192Dir/assignment.parquet/*.parquet')),
+        |p AS (SELECT new_id, existing_id
+        |      FROM read_parquet('$q192Dir/pairs.parquet/*.parquet')),
+        |e0 AS (SELECT doc_id AS u, component AS v FROM a WHERE doc_id <> component
+        |       UNION SELECT new_id, existing_id FROM p),
+        |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |mins AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u),
+        |nodes AS (SELECT doc_id FROM a
+        |          UNION SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+        |SELECT LEAST(COALESCE(m.mn, n.doc_id), n.doc_id) AS component, n.doc_id
+        |FROM nodes n LEFT JOIN mins m ON m.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin.replace("$q192Dir", q192Dir)) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val src = graft.pipeline.CrossModal.EdgeSources(
+        textIndexPath = Dedup.bandIndexFor(corpus, dir),
+        imageIndexPath = dhashIndexFor(Multimodal.imagePayloads(corpus), dir),
+        audioIndexPath = audioIndexFor(Multimodal.audioPayloads(corpus), dir))
+      val xm = crossModalIndexFor(corpus, dir, "store")
+      Extras.synchronized {
+        graft.pipeline.CrossModal.readAssignment(s, xm).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q192Dir/assignment.parquet")
+        graft.pipeline.CrossModal.incrementalEdges(s, batch, src).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q192Dir/pairs.parquet")
+      }
+      graft.pipeline.CrossModal.mergeOver(
+        batch.select(col("doc_id")),
+        s.read.parquet(s"$q192Dir/assignment.parquet"),
+        s.read.parquet(s"$q192Dir/pairs.parquet"),
+        batchSmall = batch.queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(Dedup.IncrementalBroadcastCeiling))
     },
 
     "q190_forget_guard" -> Q(
@@ -884,6 +957,24 @@ object Extras {
     }
     path
   }
+
+  /** Warm cross-modal assignment store over the %5<>0 store corpus (the
+    * Dedup.bandIndexFor convention: testdata dirs reuse, any other dir
+    * rebuilds). Never mutated by its consumers — q192 registers the
+    * PROBE form; the store-rewriting absorb/retract lifecycle is
+    * CrossModalSpec's.
+    */
+  private def crossModalIndexFor(
+      corpus: DataFrame, dir: String, tag: String): String =
+    synchronized {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_xmidx_" +
+        java.lang.Integer.toHexString(dir.hashCode) + "_" + tag
+      val reusable = dir.startsWith("/root/testdata") &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, "assignment", "_SUCCESS"))
+      if (!reusable) graft.pipeline.CrossModal.persist(corpus, path)
+      path
+    }
 
   /** Warm-reuse policy for the image dHash index (the Dedup.bandIndexFor
     * convention): testdata corpora reuse the artifact across calls, any

@@ -51,4 +51,68 @@ class CrossModalSpec extends SparkSpec {
         s"image edge ($a,$b) must merge despite unrelated text")
     }
   }
+
+  test("q192 lifecycle: incremental equals rebuild, absorb persists it, retract splits a forgotten bridge") {
+    import graft.pipeline.CrossModal
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_life").toString
+    val text = s"$root/text"
+    val img = s"$root/img"
+    val aud = s"$root/aud"
+    Dedup.persistBandIndex(corpus, text)
+    Multimodal.persistDhashIndex(Multimodal.imagePayloads(corpus), img)
+    Multimodal.persistAudioIndex(Multimodal.audioPayloads(corpus), aud)
+    val src = CrossModal.EdgeSources(text, img, aud)
+    val xm = s"$root/xm"
+    CrossModal.persist(corpus, xm)
+
+    def assignSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("component", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // INCREMENTAL ≡ REBUILD: day-N store + batch edges = the q191 fold
+    // over corpus ∪ batch, bit for bit
+    val inc = assignSet(CrossModal.incremental(spark, batch, xm, src))
+    val rebuild = assignSet(Extras.crossModalComponents(docs))
+    assert(inc == rebuild,
+      s"missing=${(rebuild -- inc).take(5)} spurious=${(inc -- rebuild).take(5)}")
+
+    // ABSORB: the store mutation leaves assignment ≡ rebuild and the
+    // three modality indexes grown by exactly the batch
+    CrossModal.absorb(spark, batch, xm, src)
+    assert(assignSet(CrossModal.readAssignment(spark, xm)) == rebuild,
+      "absorb must persist the incremental assignment")
+    val incAfter = assignSet(CrossModal.incremental(
+      spark, batch.limit(0), xm, src))
+    assert(incAfter == rebuild, "an empty day must be a fixed point")
+
+    // RETRACT with bridge-split: forget docs and require the stored
+    // assignment to equal the q191 rebuild WITHOUT them — any family
+    // held together only by a forgotten doc must fall apart
+    val td = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val tdIds = td.select(col("doc_id"))
+    CrossModal.retract(spark, tdIds, xm, src)
+    val after = assignSet(CrossModal.readAssignment(spark, xm))
+    val want = assignSet(Extras.crossModalComponents(
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)))
+    assert(after == want,
+      s"retract must equal the rebuild without the forgotten docs: " +
+        s"missing=${(want -- after).take(5)} spurious=${(after -- want).take(5)}")
+    // the bridge case is real in this fixture: some pair of docs must
+    // have LOST their shared family to the forget (they were connected
+    // only through a forgotten doc)
+    val beforeComp = rebuild.map { case (c, d) => d -> c }.toMap
+    val afterComp = after.map { case (c, d) => d -> c }.toMap
+    val splitPairs = for {
+      (d1, c1) <- afterComp.toSeq
+      (d2, c2) <- afterComp.toSeq
+      if d1 < d2 && beforeComp(d1) == beforeComp(d2) && c1 != c2
+    } yield (d1, d2)
+    assert(splitPairs.nonEmpty,
+      "fixture must exercise a bridge split (a family parted by the forget)")
+  }
 }

@@ -53,6 +53,8 @@ class ForgetEverywhereSpec extends SparkSpec {
     Multimodal.persistAudioIndex(Multimodal.audioPayloads(docs), aud)
     val vid = s"$root/vid"
     Multimodal.persistVideoIndex(Multimodal.videoPayloads(docs), vid)
+    val xm = s"$root/xm"
+    graft.pipeline.CrossModal.persist(docs, xm)
 
     val stores = Forget.Stores(
       dedupIndexDir = Some(idx),
@@ -62,7 +64,8 @@ class ForgetEverywhereSpec extends SparkSpec {
       vectorIndexes = Seq((model, ivfPath), (model, pqPath)),
       imageIndexPath = Some(img),
       audioIndexPath = Some(aud),
-      videoIndexPath = Some(vid))
+      videoIndexPath = Some(vid),
+      crossModal = Some((xm, graft.pipeline.CrossModal.EdgeSources(idx, img, aud))))
 
     def audit(): Map[String, Long] =
       Forget.residuals(tdIds, Forget.families(spark, stores))
@@ -73,7 +76,7 @@ class ForgetEverywhereSpec extends SparkSpec {
       "dedup_bands", "dedup_shingles", "dedup_manifest", "dedup_exact",
       "release_live", "vector_index_0", "vector_index_1",
       "media_image_bands", "media_audio_bands",
-      "media_video_frames", "media_video_counts")
+      "media_video_frames", "media_video_counts", "crossmodal_assignment")
     assert(Forget.families(spark, stores).map(_.store).toSet == expectedFams)
 
     // pre-forget impact gauge: the absorbed state IS the planted state —
