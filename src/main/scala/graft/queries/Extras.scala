@@ -661,7 +661,7 @@ object Extras {
         graft.pipeline.Forget.Family(
           "dedup_exact", s.read.parquet(s"$exact/exact_fp"), col("keep_id")),
         graft.pipeline.Forget.Family(
-          "release_manifest", Curation.releaseManifestFor(s, dir), col("doc_id")),
+          "release_manifest", Release.releaseManifestFor(s, dir), col("doc_id")),
         graft.pipeline.Forget.Family(
           "vector_index", s.read.parquet(ivfPath), col("vec_id")),
         // round 14: the cross-modal assignment joins the audit — one

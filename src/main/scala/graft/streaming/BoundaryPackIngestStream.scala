@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.queries.Curation
+import graft.queries.{Curation, Release}
 
 /** Streaming ingestion into the BOUNDARY-pack manifest — the continuous
   * form of the bucket-grain continuation (q165), and
@@ -20,8 +20,8 @@ import graft.queries.Curation
   * read-counts/append cycle from racing itself; restart semantics are
   * the standard foreachBatch at-least-once file-sink contract.
   *
-  * The FIRST batch bootstraps via [[Curation.boundaryPack]]; every later
-  * batch appends [[Curation.boundarySpans]].
+  * The FIRST batch bootstraps via [[Release.boundaryPack]]; every later
+  * batch appends [[Release.boundarySpans]].
   */
 object BoundaryPackIngestStream {
 
@@ -41,14 +41,14 @@ object BoundaryPackIngestStream {
           val bootstrapped = java.nio.file.Files
             .exists(java.nio.file.Paths.get(storeDir, "_SUCCESS"))
           if (!bootstrapped) {
-            Curation.boundaryPack(batch.toDF(), budget).write
+            Release.boundaryPack(batch.toDF(), budget).write
               .mode(SaveMode.Overwrite).parquet(storeDir)
           } else {
-            val counts = Curation
+            val counts = Release
               .boundaryResumeCounts(s.read.parquet(storeDir), budget)
               .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
             import s.implicits._
-            Curation.boundarySpans(
+            Release.boundarySpans(
                 batch.toDF(), counts.toDF("source", "bucket_slot", "base_rn"), budget)
               .write.mode(SaveMode.Append).parquet(storeDir)
           }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.queries.Curation
+import graft.queries.{Curation, Release}
 
 /** Streaming ingestion INTO the pack manifest — the continuous form of the
   * continuation append (q159): each micro-batch plays the role of a "day"
@@ -17,7 +17,7 @@ import graft.queries.Curation
   * precedent): the append is a batch operation against the existing
   * layout, and Structured Streaming's sequential-epoch guarantee means
   * the read-offsets/append cycle never races itself. One deliberate
-  * difference from the batch-side [[Curation.packManifestAppend]]: the
+  * difference from the batch-side [[Release.packManifestAppend]]: the
   * per-source resume offsets (≤ n_sources rows) are COLLECTED before the
   * write starts, so the append plan never reads the directory it is
   * writing to — the parquet self-read hazard (a retried task observing
@@ -26,7 +26,7 @@ import graft.queries.Curation
   * file-sink contract: at-least-once on crash replay unless paired with a
   * downstream batch-id manifest check.
   *
-  * The FIRST batch bootstraps the manifest via [[Curation.packManifest]]
+  * The FIRST batch bootstraps the manifest via [[Release.packManifest]]
   * (there is no day-0 to resume from); every later batch appends spans.
   */
 object PackIngestStream {
@@ -47,17 +47,17 @@ object PackIngestStream {
           val bootstrapped = java.nio.file.Files
             .exists(java.nio.file.Paths.get(storeDir, "_SUCCESS"))
           if (!bootstrapped) {
-            Curation.packManifest(batch.toDF(), packTokens).write
+            Release.packManifest(batch.toDF(), packTokens).write
               .mode(SaveMode.Overwrite).parquet(storeDir)
           } else {
             // bounded collect (one row per source) — materializes the
             // resume state so the span plan is store-independent
-            val offsets = Curation
+            val offsets = Release
               .packResumeOffsets(s.read.parquet(storeDir), packTokens)
               .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
             import s.implicits._
             val base = offsets.toDF("source", "base_off")
-            Curation.packSpans(batch.toDF(), base, packTokens).write
+            Release.packSpans(batch.toDF(), base, packTokens).write
               .mode(SaveMode.Append).parquet(storeDir)
           }
           ()

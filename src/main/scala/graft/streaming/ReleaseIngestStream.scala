@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.queries.Dedup
+import graft.queries.{Dedup, Release}
 import graft.ops.ShardExport
 
 /** Streaming ingestion into a PUBLISHED RELEASE — the continuous form of
@@ -356,7 +356,7 @@ object ReleaseIngestStream {
     * job. Published files never rewrite; the loader's mask and
     * [[compactRelease]]'s epoch-close fold treat the takedown shadow
     * exactly like a demotion's. A doc already demoted stays demoted —
-    * nothing live to remove ([[graft.queries.Curation.takedownVerify]]'s
+    * nothing live to remove ([[graft.queries.Release.takedownVerify]]'s
     * `n_shielded` class) — which makes the op idempotent AND naturally
     * replay-safe: a crashed-then-replayed batch finds its docs shadowed,
     * stages zero rows, appends nothing. The tombstones stage write-aside

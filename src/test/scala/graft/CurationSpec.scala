@@ -18,7 +18,7 @@ class CurationSpec extends SparkSpec {
     val planted = Seq.tabulate(4)(i =>
       (i.toLong + 1, "s0", (1 to 4).map(j => s"w$j").mkString(" ")))
       .toDF("doc_id", "source", "text")
-    val got = graft.queries.Curation.packManifest(planted, packTokens = 10)
+    val got = graft.queries.Release.packManifest(planted, packTokens = 10)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
     assert(got.toSeq == Seq(
       (0L, 1L, 0L, 4L, 0), (0L, 2L, 4L, 8L, 0), (0L, 3L, 8L, 12L, 1),
@@ -27,7 +27,7 @@ class CurationSpec extends SparkSpec {
     // corpus invariants: the manifest is q58's cumsum at row grain —
     // per (source, pack) it must reproduce q58's doc counts and token
     // sums exactly, and only the last doc of a pack may overshoot
-    val m = graft.queries.Curation
+    val m = graft.queries.Release
       .packManifest(graft.queries.Tables(spark, dir, "documents"))
     val fromManifest = m.groupBy("source", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
@@ -55,23 +55,23 @@ class CurationSpec extends SparkSpec {
     def mk(ids: Seq[Long]) = ids.map(i =>
       (i, "s0", (1 to 4).map(j => s"w$j").mkString(" ")))
       .toDF("doc_id", "source", "text")
-    val store = graft.queries.Curation.packManifest(mk(Seq(1L, 2L)), packTokens = 10)
-    val got = graft.queries.Curation
+    val store = graft.queries.Release.packManifest(mk(Seq(1L, 2L)), packTokens = 10)
+    val got = graft.queries.Release
       .packManifestAppend(store, mk(Seq(11L, 12L)), packTokens = 10)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
     assert(got.toSeq == Seq(
       (0L, 1L, 0L, 4L, 0), (0L, 2L, 4L, 8L, 0), (0L, 11L, 8L, 12L, 1),
       (1L, 12L, 2L, 6L, 0)), s"got ${got.toSeq}")
-    val oneShot = graft.queries.Curation
+    val oneShot = graft.queries.Release
       .packManifest(mk(Seq(1L, 2L)).unionByName(mk(Seq(11L, 12L))), packTokens = 10)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
     assert(got.toSeq == oneShot.toSeq, "append must equal the one-shot fold")
 
     // empty store: append degenerates to packManifest of the batch
-    val fromEmpty = graft.queries.Curation
+    val fromEmpty = graft.queries.Release
       .packManifestAppend(store.filter(lit(false)), mk(Seq(11L, 12L)), packTokens = 10)
       .collect().map(_.toSeq)
-    val direct = graft.queries.Curation.packManifest(mk(Seq(11L, 12L)), packTokens = 10)
+    val direct = graft.queries.Release.packManifest(mk(Seq(11L, 12L)), packTokens = 10)
       .collect().map(_.toSeq)
     assert(fromEmpty.toSeq == direct.toSeq)
 
@@ -80,9 +80,9 @@ class CurationSpec extends SparkSpec {
     // batch span starts at the store's token total for that source —
     // %7 batch convention so every src(doc_id%20) source has both days
     val docs = graft.queries.Tables(spark, dir, "documents")
-    val cStore = graft.queries.Curation
+    val cStore = graft.queries.Release
       .packManifest(docs.filter(col("doc_id") % 7 =!= 0))
-    val res = graft.queries.Curation
+    val res = graft.queries.Release
       .packManifestAppend(cStore, docs.filter(col("doc_id") % 7 === 0))
     val storeSet = cStore.collect().map(_.toSeq).toSet
     val through = res.filter(col("doc_id") % 7 =!= 0).collect().map(_.toSeq).toSet
@@ -113,7 +113,7 @@ class CurationSpec extends SparkSpec {
       (4L, "s0", (1 to 500).map(_ => "w").mkString(" ")),
       (5L, "s0", (1 to 600).map(_ => "w").mkString(" ")))
       .toDF("doc_id", "source", "text")
-    val got = graft.queries.Curation.boundaryPack(planted)
+    val got = graft.queries.Release.boundaryPack(planted)
       .collect().map(r => (r.getLong(2), r.getInt(1), r.getLong(4), r.getLong(5),
         r.getLong(6), r.getInt(7))).toSeq
     assert(got == Seq(
@@ -127,7 +127,7 @@ class CurationSpec extends SparkSpec {
     // corpus invariants: every (source, slot, window) holds at most
     // 512/slot docs whose slots sum within the budget — the no-crossing
     // contract — and slot positions are exactly 0..n-1
-    val m = graft.queries.Curation
+    val m = graft.queries.Release
       .boundaryPack(graft.queries.Tables(spark, dir, "documents"))
     val viol = m.groupBy("source", "bucket_slot", "window_id")
       .agg(count(lit(1)).as("n"), max("slot_pos").as("mx"))
@@ -140,9 +140,9 @@ class CurationSpec extends SparkSpec {
   test("q165 boundary-pack append: buckets resume their numbering; store passes through") {
     import spark.implicits._
     val docs = graft.queries.Tables(spark, dir, "documents")
-    val store = graft.queries.Curation
+    val store = graft.queries.Release
       .boundaryPack(docs.filter(col("doc_id") % 7 =!= 0))
-    val res = graft.queries.Curation
+    val res = graft.queries.Release
       .boundaryPackAppend(store, docs.filter(col("doc_id") % 7 === 0))
     assert(res.filter(col("doc_id") % 7 =!= 0).collect().map(_.toSeq).toSet ==
       store.collect().map(_.toSeq).toSet,
@@ -175,12 +175,12 @@ class CurationSpec extends SparkSpec {
       .toDF("doc_id", "source", "text")
     val path = java.nio.file.Files
       .createTempDirectory("graft-bpr-spec").toString + "/store"
-    graft.queries.Curation.boundaryPack(mk(Seq(1L, 2L))).write.parquet(path)
-    graft.queries.Curation.absorbIntoBoundaryPackStore(spark, mk(Seq(11L, 12L)), path)
+    graft.queries.Release.boundaryPack(mk(Seq(1L, 2L))).write.parquet(path)
+    graft.queries.Release.absorbIntoBoundaryPackStore(spark, mk(Seq(11L, 12L)), path)
     val before = spark.read.parquet(path).collect().map(_.toSeq).toSet
     // non-tail: docs 1,2 are buried under 11,12 in the slot-16 bucket
     val ex = intercept[Exception] {
-      graft.queries.Curation.retractFromBoundaryPackStore(
+      graft.queries.Release.retractFromBoundaryPackStore(
         spark, Seq(1L).toDF("doc_id"), path)
     }
     def msg(t: Throwable): String =
@@ -190,10 +190,10 @@ class CurationSpec extends SparkSpec {
     assert(spark.read.parquet(path).collect().map(_.toSeq).toSet == before,
       "failed non-tail retract must leave the store untouched")
     // tail retract restores the pre-absorb manifest exactly
-    graft.queries.Curation.retractFromBoundaryPackStore(
+    graft.queries.Release.retractFromBoundaryPackStore(
       spark, Seq(11L, 12L).toDF("doc_id"), path)
     assert(spark.read.parquet(path).collect().map(_.toSeq).toSet ==
-      graft.queries.Curation.boundaryPack(mk(Seq(1L, 2L)))
+      graft.queries.Release.boundaryPack(mk(Seq(1L, 2L)))
         .collect().map(_.toSeq).toSet,
       "tail retract must restore the never-absorbed manifest")
   }
@@ -244,13 +244,13 @@ class CurationSpec extends SparkSpec {
       "retract must restore the never-absorbed day-1 release exactly")
     // guard: retracting a DIFFERENT batch (one added doc missing from the
     // id list) must raise, not silently drop somebody else's tail
-    val manifest = graft.queries.Curation.incrementalRelease(spark, dir)
+    val manifest = graft.queries.Release.incrementalRelease(spark, dir)
     val anAdd = manifest.filter(col("status") === "added")
       .select(col("doc_id")).head.getLong(0)
     val wrongBatch = docs.filter(col("doc_id") % 5 === 0)
       .filter(col("doc_id") =!= anAdd).select(col("doc_id"))
     val ex = intercept[Exception] {
-      graft.queries.Curation.retractRelease(manifest, wrongBatch).collect()
+      graft.queries.Release.retractRelease(manifest, wrongBatch).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
@@ -314,7 +314,7 @@ class CurationSpec extends SparkSpec {
       (4L, "sB", "   ", 3L),
       (5L, "sB", null, 0L))
       .toDF("doc_id", "source", "text", "n_chars")
-    val got = graft.queries.Curation.integrityAudit(planted)
+    val got = graft.queries.Release.integrityAudit(planted)
       .select("source", "n_dup_id", "n_chars_bad", "n_empty")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
@@ -865,15 +865,15 @@ class CurationSpec extends SparkSpec {
   test("q177 takedown verify: clean execution leaks zero; a planted leak is charged to its source") {
     val docs = graft.queries.Tables(spark, dir, "documents")
     val td = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
-    val manifest = graft.queries.Curation.incrementalRelease(spark, dir)
-    val post = graft.queries.Curation.takedownRelease(manifest, td)
+    val manifest = graft.queries.Release.incrementalRelease(spark, dir)
+    val post = graft.queries.Release.takedownRelease(manifest, td)
       .localCheckpoint()
     val tdIds = td.collect().map(_.getLong(0)).toSet
     assert(tdIds.nonEmpty)
 
     // clean execution: zero live leaks everywhere; the flipped and
     // shielded counts reconcile exactly against the post manifest
-    val v = graft.queries.Curation.takedownVerify(post, td).collect()
+    val v = graft.queries.Release.takedownVerify(post, td).collect()
     assert(v.map(_.getAs[Long]("n_live_leaks")).sum === 0L,
       "a correct takedown execution must verify leak-free")
     val postRows = post.collect()
@@ -895,7 +895,7 @@ class CurationSpec extends SparkSpec {
     import spark.implicits._
     val leak = postRows.find(_._3 == "published").get
     val td2 = td.unionByName(Seq(leak._2).toDF("doc_id"))
-    val v2 = graft.queries.Curation.takedownVerify(post, td2).collect()
+    val v2 = graft.queries.Release.takedownVerify(post, td2).collect()
     assert(v2.map(_.getAs[Long]("n_live_leaks")).sum === 1L)
     val charged = v2.filter(_.getAs[Long]("n_live_leaks") > 0)
     assert(charged.length === 1 && charged.head.getString(0) === leak._1,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Text
 import graft.operators.IvfIndex
 import graft.ops.ShardExport
-import graft.queries.{Curation, Dedup, Tables}
+import graft.queries.{Curation, Dedup, Release, Tables}
 
 /** DAY-IN-THE-LIFE integration: every persisted store family — band index
   * + dedup manifest (q66/q110/q112/q129), exact-fingerprint index (q113),
@@ -101,7 +101,7 @@ class LifecycleSpec extends SparkSpec {
     // fold over the ARRIVAL order, realized by remapping doc ids onto a
     // day-strided gid before the one-shot window
     var packPath = s"$root/packs"
-    Curation.packManifest(day0).write
+    Release.packManifest(day0).write
       .option("compression", "zstd").parquet(packPath)
     val PackStride = 10000000L
     var packDays: Seq[DataFrame] = Seq(day0)
@@ -114,7 +114,7 @@ class LifecycleSpec extends SparkSpec {
         d.select((col("doc_id") + lit(i * PackStride)).as("doc_id"),
           col("source"), col("text"))
       }.reduce(_ unionByName _)
-      Curation.packManifest(remapped)
+      Release.packManifest(remapped)
         .withColumn("doc_id", pmod(col("doc_id"), lit(PackStride)))
         .collect().map(_.toSeq).toSet
     }
@@ -222,7 +222,7 @@ class LifecycleSpec extends SparkSpec {
       Curation.absorbIntoRefcountedStore(spark, batch, rcWinPath)
       Curation.absorbIntoHistogramStore(spark, batch, histPath)
       IvfIndex.appendToIndex(model, batchEmb, ivfPath)
-      Curation.absorbIntoPackStore(spark, batch, packPath)
+      Release.absorbIntoPackStore(spark, batch, packPath)
       packDays = packDays :+ batch
 
       // -- post-absorb: every store ≡ a from-scratch rebuild --
@@ -352,7 +352,7 @@ class LifecycleSpec extends SparkSpec {
     IvfIndex.appendToIndex(model, e3, ivfPath)
     ShardExport.append(spark, day3, epochDir,
       epoch = 1, packTokens = 512, shardTokens = 2048)
-    Curation.absorbIntoPackStore(spark, day3, packPath)
+    Release.absorbIntoPackStore(spark, day3, packPath)
     assert(storeRows("manifest_bp7000") != bandBefore("manifest_bp7000"),
       "day 3: the poisoned absorb must actually change the manifest")
     assert(rcNet() != rcBefore,
@@ -365,7 +365,7 @@ class LifecycleSpec extends SparkSpec {
     Curation.retractFromHistogramStore(spark, day3, histPath)
     IvfIndex.retractFromIndex(spark, model, e3, ivfPath)
     ShardExport.resetAppended(epochDir, shardMax)
-    Curation.retractFromPackStore(spark, day3.select("doc_id"), packPath)
+    Release.retractFromPackStore(spark, day3.select("doc_id"), packPath)
 
     for (p <- bandParts)
       assert(storeRows(p) == bandBefore(p),
@@ -390,7 +390,7 @@ class LifecycleSpec extends SparkSpec {
     // the tail guard is loud: retracting a NON-tail batch (day 1, buried
     // under day 2's spans) must raise, not write a holed stream
     val ex = intercept[Exception] {
-      Curation.retractFromPackStore(spark, day1.select("doc_id"), packPath)
+      Release.retractFromPackStore(spark, day1.select("doc_id"), packPath)
     }
     def rootMsg(t: Throwable): String =
       (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
@@ -553,7 +553,7 @@ class LifecycleSpec extends SparkSpec {
       "the takedown tombstone must sit at the published address verbatim")
     // the folded loader view + q177's verifier: leak-free, one flip, one shield
     val folded = ReleaseIngestStream.foldedRelease(rel()).localCheckpoint()
-    val v = graft.queries.Curation.takedownVerify(folded, tdIds).collect()
+    val v = graft.queries.Release.takedownVerify(folded, tdIds).collect()
     assert(v.map(_.getAs[Long]("n_live_leaks")).sum == 0L,
       "a correct store-level takedown must verify leak-free")
     assert(v.map(_.getAs[Long]("n_taken_down")).sum == 1L)

@@ -672,7 +672,7 @@ class StreamingSpec extends SparkSpec {
     input.addData(r1: _*)
     q.processAllAvailable()
     assert(spans(spark.read.parquet(store)) ==
-      spans(graft.queries.Curation.packManifest(df(r1))),
+      spans(graft.queries.Release.packManifest(df(r1))),
       "batch 1 must bootstrap to exactly its own manifest")
     val afterB1 = files()
 
@@ -686,8 +686,8 @@ class StreamingSpec extends SparkSpec {
       assert(files().get(p).contains(size), s"published manifest file changed: $p")
     }
     assert(spans(spark.read.parquet(store)) ==
-      spans(graft.queries.Curation.packManifestAppend(
-        graft.queries.Curation.packManifest(df(r1)), df(r2))),
+      spans(graft.queries.Release.packManifestAppend(
+        graft.queries.Release.packManifest(df(r1)), df(r2))),
       "streamed store must equal the batch continuation fold")
   }
 
@@ -721,7 +721,7 @@ class StreamingSpec extends SparkSpec {
     input.addData(r1: _*)
     q.processAllAvailable()
     assert(rowsOf(spark.read.parquet(store)) ==
-      rowsOf(graft.queries.Curation.boundaryPack(df(r1))),
+      rowsOf(graft.queries.Release.boundaryPack(df(r1))),
       "batch 1 must bootstrap to exactly its own manifest")
     val filesB1 = new java.io.File(store).listFiles.toSeq
       .filter(_.getName.endsWith(".parquet"))
@@ -736,8 +736,8 @@ class StreamingSpec extends SparkSpec {
       assert(f.exists && f.length() == size, s"published file changed: $p")
     }
     assert(rowsOf(spark.read.parquet(store)) ==
-      rowsOf(graft.queries.Curation.boundaryPackAppend(
-        graft.queries.Curation.boundaryPack(df(r1)), df(r2))),
+      rowsOf(graft.queries.Release.boundaryPackAppend(
+        graft.queries.Release.boundaryPack(df(r1)), df(r2))),
       "streamed store must equal the batch continuation fold")
   }
 
@@ -918,7 +918,7 @@ class StreamingSpec extends SparkSpec {
     // the folded view verifies leak-free over everything requested so far
     val folded = graft.streaming.ReleaseIngestStream
       .foldedRelease(spark.read.parquet(relA))
-    val v = graft.queries.Curation.takedownVerify(
+    val v = graft.queries.Release.takedownVerify(
       folded, Seq(2L, 100L, 200L).toDF("doc_id")).collect()
     assert(v.map(_.getAs[Long]("n_live_leaks")).sum == 0L)
     assert(v.map(_.getAs[Long]("n_taken_down")).sum == 2L)
