@@ -64,6 +64,18 @@ object StoreSwap {
     if (!fs.exists(m)) fs.create(m).close()
   }
 
+  /** `_SUCCESS`-committed check through the directory's OWN FileSystem
+    * (the r13-advice discipline generalized): `java.nio` only sees the
+    * local filesystem, so a bootstrap/committed probe built on it reads
+    * "absent" for every HDFS/object-store deployment — which silently
+    * re-bootstraps over a live store. Shared by every production-path
+    * existence check (stream bootstraps, optional-artifact probes).
+    */
+  def committed(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Replace `path` with `path + ".next"` via rename-aside (see object
     * doc). Tolerates a missing live dir (first publication) and a stale
     * `.old` left by a prior crash. Retract witness markers

@@ -2775,8 +2775,7 @@ object Dedup {
     // the exact-fingerprint tier is optional in the artifact (the release
     // ingest index carries bands + shingles + manifest only)
     val exactPath = s"$indexPath/exact_fp"
-    val hasExact = java.nio.file.Files
-      .exists(java.nio.file.Paths.get(exactPath, "_SUCCESS"))
+    val hasExact = graft.ops.StoreSwap.committed(spark, exactPath)
     if (hasExact) {
       val exact = spark.read.parquet(exactPath)
       exact.join(ids.select(col("doc_id").as("keep_id")), Seq("keep_id"), "left_anti")

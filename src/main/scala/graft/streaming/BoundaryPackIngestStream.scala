@@ -31,17 +31,21 @@ object BoundaryPackIngestStream {
       budget: Int = 512,
       queryName: String = "boundary_pack_ingest",
       checkpointDir: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      tombstonePath: Option[String] = None): StreamingQuery = {
     val writer = docs.writeStream
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val bootstrapped = java.nio.file.Files
-            .exists(java.nio.file.Paths.get(storeDir, "_SUCCESS"))
+          // forget guard at the front door (the PackIngestStream clause)
+          val b = tombstonePath.fold(batch.toDF())(p =>
+            graft.pipeline.Forget.filterForgotten(s, batch.toDF(), p))
+          if (tombstonePath.isEmpty || !b.isEmpty) {
+          val bootstrapped = graft.ops.StoreSwap.committed(s, storeDir)
           if (!bootstrapped) {
-            Release.boundaryPack(batch.toDF(), budget).write
+            Release.boundaryPack(b, budget).write
               .mode(SaveMode.Overwrite).parquet(storeDir)
           } else {
             val counts = Release
@@ -49,8 +53,9 @@ object BoundaryPackIngestStream {
               .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
             import s.implicits._
             Release.boundarySpans(
-                batch.toDF(), counts.toDF("source", "bucket_slot", "base_rn"), budget)
+                b, counts.toDF("source", "bucket_slot", "base_rn"), budget)
               .write.mode(SaveMode.Append).parquet(storeDir)
+          }
           }
           ()
         }

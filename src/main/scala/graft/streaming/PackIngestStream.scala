@@ -37,17 +37,23 @@ object PackIngestStream {
       packTokens: Int = 512,
       queryName: String = "pack_ingest",
       checkpointDir: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      tombstonePath: Option[String] = None): StreamingQuery = {
     val writer = docs.writeStream
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val bootstrapped = java.nio.file.Files
-            .exists(java.nio.file.Paths.get(storeDir, "_SUCCESS"))
+          // forget guard at the front door (the MediaDedupStream shape):
+          // forgotten docs must never enter future packs — the packs
+          // already holding them are the takedown locator's job (q172)
+          val b = tombstonePath.fold(batch.toDF())(p =>
+            graft.pipeline.Forget.filterForgotten(s, batch.toDF(), p))
+          if (tombstonePath.isEmpty || !b.isEmpty) {
+          val bootstrapped = graft.ops.StoreSwap.committed(s, storeDir)
           if (!bootstrapped) {
-            Release.packManifest(batch.toDF(), packTokens).write
+            Release.packManifest(b, packTokens).write
               .mode(SaveMode.Overwrite).parquet(storeDir)
           } else {
             // bounded collect (one row per source) — materializes the
@@ -57,8 +63,9 @@ object PackIngestStream {
               .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
             import s.implicits._
             val base = offsets.toDF("source", "base_off")
-            Release.packSpans(batch.toDF(), base, packTokens).write
+            Release.packSpans(b, base, packTokens).write
               .mode(SaveMode.Append).parquet(storeDir)
+          }
           }
           ()
         }

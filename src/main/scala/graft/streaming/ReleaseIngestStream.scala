@@ -98,8 +98,7 @@ object ReleaseIngestStream {
     if (tombstonePath.isDefined && guarded.isEmpty) return
     val b = guarded.withColumn("n_chars", length(col("text")).cast("long"))
     val sub = Dedup.manifestSubdir(indexDir, threshold)
-    def committed(dir: String) = java.nio.file.Files
-      .exists(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    def committed(dir: String) = graft.ops.StoreSwap.committed(s, dir)
     // bootstrap completes only when BOTH artifacts exist (see object doc)
     val bootstrapped = committed(sub) && committed(releaseDir)
     if (!bootstrapped) {

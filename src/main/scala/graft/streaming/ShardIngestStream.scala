@@ -38,20 +38,25 @@ object ShardIngestStream {
       shardTokens: Int = 2048,
       queryName: String = "shard_ingest",
       checkpointDir: Option[String] = None,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      tombstonePath: Option[String] = None): StreamingQuery = {
     val epochDir = s"$outDir/epoch=$epoch"
     val writer = docs.writeStream
       .queryName(queryName)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          val bootstrapped = java.nio.file.Files
-            .exists(java.nio.file.Paths.get(epochDir, "_SUCCESS"))
-          if (!bootstrapped)
-            ShardExport.write(batch.toDF(), outDir, epoch, packTokens, shardTokens)
-          else
-            ShardExport.append(
-              batch.sparkSession, batch.toDF(), epochDir, epoch, packTokens, shardTokens)
+          val s = batch.sparkSession
+          // forget guard at the front door (the PackIngestStream clause)
+          val b = tombstonePath.fold(batch.toDF())(p =>
+            graft.pipeline.Forget.filterForgotten(s, batch.toDF(), p))
+          if (tombstonePath.isEmpty || !b.isEmpty) {
+            val bootstrapped = graft.ops.StoreSwap.committed(s, epochDir)
+            if (!bootstrapped)
+              ShardExport.write(b, outDir, epoch, packTokens, shardTokens)
+            else
+              ShardExport.append(s, b, epochDir, epoch, packTokens, shardTokens)
+          }
           ()
         }
       }

@@ -691,6 +691,47 @@ class StreamingSpec extends SparkSpec {
       "streamed store must equal the batch continuation fold")
   }
 
+  test("streaming pack ingest refuses tombstoned docs at the front door") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String, String)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING)
+    import spark.implicits._
+
+    val rows = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val (tomb, keep) = rows.partition(_._1 % 7 == 0)
+    def df(rs: Seq[(Long, String, String)]) = rs.toDF("doc_id", "source", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-pack-tomb").toString
+    val store = s"$root/store"
+    val ledger = s"$root/tombs"
+    graft.pipeline.Forget.appendTombstones(df(tomb).select("doc_id"), ledger)
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.PackIngestStream.start(
+      input.toDF().toDF("doc_id", "source", "text"), store,
+      queryName = "pack_ingest_tomb_t", tombstonePath = Some(ledger))
+    input.addData(rows: _*) // mixed: forgotten + fresh in one batch
+    q.processAllAvailable()
+    // a FULLY-tombstoned batch must be a committed no-op, not a bootstrap
+    input.addData(tomb: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def spans(d: org.apache.spark.sql.DataFrame) = d
+      .select("source", "pack_id", "doc_id", "tok_start", "tok_end", "crosses_boundary")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(spans(spark.read.parquet(store)) ==
+      spans(graft.queries.Release.packManifest(df(keep))),
+      "the guarded store must pack exactly the non-tombstoned rows")
+  }
+
   test("streaming boundary-pack ingest: buckets resume across batches, stream==batch fold") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
