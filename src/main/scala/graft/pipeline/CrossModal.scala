@@ -151,12 +151,34 @@ object CrossModal {
       tombstonePath: Option[String] = None): Unit = {
     val b = tombstonePath.fold(batchDocs)(p =>
       Forget.filterForgotten(spark, batchDocs, p))
-    incremental(spark, b, path, src, broadcastCeiling)
+    absorbMerged(spark, incremental(spark, b, path, src, broadcastCeiling), b, path, src)
+  }
+
+  /** The write half of [[absorb]], over an already-derived merged
+    * assignment — factored so [[graft.streaming.CrossModalDedupStream]]
+    * can compute the merge ONCE per micro-batch (results write + store
+    * mutation off the same plan). Ordering is deliberate: assignment
+    * `.next` (reads the pre-batch indexes) → index appends → assignment
+    * swap LAST. The swapped assignment is the absorb's commit witness: a
+    * crash after the appends but before the swap leaves the batch
+    * re-absorbable — the replay re-appends index rows, which probes
+    * `.distinct()` away (the band-store argument), and recomputes the
+    * identical merge; the inverse order would instead commit the witness
+    * with the edge indexes missing the batch, silently losing future
+    * edges.
+    */
+  private[graft] def absorbMerged(
+      spark: SparkSession,
+      merged: DataFrame,
+      batchDocs: DataFrame,
+      path: String,
+      src: EdgeSources): Unit = {
+    merged
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd").parquet(assignmentDir(path) + ".next")
-    Dedup.appendToBandIndex(b, src.textIndexPath)
-    Multimodal.appendToDhashIndex(Multimodal.imagePayloads(b), src.imageIndexPath)
-    Multimodal.appendToAudioIndex(Multimodal.audioPayloads(b), src.audioIndexPath)
+    Dedup.appendToBandIndex(batchDocs, src.textIndexPath)
+    Multimodal.appendToDhashIndex(Multimodal.imagePayloads(batchDocs), src.imageIndexPath)
+    Multimodal.appendToAudioIndex(Multimodal.audioPayloads(batchDocs), src.audioIndexPath)
     graft.ops.StoreSwap.swapInto(spark, assignmentDir(path))
   }
 
