@@ -83,6 +83,13 @@ object Dedup {
   private val q183Dir: String =
     s"${sys.props("java.io.tmpdir")}/graft_q183_pid${ProcessHandle.current().pid()}"
 
+  /** q34's pid-scoped simhash dump root (the q183/q185 convention): the
+    * (doc_id, sim) hash rows dump here and BOTH engines replay banding +
+    * band equi-join + hamming verify over the same readback.
+    */
+  private val q34Dir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_q34_pid${ProcessHandle.current().pid()}"
+
   def minhashBands(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -719,13 +726,25 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, sim) 64-bit simhash rows — q34's dumpable kernel output
+    * (everything downstream of these rows is ANSI-replayable).
+    */
+  def simhashRows(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      HashExpressions.simHash64(Text.tokens(col("text"))).as("sim"))
+
   /** SimHash near-dup pairs: 4×16-bit band blocking on the 64-bit simhash,
     * verified by Hamming distance <= `maxHamming`.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = docs.select(
-      col("doc_id"),
-      HashExpressions.simHash64(Text.tokens(col("text"))).as("sim"))
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsOver(simhashRows(docs), maxHamming)
+
+  /** Banding + band equi-join + hamming verify over precomputed
+    * (doc_id, sim) rows — the readback half of q34's dump-readback oracle
+    * (and the shared tail of [[simhashPairs]]).
+    */
+  def simhashPairsOver(sh: DataFrame, maxHamming: Int): DataFrame = {
     val bands = sh.select(
       col("doc_id"), col("sim"),
       explode(array((0 until 4).map { b =>
@@ -1314,9 +1333,33 @@ object Dedup {
         s, docs.filter(pmod(col("doc_id"), lit(5)) === 0), docs, path, threshold = 0.7)
     },
 
-    "q34_dedup_simhash" -> Q.noOracle(
-      "SimHash near-dup pairs (64-bit, 4×16 bands), hamming-verified <= 8") { (s, dir) =>
-      simhashPairs(Tables(s, dir, "documents"), maxHamming = 8)
+    // ORACLED since round 14 (dump-readback — the q185 template at
+    // document grain): the (doc_id, sim) hash rows dump pid-scoped, the
+    // engine bands + verifies over the READBACK, and DuckDB replays the
+    // banding ((sim >> 16*band) & 65535 — `>>` is arithmetic on BIGINT in
+    // both engines and the mask erases sign-extension anyway), the band
+    // equi-join, and the bit_count(xor()) hamming verify over the same
+    // rows. Only the simhash64 kernel itself (xxhash64 token bit votes)
+    // stays spec-closed (HashExpressionsSpec pins it against the HOF
+    // form).
+    "q34_dedup_simhash" -> Q(
+      "SimHash near-dup pairs (64-bit, 4×16 bands), hamming-verified <= 8",
+      s"""WITH h AS (SELECT doc_id, sim
+        |  FROM read_parquet('$q34Dir/hashes.parquet/*.parquet')),
+        |bd AS (SELECT doc_id, sim, band, (sim >> (16 * band)) & 65535 AS bhash
+        |       FROM h CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) bands)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+        |FROM bd x JOIN bd y
+        |  ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sim, y.sim)) <= 8
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      Dedup.synchronized {
+        simhashRows(Tables(s, dir, "documents")).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q34Dir/hashes.parquet")
+      }
+      simhashPairsOver(s.read.parquet(s"$q34Dir/hashes.parquet"), maxHamming = 8)
         .orderBy("a", "b")
     },
 
