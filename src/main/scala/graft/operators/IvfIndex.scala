@@ -108,6 +108,56 @@ object IvfIndex {
     rankCandidates(c, q, k)
   }
 
+  /** The probed-bucket candidate PAIR SET of [[search]]: (query_id,
+    * neighbor_id), deduped across probe buckets. This is what the ANN
+    * dump-readback oracles persist — exact-cosine ranking over these ids
+    * is value-identical to [[search]] (same kernel, same
+    * (sim desc, neighbor_id) tie-break), so once the pairs are on disk
+    * BOTH engines can replay the whole scoring tail.
+    */
+  def candidates(
+      model: Model,
+      queries: DataFrame,
+      corpus: DataFrame,
+      nProbe: Int = 4,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"),
+      explode(model.probeBuckets(col(embCol), nProbe)).as("bucket")))
+    val c = assign(model, corpus, embCol)
+      .select(col(idCol).as("neighbor_id"), col("bucket"))
+    c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** [[candidates]] over an already-assigned (persisted) index: the
+    * distinct probed buckets prune the scan exactly as in
+    * [[searchIndexed]], so the dumped pair set is the one the pruned
+    * search actually considered.
+    */
+  def candidatesIndexed(
+      model: Model,
+      queries: DataFrame,
+      indexed: DataFrame,
+      nProbe: Int = 4,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val qExploded = queries.select(
+      col(idCol).as("query_id"),
+      explode(model.probeBuckets(col(embCol), nProbe)).as("bucket"))
+    val probed: Array[Int] = qExploded
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    indexed.filter(col("bucket").isin(probed.toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col("bucket"))
+      .join(broadcast(qExploded), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
   /** Shared scoring tail of [[search]] and [[searchIndexed]] — their
     * contract is identical results for the same model/probe set, so the
     * bucket join + self-filter + cosine + multi-bucket dedup + top-k must
@@ -364,20 +414,11 @@ object IvfIndex {
       rerankFactor: Int = 4,
       embCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
-    val qExploded = queries.select(
-      col(idCol).as("query_id"), col(embCol).as("qv"),
-      explode(model.probeBuckets(col(embCol), nProbe)).as("bucket"))
-    val probed: Array[Int] = qExploded
-      .select(col("bucket")).distinct().collect().map(_.getInt(0))
-    // the int8 shortlist stage IS rankCandidates (the asymmetric kernel
-    // accepts the tinyint array as `cv` directly) — reusing it keeps every
-    // search variant's join/filter/dedup/tie-break semantics in one place
-    val cand = indexedQ
-      .filter(col("bucket").isin(probed.toSeq: _*))
-      .select(col(idCol).as("neighbor_id"), col("q8").as("cv"), col("bucket"))
-    val shortlist = rankCandidates(cand, broadcast(qExploded), k * rerankFactor)
-      .select("query_id", "neighbor_id")
+    val shortlist = quantizedShortlist(
+      model, queries, indexedQ, k, nProbe, rerankFactor, embCol, idCol)
+    val probed: Array[Int] = queries
+      .select(explode(model.probeBuckets(col(embCol), nProbe)).as("bucket"))
+      .distinct().collect().map(_.getInt(0))
     // exact rerank: fetch float vectors for the shortlist only; when the
     // rerank side is the bucket-partitioned float index, prune it to the
     // probed partitions too (every shortlist candidate came from one)
@@ -392,5 +433,37 @@ object IvfIndex {
       .select(col("query_id"), col("neighbor_id"),
         Vectors.cosine(col("qv"), col("cv")).as("sim"))
     TopK.perQuery(exact, k)
+  }
+
+  /** The int8-scored per-query SHORTLIST of [[searchIndexedQuantized]]
+    * (its candidate-generation + asymmetric-scoring stages): (query_id,
+    * neighbor_id), ≤ k·rerankFactor rows per query. Exposed so the
+    * dump-readback oracle can persist exactly the rows the exact float
+    * rerank consumes — everything downstream of these ids is
+    * ANSI-replayable; the asymmetric kernel stays spec-closed.
+    */
+  def quantizedShortlist(
+      model: Model,
+      queries: DataFrame,
+      indexedQ: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      rerankFactor: Int = 4,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val qExploded = queries.select(
+      col(idCol).as("query_id"), col(embCol).as("qv"),
+      explode(model.probeBuckets(col(embCol), nProbe)).as("bucket"))
+    val probed: Array[Int] = qExploded
+      .select(col("bucket")).distinct().collect().map(_.getInt(0))
+    // the int8 shortlist stage IS rankCandidates (the asymmetric kernel
+    // accepts the tinyint array as `cv` directly) — reusing it keeps every
+    // search variant's join/filter/dedup/tie-break semantics in one place
+    val cand = indexedQ
+      .filter(col("bucket").isin(probed.toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col("q8").as("cv"), col("bucket"))
+    rankCandidates(cand, broadcast(qExploded), k * rerankFactor)
+      .select("query_id", "neighbor_id")
   }
 }

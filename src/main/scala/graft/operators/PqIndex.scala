@@ -228,6 +228,39 @@ object PqIndex {
       rerankFactor: Int = 8,
       embCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
+    val shortlist = adcShortlistIndexed(
+      ivf, pq, queries, codesIndexed, k, nProbe, rerankFactor, embCol, idCol)
+    val probed: Array[Int] = queries
+      .select(explode(ivf.probeBuckets(col(embCol), nProbe)).as("bucket"))
+      .distinct().collect().map(_.getInt(0))
+    val qf = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("qv")))
+    TopK.perQuery(
+      shortlist
+        .join(floatIndexed.filter(col("bucket").isin(probed.toSeq: _*))
+          .select(col(idCol).as("neighbor_id"), col(embCol).as("cv")), "neighbor_id")
+        .join(qf, "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qv"), col("cv")).as("sim")),
+      k)
+  }
+
+  /** The ADC-scored per-query SHORTLIST of [[searchIndexed]] (probed-cell
+    * code scan + ADC scoring): (query_id, neighbor_id), ≤ k·rerankFactor
+    * rows per query. Exposed so the dump-readback oracle can persist
+    * exactly the rows the exact float rerank consumes — the ADC kernel
+    * (codebooks, lookup tables) stays spec-closed, everything downstream
+    * of these ids is ANSI-replayable.
+    */
+  def adcShortlistIndexed(
+      ivf: IvfIndex.Model,
+      pq: Model,
+      queries: DataFrame,
+      codesIndexed: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      rerankFactor: Int = 8,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
     val qExploded = queries.select(
       col(idCol).as("query_id"),
       pq.adcTable(col(embCol)).as("tbl"),
@@ -238,7 +271,7 @@ object PqIndex {
     val c = codesIndexed
       .filter(col("bucket").isin(probed.toSeq: _*))
       .select(col(idCol).as("neighbor_id"), col("bucket"), col("codes"))
-    val shortlist = TopK.perQuery(
+    TopK.perQuery(
       c.join(broadcast(qExploded), Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
@@ -246,15 +279,6 @@ object PqIndex {
         .dropDuplicates("query_id", "neighbor_id"),
       k * rerankFactor)
       .select("query_id", "neighbor_id")
-    val qf = broadcast(queries.select(col(idCol).as("query_id"), col(embCol).as("qv")))
-    TopK.perQuery(
-      shortlist
-        .join(floatIndexed.filter(col("bucket").isin(probed.toSeq: _*))
-          .select(col(idCol).as("neighbor_id"), col(embCol).as("cv")), "neighbor_id")
-        .join(qf, "query_id")
-        .select(col("query_id"), col("neighbor_id"),
-          Vectors.cosine(col("qv"), col("cv")).as("sim")),
-      k)
   }
 
   /** IVFADC top-`k`: probe `nProbe` IVF cells per query, ADC-score their

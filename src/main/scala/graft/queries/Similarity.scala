@@ -41,6 +41,62 @@ object Similarity {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
+  /** Pid-scoped dump roots for the ANN-family dump-readback oracles (the
+    * q46/q183/q185 convention): candidate/shortlist sets dump here and
+    * BOTH engines score + rank the same readback — the driver replays the
+    * oracle in-process with the Verify pid's files still on disk.
+    */
+  private def annDumpDir(q: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${q}_pid${ProcessHandle.current().pid()}"
+  private val q38Dir = annDumpDir("q38")
+  private val q42Dir = annDumpDir("q42")
+  private val q56Dir = annDumpDir("q56")
+  private val q62Dir = annDumpDir("q62")
+  private val q71Dir = annDumpDir("q71")
+  private val q95Dir = annDumpDir("q95")
+  private val q117Dir = annDumpDir("q117")
+  private val q173Dir = annDumpDir("q173")
+
+  /** The shared ANN dump-readback oracle: exact-cosine top-`k` over the
+    * DUMPED candidate set — q36's oracle template with the corpus join
+    * replaced by the dumped (query_id, neighbor_id) pairs. Rank order
+    * matches the engine bit-exactly because both cosine folds are
+    * left-to-right over the same doubles (the q36/q84 precedent) and ties
+    * break on neighbor_id in both.
+    */
+  private def annCandidateOracleSql(dumpDir: String, k: Int): String =
+    s"""WITH cand AS (SELECT query_id, neighbor_id
+      |  FROM read_parquet('$dumpDir/candidates.parquet/*.parquet')),
+      |s AS (SELECT c.query_id, c.neighbor_id,
+      |        ROW_NUMBER() OVER (PARTITION BY c.query_id
+      |          ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+      |                   c.neighbor_id) AS rank
+      |      FROM cand c
+      |      JOIN embeddings q ON q.vec_id = c.query_id
+      |      JOIN embeddings n ON n.vec_id = c.neighbor_id)
+      |SELECT query_id, neighbor_id, rank FROM s
+      |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** The engine half of the ANN dump-readback oracles: exact-cosine score
+    * + rank of a dumped (query_id, neighbor_id) candidate readback against
+    * the corpus — value-identical to the fused search paths (same codegen
+    * kernel, same (sim desc, neighbor_id) tie-break). The readback is
+    * bounded (queries × probed-bucket candidates) and broadcasts; the
+    * corpus streams through the two id joins.
+    */
+  private def rankCandidateReadback(
+      cand: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = corpus.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val n = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    topKPerQuery(
+      broadcast(cand).join(n, Seq("neighbor_id")).join(q, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qv"), col("cv")).as("sim")),
+      k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Shared ranking tail of the kNN variants — see [[graft.operators.TopK]]. */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     graft.operators.TopK.perQuery(scored, k)
@@ -84,7 +140,23 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       bits: Int = 6,
-      probeHamming: Int = 2): DataFrame = {
+      probeHamming: Int = 2): DataFrame =
+    topKPerQuery(
+      lshJoin(queries, corpus, bits, probeHamming)
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qv"), col("cv")).as("sim")),
+      k)
+
+  /** The multi-probe bucket join shared by [[lshTopK]] and
+    * [[lshCandidates]]: (query_id, qv, neighbor_id, cv) matched rows.
+    * Each (query, neighbor) pair appears at most once — the probe masks
+    * are distinct literals and a corpus row has exactly one bucket.
+    */
+  private def lshJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      bits: Int,
+      probeHamming: Int): DataFrame = {
     require(bits <= 20, "bits > 20 would enumerate millions of probe masks")
     val masks = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
@@ -104,13 +176,20 @@ object Similarity {
     val c = corpus.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       Vectors.signBucket(col("embedding"), bits).as("bucket"))
-    topKPerQuery(
-      c.join(q, Seq("bucket"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          Vectors.cosine(col("qv"), col("cv")).as("sim")),
-      k)
+    c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
   }
+
+  /** The LSH candidate pair set of [[lshTopK]] (ids only) — what q38's
+    * dump-readback oracle persists.
+    */
+  def lshCandidates(
+      queries: DataFrame,
+      corpus: DataFrame,
+      bits: Int,
+      probeHamming: Int): DataFrame =
+    lshJoin(queries, corpus, bits, probeHamming)
+      .select("query_id", "neighbor_id")
 
   /** Exact pairwise near-dup at threshold `t` as a BLOCKED theta-join
     * (Okcan & Riedewald's 1-bucket scheme): rows are hashed into `blocks`
@@ -399,32 +478,44 @@ object Similarity {
     // corpus (recall@5 0.82 probing 11/16 buckets, vs 0.56 at H<=1); the
     // probe-count/recall trade is measured in the lshTopK scaladoc, and
     // IvfIndex remains the blessed ANN path (0.9 probing 4/16).
-    // ORACLE CLOSURE: rows-only is FINAL — an ANN shortlist with recall<1
-    // by design equals no exact SQL-computable answer; the bucket geometry
-    // (sign-projection hashes) is engine-specific. SimilaritySpec bounds
-    // recall against the oracled exact q36 instead.
-    "q38_knn_lsh" -> Q.noOracle(
-      "LSH ANN top-5, multi-probe sign buckets H<=2 (recall 0.82 measured; see lshTopK docs)") {
-      (s, dir) =>
-        lshTopK(emb(s, dir).filter(col("vec_id") < 10), emb(s, dir),
-            k = 5, bits = 4, probeHamming = 2)
-          .select("query_id", "neighbor_id", "rank")
-          .orderBy("query_id", "rank")
+    // ORACLED since round 14 (dump-readback): recall<1 still means no
+    // exact SQL answer EXISTS for the shortlist — but dumping the
+    // candidate pair set pid-scoped changes the question: BOTH engines
+    // score + rank the identical dumped pairs (exact cosine, ties on
+    // neighbor_id), so the whole scoring tail is hash-checked and only
+    // the sign-bucket geometry stays spec-closed (SimilaritySpec still
+    // bounds its recall against the oracled exact q36).
+    "q38_knn_lsh" -> Q(
+      "LSH ANN top-5, multi-probe sign buckets H<=2 (recall 0.82 measured; " +
+        "see lshTopK docs; scoring tail dump-readback-oracled)",
+      annCandidateOracleSql(q38Dir, k = 5)) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.synchronized {
+        lshCandidates(e.filter(col("vec_id") < 10), e, bits = 4, probeHamming = 2)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q38Dir/candidates.parquet")
+      }
+      rankCandidateReadback(s.read.parquet(s"$q38Dir/candidates.parquet"), e, k = 5)
     },
 
-    // ORACLE CLOSURE: rows-only is FINAL — same class as q38 (ANN
-    // shortlist, recall<1 by design; the k-means coarse quantizer is an
-    // iterative driver fit no single ANSI statement replays). IvfIndexSpec
-    // bounds recall vs the oracled exact q36.
-    "q42_knn_ivf" -> Q.noOracle(
-      "IVF ANN top-5: k-means coarse quantizer, 4-probe bucket equi-join (recall < 1)") {
-      (s, dir) =>
-        val corpus = emb(s, dir)
+    // ORACLED since round 14 (dump-readback, the q38 move): the probed-
+    // bucket candidate pair set dumps pid-scoped and BOTH engines replay
+    // the exact-cosine scoring tail over the identical rows. Only the
+    // k-means coarse quantizer (iterative driver fit) stays spec-closed;
+    // IvfIndexSpec still bounds recall vs the oracled exact q36.
+    "q42_knn_ivf" -> Q(
+      "IVF ANN top-5: k-means coarse quantizer, 4-probe bucket equi-join " +
+        "(recall < 1; scoring tail dump-readback-oracled)",
+      annCandidateOracleSql(q42Dir, k = 5)) { (s, dir) =>
+      val corpus = emb(s, dir)
+      Similarity.synchronized {
         graft.operators.IvfIndex
-          .search(modelFor(corpus, dir), corpus.filter(col("vec_id") < 10), corpus,
-            k = 5, nProbe = 4)
-          .select("query_id", "neighbor_id", "rank")
-          .orderBy("query_id", "rank")
+          .candidates(modelFor(corpus, dir), corpus.filter(col("vec_id") < 10),
+            corpus, nProbe = 4)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q42Dir/candidates.parquet")
+      }
+      rankCandidateReadback(s.read.parquet(s"$q42Dir/candidates.parquet"), corpus, k = 5)
     },
 
     // ORACLE CLOSURE: rows-only is FINAL — same closed class as q38/q42
@@ -450,20 +541,25 @@ object Similarity {
     // partition directories (pruning asserted in IvfIndexSpec). Results are
     // identical to q42 by construction (same model via modelFor, same
     // probe set).
-    // ORACLE CLOSURE: rows-only is FINAL — inherits q42's class (ANN
-    // shortlist over the same driver-fit model); IvfIndexSpec asserts
-    // bit-identity to q42, so one closure argument covers both.
-    "q56_knn_ivf_persisted" -> Q.noOracle(
-      "IVF ANN top-5 over the persisted bucket-partitioned index (scan prunes to probed buckets)") {
-      (s, dir) =>
-        val corpus = emb(s, dir)
-        val model = modelFor(corpus, dir)
-        val path = persistedIndex(model, corpus, dir)
+    // ORACLED since round 14 (dump-readback, the q42 move — here the
+    // dumped candidates come from the PRUNED index scan, so the oracle
+    // checks the pruning path's pair set too); IvfIndexSpec keeps the
+    // bit-identity-to-q42 assertion and the selectedPartitions pin.
+    "q56_knn_ivf_persisted" -> Q(
+      "IVF ANN top-5 over the persisted bucket-partitioned index (scan " +
+        "prunes to probed buckets; scoring tail dump-readback-oracled)",
+      annCandidateOracleSql(q56Dir, k = 5)) { (s, dir) =>
+      val corpus = emb(s, dir)
+      val model = modelFor(corpus, dir)
+      val path = persistedIndex(model, corpus, dir)
+      Similarity.synchronized {
         graft.operators.IvfIndex
-          .searchIndexed(model, corpus.filter(col("vec_id") < 10),
-            s.read.parquet(path), k = 5, nProbe = 4)
-          .select("query_id", "neighbor_id", "rank")
-          .orderBy("query_id", "rank")
+          .candidatesIndexed(model, corpus.filter(col("vec_id") < 10),
+            s.read.parquet(path), nProbe = 4)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q56Dir/candidates.parquet")
+      }
+      rankCandidateReadback(s.read.parquet(s"$q56Dir/candidates.parquet"), corpus, k = 5)
     },
 
     // The QUANTIZED index made load-bearing: q48 defines the int8 codec,
@@ -474,23 +570,27 @@ object Similarity {
     // index (also pruned to the probed buckets). Recall vs the float path
     // is bounded ≥ 0.9 in IvfIndexSpec; with a full-width shortlist the
     // result is asserted IDENTICAL to q56's.
-    // ORACLE CLOSURE: rows-only is FINAL — q56's ANN class plus int8
-    // asymmetric scoring (a custom codegen kernel); the spec chain
-    // (q62 ≡ q56 at full width, q56 ≡ q42, q42 recall-bounded vs oracled
-    // q36) is the strongest attainable check.
-    "q62_knn_ivf_quantized" -> Q.noOracle(
-      "IVF ANN top-5 over the persisted int8-quantized index, asymmetric scoring + " +
-        "exact float rerank (recall >= 0.9 vs float path asserted in IvfIndexSpec)") {
-      (s, dir) =>
-        val corpus = emb(s, dir)
-        val model = modelFor(corpus, dir)
-        val qPath = persistedQuantizedIndex(model, corpus, dir)
-        val fPath = persistedIndex(model, corpus, dir)
+    // ORACLED since round 14 (dump-readback at the SHORTLIST boundary):
+    // the int8-scored shortlist — exactly the rows the exact float rerank
+    // consumes — dumps pid-scoped, and BOTH engines replay the rerank
+    // (exact cosine + top-5). The asymmetric int8 kernel stays spec-
+    // closed; the spec chain (q62 ≡ q56 at full width, recall >= 0.9 vs
+    // the float path) remains in IvfIndexSpec.
+    "q62_knn_ivf_quantized" -> Q(
+      "IVF ANN top-5 over the persisted int8-quantized index, asymmetric " +
+        "scoring + exact float rerank (rerank dump-readback-oracled)",
+      annCandidateOracleSql(q62Dir, k = 5)) { (s, dir) =>
+      val corpus = emb(s, dir)
+      val model = modelFor(corpus, dir)
+      val qPath = persistedQuantizedIndex(model, corpus, dir)
+      Similarity.synchronized {
         graft.operators.IvfIndex
-          .searchIndexedQuantized(model, corpus.filter(col("vec_id") < 10),
-            s.read.parquet(qPath), s.read.parquet(fPath), k = 5, nProbe = 4)
-          .select("query_id", "neighbor_id", "rank")
-          .orderBy("query_id", "rank")
+          .quantizedShortlist(model, corpus.filter(col("vec_id") < 10),
+            s.read.parquet(qPath), k = 5, nProbe = 4)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q62Dir/candidates.parquet")
+      }
+      rankCandidateReadback(s.read.parquet(s"$q62Dir/candidates.parquet"), corpus, k = 5)
     },
 
     // The PQ tier below q62's int8: IVFADC (coarse IVF cells + product-
@@ -501,23 +601,29 @@ object Similarity {
     // candidate sweep and an I/O-bound one. See [[graft.operators.PqIndex]]
     // for the plan shape (codebooks are plan literals; encode/table/score
     // are all built-in codegen HOFs).
-    // ORACLE CLOSURE: rows-only is FINAL — q42/q56/q62's ANN class (recall
-    // < 1 by design, double-quantized shortlist); PqIndexSpec bounds
-    // recall@5 vs the oracled-brute q36 path, asserts determinism of the
-    // driver-fit codebooks, and pins code-range/width invariants.
-    "q117_knn_ivfpq" -> Q.noOracle(
+    // ORACLED since round 14 (dump-readback at the SHORTLIST boundary,
+    // the q62 move one quantization tier down): the ADC-scored shortlist
+    // dumps pid-scoped and BOTH engines replay the exact float rerank.
+    // The ADC kernel (codebooks, per-query lookup tables) stays spec-
+    // closed; PqIndexSpec keeps the recall bound vs the oracled-brute
+    // q36 path, codebook determinism, and code-range/width pins.
+    "q117_knn_ivfpq" -> Q(
       "IVFADC ANN top-5: persisted product-quantized code index (m=16, 16 " +
-        "codes) ADC-scored within probed IVF cells, exact float rerank") { (s, dir) =>
+        "codes) ADC-scored within probed IVF cells, exact float rerank " +
+        "(rerank dump-readback-oracled)",
+      annCandidateOracleSql(q117Dir, k = 5)) { (s, dir) =>
       val corpus = emb(s, dir)
       val ivf = modelFor(corpus, dir)
       val pq = pqModelFor(corpus, dir)
-      graft.operators.PqIndex
-        .searchIndexed(ivf, pq, corpus.filter(col("vec_id") < 10),
-          s.read.parquet(persistedPqIndex(ivf, pq, corpus, dir)),
-          s.read.parquet(persistedIndex(ivf, corpus, dir)),
-          k = 5, nProbe = 4)
-        .select("query_id", "neighbor_id", "rank")
-        .orderBy("query_id", "rank")
+      Similarity.synchronized {
+        graft.operators.PqIndex
+          .adcShortlistIndexed(ivf, pq, corpus.filter(col("vec_id") < 10),
+            s.read.parquet(persistedPqIndex(ivf, pq, corpus, dir)),
+            k = 5, nProbe = 4)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q117Dir/candidates.parquet")
+      }
+      rankCandidateReadback(s.read.parquet(s"$q117Dir/candidates.parquet"), corpus, k = 5)
     },
 
     // q55's SCALE twin, the same way q67/q68 twin q65/q59: identical
