@@ -375,15 +375,36 @@ object Similarity {
       emb: DataFrame,
       model: graft.operators.IvfIndex.Model,
       threshold: Double,
+      nAssign: Int = 2): DataFrame =
+    semanticDedupPairsOver(
+      semanticDedupCandidates(emb, model, nAssign), emb, threshold)
+
+  /** The cell-restricted candidate pair set of [[semanticDedupPairs]]
+    * (ids only, deduped across shared cells) — what q71's dump-readback
+    * oracle persists. Everything downstream (exact-cosine verify, the
+    * component fold, keeper flags) is ANSI-replayable over these rows.
+    */
+  def semanticDedupCandidates(
+      emb: DataFrame,
+      model: graft.operators.IvfIndex.Model,
       nAssign: Int = 2): DataFrame = {
     val assigned = emb.select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"),
       explode(model.probeBuckets(col("embedding"), nAssign)).as("cell"))
-    val candidates = assigned.as("x")
+    assigned.as("x")
       .join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
+  }
+
+  /** The exact-cosine verify tail of [[semanticDedupPairs]] over a
+    * candidate (id_a, id_b) frame (dumped or inline): vectors are
+    * re-fetched via two bounded id joins — cheaper at scale than shipping
+    * both vectors through the candidate distinct.
+    */
+  def semanticDedupPairsOver(
+      candidates: DataFrame, emb: DataFrame, threshold: Double): DataFrame = {
     val vecs = emb.select(col("vec_id"), col("embedding"))
     candidates
       .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
@@ -704,17 +725,50 @@ object Similarity {
     // registered rows-only, with SemanticDedupSpec bounding pair recall
     // (>= 0.75 measured-with-margin) and asserting zero false-positive
     // pairs and keep-list/pair-graph consistency.
-    // ORACLE CLOSURE: rows-only is FINAL — recall<1 vs the exact graph is
-    // the operator's DESIGN (SemDeDup trades recall for sub-quadratic
-    // cost), so no equality argument to an oracled form can exist.
-    "q71_semantic_dedup" -> Q.noOracle(
+    // ORACLED since round 14 (dump-readback): recall<1 vs the exact graph
+    // is still the operator's DESIGN (SemDeDup trades recall for sub-
+    // quadratic cost — no equality argument to q55's exact components can
+    // exist), but dumping the cell-restricted candidate pairs changes the
+    // question: BOTH engines replay the exact cosine>=0.4 verify AND the
+    // transitive component fold (the q55 recursive-CTE machinery) over
+    // the identical dumped rows — the stage where one false edge merges
+    // clusters forever is now hash-checked. Only the k-means soft cell
+    // assignment stays spec-closed (SemanticDedupSpec keeps the pair-
+    // recall bound >= 0.75 and zero-false-positive pins vs exact).
+    "q71_semantic_dedup" -> Q(
       "SemDeDup: near-dup clusters from k-means-cell-restricted candidates " +
         "(k=8 spherical cells, top-2 soft assignment, exact cosine>=0.4 verify; " +
-        "pair recall vs exact spec-bounded)") { (s, dir) =>
+        "verify + component fold dump-readback-oracled)",
+      s"""WITH RECURSIVE
+        |cand AS (SELECT id_a, id_b
+        |  FROM read_parquet('$q71Dir/candidates.parquet/*.parquet')),
+        |pairs AS (SELECT c.id_a AS u, c.id_b AS v
+        |          FROM cand c
+        |          JOIN embeddings a ON a.vec_id = c.id_a
+        |          JOIN embeddings b ON b.vec_id = c.id_b
+        |          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |mins AS (SELECT u AS vec_id, MIN(v) AS mn FROM reach GROUP BY u)
+        |SELECT LEAST(COALESCE(m.mn, e.vec_id), e.vec_id) AS cluster_id,
+        |       e.vec_id AS doc_id,
+        |       CAST(LEAST(COALESCE(m.mn, e.vec_id), e.vec_id) = e.vec_id
+        |            AS INTEGER) AS keep
+        |FROM embeddings e LEFT JOIN mins m ON m.vec_id = e.vec_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
+      Similarity.synchronized {
+        semanticDedupCandidates(e, dedupModelFor(e, dir), nAssign = 2)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q71Dir/candidates.parquet")
+      }
       val comps = graft.operators.ConnectedComponents.run(
         e.select(col("vec_id").as("id")),
-        semanticDedupPairs(e, dedupModelFor(e, dir), threshold = 0.4)
+        semanticDedupPairsOver(
+            s.read.parquet(s"$q71Dir/candidates.parquet"), e, threshold = 0.4)
           .select(col("id_a").as("src"), col("id_b").as("dst")))
       comps.select(
         col("component").as("cluster_id"),
