@@ -836,16 +836,44 @@ object Similarity {
     // signs are pinned (largest-|component| coordinate positive) so the
     // output is deterministic; sums inside the driver solve are on the
     // decimal-exact q94 values. Eigen internals aren't ANSI-SQL, so no
-    // oracle — PcaSpec pins orthonormality, the eigen residual, explained
-    // variance ordering, and projection determinism.
-    // ORACLE CLOSURE: rows-only is FINAL — the iterative Jacobi
-    // eigensolve is a driver-side loop no single ANSI statement can
-    // replay (its INPUT, the q94 moment matrix, is hash-oracled; its
-    // output properties are spec-pinned above).
-    "q95_pca_project" -> Q.noOracle(
+    // ORACLED since round 14 (dump-readback): the iterative Jacobi
+    // eigensolve is still a driver-side loop no ANSI statement replays —
+    // but its OUTPUT is two axis vectors, and dumping them pid-scoped
+    // lets DuckDB replay the entire projection (`list_dot_product` over
+    // double-cast embeddings — left-to-right double folds in both
+    // engines, bit-exact). The engine projects with the READBACK axes,
+    // so both engines consume the same bytes; the eigensolve itself
+    // stays spec-closed (PcaSpec: orthonormality, eigen residual,
+    // explained-variance ordering, determinism; its INPUT, the q94
+    // moment matrix, is hash-oracled).
+    "q95_pca_project" -> Q(
       "Project embeddings onto the top-2 principal axes of the q94 moment " +
-        "matrix (driver Jacobi on d x d; codegen dot-product projection)") { (s, dir) =>
-      pcaProject(emb(s, dir), dim = 64, nComponents = 2)
+        "matrix (driver Jacobi on d x d; projection dump-readback-oracled)",
+      s"""WITH ax AS (SELECT k, axis
+        |  FROM read_parquet('$q95Dir/axes.parquet/*.parquet')),
+        |p AS (SELECT e.vec_id, a.k,
+        |        list_dot_product(
+        |          list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |          a.axis) AS p
+        |      FROM embeddings e CROSS JOIN ax a)
+        |SELECT vec_id,
+        |  MAX(p) FILTER (WHERE k = 1) AS pc1,
+        |  MAX(p) FILTER (WHERE k = 2) AS pc2
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.synchronized {
+        val spark2 = e.sparkSession
+        import spark2.implicits._
+        pcaAxes(e, dim = 64, nComponents = 2)
+          .map { case (k, vec) => (k, vec.toSeq) }.toDF("k", "axis")
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q95Dir/axes.parquet")
+      }
+      val readback = e.sparkSession.read.parquet(s"$q95Dir/axes.parquet")
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      pcaProjectAxes(e, readback)
     },
 
     // Lloyd's k-means with BOTH halves of each round distributed: assign =
@@ -1294,17 +1322,35 @@ object Similarity {
     * eigensolve is [[graft.operators.Pca.jacobiEigen]] and the projection
     * compiles to per-axis codegen dot products against literal vectors.
     */
-  def pcaProject(emb: DataFrame, dim: Int, nComponents: Int): DataFrame = {
+  def pcaProject(emb: DataFrame, dim: Int, nComponents: Int): DataFrame =
+    pcaProjectAxes(emb, pcaAxes(emb, dim, nComponents))
+
+  /** The driver-side eigen half of [[pcaProject]]: (component 1-based,
+    * axis vector) pairs from the deterministic cyclic-Jacobi solve over
+    * the decimal-exact q94 moment matrix — q95's dumpable artifact
+    * (everything downstream is one dot product per vector, ANSI-
+    * replayable via `list_dot_product`).
+    */
+  def pcaAxes(emb: DataFrame, dim: Int, nComponents: Int): Seq[(Int, Array[Double])] = {
     val moments = secondMoments(emb, dim).collect()
     val m = Array.ofDim[Double](dim, dim)
     moments.foreach { r =>
       val (i, j, x) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1, r.getDouble(2))
       m(i)(j) = x; m(j)(i) = x
     }
-    val axes = graft.operators.Pca.jacobiEigen(m).take(nComponents)
-    val cols = axes.zipWithIndex.map { case ((_, vec), k) =>
+    graft.operators.Pca.jacobiEigen(m).take(nComponents)
+      .zipWithIndex.map { case ((_, vec), k) => (k + 1, vec) }
+  }
+
+  /** The projection half of [[pcaProject]]: codegen dot products against
+    * the given literal axes — one linear scan, no shuffle. Left-to-right
+    * double folds in both engines (the q84/q96 precedent), so the dumped-
+    * axis oracle replay is bit-exact.
+    */
+  def pcaProjectAxes(emb: DataFrame, axes: Seq[(Int, Array[Double])]): DataFrame = {
+    val cols = axes.map { case (k, vec) =>
       Vectors.dot(col("embedding"),
-        array(vec.map(x => lit(x)): _*)).as(s"pc${k + 1}")
+        array(vec.map(x => lit(x)): _*)).as(s"pc$k")
     }
     emb.select(col("vec_id") +: cols: _*).orderBy("vec_id")
   }
