@@ -1362,7 +1362,7 @@ object Similarity {
     * read-only testdata dirs — a user dir rewritten mid-session must not
     * serve a stale quantizer.
     */
-  private[queries] def modelFor(corpus: DataFrame, dir: String): graft.operators.IvfIndex.Model = {
+  private[graft] def modelFor(corpus: DataFrame, dir: String): graft.operators.IvfIndex.Model = {
     def build() = graft.operators.IvfIndex.fit(
       corpus.limit(2048).coalesce(1), k = 16, maxIter = 5)
     if (dir.startsWith("/root/testdata")) models.computeIfAbsent(dir, _ => build())
@@ -1382,7 +1382,7 @@ object Similarity {
     * For an unchanged testdata dir, `fit` is deterministic (fixed seed +
     * sample) ⇒ same fingerprint ⇒ a completed warm index is reusable.
     */
-  private[queries] def persistedIndex(
+  private[graft] def persistedIndex(
       model: graft.operators.IvfIndex.Model, corpus: DataFrame, dir: String): String = synchronized {
     val fp = java.util.Arrays.deepHashCode(model.centroids.asInstanceOf[Array[AnyRef]])
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
@@ -1400,7 +1400,7 @@ object Similarity {
     * testdata-only-reuse staleness rules (see there), distinct path suffix
     * so the two artifacts can never shadow each other.
     */
-  private def persistedQuantizedIndex(
+  private[graft] def persistedQuantizedIndex(
       model: graft.operators.IvfIndex.Model, corpus: DataFrame, dir: String): String = synchronized {
     val fp = java.util.Arrays.deepHashCode(model.centroids.asInstanceOf[Array[AnyRef]])
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_q8_" +
@@ -1421,7 +1421,7 @@ object Similarity {
     * the read-only testdata dirs), under a distinct cache key so the two
     * models can never shadow each other.
     */
-  private def dedupModelFor(corpus: DataFrame, dir: String): graft.operators.IvfIndex.Model = {
+  private[graft] def dedupModelFor(corpus: DataFrame, dir: String): graft.operators.IvfIndex.Model = {
     def build() = graft.operators.IvfIndex.fit(
       corpus.limit(2048).coalesce(1), k = 8, maxIter = 10)
     if (dir.startsWith("/root/testdata")) models.computeIfAbsent(s"dedup:$dir", _ => build())
@@ -1433,7 +1433,7 @@ object Similarity {
     * covers BOTH models (coarse centroids + PQ codebooks), so changing
     * either retargets the path and rebuilds.
     */
-  private def persistedPqIndex(
+  private[graft] def persistedPqIndex(
       ivf: graft.operators.IvfIndex.Model,
       pq: graft.operators.PqIndex.Model,
       corpus: DataFrame,
@@ -1456,7 +1456,7 @@ object Similarity {
     * (driver-bounded deterministic fit; cache only read-only testdata
     * dirs), separate map because the model type differs.
     */
-  private def pqModelFor(corpus: DataFrame, dir: String): graft.operators.PqIndex.Model = {
+  private[graft] def pqModelFor(corpus: DataFrame, dir: String): graft.operators.PqIndex.Model = {
     def build() = graft.operators.PqIndex.fit(
       corpus.limit(2048).coalesce(1), m = 16, numCodes = 16, maxIter = 10)
     if (dir.startsWith("/root/testdata")) pqModels.computeIfAbsent(dir, _ => build())
