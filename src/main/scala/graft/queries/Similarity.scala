@@ -56,6 +56,7 @@ object Similarity {
   private val q95Dir = annDumpDir("q95")
   private val q117Dir = annDumpDir("q117")
   private val q173Dir = annDumpDir("q173")
+  private val q193Dir = annDumpDir("q193")
 
   /** The shared ANN dump-readback oracle: exact-cosine top-`k` over the
     * DUMPED candidate set — q36's oracle template with the corpus join
@@ -777,6 +778,39 @@ object Similarity {
         .orderBy("doc_id")
     },
 
+    // The vector store family's DAILY form — q113/q185's
+    // batch-probes-store shape at the ANN tier: the day's new embeddings
+    // (vec_id%5 == 0, the house batch convention) rank their top-5
+    // nearest STORED neighbors against the persisted bucket-partitioned
+    // index of the stored corpus (%5 != 0), candidate scan pruned to the
+    // probed buckets. The absorb half is
+    // [[graft.operators.IvfIndex.appendToIndex]] (day-N+1 joins without a
+    // rebuild, IvfIndexSpec) and its ONLINE wrapper is
+    // [[graft.streaming.VectorIngestStream]] (probe-then-absorb,
+    // partition-pruned replay witness, tombstone-guarded —
+    // VectorIngestStreamSpec pins stream ≡ batch, replay idempotence,
+    // remainder-only partial overlap, and forget refusal). ORACLED via
+    // dump-readback (the q56 move): the pruned candidate pair set dumps
+    // pid-scoped and BOTH engines replay the exact-cosine ranking.
+    "q193_vector_incremental" -> Q(
+      "Incremental ANN ingest probe: daily embedding batch ranks its " +
+        "top-5 stored neighbors against the persisted store index " +
+        "(pruned scan; scoring tail dump-readback-oracled)",
+      annCandidateOracleSql(q193Dir, k = 5)) { (s, dir) =>
+      val e = emb(s, dir)
+      val store = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val model = modelFor(e, dir)
+      val path = persistedStoreIndex(model, store, dir)
+      Similarity.synchronized {
+        graft.operators.IvfIndex
+          .candidatesIndexed(model, batch, s.read.parquet(path), nProbe = 4)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q193Dir/candidates.parquet")
+      }
+      rankCandidateReadback(s.read.parquet(s"$q193Dir/candidates.parquet"), e, k = 5)
+    },
+
     "q84_label_purity" -> Q(
       "Nearest-centroid confusion matrix over embeddings (decimal-exact " +
         "centroids, counts only — FP-rank-safe)",
@@ -1386,6 +1420,25 @@ object Similarity {
       model: graft.operators.IvfIndex.Model, corpus: DataFrame, dir: String): String = synchronized {
     val fp = java.util.Arrays.deepHashCode(model.centroids.asInstanceOf[Array[AnyRef]])
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Integer.toHexString(fp)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable)
+      graft.ops.Bucketing.writePartitioned(
+        graft.operators.IvfIndex.assign(model, corpus), path, Seq("bucket"))
+    path
+  }
+
+  /** q193's persisted STORE-side index (the vec_id%5 != 0 stored corpus —
+    * the house daily-batch convention): the [[persistedIndex]] artifact
+    * restricted to the store, under a distinct path suffix so the
+    * full-corpus index can never shadow it. Same staleness rules.
+    */
+  private[graft] def persistedStoreIndex(
+      model: graft.operators.IvfIndex.Model, corpus: DataFrame, dir: String): String = synchronized {
+    val fp = java.util.Arrays.deepHashCode(model.centroids.asInstanceOf[Array[AnyRef]])
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_store_" +
       java.lang.Integer.toHexString(dir.hashCode) + "_" +
       java.lang.Integer.toHexString(fp)
     val reusable = dir.startsWith("/root/testdata") &&
