@@ -82,7 +82,11 @@ object Forget {
       videoIndexPath: Option[String] = None,
       // cross-modal assignment store + the three modality indexes its
       // bridge-split retract regenerates survivor edges from
-      crossModal: Option[(String, CrossModal.EdgeSources)] = None)
+      crossModal: Option[(String, CrossModal.EdgeSources)] = None,
+      // the q194 moment-sum store — count-keyed (no doc attribution in
+      // the sums), so its arm rides the same mandatory-forgetId
+      // exactly-once witness as the window/histogram stores
+      momentStorePath: Option[String] = None)
 
   /** Drive the forget through every configured store. `docs` must carry
     * the forgotten documents' (doc_id, text, source, n_chars) — the
@@ -109,10 +113,11 @@ object Forget {
       forgetId: Option[String] = None): Unit = {
     require(
       forgetId.isDefined ||
-        (stores.refcountWindowPath.isEmpty && stores.histogramPath.isEmpty),
+        (stores.refcountWindowPath.isEmpty && stores.histogramPath.isEmpty &&
+          stores.momentStorePath.isEmpty),
       "forgetEverywhere: count-keyed stores configured (window refcounts / " +
-        "histogram) but no forgetId — their subtract arms must be " +
-        "exactly-once under re-runs; pass a stable forgetId")
+        "histogram / moment sums) but no forgetId — their subtract arms " +
+        "must be exactly-once under re-runs; pass a stable forgetId")
     val ids = docs.select(col("doc_id"))
     stores.releaseDir.foreach { d =>
       ReleaseIngestStream.takedownIngest(spark, ids, d)
@@ -135,6 +140,10 @@ object Forget {
     }
     stores.vectorIndexes.foreach { case (model, p) =>
       IvfIndex.retractFromIndex(spark, model, vectors, p)
+    }
+    stores.momentStorePath.foreach { p =>
+      graft.queries.Similarity.retractFromMomentStore(
+        spark, vectors, p, onceId = forgetId)
     }
     // the cross-modal arm runs BEFORE the modality-index retracts: its
     // bridge-split recompute reads survivor rows from those indexes

@@ -1433,6 +1433,36 @@ object Similarity {
         (col("s").cast("double") / lit(1e12) / col("n")).as("m"))
       .orderBy("i", "j")
 
+  /** Forget arm for the q194 moment store — subtract the forgotten
+    * vectors' contributions: their [[momentSums]] negate and fold into
+    * the store (decimal addition is exact, so retract-equals-rebuild
+    * holds bit-for-bit, the same associativity argument as the absorb).
+    * COUNT-keyed class: no doc attribution survives in the sums, so a
+    * double subtract corrupts silently — `onceId` stamps the
+    * exactly-once witness marker into `.next` atomically with the
+    * rewrite ([[graft.ops.StoreSwap.stampRetractMarker]], the window/
+    * histogram store contract), making the arm safely re-runnable. The
+    * rewrite is O(store) = d(d+1)/2 rows — constant-sized, the cheapest
+    * retract of any store family.
+    */
+  def retractFromMomentStore(
+      spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame,
+      path: String,
+      dim: Int = 64,
+      onceId: Option[String] = None): Unit = {
+    if (onceId.exists(graft.ops.StoreSwap.hasRetractMarker(spark, path, _))) return
+    val neg = momentSums(vectors, dim)
+      .select(col("i"), col("j"), negate(col("s")).as("s"), negate(col("n")).as("n"))
+    spark.read.parquet(path).unionByName(neg)
+      .groupBy("i", "j")
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path + ".next")
+    onceId.foreach(graft.ops.StoreSwap.stampRetractMarker(spark, path + ".next", _))
+    graft.ops.StoreSwap.swapInto(spark, path)
+  }
+
   /** q95: project onto the top principal axes of [[secondMoments]]. The
     * moment matrix is BOUNDED (d(d+1)/2 rows — 2080 at d=64), so the
     * collect is a constant-size driver step, not a data-size one; the

@@ -71,6 +71,18 @@ object VectorIngestStream {
     batch.join(absorbed, Seq("vec_id"), "left_anti")
   }
 
+  /** `quantizedIndexPath` / `pqIndex`: the DERIVED vector artifacts (the
+    * q62 int8 index; the q117 PQ code index) absorbed in LOCKSTEP with
+    * the float index, so a quantized probe never silently misses vectors
+    * the float index already serves. Ordering is derived-artifacts-first,
+    * float-index-LAST: the float index is the replay witness, so a crash
+    * mid-batch replays the whole batch — the derived appends then
+    * re-append rows already present, which is harmless by construction
+    * (every quantized/ADC shortlist dedups on (query_id, neighbor_id);
+    * duplicates cost storage only, shed by scheduled compaction) — while
+    * the reverse ordering would leave the derived artifacts missing rows
+    * FOREVER behind a committed witness.
+    */
   def start(
       vectors: DataFrame,
       model: IvfIndex.Model,
@@ -81,7 +93,9 @@ object VectorIngestStream {
       queryName: String = "vector_ingest",
       checkpointDir: Option[String] = None,
       trigger: Trigger = Trigger.ProcessingTime(0),
-      tombstonePath: Option[String] = None): StreamingQuery = {
+      tombstonePath: Option[String] = None,
+      quantizedIndexPath: Option[String] = None,
+      pqIndex: Option[(graft.operators.PqIndex.Model, String)] = None): StreamingQuery = {
     val writer = vectors.writeStream
       .queryName(queryName)
       .trigger(trigger)
@@ -105,6 +119,15 @@ object VectorIngestStream {
               .write.mode(SaveMode.Overwrite)
               .option("compression", "zstd")
               .parquet(s"$resultsDir/batch=$batchId")
+            quantizedIndexPath.foreach { p =>
+              IvfIndex.assignQuantized(model, remainder).write
+                .mode(SaveMode.Append)
+                .option("compression", "zstd")
+                .partitionBy("bucket").parquet(p)
+            }
+            pqIndex.foreach { case (pq, p) =>
+              graft.operators.PqIndex.appendToIndex(model, pq, remainder, p)
+            }
             IvfIndex.appendToIndex(model, remainder, indexPath)
           }
         }

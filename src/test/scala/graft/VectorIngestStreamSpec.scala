@@ -133,4 +133,38 @@ class VectorIngestStreamSpec extends SparkSpec {
     assert(!after.map(_._1).contains(tombstoned),
       "a tombstoned vector must never enter the index")
   }
+
+  test("derived int8 + PQ artifacts absorb in lockstep with the float index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_vec_stream3").toString
+    val live = s"$root/live"; val q8 = s"$root/q8"; val pqDir = s"$root/pq"
+    buildIndex(live)
+    graft.ops.Bucketing.writePartitioned(
+      IvfIndex.assignQuantized(model, seed), q8, Seq("bucket"))
+    val pqModel = graft.operators.PqIndex.fit(seed.coalesce(1), m = 8, numCodes = 16)
+    graft.ops.Bucketing.writePartitioned(
+      graft.operators.PqIndex.assign(model, pqModel, seed), pqDir, Seq("bucket"))
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = VectorIngestStream.start(
+      input.toDF().toDF("vec_id", "embedding"), model, live, s"$root/results",
+      queryName = "vector_ingest_lockstep", checkpointDir = Some(s"$root/ckpt"),
+      quantizedIndexPath = Some(q8), pqIndex = Some((pqModel, pqDir)))
+    input.addData(vecRows(b1): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def ids(path: String): Set[Long] =
+      spark.read.parquet(path).select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = ids(live)
+    assert(expected == (seed.select("vec_id").collect().map(_.getLong(0)).toSet ++
+      b1.select("vec_id").collect().map(_.getLong(0)).toSet))
+    assert(ids(q8) == expected,
+      "the int8 index must carry exactly the float index's vectors")
+    assert(ids(pqDir) == expected,
+      "the PQ code index must carry exactly the float index's vectors")
+  }
 }
