@@ -345,13 +345,23 @@ object IvfIndex {
     * repoint → retire — probes never see a half-written index); probe
     * identity across the swap is pinned in IvfIndexSpec. The bucket
     * partitioning — the thing probes prune on — is preserved exactly.
+    *
+    * "Content-identical" is up to REPLAYED-APPEND duplicates, which
+    * compaction SHEDS: an at-least-once absorb replay (the
+    * [[graft.streaming.VectorIngestStream]] derived-artifact ordering)
+    * can re-append a (bucket, vec_id) row byte-identically — the frozen
+    * model assigns the same vector to the same bucket with the same
+    * payload, so keeping one copy per (bucket, vec_id) is exact, and
+    * probe results were already duplicate-insensitive (every shortlist
+    * dedups on the pair key). This is where the stream's "duplicates
+    * cost storage only" contract is discharged.
     */
   def compactIndex(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String,
       dstPath: String,
       targetFileBytes: Long = 128L << 20): Unit = {
-    val idx = spark.read.parquet(srcPath)
+    val idx = spark.read.parquet(srcPath).dropDuplicates("bucket", "vec_id")
     // clamp BEFORE toInt: with stats unavailable sizeInBytes falls back to
     // Long.MaxValue-ish estimates whose quotient wraps negative under
     // toInt, and max(1, wrapped) = 1 would funnel a huge index through a

@@ -170,6 +170,22 @@ class IvfIndexSpec extends SparkSpec {
       s"compaction must shrink files: ${nFiles(path)} -> ${nFiles(dst)}")
     assert(topk(spark.read.parquet(dst)) === appended,
       "compaction changed search results")
+
+    // REPLAYED-APPEND duplicates (an at-least-once absorb re-running on
+    // the same batch) are search-invisible and SHED by compaction — the
+    // VectorIngestStream lockstep contract's storage-only clause
+    IvfIndex.appendToIndex(model, fresh, path)
+    assert(topk(spark.read.parquet(path)) === appended,
+      "duplicate rows must not change search results")
+    val dst2 = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact2").toString + "/idx"
+    IvfIndex.compactIndex(spark, path, dst2)
+    val compacted = spark.read.parquet(dst2)
+    assert(compacted.count() ===
+      compacted.select("bucket", "vec_id").distinct().count(),
+      "compaction must shed replayed-append duplicates")
+    assert(topk(compacted) === appended,
+      "dedup-compaction changed search results")
   }
 
   test("retractFromIndex: retract(append(batch)) restores content, prunes to touched buckets") {
