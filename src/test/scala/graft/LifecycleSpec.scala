@@ -661,4 +661,85 @@ class LifecycleSpec extends SparkSpec {
       spark, Multimodal.videoPayloads(d1), s"$root/vid_c", 8, 0.5)) == vProbe0,
       "video compaction must be probe-identical")
   }
+
+  test("vector day: float, int8 and PQ indexes plus the moment store absorb, retract and compact with rebuild identity") {
+    import graft.operators.{IvfIndex, PqIndex}
+    import graft.queries.Similarity
+    val e = Tables(spark, dir, "embeddings")
+    // the q193/q194 registration split: store = %5 != 0, batch = %5 == 0
+    val v0 = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val v1 = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_vector_lc").toString
+    val model = IvfIndex.fit(v0.coalesce(1), k = 8, maxIter = 5)
+    val pqm = PqIndex.fit(v0.coalesce(1), m = 8, numCodes = 16)
+    def idBuckets(p: String) = spark.read.parquet(p)
+      .select("vec_id", "bucket").collect().map(_.toSeq.toList).toSet
+    def rowSet(df: DataFrame) = df.collect().map(_.toSeq.toList).toSet
+
+    // ---- FLOAT index (q193's store) -----------------------------------
+    val fp = s"$root/f"
+    graft.ops.Bucketing.writePartitioned(IvfIndex.assign(model, v0), fp, Seq("bucket"))
+    val fSnap0 = idBuckets(fp)
+    def fProbe() = rowSet(
+      IvfIndex.searchIndexed(model, v1, spark.read.parquet(fp), k = 5)
+        .select("query_id", "neighbor_id", "rank"))
+    val fProbe0 = fProbe()
+    assert(fProbe0.nonEmpty, "fixture must exercise store hits")
+    IvfIndex.appendToIndex(model, v1, fp)
+    assert(idBuckets(fp) ==
+      IvfIndex.assign(model, e).select("vec_id", "bucket")
+        .collect().map(_.toSeq.toList).toSet,
+      "float append must equal the from-scratch assignment")
+    IvfIndex.retractFromIndex(spark, model, v1, fp)
+    assert(idBuckets(fp) == fSnap0, "float retract must restore the exact content")
+    assert(fProbe() == fProbe0, "float retract must restore the exact probe result")
+    IvfIndex.compactIndex(spark, fp, s"$root/f_c")
+    assert(idBuckets(s"$root/f_c") == fSnap0, "float compaction must be content-identical")
+
+    // ---- INT8 index (q62's store, lockstep-absorbed by the stream) ----
+    val qp = s"$root/q8"
+    graft.ops.Bucketing.writePartitioned(
+      IvfIndex.assignQuantized(model, v0), qp, Seq("bucket"))
+    val qSnap0 = idBuckets(qp)
+    IvfIndex.assignQuantized(model, v1).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd").partitionBy("bucket").parquet(qp)
+    assert(idBuckets(qp) ==
+      IvfIndex.assignQuantized(model, e).select("vec_id", "bucket")
+        .collect().map(_.toSeq.toList).toSet,
+      "int8 append must equal the from-scratch assignment")
+    IvfIndex.retractFromIndex(spark, model, v1, qp)
+    assert(idBuckets(qp) == qSnap0, "int8 retract must restore the exact content")
+
+    // ---- PQ code index (q117's store) ---------------------------------
+    val pp = s"$root/pq"
+    graft.ops.Bucketing.writePartitioned(
+      PqIndex.assign(model, pqm, v0), pp, Seq("bucket"))
+    val pSnap0 = idBuckets(pp)
+    PqIndex.appendToIndex(model, pqm, v1, pp)
+    assert(idBuckets(pp) ==
+      PqIndex.assign(model, pqm, e).select("vec_id", "bucket")
+        .collect().map(_.toSeq.toList).toSet,
+      "PQ append must equal the from-scratch assignment")
+    IvfIndex.retractFromIndex(spark, model, v1, pp)
+    assert(idBuckets(pp) == pSnap0, "PQ retract must restore the exact content")
+
+    // ---- MOMENT store (q194's store) ----------------------------------
+    val mp = s"$root/moments"
+    Similarity.momentSums(v0, dim = 64).write
+      .option("compression", "zstd").parquet(mp)
+    def merged() = rowSet(Similarity.mergeMomentSums(Seq(spark.read.parquet(mp))))
+    // absorb boundary: store + batch sums equal the whole-corpus rebuild
+    assert(rowSet(Similarity.mergeMomentSums(Seq(
+        spark.read.parquet(mp), Similarity.momentSums(v1, dim = 64)))) ==
+      rowSet(Similarity.secondMoments(e, dim = 64)),
+      "moment absorb must equal the from-scratch rebuild bit-exactly")
+    // persist the absorbed store, retract the batch, expect the v0 matrix
+    Similarity.momentSums(e, dim = 64).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(mp)
+    Similarity.retractFromMomentStore(spark, v1, mp, onceId = Some("lc1"))
+    assert(merged() == rowSet(Similarity.secondMoments(v0, dim = 64)),
+      "moment retract must restore the survivor matrix bit-exactly")
+  }
 }
