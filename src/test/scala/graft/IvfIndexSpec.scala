@@ -117,6 +117,19 @@ class IvfIndexSpec extends SparkSpec {
     val mem = IvfIndex.search(model, queries, corpus, k = 3, nProbe = nProbe)
       .select("query_id", "neighbor_id", "rank").collect()
     assert(rows.map(_.toString).sorted.sameElements(mem.map(_.toString).sorted))
+
+    // the DUMPABLE candidate path (q56/q193's oracle dumps) must prune
+    // exactly like the fused search — a candidate dump that scanned the
+    // whole index would silently pay the unpruned cost at 100 TB
+    val cand = IvfIndex.candidatesIndexed(
+      model, queries, spark.read.parquet(path), nProbe = nProbe)
+    cand.collect()
+    val candScan = scans(cand.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(path)))
+    assert(candScan.nonEmpty, "no scan over the persisted index found in candidates")
+    assert(candScan.head.selectedPartitions.partitionCount == expectedBuckets,
+      s"candidatesIndexed must prune to $expectedBuckets buckets, " +
+        s"got ${candScan.head.selectedPartitions.partitionCount}")
   }
 
   test("appendToIndex: day-N+1 vectors join the persisted index without a rebuild") {
