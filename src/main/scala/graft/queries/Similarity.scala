@@ -81,16 +81,23 @@ object Similarity {
   /** The engine half of the ANN dump-readback oracles: exact-cosine score
     * + rank of a dumped (query_id, neighbor_id) candidate readback against
     * the corpus — value-identical to the fused search paths (same codegen
-    * kernel, same (sim desc, neighbor_id) tie-break). The readback is
-    * bounded (queries × probed-bucket candidates) and broadcasts; the
-    * corpus streams through the two id joins.
+    * kernel, same (sim desc, neighbor_id) tie-break). The corpus streams
+    * through the two id joins; the candidate readback broadcasts only
+    * under the house size gate — bounded for the probe-contract queries
+    * (10 query vectors × probed buckets), but q193's query side is the
+    * DAILY BATCH, whose candidate set grows with corpus × batch and must
+    * fall back to an ordinary equi-join under AQE rather than being
+    * force-broadcast.
     */
   private def rankCandidateReadback(
       cand: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val small = cand.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(graft.queries.Dedup.IncrementalBroadcastCeiling)
+    val hinted = if (small) broadcast(cand) else cand
     val q = corpus.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val n = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     topKPerQuery(
-      broadcast(cand).join(n, Seq("neighbor_id")).join(q, Seq("query_id"))
+      hinted.join(n, Seq("neighbor_id")).join(q, Seq("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           Vectors.cosine(col("qv"), col("cv")).as("sim")),
       k)
