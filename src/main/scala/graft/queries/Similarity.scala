@@ -57,6 +57,7 @@ object Similarity {
   private val q117Dir = annDumpDir("q117")
   private val q173Dir = annDumpDir("q173")
   private val q193Dir = annDumpDir("q193")
+  private val q195Dir = annDumpDir("q195")
 
   /** The shared ANN dump-readback oracle: exact-cosine top-`k` over the
     * DUMPED candidate set — q36's oracle template with the corpus join
@@ -853,6 +854,53 @@ object Similarity {
       rankCandidateReadback(s.read.parquet(s"$q193Dir/candidates.parquet"), e, k = 5)
     },
 
+    // The lockstep-integrity gauge for the vector store family (q126/
+    // q166's audit pattern at the vector tier): the float, int8 and PQ
+    // indexes must carry the SAME id set — a crash window or a missed
+    // lockstep absorb desyncs them, and a quantized probe then silently
+    // misses vectors the float index serves. The three artifacts' id
+    // rows dump pid-scoped (the q183 store-row convention) and BOTH
+    // engines compute the audit over the readback: per artifact, rows /
+    // distinct ids / missing-vs-float / orphans-vs-float. Healthy =
+    // all-zero drift; see [[vectorArtifactSync]] for how duplicates and
+    // desyncs each read.
+    "q195_vector_artifact_sync" -> Q(
+      "Vector artifact sync audit: per-artifact rows/ids and id drift " +
+        "vs the float index across float/int8/PQ stores (dumped rows, " +
+        "both engines replay the audit)",
+      s"""WITH r AS (SELECT artifact, vec_id
+        |  FROM read_parquet('$q195Dir/rows.parquet/*.parquet')),
+        |d AS (SELECT DISTINCT artifact, vec_id FROM r),
+        |f AS (SELECT vec_id FROM d WHERE artifact = 'float'),
+        |per AS (SELECT artifact, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |          CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_ids
+        |        FROM r GROUP BY artifact),
+        |inter AS (SELECT artifact, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |          FROM d JOIN f USING (vec_id) GROUP BY artifact),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_float FROM f)
+        |SELECT p.artifact, p.n_rows, p.n_ids,
+        |  t.n_float - COALESCE(i.n_inter, 0) AS n_missing,
+        |  p.n_ids - COALESCE(i.n_inter, 0) AS n_orphans
+        |FROM per p CROSS JOIN tot t LEFT JOIN inter i USING (artifact)
+        |ORDER BY artifact""".stripMargin) { (s, dir) =>
+      val corpus = emb(s, dir)
+      val model = modelFor(corpus, dir)
+      val pq = pqModelFor(corpus, dir)
+      val fPath = persistedIndex(model, corpus, dir)
+      val qPath = persistedQuantizedIndex(model, corpus, dir)
+      val pPath = persistedPqIndex(model, pq, corpus, dir)
+      Similarity.synchronized {
+        s.read.parquet(fPath).select(lit("float").as("artifact"), col("vec_id"))
+          .unionByName(
+            s.read.parquet(qPath).select(lit("int8").as("artifact"), col("vec_id")))
+          .unionByName(
+            s.read.parquet(pPath).select(lit("pq").as("artifact"), col("vec_id")))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q195Dir/rows.parquet")
+      }
+      vectorArtifactSync(s.read.parquet(s"$q195Dir/rows.parquet"))
+    },
+
     "q84_label_purity" -> Q(
       "Nearest-centroid confusion matrix over embeddings (decimal-exact " +
         "centroids, counts only — FP-rank-safe)",
@@ -1439,6 +1487,37 @@ object Similarity {
       .select(col("i"), col("j"),
         (col("s").cast("double") / lit(1e12) / col("n")).as("m"))
       .orderBy("i", "j")
+
+  /** q195: the vector-artifact SYNC gauge over a dumped (artifact,
+    * vec_id) row table — per artifact: raw rows, distinct ids, and id
+    * drift vs the float index (n_missing = float ids absent here,
+    * n_orphans = ids here the float index lacks). All-zero drift and
+    * n_rows == n_ids is the healthy lockstep state; replayed-append
+    * duplicates show as n_rows > n_ids (storage-only, shed by
+    * [[graft.operators.IvfIndex.compactIndex]]), while missing/orphan
+    * counts flag the crash-window desync the
+    * [[graft.streaming.VectorIngestStream]] ordering exists to prevent.
+    * Plan shape: one distinct, one semi-join rollup, a 1-row total
+    * broadcast — every side bounded by index id cardinality, never by
+    * payload.
+    */
+  def vectorArtifactSync(rows: DataFrame): DataFrame = {
+    val d = rows.select(col("artifact"), col("vec_id")).distinct()
+    val f = d.filter(col("artifact") === "float").select(col("vec_id"))
+    val per = rows.groupBy("artifact").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("vec_id")).as("n_ids"))
+    val inter = d.join(f, Seq("vec_id"), "left_semi")
+      .groupBy("artifact").agg(count(lit(1)).as("n_inter"))
+    val tot = f.agg(count(lit(1)).as("n_float"))
+    per.join(inter, Seq("artifact"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("artifact"), col("n_rows"), col("n_ids"),
+        (col("n_float") - coalesce(col("n_inter"), lit(0L))).as("n_missing"),
+        (col("n_ids") - coalesce(col("n_inter"), lit(0L))).as("n_orphans"))
+      .orderBy("artifact")
+  }
 
   /** Forget arm for the q194 moment store — subtract the forgotten
     * vectors' contributions: their [[momentSums]] negate and fold into

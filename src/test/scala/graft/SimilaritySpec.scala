@@ -147,4 +147,23 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(1) > 0)
     }
   }
+
+  test("vector artifact sync gauge reads duplicates, missing ids and orphans correctly") {
+    import spark.implicits._
+    // planted desync: int8 has a replayed-append dup AND is missing id 3;
+    // pq carries an orphan id the float index lacks
+    val rows = Seq(
+      ("float", 1L), ("float", 2L), ("float", 3L),
+      ("int8", 1L), ("int8", 2L), ("int8", 2L),
+      ("pq", 1L), ("pq", 2L), ("pq", 3L), ("pq", 9L)
+    ).toDF("artifact", "vec_id")
+    val out = Similarity.vectorArtifactSync(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(out == Seq(
+      ("float", 3L, 3L, 0L, 0L),
+      ("int8", 3L, 2L, 1L, 0L),
+      ("pq", 4L, 4L, 0L, 1L)),
+      s"gauge misread the planted desync: $out")
+  }
 }
