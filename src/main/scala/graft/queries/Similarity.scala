@@ -308,7 +308,11 @@ object Similarity {
     import spark2.implicits._
     val qv = corpus.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val nv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-    val cand = broadcast(candIds)
+    // size-gated like rankCandidateReadback: at maxProbe the candidate set
+    // approaches |queries| x |corpus| and must not force-broadcast
+    val candSmall = candIds.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(graft.queries.Dedup.IncrementalBroadcastCeiling)
+    val cand = (if (candSmall) broadcast(candIds) else candIds)
       .join(nv, Seq("neighbor_id")).join(qv, Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
         Vectors.cosine(col("qv"), col("cv")).as("sim"))
@@ -511,8 +515,19 @@ object Similarity {
     * scheme can never be served to a newer reader.
     */
   private[graft] def momentStoreFor(corpus: DataFrame, dir: String): String = synchronized {
+    // content fingerprint, not just the dir name: one cheap corpus pass
+    // (order-insensitive sum of row hashes — far cheaper than the d²
+    // moment fold it memoizes) so a testdata dir whose embeddings change
+    // can never serve stale sums, and two processes over different data
+    // never share a path — the persistedIndex staleness rule
+    val fp = corpus.agg(
+        sum(xxhash64(col("vec_id"), col("embedding")).cast("decimal(38,0)")).as("h"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    val tag = java.lang.Long.toHexString(
+      fp.getDecimal(0).hashCode().toLong ^ (fp.getLong(1) * 1000003L))
     val path = s"${sys.props("java.io.tmpdir")}/graft_moment_store_tf12_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      java.lang.Integer.toHexString(dir.hashCode) + "_" + tag
     val reusable = dir.startsWith("/root/testdata") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
     if (!reusable)

@@ -36,8 +36,11 @@ import graft.operators.IvfIndex
   *     and absorbs only the genuinely-new vectors — already-absorbed
   *     batch-mates are in the store, so the remainder's probe still ranks
   *     against them;
-  *   - results land at `resultsDir/batch=<id>` with Overwrite, so a
-  *     replayed micro-batch rewrites its own directory byte-equivalently.
+  *   - results land at `resultsDir/batch=<id>` via an additive-idempotent
+  *     merge (committed rows win, fresh rows fill only uncovered query
+  *     ids, write-aside → swap): a pure replay rewrites the directory
+  *     value-equivalently, and a PARTIAL overlap can never erase rows the
+  *     previous attempt already committed.
   *
   * Forget guard is plumbing, not caller discipline (the round-14
   * convention): pass `tombstonePath` and tombstoned vec_ids drop before
@@ -113,12 +116,32 @@ object VectorIngestStream {
           // row set (the MediaDedupStream localCheckpoint rule)
           val remainder = remainderOf(s, guarded, model, indexPath).localCheckpoint()
           if (!remainder.isEmpty) {
-            IvfIndex
+            // additive-idempotent results write: a PARTIAL-overlap replay
+            // (float append partially visible after a crash mid-job-commit)
+            // produces a remainder that is a strict subset of the batch —
+            // a plain Overwrite of batch=<id> would erase the
+            // already-committed rows for the absorbed portion. Instead,
+            // committed rows win (query_id-keyed): fresh probe rows join
+            // only for query ids the committed file does not cover, then
+            // write-aside → swap so the merge never reads-and-rewrites the
+            // same live directory.
+            val outDir = s"$resultsDir/batch=$batchId"
+            val fresh = IvfIndex
               .searchIndexed(model, remainder, s.read.parquet(indexPath),
                 k = k, nProbe = nProbe)
-              .write.mode(SaveMode.Overwrite)
+            val fs = new org.apache.hadoop.fs.Path(outDir)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            val merged =
+              if (fs.exists(new org.apache.hadoop.fs.Path(outDir, "_SUCCESS"))) {
+                val committed = s.read.parquet(outDir)
+                committed.unionByName(fresh.join(
+                  committed.select(col("query_id")).distinct(),
+                  Seq("query_id"), "left_anti"))
+              } else fresh
+            merged.write.mode(SaveMode.Overwrite)
               .option("compression", "zstd")
-              .parquet(s"$resultsDir/batch=$batchId")
+              .parquet(outDir + ".next")
+            graft.ops.StoreSwap.swapInto(s, outDir)
             quantizedIndexPath.foreach { p =>
               IvfIndex.assignQuantized(model, remainder).write
                 .mode(SaveMode.Append)
