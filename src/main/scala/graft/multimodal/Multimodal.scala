@@ -697,6 +697,49 @@ object Multimodal {
       .select(col("a"), col("b"))
   }
 
+  /** [[survivorFingerprintPairs]] at FRAME grain — the video arm of a
+    * bridge-split retract: the frame index's band rows restricted to the
+    * survivor VIDEO set (band keys are packed fids, so membership is
+    * `fid / FidWidth ∈ survivors`) self-join on (band, bhash),
+    * hamming-verify off the stored dh values, and roll up per video pair
+    * with [[videoPairs]]' min-side overlap — denominators from the
+    * persisted vcounts, never a payload re-decode. Output (a, b), a < b.
+    */
+  private[graft] def survivorVideoPairs(
+      store: DataFrame,
+      storeCounts: DataFrame,
+      survivors: DataFrame,
+      maxHamming: Int,
+      minOverlap: Double,
+      hinted: DataFrame => DataFrame): DataFrame = {
+    val sv = hinted(survivors.select(col("doc_id").as("vid")))
+    val sb = store
+      .withColumn("vid", (col("doc_id") / FidWidth).cast("long"))
+      .join(sv, Seq("vid"))
+    val counts = storeCounts.join(sv, Seq("vid"))
+    sb.as("x")
+      .join(sb.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.vid") < col("y.vid"))
+      .select(
+        col("x.vid").as("va"), col("x.doc_id").as("fa"),
+        col("y.vid").as("vb"), col("y.doc_id").as("fb"),
+        graft.functions.Text.hamming64(col("x.dh"), col("y.dh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("va"), col("vb"))
+      .agg(least(countDistinct(col("fa")), countDistinct(col("fb")))
+        .as("matched_frames"))
+      .join(counts.withColumnRenamed("vid", "va")
+        .withColumnRenamed("nf", "nf_a"), "va")
+      .join(counts.withColumnRenamed("vid", "vb")
+        .withColumnRenamed("nf", "nf_b"), "vb")
+      .filter(
+        col("matched_frames").cast("double") / least(col("nf_a"), col("nf_b"))
+          >= minOverlap)
+      .select(col("va").as("a"), col("vb").as("b"))
+  }
+
   /** The image instance of the fingerprint-index trio (q185). */
   def persistDhashIndex(media: DataFrame, path: String): Unit =
     persistFingerprintIndex(dhashRows(media), path)

@@ -15,9 +15,10 @@ import graft.queries.Dedup
   * shuffled — and a takedown retracts with bridge-split correctness.
   *
   * The store is ONE artifact (`<path>/assignment`: component, doc_id) by
-  * design: the edges themselves live in the three modality indexes that
+  * design: the edges themselves live in the modality indexes that
   * already exist (text bands+shingles, image dHash bands, audio
-  * fingerprint bands — each with its own absorb/retract/compact
+  * fingerprint bands, and — when configured — the video frame index with
+  * its vcounts denominators; each with its own absorb/retract/compact
   * lifecycle), so this store adds only the cross-modal FOLD state, never
   * a second copy of any edge source. Every operation here takes the
   * three index paths and derives edges index-backed — no payload is
@@ -42,9 +43,15 @@ import graft.queries.Dedup
   */
 object CrossModal {
 
-  /** The three per-modality edge sources + thresholds, bundled so every
+  /** The per-modality edge sources + thresholds, bundled so every
     * lifecycle operation derives edges identically (one vocabulary — the
-    * q191 precision-first arm defaults).
+    * q191 precision-first arm defaults). The VIDEO arm is optional (a
+    * deployment without a frame index skips it); when present it is the
+    * q187 frame-grain incremental probe with [[Multimodal.videoPairs]]'
+    * min-side overlap verify — trim-robust, and precision-safe for a
+    * transitive fold because the overlap denominator is the SMALLER
+    * side's frame count, so an incidental single-frame match can never
+    * clear the 0.5 bar on real multi-frame videos.
     */
   final case class EdgeSources(
       textIndexPath: String,
@@ -52,7 +59,10 @@ object CrossModal {
       audioIndexPath: String,
       threshold: Double = 0.7,
       maxHammingImg: Int = 8,
-      maxHammingAud: Int = 4)
+      maxHammingAud: Int = 4,
+      videoIndexPath: Option[String] = None,
+      maxHammingVid: Int = 8,
+      minOverlapVid: Double = 0.5)
 
   private def assignmentDir(path: String) = s"$path/assignment"
 
@@ -76,23 +86,28 @@ object CrossModal {
           "doc_id", org.apache.spark.sql.types.LongType))))
       .parquet(assignmentDir(path))
 
-  /** The batch's cross-modal edge set against the three persisted
-    * indexes + within itself: each arm is its modality's incremental
-    * probe (q66 / q185 / q186 — no stored payload re-decoded, no stored
-    * text re-shingled), unioned as (new_id, existing_id).
+  /** The batch's cross-modal edge set against the persisted indexes +
+    * within itself: each arm is its modality's incremental probe (q66 /
+    * q185 / q186 / q187 — no stored payload re-decoded, no stored text
+    * re-shingled), unioned as (new_id, existing_id).
     */
   def incrementalEdges(
       spark: SparkSession, batchDocs: DataFrame, src: EdgeSources): DataFrame = {
     def e(df: DataFrame) = df.select(
       col("new_id").cast("long").as("new_id"),
       col("existing_id").cast("long").as("existing_id"))
-    e(Dedup.incrementalMinhashPairs(spark, batchDocs, src.textIndexPath, src.threshold))
-      .unionByName(e(Multimodal.incrementalDhashPairs(
-        spark, Multimodal.imagePayloads(batchDocs),
-        src.imageIndexPath, src.maxHammingImg)))
-      .unionByName(e(Multimodal.incrementalAudioPairs(
-        spark, Multimodal.audioPayloads(batchDocs),
-        src.audioIndexPath, src.maxHammingAud)))
+    val tia =
+      e(Dedup.incrementalMinhashPairs(spark, batchDocs, src.textIndexPath, src.threshold))
+        .unionByName(e(Multimodal.incrementalDhashPairs(
+          spark, Multimodal.imagePayloads(batchDocs),
+          src.imageIndexPath, src.maxHammingImg)))
+        .unionByName(e(Multimodal.incrementalAudioPairs(
+          spark, Multimodal.audioPayloads(batchDocs),
+          src.audioIndexPath, src.maxHammingAud)))
+    src.videoIndexPath.fold(tia)(p =>
+      tia.unionByName(e(Multimodal.incrementalVideoPairs(
+        spark, Multimodal.videoPayloads(batchDocs),
+        p, src.maxHammingVid, src.minOverlapVid))))
   }
 
   /** The contracted merge over an already-derived batch edge set — split
@@ -179,6 +194,8 @@ object CrossModal {
     Dedup.appendToBandIndex(batchDocs, src.textIndexPath)
     Multimodal.appendToDhashIndex(Multimodal.imagePayloads(batchDocs), src.imageIndexPath)
     Multimodal.appendToAudioIndex(Multimodal.audioPayloads(batchDocs), src.audioIndexPath)
+    src.videoIndexPath.foreach(p =>
+      Multimodal.appendToVideoIndex(Multimodal.videoPayloads(batchDocs), p))
     graft.ops.StoreSwap.swapInto(spark, assignmentDir(path))
   }
 
@@ -210,22 +227,39 @@ object CrossModal {
     val survivors = store.join(broadcast(touched), Seq("component"))
       .join(ids, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
-    def hinted(df: DataFrame): DataFrame = broadcast(df)
-    val pairs = Dedup.survivorTextPairs(
-        spark, src.textIndexPath, survivors, src.threshold, hinted)
+    // survivors are takedown-touched membership — bounded in practice, but
+    // a takedown hitting a mega-family must not force-broadcast them (the
+    // same gate the absorb side carries); materialize the id list once so
+    // the stats gate sees a sized relation, not the store join
+    val survivorsSized = {
+      val rows = survivors.persist()
+      rows.count()
+      rows
+    }
+    val small = survivorsSized.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(Dedup.IncrementalBroadcastCeiling)
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val tia = Dedup.survivorTextPairs(
+        spark, src.textIndexPath, survivorsSized, src.threshold, hinted)
       .unionByName(Multimodal.survivorFingerprintPairs(
         Multimodal.readBandStore(spark, src.imageIndexPath),
-        survivors, src.maxHammingImg, hinted))
+        survivorsSized, src.maxHammingImg, hinted))
       .unionByName(Multimodal.survivorFingerprintPairs(
         Multimodal.readBandStore(spark, src.audioIndexPath),
-        survivors, src.maxHammingAud, hinted))
+        survivorsSized, src.maxHammingAud, hinted))
+    val pairs = src.videoIndexPath.fold(tia)(p =>
+      tia.unionByName(Multimodal.survivorVideoPairs(
+        Multimodal.readBandStore(spark, p),
+        Multimodal.readVcounts(spark, p),
+        survivorsSized, src.maxHammingVid, src.minOverlapVid, hinted)))
     val comps = graft.operators.ConnectedComponents.run(
-      survivors.select(col("doc_id").as("id")),
+      survivorsSized.select(col("doc_id").as("id")),
       pairs.select(col("a").as("src"), col("b").as("dst")))
     untouched
       .unionByName(comps.select(col("component"), col("id").as("doc_id")))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd").parquet(assignmentDir(path) + ".next")
+    survivorsSized.unpersist()
     graft.ops.StoreSwap.swapInto(spark, assignmentDir(path))
   }
 }

@@ -747,7 +747,7 @@ object Extras {
     // identity and the planted cross-modal merges).
     "q191_crossmodal_components" -> Q(
       "Cross-modal duplicate families: components over the union of " +
-        "text minhash, image dHash and audio fingerprint edges",
+        "text minhash, image dHash, audio fingerprint and video frame edges",
       """WITH RECURSIVE
         |e0 AS (SELECT src, dst FROM read_parquet('$q191Dir/edges.parquet/*.parquet')),
         |edges AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
@@ -783,7 +783,7 @@ object Extras {
     // rebuild, the absorb/retract lifecycle and the bridge-split forget.
     "q192_crossmodal_incremental" -> Q(
       "Incremental cross-modal duplicate families: persisted assignment " +
-        "+ the batch's text/image/audio edges, contracted merge",
+        "+ the batch's text/image/audio/video edges, contracted merge",
       """WITH RECURSIVE
         |a AS (SELECT component, doc_id
         |      FROM read_parquet('$q192Dir/assignment.parquet/*.parquet')),
@@ -808,7 +808,8 @@ object Extras {
       val src = graft.pipeline.CrossModal.EdgeSources(
         textIndexPath = Dedup.bandIndexFor(corpus, dir),
         imageIndexPath = dhashIndexFor(Multimodal.imagePayloads(corpus), dir),
-        audioIndexPath = audioIndexFor(Multimodal.audioPayloads(corpus), dir))
+        audioIndexPath = audioIndexFor(Multimodal.audioPayloads(corpus), dir),
+        videoIndexPath = Some(videoIndexFor(Multimodal.videoPayloads(corpus), dir)))
       val xm = crossModalIndexFor(corpus, dir, "store")
       Extras.synchronized {
         graft.pipeline.CrossModal.readAssignment(s, xm).write
@@ -902,9 +903,12 @@ object Extras {
       threshold: Double = 0.7,
       maxHammingImg: Int = 8,
       maxHammingAud: Int = 4,
-      maxIter: Int = 64): DataFrame =
+      maxIter: Int = 64,
+      maxHammingVid: Int = 8,
+      minOverlapVid: Double = 0.5): DataFrame =
     crossModalFold(docs,
-      crossModalEdges(docs, threshold, maxHammingImg, maxHammingAud), maxIter)
+      crossModalEdges(docs, threshold, maxHammingImg, maxHammingAud,
+        maxHammingVid, minOverlapVid), maxIter)
 
   /** The union edge set [[crossModalComponents]] folds — factored (the
     * bandSkewOf discipline) so the q191 registration can DUMP it
@@ -918,12 +922,20 @@ object Extras {
       docs: DataFrame,
       threshold: Double = 0.7,
       maxHammingImg: Int = 8,
-      maxHammingAud: Int = 4): DataFrame = {
+      maxHammingAud: Int = 4,
+      maxHammingVid: Int = 8,
+      minOverlapVid: Double = 0.5): DataFrame = {
     def e(df: DataFrame) =
       df.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
     e(Dedup.minhashPairs(docs, threshold))
       .unionByName(e(Multimodal.dhashPairs(Multimodal.imagePayloads(docs), maxHammingImg)))
       .unionByName(e(Multimodal.audioPairs(Multimodal.audioPayloads(docs), maxHammingAud)))
+      // the video arm (q89's kernel): precision-safe for a transitive
+      // fold without tightening — the min-side overlap verify means an
+      // incidental single-frame band hit can never clear 0.5 on real
+      // multi-frame videos, so the arm does not chain across families
+      .unionByName(e(Multimodal.videoPairs(
+        Multimodal.videoPayloads(docs), maxHammingVid, minOverlapVid)))
   }
 
   /** The component fold alone: every doc keeps an assignment (singletons
@@ -967,7 +979,10 @@ object Extras {
   private def crossModalIndexFor(
       corpus: DataFrame, dir: String, tag: String): String =
     synchronized {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_xmidx_" +
+      // `xmidx4`: the arm-set version is part of the path — a store
+      // persisted under the three-arm union must never warm-serve the
+      // four-arm (video-enabled) readers
+      val path = s"${sys.props("java.io.tmpdir")}/graft_xmidx4_" +
         java.lang.Integer.toHexString(dir.hashCode) + "_" + tag
       val reusable = dir.startsWith("/root/testdata") &&
         java.nio.file.Files.exists(

@@ -33,10 +33,12 @@ class CrossModalDedupStreamSpec extends SparkSpec {
       .collect().map(_.toSeq.toList).toSet
 
   private def buildStores(root: String, corpus: DataFrame): CrossModal.EdgeSources = {
-    val src = CrossModal.EdgeSources(s"$root/text", s"$root/img", s"$root/aud")
+    val src = CrossModal.EdgeSources(s"$root/text", s"$root/img", s"$root/aud",
+      videoIndexPath = Some(s"$root/vid"))
     Dedup.persistBandIndex(corpus, src.textIndexPath)
     Multimodal.persistDhashIndex(Multimodal.imagePayloads(corpus), src.imageIndexPath)
     Multimodal.persistAudioIndex(Multimodal.audioPayloads(corpus), src.audioIndexPath)
+    Multimodal.persistVideoIndex(Multimodal.videoPayloads(corpus), s"$root/vid")
     src
   }
 
@@ -101,6 +103,12 @@ class CrossModalDedupStreamSpec extends SparkSpec {
       "image index must grow twin-identically")
     assert(bandSet(live.audioIndexPath) == bandSet(twin.audioIndexPath),
       "audio index must grow twin-identically")
+    assert(bandSet(live.videoIndexPath.get) == bandSet(twin.videoIndexPath.get),
+      "video frame index must grow twin-identically")
+    def vcSet(p: String) = spark.read.parquet(s"$p/vcounts")
+      .collect().map(_.toSeq.toList).toSet
+    assert(vcSet(live.videoIndexPath.get) == vcSet(twin.videoIndexPath.get),
+      "video denominators must grow twin-identically")
 
     // FULL REPLAY (fresh checkpoint): the assignment witness skips both
     // the results rewrite and the absorbs — stores byte-stable

@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.queries.{Dedup, Extras, Tables}
 
 /** Cross-modal duplicate families (q191): the component assignment must
-  * equal a direct union-find over the three per-modality pair sets, and
+  * equal a direct union-find over the four per-modality pair sets, and
   * must merge docs whose TEXT is unrelated through their media edges —
   * the case no single-modality dedup can see.
   */
@@ -22,6 +22,7 @@ class CrossModalSpec extends SparkSpec {
     val text = pairs(Dedup.minhashPairs(docs, 0.7))
     val img = pairs(Multimodal.dhashPairs(Multimodal.imagePayloads(docs), 8))
     val aud = pairs(Multimodal.audioPairs(Multimodal.audioPayloads(docs), 4))
+    val vid = pairs(Multimodal.videoPairs(Multimodal.videoPayloads(docs), 8, 0.5))
 
     // reference: plain union-find over the collected union graph
     val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
@@ -30,7 +31,7 @@ class CrossModalSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    (text ++ img ++ aud).foreach { case (a, b) => union(a, b) }
+    (text ++ img ++ aud ++ vid).foreach { case (a, b) => union(a, b) }
     val want = ids.map(i => (find(i), i))
 
     val got = Extras.crossModalComponents(docs)
@@ -63,10 +64,12 @@ class CrossModalSpec extends SparkSpec {
     val text = s"$root/text"
     val img = s"$root/img"
     val aud = s"$root/aud"
+    val vid = s"$root/vid"
     Dedup.persistBandIndex(corpus, text)
     Multimodal.persistDhashIndex(Multimodal.imagePayloads(corpus), img)
     Multimodal.persistAudioIndex(Multimodal.audioPayloads(corpus), aud)
-    val src = CrossModal.EdgeSources(text, img, aud)
+    Multimodal.persistVideoIndex(Multimodal.videoPayloads(corpus), vid)
+    val src = CrossModal.EdgeSources(text, img, aud, videoIndexPath = Some(vid))
     val xm = s"$root/xm"
     CrossModal.persist(corpus, xm)
 
@@ -114,5 +117,54 @@ class CrossModalSpec extends SparkSpec {
     } yield (d1, d2)
     assert(splitPairs.nonEmpty,
       "fixture must exercise a bridge split (a family parted by the forget)")
+  }
+
+  test("video bridge: reposted clip + caption near-dup chain one family; forgetting the repost splits it") {
+    import graft.pipeline.CrossModal
+    val s = spark
+    import s.implicits._
+    // ids chosen so the ONLY cross-doc media edge is the video arm:
+    // video families are id/16 (16 and 20 share family 1; variants 0 =
+    // base clip, 1 = brightness-shifted repost) while image/audio
+    // families are id/4 (16 → 4, 20 → 5, 41 → 10 — all distinct, no
+    // edge), and 41 is not a video (41 % 4 != 0). The repost's caption
+    // near-dups doc 41's text; the base clip's text is unrelated soup.
+    val soup = (1 to 40).map(i => s"w${i * 37 % 101}q$i").mkString(" ")
+    val cap = ("the launch event recap video with full keynote highlights " +
+      "and demo segments plus audience questions ") * 3
+    val docs = Seq((16L, soup), (20L, cap), (41L, cap)).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") =!= 20L)
+    val batch = docs.filter(col("doc_id") === 20L)
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_vbridge").toString
+    Dedup.persistBandIndex(corpus, s"$root/text")
+    Multimodal.persistDhashIndex(Multimodal.imagePayloads(corpus), s"$root/img")
+    Multimodal.persistAudioIndex(Multimodal.audioPayloads(corpus), s"$root/aud")
+    Multimodal.persistVideoIndex(Multimodal.videoPayloads(corpus), s"$root/vid")
+    val src = CrossModal.EdgeSources(
+      s"$root/text", s"$root/img", s"$root/aud",
+      videoIndexPath = Some(s"$root/vid"))
+    val xm = s"$root/xm"
+    CrossModal.persist(corpus, xm)
+
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("doc_id", "component")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // pre-batch: no edges between the base clip and the caption doc
+    val before = assign(CrossModal.readAssignment(spark, xm))
+    assert(before == Map(16L -> 16L, 41L -> 41L), s"pre-batch drifted: $before")
+
+    // the repost bridges: 20–16 rides the video arm alone, 20–41 the
+    // text arm alone — one family no single modality can assemble
+    CrossModal.absorb(spark, batch, xm, src)
+    val joined = assign(CrossModal.readAssignment(spark, xm))
+    assert(joined == Map(16L -> 16L, 20L -> 16L, 41L -> 16L),
+      s"video bridge must chain all three docs: $joined")
+
+    // forgetting the bridge doc splits the family exactly in two
+    CrossModal.retract(spark, Seq(20L).toDF("doc_id"), xm, src)
+    val after = assign(CrossModal.readAssignment(spark, xm))
+    assert(after == Map(16L -> 16L, 41L -> 41L),
+      s"forgetting the repost must part the family: $after")
   }
 }

@@ -65,7 +65,8 @@ class ForgetEverywhereSpec extends SparkSpec {
       imageIndexPath = Some(img),
       audioIndexPath = Some(aud),
       videoIndexPath = Some(vid),
-      crossModal = Some((xm, graft.pipeline.CrossModal.EdgeSources(idx, img, aud))))
+      crossModal = Some((xm, graft.pipeline.CrossModal.EdgeSources(
+        idx, img, aud, videoIndexPath = Some(vid)))))
 
     def audit(): Map[String, Long] =
       Forget.residuals(tdIds, Forget.families(spark, stores))

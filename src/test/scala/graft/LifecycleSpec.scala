@@ -742,4 +742,60 @@ class LifecycleSpec extends SparkSpec {
     assert(merged() == rowSet(Similarity.secondMoments(v0, dim = 64)),
       "moment retract must restore the survivor matrix bit-exactly")
   }
+
+  test("cross-modal day: four-arm union absorbs, video compaction is probe-identical behind EdgeSources, retract restores day 0") {
+    import graft.multimodal.Multimodal
+    import graft.pipeline.CrossModal
+    import graft.queries.Extras
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val d0 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val d1 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val batchIds = d1.select(col("doc_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_xm_day").toString
+    Dedup.persistBandIndex(d0, s"$root/text")
+    Multimodal.persistDhashIndex(Multimodal.imagePayloads(d0), s"$root/img")
+    Multimodal.persistAudioIndex(Multimodal.audioPayloads(d0), s"$root/aud")
+    Multimodal.persistVideoIndex(Multimodal.videoPayloads(d0), s"$root/vid")
+    val src = CrossModal.EdgeSources(
+      s"$root/text", s"$root/img", s"$root/aud",
+      videoIndexPath = Some(s"$root/vid"))
+    val xm = s"$root/xm"
+    CrossModal.persist(d0, xm)
+    def rowSet(df: DataFrame): Set[List[Any]] =
+      df.collect().map(_.toSeq.toList).toSet
+    def assignSet(): Set[List[Any]] =
+      rowSet(CrossModal.readAssignment(spark, xm))
+    val snap0 = assignSet()
+
+    // fixture pin: the day's batch must carry live VIDEO edges against the
+    // store — without this the fourth arm would be decorative here
+    def vProbe(path: String) = rowSet(Multimodal.incrementalVideoPairs(
+      spark, Multimodal.videoPayloads(d1), path, maxHamming = 8, minOverlap = 0.5))
+    val vEdges0 = vProbe(s"$root/vid")
+    assert(vEdges0.nonEmpty, "fixture must exercise video store hits")
+
+    // ABSORB the day: the four-arm incremental fold must equal the q191
+    // rebuild over the cumulative corpus
+    CrossModal.absorb(spark, d1, xm, src)
+    val rebuild = rowSet(Extras.crossModalComponents(docs))
+    assert(assignSet() == rebuild, "four-arm absorb must equal the rebuild")
+
+    // COMPACT the video index and repoint EdgeSources at the rewrite: an
+    // empty day is still a fixed point (gauge-after-compact through the
+    // cross-modal tier, not just the raw probe)
+    Multimodal.compactVideoIndex(spark, s"$root/vid", s"$root/vid_c")
+    val srcC = src.copy(videoIndexPath = Some(s"$root/vid_c"))
+    assert(rowSet(CrossModal.incremental(spark, d1.limit(0), xm, srcC)) == rebuild,
+      "an empty day against the compacted video index must be a fixed point")
+
+    // RETRACT day: the cross-modal arm first (its survivor regen reads all
+    // four indexes — the Forget ordering), then the video store's own
+    // retract; assignment and the video probe must restore day 0 exactly
+    CrossModal.retract(spark, batchIds, xm, srcC)
+    assert(assignSet() == snap0,
+      "the assignment must return to its day-0 bootstrap after the retract")
+    Multimodal.retractFromVideoIndex(spark, batchIds, s"$root/vid")
+    assert(vProbe(s"$root/vid") == vEdges0,
+      "video retract must restore the exact day-0 probe result")
+  }
 }
