@@ -69,9 +69,10 @@ object BpeTrainer {
       docs: DataFrame,
       numMerges: Int,
       minPairCount: Long = 2L,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      pairDumpDir: Option[String] = None): DataFrame = {
     val caller = docs.sparkSession
-    val merges = learnMerges(docs, numMerges, minPairCount, textCol)
+    val merges = learnMerges(docs, numMerges, minPairCount, textCol, pairDumpDir)
     caller.createDataFrame(
       caller.sparkContext.parallelize(
         merges.map(m => Row(m.rank, m.left, m.right, m.pairCount)), 1),
@@ -85,11 +86,25 @@ object BpeTrainer {
   /** [[learn]], returning the driver-side merge list (bounded by
     * `numMerges` — the artifact is vocabulary-sized by definition).
     */
+  /** `pairDumpDir`: the q95-eigenbasis dump-readback hook — when set,
+    * every round's FULL aggregated pair-count table is written to
+    * `<dir>/pairs_r<round>` (round carried as a data column) and the
+    * round's argmax is selected from the READBACK, so the engine's
+    * merge-sequence selection and a cross-engine replay (per-round
+    * `row_number() over (order by pc desc, l, r) = 1`) operate on
+    * byte-identical rows. The per-round counting and the greedy merge
+    * application stay spec-closed (BpeSpec's bit-exact identity against
+    * [[referenceBpe]]); the iterative argmax CHAIN — where a tie-break or
+    * selection bug would corrupt every later round — becomes
+    * hash-checkable. Dumps are written before the minPairCount decision;
+    * a replay must apply the same `pc >= minPairCount` floor.
+    */
   def learnMerges(
       docs: DataFrame,
       numMerges: Int,
       minPairCount: Long = 2L,
-      textCol: String = "text"): Seq[Merge] = {
+      textCol: String = "text",
+      pairDumpDir: Option[String] = None): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     val caller = docs.sparkSession
     val loop = org.apache.spark.sql.graft.shims.cloneSession(caller)
@@ -126,7 +141,7 @@ object BpeTrainer {
         // adjacent pair counts weighted by word frequency; the single
         // most-frequent pair (ties: lexicographic, so training is a pure
         // function of the corpus) is the round's ONE driver-bound row
-        val top = words
+        val pairTable = words
           .select(col("cnt"), explode(when(size(col("syms")) >= 2,
             transform(sequence(lit(1), size(col("syms")) - 1),
               i => struct(
@@ -135,6 +150,19 @@ object BpeTrainer {
             .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("cnt")).as("pc"))
+        val selectable = pairDumpDir match {
+          case Some(d) =>
+            // dump-readback: the argmax below selects over the very bytes
+            // a cross-engine replay reads (Overwrite per round dir, so
+            // repeat runs in one process stay idempotent)
+            val path = s"$d/pairs_r$round"
+            pairTable.withColumn("round", lit(round))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .option("compression", "zstd").parquet(path)
+            loop.read.parquet(path).drop("round")
+          case None => pairTable
+        }
+        val top = selectable
           .orderBy(col("pc").desc, col("l").asc, col("r").asc)
           .limit(1)
           .collect()

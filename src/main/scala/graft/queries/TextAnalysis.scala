@@ -19,6 +19,13 @@ import graft.functions.Text
   */
 object TextAnalysis {
 
+  /** Pid-scoped dump root for q69's per-round pair-count tables (the
+    * ANN-family dump-readback convention — see
+    * [[graft.operators.BpeTrainer.learnMerges]]).
+    */
+  private val Q69Dir: String =
+    s"${sys.props("java.io.tmpdir")}/graft_q69_pid${ProcessHandle.current().pid()}"
+
   // Portable token count: identical length/replace arithmetic both engines.
   private val tokSql =
     "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LENGTH(TRIM(text)) - LENGTH(REPLACE(TRIM(text), ' ', '')) + 1 END"
@@ -498,17 +505,27 @@ object TextAnalysis {
     // vocab presupposed. One corpus pass reduces to the distinct-word
     // frequency table; each merge round is an aggregate over THAT table
     // plus one driver-bound row (see [[graft.operators.BpeTrainer]]).
-    // rows-only: DuckDB has no iterative trainer to recompute the merges;
-    // the value-level check is BpeSpec's bit-exact identity against the
-    // plain-Scala reference trainer on real testdata word counts.
-    // ORACLE CLOSURE: rows-only is FINAL — the per-round argmax driver
-    // loop is not expressible as one ANSI statement (each round's pair
-    // counts depend on the previous round's merge).
-    "q69_bpe_learn" -> Q.noOracle(
+    // ORACLED since round 15 via the dump-readback move (the q95
+    // eigenbasis precedent for driver-solve operators): every round's
+    // full pair-count table dumps pid-scoped, the engine selects its
+    // argmax from the READBACK, and DuckDB replays the whole
+    // merge-sequence selection — per-round `row_number() over (pc desc,
+    // l, r) = 1` with the same minPairCount floor — so a tie-break or
+    // selection bug anywhere in the chain hash-fails. The per-round
+    // counting + greedy merge application stay spec-closed (BpeSpec's
+    // bit-exact identity against the plain-Scala reference trainer).
+    "q69_bpe_learn" -> Q(
       "BPE vocabulary induction: learn 16 merges from the corpus " +
-        "(distinct-word table + one bounded driver row per round)") { (s, dir) =>
+        "(per-round pair-count dump; both engines replay the argmax chain)",
+      s"""SELECT round AS "rank", l AS "left", r AS "right", pc AS pair_count
+         |FROM (SELECT round, l, r, pc,
+         |        ROW_NUMBER() OVER (PARTITION BY round
+         |          ORDER BY pc DESC, l, r) AS rn
+         |      FROM read_parquet('$Q69Dir/pairs_r*/*.parquet'))
+         |WHERE rn = 1 AND pc >= 2 ORDER BY "rank"""".stripMargin) { (s, dir) =>
       graft.operators.BpeTrainer
-        .learn(Tables(s, dir, "documents"), numMerges = 16)
+        .learn(Tables(s, dir, "documents"), numMerges = 16,
+          pairDumpDir = Some(Q69Dir))
         .orderBy("rank")
     },
 
