@@ -66,6 +66,12 @@ object Extras {
     */
   private val q192Dir = mediaDumpDir("q192")
 
+  /** q196's pid-scoped dump root: (artifact, doc_id, sig) rows for every
+    * cross-modal store arm; both engines replay the dup/orphan reconcile
+    * over the identical readback (q195's shape at the media tier).
+    */
+  private val q196Dir = mediaDumpDir("q196")
+
   /** The q185/q186 oracle: DuckDB recomputes the batch's 4×16-bit bands
     * off the dumped (doc_id, dh) rows — `>>` is arithmetic (sign-
     * extending) on BIGINT in both engines, and the 0xffff mask erases
@@ -827,6 +833,49 @@ object Extras {
           BigInt(Dedup.IncrementalBroadcastCeiling))
     },
 
+    // MEDIA-STORE SYNC GAUGE ([[mediaStoreSync]]) — q195's reconcile
+    // shape at the cross-modal tier (the r14 verdict's #7 ask): the
+    // assignment and its five absorbing arms (text bands, image/audio
+    // fingerprints, video frames + denominators) absorb independently in
+    // CrossModal.absorbMerged / CrossModalDedupStream, so a crash between
+    // appends leaves a drifted arm only a re-absorb heals — and until
+    // this gauge, nothing NAMED the drift. All-zero dups/orphans on a
+    // healthy store; a planted desync is CrossModalSpec-pinned. Oracled:
+    // (artifact, doc_id, sig) rows dump pid-scoped and DuckDB replays
+    // the dup/orphan reconcile over the identical readback.
+    "q196_media_store_sync" -> Q(
+      "Media-store sync audit: per-arm rows/dups/ids and orphan drift vs " +
+        "the cross-modal assignment (dumped rows, both engines replay)",
+      s"""WITH r AS (SELECT artifact, doc_id, sig
+        |  FROM read_parquet('$q196Dir/rows.parquet/*.parquet')),
+        |a AS (SELECT DISTINCT doc_id FROM r WHERE artifact = 'assignment'),
+        |d AS (SELECT DISTINCT artifact, doc_id FROM r),
+        |per AS (SELECT artifact, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |          CAST(COUNT(*) - COUNT(DISTINCT sig) AS BIGINT) AS n_dups,
+        |          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+        |        FROM r GROUP BY artifact),
+        |orph AS (SELECT d.artifact, CAST(COUNT(*) AS BIGINT) AS n_orph
+        |         FROM d LEFT JOIN a USING (doc_id)
+        |         WHERE a.doc_id IS NULL GROUP BY d.artifact)
+        |SELECT p.artifact, p.n_rows, p.n_dups, p.n_ids,
+        |  COALESCE(o.n_orph, CAST(0 AS BIGINT)) AS n_orphans
+        |FROM per p LEFT JOIN orph o USING (artifact)
+        |ORDER BY p.artifact""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val rows = mediaStoreSyncRows(s,
+        crossModalIndexFor(corpus, dir, "store"),
+        Dedup.bandIndexFor(corpus, dir),
+        dhashIndexFor(Multimodal.imagePayloads(corpus), dir),
+        audioIndexFor(Multimodal.audioPayloads(corpus), dir),
+        videoIndexFor(Multimodal.videoPayloads(corpus), dir))
+      Extras.synchronized {
+        rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("compression", "zstd").parquet(s"$q196Dir/rows.parquet")
+      }
+      mediaStoreSync(s.read.parquet(s"$q196Dir/rows.parquet"))
+    },
+
     "q190_forget_guard" -> Q(
       "Tombstone ingest guard: the daily batch re-arriving after the %97 " +
         "forget, forgotten rows refused at the front door",
@@ -936,6 +985,77 @@ object Extras {
       // multi-frame videos, so the arm does not chain across families
       .unionByName(e(Multimodal.videoPairs(
         Multimodal.videoPayloads(docs), maxHammingVid, minOverlapVid)))
+  }
+
+  /** q196: the media-store SYNC gauge over a dumped (artifact, doc_id,
+    * sig) row table — q195's (artifact, id)-reconcile shape at the
+    * cross-modal store tier, where the assignment (the absorb's commit
+    * witness, swapped LAST) is the membership reference. Per artifact:
+    * raw rows, duplicated full rows (`sig` is an engine-computed
+    * whole-row hash, so n_dups > 0 is the replayed-append storage state
+    * compaction sheds), distinct doc ids, and ORPHANS — ids the artifact
+    * carries that the assignment does not. Orphans are the crash-window
+    * signal both absorb orderings exist to bound: index appends land
+    * BEFORE the assignment swap (absorb) and assignment rewrites land
+    * BEFORE the index retracts (forget), so a crash between the two
+    * leaves orphaned index rows, healed by re-absorb / re-running the
+    * retract arms — and until then, THIS gauge names the drifted arm.
+    * n_missing is deliberately absent: a media index is not required to
+    * carry every assigned doc (not every doc is a video), so absence is
+    * not drift at this tier. Plan: one distinct + two bounded rollups, no
+    * payload ever read.
+    */
+  def mediaStoreSync(rows: DataFrame): DataFrame = {
+    val d = rows.select(col("artifact"), col("doc_id")).distinct()
+    val a = d.filter(col("artifact") === "assignment").select(col("doc_id"))
+    val per = rows.groupBy("artifact").agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("sig"))).as("n_dups"),
+      countDistinct(col("doc_id")).as("n_ids"))
+    val orph = d.join(a, Seq("doc_id"), "left_anti")
+      .groupBy("artifact").agg(count(lit(1)).as("n_orph"))
+    per.join(orph, Seq("artifact"), "left")
+      .select(col("artifact"), col("n_rows"), col("n_dups"), col("n_ids"),
+        coalesce(col("n_orph"), lit(0L)).as("n_orphans"))
+      .orderBy("artifact")
+  }
+
+  /** The (artifact, doc_id, sig) rows [[mediaStoreSync]] reconciles, one
+    * frame per store arm: `sig` hashes the arm's FULL row so a replayed
+    * append duplicates it exactly; video frame rows key by their VIDEO id
+    * (fid / FidWidth) with the packed fid folded into the sig.
+    */
+  def mediaStoreSyncRows(
+      spark: org.apache.spark.sql.SparkSession,
+      xmPath: String,
+      textIndexPath: String,
+      imageIndexPath: String,
+      audioIndexPath: String,
+      videoIndexPath: String): DataFrame = {
+    def arm(artifact: String, df: DataFrame,
+        id: org.apache.spark.sql.Column,
+        content: org.apache.spark.sql.Column*): DataFrame =
+      df.select(lit(artifact).as("artifact"), id.cast("long").as("doc_id"),
+        xxhash64(content: _*).as("sig"))
+    arm("assignment",
+        graft.pipeline.CrossModal.readAssignment(spark, xmPath),
+        col("doc_id"), col("doc_id"), col("component"))
+      .unionByName(arm("text_bands",
+        spark.read.parquet(s"$textIndexPath/bands"),
+        col("doc_id"), col("doc_id"), col("band"), col("bhash")))
+      .unionByName(arm("image_bands",
+        Multimodal.readBandStore(spark, imageIndexPath),
+        col("doc_id"), col("doc_id"), col("dh"), col("band"), col("bhash")))
+      .unionByName(arm("audio_bands",
+        Multimodal.readBandStore(spark, audioIndexPath),
+        col("doc_id"), col("doc_id"), col("dh"), col("band"), col("bhash")))
+      .unionByName(arm("video_frames",
+        Multimodal.readBandStore(spark, videoIndexPath),
+        (col("doc_id") / Multimodal.FidWidth).cast("long"),
+        col("doc_id"), col("dh"), col("band"), col("bhash")))
+      .unionByName(arm("video_counts",
+        Multimodal.readVcounts(spark, videoIndexPath),
+        col("vid"), col("vid"), col("nf")))
   }
 
   /** The component fold alone: every doc keeps an assignment (singletons

@@ -167,4 +167,54 @@ class CrossModalSpec extends SparkSpec {
     assert(after == Map(16L -> 16L, 41L -> 41L),
       s"forgetting the repost must part the family: $after")
   }
+
+  test("q196 gauge: all-zero on a healthy store; a planted desync names the drifted arm with exact counts") {
+    import graft.pipeline.CrossModal
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 200 && pmod(col("doc_id"), lit(5)) =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_q196").toString
+    val (text, img, aud, vid, xm) =
+      (s"$root/text", s"$root/img", s"$root/aud", s"$root/vid", s"$root/xm")
+    Dedup.persistBandIndex(corpus, text)
+    Multimodal.persistDhashIndex(Multimodal.imagePayloads(corpus), img)
+    Multimodal.persistAudioIndex(Multimodal.audioPayloads(corpus), aud)
+    Multimodal.persistVideoIndex(Multimodal.videoPayloads(corpus), vid)
+    CrossModal.persist(corpus, xm)
+
+    def gauge(): Map[String, (Long, Long, Long, Long)] =
+      Extras.mediaStoreSync(
+          Extras.mediaStoreSyncRows(spark, xm, text, img, aud, vid))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+
+    val healthy = gauge()
+    assert(healthy.keySet == Set("assignment", "text_bands", "image_bands",
+      "audio_bands", "video_frames", "video_counts"))
+    healthy.foreach { case (arm, (_, dups, _, orphans)) =>
+      assert(dups == 0L && orphans == 0L,
+        s"healthy store must gauge all-zero, $arm had dups=$dups orphans=$orphans")
+    }
+
+    // PLANT a desync: a replayed image append (3 docs × 4 band rows of
+    // exact duplicates) and a ghost audio absorb of 2 docs the assignment
+    // never saw (the crash-between-appends state)
+    val dupDocs = corpus.orderBy("doc_id").limit(3)
+    Multimodal.appendToDhashIndex(Multimodal.imagePayloads(dupDocs), img)
+    val ghosts = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .orderBy("doc_id").limit(2)
+    Multimodal.appendToAudioIndex(Multimodal.audioPayloads(ghosts), aud)
+
+    val drifted = gauge()
+    assert(drifted("image_bands")._2 == 12L && drifted("image_bands")._4 == 0L,
+      s"image arm must show exactly the 12 replayed rows: ${drifted("image_bands")}")
+    assert(drifted("audio_bands")._2 == 0L && drifted("audio_bands")._4 == 2L,
+      s"audio arm must show exactly the 2 ghost ids: ${drifted("audio_bands")}")
+    Seq("assignment", "text_bands", "video_frames", "video_counts").foreach { arm =>
+      assert(drifted(arm)._2 == 0L && drifted(arm)._4 == 0L,
+        s"untouched arm $arm must stay all-zero: ${drifted(arm)}")
+    }
+  }
 }
