@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Curation, Dedup, Extras, Q, Relational, Release, Similarity, Tables, TextAnalysis, Training}
+import graft.queries.{Curation, Dedup, DedupStore, Extras, Q, Relational, Release, Similarity, Tables, TextAnalysis, Training}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,8 +13,9 @@ object SparkEntry {
 
   /** Every registered query. */
   val registry: Map[String, Q] =
-    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Extras.all ++ Training.all ++ Curation.all ++ Release.all
+    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ DedupStore.all ++
+      Similarity.all ++ Extras.all ++ Training.all ++ Curation.all ++
+      Release.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Pricing-summary aggregation over lineitem (q05).

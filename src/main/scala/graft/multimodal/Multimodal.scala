@@ -572,7 +572,7 @@ object Multimodal {
     * takedown usually arrives AFTER the payload is gone; nothing is
     * re-decoded. Every doc fans out to ALL 4 bands, so unlike the
     * IVF per-bucket retract there is no partition pruning to win — the
-    * honest shape is the [[graft.queries.Dedup.retractBatch]] one: a
+    * honest shape is the [[graft.queries.DedupStore.retractBatch]] one: a
     * store-sized left-anti rewrite, write-aside → rename swap
     * ([[graft.ops.StoreSwap]] — probes never see a half-retracted
     * index), schema re-selected to the writer's own column order. LIFO
@@ -600,7 +600,7 @@ object Multimodal {
   }
 
   /** COMPACT a persisted fingerprint index CONTENT-IDENTICALLY — the
-    * media instance of the [[graft.queries.Dedup.compactBandIndex]]
+    * media instance of the [[graft.queries.DedupStore.compactBandIndex]]
     * contract: daily [[appendToFingerprintIndex]] calls add one small
     * file set per batch to each `band=` directory, so after N days a
     * probe opens N files per band. The rewrite lands few large
@@ -674,7 +674,7 @@ object Multimodal {
 
   /** Verified fingerprint pairs AMONG a bounded doc set, index-backed —
     * the media arm of a bridge-split retract (the
-    * [[graft.queries.Dedup.retractManifest]] survivor-pairs shape): the
+    * [[graft.queries.DedupStore.retractManifest]] survivor-pairs shape): the
     * store's band rows restricted to the survivor set equi-join on
     * (band, bhash) and hamming-verify off the STORED dh values, so no
     * payload is ever re-decoded. The corpus-sized store streams against

@@ -336,7 +336,7 @@ object IvfIndex {
   }
 
   /** INDEX COMPACTION — the vector-side twin of the band-index rewrite
-    * ([[graft.queries.Dedup.compactBandIndex]]): daily [[appendToIndex]]
+    * ([[graft.queries.DedupStore.compactBandIndex]]): daily [[appendToIndex]]
     * calls add one small file set per batch to each touched `bucket=`
     * directory, so after N days a probe opens N files per probed bucket.
     * Compaction rewrites the index CONTENT-IDENTICALLY into few large

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.queries.Dedup
+import graft.queries.{Dedup, DedupStore}
 
 /** PERSISTED cross-modal duplicate-family store — the q191 one-shot fold
   * ([[graft.queries.Extras.crossModalComponents]]) given the daily life
@@ -24,7 +24,7 @@ import graft.queries.Dedup
   * three index paths and derives edges index-backed — no payload is
   * ever re-decoded and no text re-shingled.
   *
-  * Exactness: [[incremental]] rides [[Dedup.contractedComponentsOver]]
+  * Exactness: [[incremental]] rides [[DedupStore.contractedComponentsOver]]
   * verbatim — the q110 contraction argument (stored component = min
   * member id; contracting a connected subgraph to its representative
   * preserves connectivity and min labels) does not care WHICH kernels
@@ -97,7 +97,7 @@ object CrossModal {
       col("new_id").cast("long").as("new_id"),
       col("existing_id").cast("long").as("existing_id"))
     val tia =
-      e(Dedup.incrementalMinhashPairs(spark, batchDocs, src.textIndexPath, src.threshold))
+      e(DedupStore.incrementalMinhashPairs(spark, batchDocs, src.textIndexPath, src.threshold))
         .unionByName(e(Multimodal.incrementalDhashPairs(
           spark, Multimodal.imagePayloads(batchDocs),
           src.imageIndexPath, src.maxHammingImg)))
@@ -122,11 +122,11 @@ object CrossModal {
       batchSmall: Boolean): DataFrame = {
     def hinted(df: DataFrame): DataFrame =
       if (batchSmall) broadcast(df) else df
-    val ct = Dedup.contractedComponentsOver(
+    val ct = DedupStore.contractedComponentsOver(
       batchIds.select(col("doc_id").as("id")),
       stored.select(col("doc_id"), col("component")),
       edges, hinted)
-    Dedup.mergedAssignment(stored.select(col("doc_id"), col("component")), ct)
+    DedupStore.mergedAssignment(stored.select(col("doc_id"), col("component")), ct)
       .select(col("cluster_id").as("component"), col("doc_id"))
       .orderBy("doc_id")
   }
@@ -191,7 +191,7 @@ object CrossModal {
     merged
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "zstd").parquet(assignmentDir(path) + ".next")
-    Dedup.appendToBandIndex(batchDocs, src.textIndexPath)
+    DedupStore.appendToBandIndex(batchDocs, src.textIndexPath)
     Multimodal.appendToDhashIndex(Multimodal.imagePayloads(batchDocs), src.imageIndexPath)
     Multimodal.appendToAudioIndex(Multimodal.audioPayloads(batchDocs), src.audioIndexPath)
     src.videoIndexPath.foreach(p =>
@@ -239,7 +239,7 @@ object CrossModal {
     val small = survivorsSized.queryExecution.optimizedPlan.stats.sizeInBytes <=
       BigInt(Dedup.IncrementalBroadcastCeiling)
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val tia = Dedup.survivorTextPairs(
+    val tia = DedupStore.survivorTextPairs(
         spark, src.textIndexPath, survivorsSized, src.threshold, hinted)
       .unionByName(Multimodal.survivorFingerprintPairs(
         Multimodal.readBandStore(spark, src.imageIndexPath),

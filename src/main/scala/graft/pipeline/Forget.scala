@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 import graft.operators.IvfIndex
-import graft.queries.{Curation, Dedup}
+import graft.queries.{Curation, Dedup, DedupStore}
 import graft.streaming.ReleaseIngestStream
 
 /** CROSS-STORE FORGET — "remove these documents everywhere": one doc list
@@ -125,11 +125,11 @@ object Forget {
     stores.dedupIndexDir.foreach { d =>
       // survivors from the stored manifest itself (the retractIngest
       // derivation) — the caller supplies only the forgotten docs
-      val sub = Dedup.manifestSubdir(d, stores.dedupThreshold)
+      val sub = DedupStore.manifestSubdir(d, stores.dedupThreshold)
       val docsAfter = spark.read.parquet(sub)
         .join(broadcast(ids), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_chars"))
-      Dedup.retractBatch(spark, ids, docsAfter, d, stores.dedupThreshold)
+      DedupStore.retractBatch(spark, ids, docsAfter, d, stores.dedupThreshold)
     }
     stores.refcountWindowPath.foreach { p =>
       Curation.retractFromRefcountedStore(
@@ -163,7 +163,7 @@ object Forget {
     * ledger persists the forgotten ids (append-only, one narrow column,
     * distinct-per-append) so ingest paths can refuse them FOREVER at the
     * front door — compose [[filterForgotten]] before any absorb
-    * (Dedup.appendToBandIndex, ReleaseIngestStream.ingest, the media
+    * (DedupStore.appendToBandIndex, ReleaseIngestStream.ingest, the media
     * appends). Kept deliberately separate from the per-store retracts:
     * the ledger is the durable POLICY ("these ids never come back"),
     * the retracts are the one-time cleanup of state absorbed before the
@@ -220,7 +220,7 @@ object Forget {
   def families(spark: SparkSession, stores: Stores): Seq[Family] = {
     def read(p: String) = spark.read.parquet(p)
     val dedup = stores.dedupIndexDir.toSeq.flatMap { d =>
-      val sub = Dedup.manifestSubdir(d, stores.dedupThreshold)
+      val sub = DedupStore.manifestSubdir(d, stores.dedupThreshold)
       // existence through the Hadoop FileSystem for the path (the
       // StoreSwap/IvfIndex discipline) — java.nio only sees the local
       // filesystem, and on HDFS/object stores the exact tier would

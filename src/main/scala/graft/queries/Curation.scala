@@ -403,7 +403,7 @@ object Curation {
     * window — O(batch) per day however big the corpus has grown.
     *
     * The stored artifact follows the band-index staleness rules
-    * ([[graft.queries.Dedup.indexPathFor]] precedent): path fingerprinted
+    * ([[graft.queries.DedupStore.indexPathFor]] precedent): path fingerprinted
     * by the kernel version, warm cross-call reuse only for the read-only
     * testdata dirs.
     */
@@ -833,7 +833,7 @@ object Curation {
   }
 
   /** Scheduled maintenance rewrite for a refcounted store (the
-    * [[graft.queries.Dedup.compactBandIndex]] move): collapse the absorb
+    * [[graft.queries.DedupStore.compactBandIndex]] move): collapse the absorb
     * delta rows to one net row per window. Changes nothing a gauge or a
     * retract can observe — presence and net counts are invariant
     * (RefcountStoreSpec pins both) — it only buys back the extra rows
@@ -1126,7 +1126,7 @@ object Curation {
   }
 
   /** Artifact path for a corpus dir's quality histogram — kernel-versioned
-    * like [[graft.queries.Dedup.indexPathFor]] so a score-definition change
+    * like [[graft.queries.DedupStore.indexPathFor]] so a score-definition change
     * can never warm-reuse an incompatible artifact.
     */
   def histogramPathFor(dir: String, kernelVersion: Int = 1): String =

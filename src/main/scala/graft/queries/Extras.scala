@@ -657,8 +657,8 @@ object Extras {
       val docs = Tables(s, dir, "documents")
       val emb = Tables(s, dir, "embeddings")
       val ids = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
-      val full = Dedup.fullComponentIndexFor(docs, dir, threshold = 0.7)
-      val exact = Dedup.exactIndexFor(
+      val full = DedupStore.fullComponentIndexFor(docs, dir, threshold = 0.7)
+      val exact = DedupStore.exactIndexFor(
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), dir)
       val ivfPath = Similarity.persistedIndex(Similarity.modelFor(emb, dir), emb, dir)
       val fams = graft.pipeline.Forget.families(
@@ -812,7 +812,7 @@ object Extras {
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
       val src = graft.pipeline.CrossModal.EdgeSources(
-        textIndexPath = Dedup.bandIndexFor(corpus, dir),
+        textIndexPath = DedupStore.bandIndexFor(corpus, dir),
         imageIndexPath = dhashIndexFor(Multimodal.imagePayloads(corpus), dir),
         audioIndexPath = audioIndexFor(Multimodal.audioPayloads(corpus), dir),
         videoIndexPath = Some(videoIndexFor(Multimodal.videoPayloads(corpus), dir)))
@@ -865,7 +865,7 @@ object Extras {
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       val rows = mediaStoreSyncRows(s,
         crossModalIndexFor(corpus, dir, "store"),
-        Dedup.bandIndexFor(corpus, dir),
+        DedupStore.bandIndexFor(corpus, dir),
         dhashIndexFor(Multimodal.imagePayloads(corpus), dir),
         audioIndexFor(Multimodal.audioPayloads(corpus), dir),
         videoIndexFor(Multimodal.videoPayloads(corpus), dir))
@@ -1091,7 +1091,7 @@ object Extras {
   }
 
   /** Warm cross-modal assignment store over the %5<>0 store corpus (the
-    * Dedup.bandIndexFor convention: testdata dirs reuse, any other dir
+    * DedupStore.bandIndexFor convention: testdata dirs reuse, any other dir
     * rebuilds). Never mutated by its consumers — q192 registers the
     * PROBE form; the store-rewriting absorb/retract lifecycle is
     * CrossModalSpec's.
@@ -1111,7 +1111,7 @@ object Extras {
       path
     }
 
-  /** Warm-reuse policy for the image dHash index (the Dedup.bandIndexFor
+  /** Warm-reuse policy for the image dHash index (the DedupStore.bandIndexFor
     * convention): testdata corpora reuse the artifact across calls, any
     * other dir rebuilds.
     */

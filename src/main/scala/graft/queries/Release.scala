@@ -347,11 +347,11 @@ object Release {
       val docs = Tables(s, dir, "documents")
       val store = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
-      val path = graft.queries.Dedup.componentIndexFor(store, dir, thr)
-      val m0 = s.read.parquet(graft.queries.Dedup.manifestSubdir(path, thr))
+      val path = graft.queries.DedupStore.componentIndexFor(store, dir, thr)
+      val m0 = s.read.parquet(graft.queries.DedupStore.manifestSubdir(path, thr))
       val keepers0 = m0.filter(col("keep") === 1).select(col("doc_id"))
       val m1 = S.realStats(
-        graft.queries.Dedup.incrementalManifest(s, batch, docs, path, thr)
+        graft.queries.DedupStore.incrementalManifest(s, batch, docs, path, thr)
           .localCheckpoint())
       val pub0 = S.realStats(graft.ops.ShardExport
         .packedDocs(docs.join(keepers0, Seq("doc_id"), "left_semi"), 512)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.{HashExpressions, Text}
-import graft.queries.Dedup
+import graft.queries.{Dedup, DedupStore}
 
 /** Streaming near-dup guard against the PERSISTED corpus band index — the
   * online form of the batch incremental dedup (q66): documents arriving as
@@ -20,7 +20,7 @@ import graft.queries.Dedup
   *
   * Shape: every join is stream-STATIC (the ContamGuardStream pattern) and
   * therefore STATELESS — each micro-batch plans a fresh join against the
-  * current index snapshot; after a batch [[graft.queries.Dedup.absorbBatch]]
+  * current index snapshot; after a batch [[graft.queries.DedupStore.absorbBatch]]
   * the next micro-batch automatically probes the grown index. State
   * appears only in the final watermarked per-(window, doc) rollup,
   * bounded by rate × (watermark + window). The stream side carries its
@@ -39,7 +39,7 @@ import graft.queries.Dedup
 object IndexDedupStream {
 
   /** Flag streamed docs with a verified near-dup in the corpus behind
-    * `indexPath` (a [[graft.queries.Dedup.persistBandIndex]] artifact).
+    * `indexPath` (a [[graft.queries.DedupStore.persistBandIndex]] artifact).
     * `docs` must carry `doc_id`, `ts` (event time) and `text`. Emits
     * (doc_id, n_corpus_dups, max_jaccard) per finalized window; docs with
     * no verified corpus match never emit.
@@ -104,7 +104,7 @@ object IndexDedupStream {
 
   /** The EXACT tier of the same guard — the online q113: streamed docs
     * whose q32 fingerprint already exists in the persisted
-    * [[graft.queries.Dedup.persistExactIndex]] store emit with their
+    * [[graft.queries.DedupStore.persistExactIndex]] store emit with their
     * stored canonical id. One stream-static hash join, fully stateless
     * (no watermark, no window — exact matching needs no rollup: a doc
     * either hits a stored fingerprint or it doesn't). Chain BEFORE the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.queries.{Dedup, Release}
+import graft.queries.{Dedup, DedupStore, Release}
 import graft.ops.ShardExport
 
 /** Streaming ingestion into a PUBLISHED RELEASE — the continuous form of
@@ -40,7 +40,7 @@ import graft.ops.ShardExport
   * as done; batch shingles already in the band index -> the index append
   * is observed as done). The one replay that still duplicates state is a
   * crash exactly between the band-table append and the shingle append
-  * inside [[graft.queries.Dedup.appendToBandIndex]] — the replay re-runs
+  * inside [[graft.queries.DedupStore.appendToBandIndex]] — the replay re-runs
   * both, double-appending the batch's band rows; probes `.distinct()`
   * their candidates, so the cost is storage (shed at the next
   * compaction), never correctness.
@@ -97,13 +97,13 @@ object ReleaseIngestStream {
       graft.pipeline.Forget.filterForgotten(s, batch, p))
     if (tombstonePath.isDefined && guarded.isEmpty) return
     val b = guarded.withColumn("n_chars", length(col("text")).cast("long"))
-    val sub = Dedup.manifestSubdir(indexDir, threshold)
+    val sub = DedupStore.manifestSubdir(indexDir, threshold)
     def committed(dir: String) = graft.ops.StoreSwap.committed(s, dir)
     // bootstrap completes only when BOTH artifacts exist (see object doc)
     val bootstrapped = committed(sub) && committed(releaseDir)
     if (!bootstrapped) {
-      Dedup.persistBandIndex(b, indexDir)
-      Dedup.persistComponents(b, indexDir, threshold)
+      DedupStore.persistBandIndex(b, indexDir)
+      DedupStore.persistComponents(b, indexDir, threshold)
       val keep = s.read.parquet(sub)
         .filter(col("keep") === 1).select(col("doc_id"))
       releaseRows(b.join(keep, Seq("doc_id"), "left_semi"),
@@ -130,7 +130,7 @@ object ReleaseIngestStream {
       val next = sub + ".next"
       val docsLite = s.read.parquet(sub).select(col("doc_id"), col("n_chars"))
         .unionByName(b.select(col("doc_id"), col("n_chars")))
-      Dedup.incrementalManifest(s, b, docsLite, indexDir, threshold)
+      DedupStore.incrementalManifest(s, b, docsLite, indexDir, threshold)
         .select(col("doc_id"), col("cluster_id").as("component"),
           col("n_chars"), col("keep"))
         .write.mode(SaveMode.Overwrite)
@@ -204,7 +204,7 @@ object ReleaseIngestStream {
         s.read.parquet(s"$indexDir/shingles").select(col("doc_id"))
           .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
           .limit(1).count() > 0L
-      if (!bandHasBatch) Dedup.appendToBandIndex(b, indexDir)
+      if (!bandHasBatch) DedupStore.appendToBandIndex(b, indexDir)
       // commit point: the manifest swap (rename-aside — a complete
       // manifest version exists on disk at every instant)
       graft.ops.StoreSwap.swapInto(s, sub)
@@ -220,12 +220,12 @@ object ReleaseIngestStream {
     * absorbs, its ingest gauges flag it, and the epoch must close WITHOUT
     * it. The deltas the absorb published are RE-DERIVED from the stores
     * themselves (manifest-with-batch vs the
-    * [[graft.queries.Dedup.retractManifest]] probe — the
+    * [[graft.queries.DedupStore.retractManifest]] probe — the
     * incremental-equals-rebuild contract read backwards), then undone in
     * two mutations: release surgery drops the batch's published tail rows
     * and the tombstones it wrote (its demoted keepers come back live at
     * their original, never-rewritten address), write-aside → swap; then
-    * [[graft.queries.Dedup.retractBatch]] un-absorbs the dedup state
+    * [[graft.queries.DedupStore.retractBatch]] un-absorbs the dedup state
     * (manifest + band/shingle stores). Guards are loud and replay-aware
     * (the [[ingest]] symmetry): additions all published + demotions all
     * revoked → fresh retract; all already absent → the release surgery
@@ -243,12 +243,12 @@ object ReleaseIngestStream {
       indexDir: String,
       releaseDir: String,
       threshold: Double = 0.7): Unit = {
-    val sub = Dedup.manifestSubdir(indexDir, threshold)
+    val sub = DedupStore.manifestSubdir(indexDir, threshold)
     val ids = batchIds.select(col("doc_id"))
     val m1 = spark.read.parquet(sub)
     val docsAfter = m1.join(broadcast(ids), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
-    val m0 = Dedup.retractManifest(spark, ids, docsAfter, indexDir, threshold)
+    val m0 = DedupStore.retractManifest(spark, ids, docsAfter, indexDir, threshold)
     val k1 = m1.filter(col("keep") === 1).select(col("doc_id"))
     val k0 = m0.filter(col("keep") === 1).select(col("doc_id"))
     val adds = k1.join(k0, Seq("doc_id"), "left_anti")
@@ -281,7 +281,7 @@ object ReleaseIngestStream {
         .option("compression", "zstd").parquet(releaseDir + ".next")
       graft.ops.StoreSwap.swapInto(spark, releaseDir)
     }
-    Dedup.retractBatch(spark, ids, docsAfter, indexDir, threshold)
+    DedupStore.retractBatch(spark, ids, docsAfter, indexDir, threshold)
   }
 
   /** EPOCH-BOUNDARY compaction for the release store: fold the tombstones

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 import graft.pipeline.CrossModal
-import graft.queries.{Dedup, Tables}
+import graft.queries.{Dedup, DedupStore, Tables}
 import graft.streaming.CrossModalDedupStream
 
 /** Streaming cross-modal fold: each micro-batch must behave exactly like
@@ -35,7 +35,7 @@ class CrossModalDedupStreamSpec extends SparkSpec {
   private def buildStores(root: String, corpus: DataFrame): CrossModal.EdgeSources = {
     val src = CrossModal.EdgeSources(s"$root/text", s"$root/img", s"$root/aud",
       videoIndexPath = Some(s"$root/vid"))
-    Dedup.persistBandIndex(corpus, src.textIndexPath)
+    DedupStore.persistBandIndex(corpus, src.textIndexPath)
     Multimodal.persistDhashIndex(Multimodal.imagePayloads(corpus), src.imageIndexPath)
     Multimodal.persistAudioIndex(Multimodal.audioPayloads(corpus), src.audioIndexPath)
     Multimodal.persistVideoIndex(Multimodal.videoPayloads(corpus), s"$root/vid")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.queries.{Dedup, Extras, Tables}
+import graft.queries.{Dedup, DedupStore, Extras, Tables}
 
 /** Cross-modal duplicate families (q191): the component assignment must
   * equal a direct union-find over the four per-modality pair sets, and
@@ -65,7 +65,7 @@ class CrossModalSpec extends SparkSpec {
     val img = s"$root/img"
     val aud = s"$root/aud"
     val vid = s"$root/vid"
-    Dedup.persistBandIndex(corpus, text)
+    DedupStore.persistBandIndex(corpus, text)
     Multimodal.persistDhashIndex(Multimodal.imagePayloads(corpus), img)
     Multimodal.persistAudioIndex(Multimodal.audioPayloads(corpus), aud)
     Multimodal.persistVideoIndex(Multimodal.videoPayloads(corpus), vid)
@@ -136,7 +136,7 @@ class CrossModalSpec extends SparkSpec {
     val corpus = docs.filter(col("doc_id") =!= 20L)
     val batch = docs.filter(col("doc_id") === 20L)
     val root = java.nio.file.Files.createTempDirectory("graft_xm_vbridge").toString
-    Dedup.persistBandIndex(corpus, s"$root/text")
+    DedupStore.persistBandIndex(corpus, s"$root/text")
     Multimodal.persistDhashIndex(Multimodal.imagePayloads(corpus), s"$root/img")
     Multimodal.persistAudioIndex(Multimodal.audioPayloads(corpus), s"$root/aud")
     Multimodal.persistVideoIndex(Multimodal.videoPayloads(corpus), s"$root/vid")
@@ -176,7 +176,7 @@ class CrossModalSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_q196").toString
     val (text, img, aud, vid, xm) =
       (s"$root/text", s"$root/img", s"$root/aud", s"$root/vid", s"$root/xm")
-    Dedup.persistBandIndex(corpus, text)
+    DedupStore.persistBandIndex(corpus, text)
     Multimodal.persistDhashIndex(Multimodal.imagePayloads(corpus), img)
     Multimodal.persistAudioIndex(Multimodal.audioPayloads(corpus), aud)
     Multimodal.persistVideoIndex(Multimodal.videoPayloads(corpus), vid)

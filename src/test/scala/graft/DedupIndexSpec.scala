@@ -78,9 +78,9 @@ class DedupIndexSpec extends SparkSpec {
     val day2Ids = day2.select("doc_id").collect().map(_.getLong(0)).toSet
     val path = java.nio.file.Files
       .createTempDirectory("graft_append_idx").toString + "/idx"
-    graft.queries.Dedup.persistBandIndex(day0, path)
-    graft.queries.Dedup.appendToBandIndex(day1, path)
-    val inc = graft.queries.Dedup
+    graft.queries.DedupStore.persistBandIndex(day0, path)
+    graft.queries.DedupStore.appendToBandIndex(day1, path)
+    val inc = graft.queries.DedupStore
       .incrementalMinhashPairs(spark, day2, path, threshold = 0.7)
       .collect()
       .map { r =>
@@ -144,10 +144,10 @@ class DedupIndexSpec extends SparkSpec {
     val upTo1 = day0.unionByName(day1)
     val path = java.nio.file.Files
       .createTempDirectory("graft_absorb_idx").toString + "/idx"
-    graft.queries.Dedup.persistBandIndex(day0, path)
-    graft.queries.Dedup.persistComponents(day0, path, threshold = 0.7)
+    graft.queries.DedupStore.persistBandIndex(day0, path)
+    graft.queries.DedupStore.persistComponents(day0, path, threshold = 0.7)
 
-    graft.queries.Dedup.absorbBatch(spark, day1, upTo1, path, threshold = 0.7)
+    graft.queries.DedupStore.absorbBatch(spark, day1, upTo1, path, threshold = 0.7)
     val afterDay1 = spark.read.parquet(s"$path/manifest_bp7000")
       .select(col("doc_id"), col("component"), col("n_chars"), col("keep"))
       .collect().map(_.toSeq).toSet
@@ -156,7 +156,7 @@ class DedupIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(afterDay1 === scratch1, "day-1 store must equal the from-scratch rebuild")
 
-    val m2 = graft.queries.Dedup
+    val m2 = graft.queries.DedupStore
       .incrementalManifest(spark, day2, docs, path, threshold = 0.7)
       .collect().map(_.toSeq).toSeq
     val scratch2 = graft.queries.Dedup.dedupManifest(docs, threshold = 0.7)
@@ -189,14 +189,14 @@ class DedupIndexSpec extends SparkSpec {
 
     val path = java.nio.file.Files
       .createTempDirectory("graft_comp_idx").toString + "/idx"
-    graft.queries.Dedup.persistBandIndex(corpus, path)
-    graft.queries.Dedup.persistComponents(corpus, path, threshold = 0.7)
+    graft.queries.DedupStore.persistBandIndex(corpus, path)
+    graft.queries.DedupStore.persistComponents(corpus, path, threshold = 0.7)
     // day-N state must be two separate components before the batch arrives
     val stored = spark.read.parquet(s"$path/manifest_bp7000")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stored === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 7L -> 7L))
 
-    val merged = graft.queries.Dedup
+    val merged = graft.queries.DedupStore
       .incrementalComponentMerge(spark, batch, path, threshold = 0.7)
       .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
     assert(merged === Map(
@@ -216,7 +216,7 @@ class DedupIndexSpec extends SparkSpec {
     // corpus ∪ batch, and the merged cluster keeps the longest doc (W,
     // doc 0 — which also happens to be the min id; the keep flags prove
     // the re-rank saw the batch doc's n_chars)
-    val incManifest = graft.queries.Dedup
+    val incManifest = graft.queries.DedupStore
       .incrementalManifest(spark, batch, all, path, threshold = 0.7)
       .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getInt(3))).toMap
     val scratchManifest = graft.queries.Dedup.dedupManifest(all, threshold = 0.7)
@@ -234,16 +234,16 @@ class DedupIndexSpec extends SparkSpec {
     val corpus = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
     val path = java.nio.file.Files
       .createTempDirectory("graft_exact_idx").toString + "/idx"
-    graft.queries.Dedup.persistExactIndex(corpus, path)
+    graft.queries.DedupStore.persistExactIndex(corpus, path)
 
     // day 1: repost of A resolves to the stored keeper even though 5 > 1;
     // two copies of novel C dedup within-batch to the min id
     val day1 = Seq((5L, a), (6L, c), (7L, c)).toDF("doc_id", "text")
-    val r1 = graft.queries.Dedup.incrementalExactDedup(spark, day1, path)
+    val r1 = graft.queries.DedupStore.incrementalExactDedup(spark, day1, path)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(r1 === Map(5L -> ((1L, 1)), 6L -> ((6L, 0)), 7L -> ((6L, 1))), r1.toString)
 
-    graft.queries.Dedup.appendToExactIndex(spark, day1, path)
+    graft.queries.DedupStore.appendToExactIndex(spark, day1, path)
     // only C appended (A was known): the store stays one row per fp
     val store = spark.read.parquet(s"$path/exact_fp")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -252,7 +252,7 @@ class DedupIndexSpec extends SparkSpec {
     // day 2: a repost of C resolves to day-1's keeper (first-seen-wins
     // across days — id 4 < 6 does NOT steal the canon); D is novel
     val day2 = Seq((4L, c), (11L, d0)).toDF("doc_id", "text")
-    val r2 = graft.queries.Dedup.incrementalExactDedup(spark, day2, path)
+    val r2 = graft.queries.DedupStore.incrementalExactDedup(spark, day2, path)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(r2 === Map(4L -> ((6L, 1)), 11L -> ((11L, 0))), r2.toString)
   }
@@ -294,11 +294,11 @@ class DedupIndexSpec extends SparkSpec {
     // three "days" of appends fragment the store the way production does
     val day = (m: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === m)
     val src = java.nio.file.Files.createTempDirectory("graft-bandidx-frag").toString
-    graft.queries.Dedup.persistBandIndex(day(0), src)
-    graft.queries.Dedup.appendToBandIndex(day(1), src)
-    graft.queries.Dedup.appendToBandIndex(day(2), src)
+    graft.queries.DedupStore.persistBandIndex(day(0), src)
+    graft.queries.DedupStore.appendToBandIndex(day(1), src)
+    graft.queries.DedupStore.appendToBandIndex(day(2), src)
     val dst = java.nio.file.Files.createTempDirectory("graft-bandidx-compact").toString
-    graft.queries.Dedup.compactBandIndex(spark, src, dst)
+    graft.queries.DedupStore.compactBandIndex(spark, src, dst)
 
     // 1. content identity: band rows and shingle sets are EXACTLY preserved
     def bandSet(p: String) = spark.read.parquet(s"$p/bands")
@@ -322,7 +322,7 @@ class DedupIndexSpec extends SparkSpec {
     // the exact pair set the fragmented store finds (the q129 contract;
     // the probe batch is deliberately NOT any of the absorbed days)
     val probe = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-    def pairs(p: String) = graft.queries.Dedup
+    def pairs(p: String) = graft.queries.DedupStore
       .incrementalMinhashPairs(spark, probe, p, threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairs(dst) === pairs(src), "compaction changed probe results")
@@ -392,8 +392,8 @@ class DedupIndexSpec extends SparkSpec {
     val corpus = graft.queries.Tables(spark, d, "documents")
       .filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val p = java.nio.file.Files.createTempDirectory("graft-store-inv").toString
-    graft.queries.Dedup.persistBandIndex(corpus, p)
-    graft.queries.Dedup.persistExactIndex(corpus, p)
+    graft.queries.DedupStore.persistBandIndex(corpus, p)
+    graft.queries.DedupStore.persistExactIndex(corpus, p)
 
     val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
 
@@ -421,13 +421,13 @@ class DedupIndexSpec extends SparkSpec {
     // the staleness guard: a binary with different banding parameters (or
     // kernel version) computes a DIFFERENT artifact path, so it can never
     // warm-reuse an incompatible on-disk index — it rebuilds at its own path
-    val base = graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001")
+    val base = graft.queries.DedupStore.indexPathFor("/root/testdata/sf0.001")
     val variants = Seq(
-      graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001", k = 4),
-      graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001", numPerm = 64),
-      graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001", numBands = 16),
-      graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001", rowsPerBand = 2),
-      graft.queries.Dedup.indexPathFor("/root/testdata/sf0.001", kernelVersion = 2))
+      graft.queries.DedupStore.indexPathFor("/root/testdata/sf0.001", k = 4),
+      graft.queries.DedupStore.indexPathFor("/root/testdata/sf0.001", numPerm = 64),
+      graft.queries.DedupStore.indexPathFor("/root/testdata/sf0.001", numBands = 16),
+      graft.queries.DedupStore.indexPathFor("/root/testdata/sf0.001", rowsPerBand = 2),
+      graft.queries.DedupStore.indexPathFor("/root/testdata/sf0.001", kernelVersion = 2))
     variants.foreach(v => assert(v != base, s"parameter change must move the path: $v"))
     assert(variants.distinct.size == variants.size)
     // and the default path is where the warm q66 artifact actually lives

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Dedup, Tables}
+import graft.queries.{Dedup, DedupStore, Tables}
 
 /** The un-absorb contract (q149): retracting an absorbed batch must
   * restore the dedup store — files AND semantics — to its pre-absorb
@@ -30,9 +30,9 @@ class DedupRetractSpec extends SparkSpec {
 
     val root = java.nio.file.Files
       .createTempDirectory("graft_retract_bridge").toString + "/idx"
-    Dedup.persistBandIndex(day0, root)
-    Dedup.persistComponents(day0, root, thr)
-    Dedup.persistExactIndex(day0, root)
+    DedupStore.persistBandIndex(day0, root)
+    DedupStore.persistComponents(day0, root, thr)
+    DedupStore.persistExactIndex(day0, root)
     def manifest() = spark.read.parquet(s"$root/manifest_bp${math.round(thr * 10000)}")
       .select("doc_id", "component").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -41,13 +41,13 @@ class DedupRetractSpec extends SparkSpec {
     assert(before == Map(1L -> 1L, 2L -> 1L, 11L -> 11L, 12L -> 11L),
       s"pre-absorb clusters wrong: $before")
 
-    Dedup.absorbBatch(spark, batch, day0.unionByName(batch), root, thr)
-    Dedup.appendToExactIndex(spark, batch, root)
+    DedupStore.absorbBatch(spark, batch, day0.unionByName(batch), root, thr)
+    DedupStore.appendToExactIndex(spark, batch, root)
     val merged = manifest()
     assert(merged.values.toSet.size == 1 && merged.size == 5,
       s"the bridge doc must merge everything into one cluster: $merged")
 
-    Dedup.retractBatch(spark, batch.select("doc_id"), day0, root, thr)
+    DedupStore.retractBatch(spark, batch.select("doc_id"), day0, root, thr)
     val after = manifest()
     assert(after == before,
       s"retract must split the bridged clusters back: $after vs $before")
@@ -69,19 +69,19 @@ class DedupRetractSpec extends SparkSpec {
 
     val root = java.nio.file.Files
       .createTempDirectory("graft_retract_rt").toString + "/idx"
-    Dedup.persistBandIndex(day0, root)
-    Dedup.persistComponents(day0, root, thr)
-    Dedup.persistExactIndex(day0, root)
+    DedupStore.persistBandIndex(day0, root)
+    DedupStore.persistComponents(day0, root, thr)
+    DedupStore.persistExactIndex(day0, root)
     def rows(sub: String) = spark.read.parquet(s"$root/$sub")
       .collect().map(_.toSeq).toSet
     val parts = Seq("bands", "shingles", "exact_fp", "manifest_bp7000")
     val before = parts.map(p => p -> rows(p)).toMap
 
-    Dedup.absorbBatch(spark, day1, day0.unionByName(day1), root, thr)
-    Dedup.appendToExactIndex(spark, day1, root)
+    DedupStore.absorbBatch(spark, day1, day0.unionByName(day1), root, thr)
+    DedupStore.appendToExactIndex(spark, day1, root)
     assert(rows("bands") != before("bands"), "absorb must change the store")
 
-    Dedup.retractBatch(spark, day1.select("doc_id"), day0, root, thr)
+    DedupStore.retractBatch(spark, day1.select("doc_id"), day0, root, thr)
     for (p <- parts)
       assert(rows(p) == before(p), s"$p not restored by retraction")
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.operators.{IvfIndex, PqIndex}
 import graft.pipeline.Forget
-import graft.queries.{Curation, Dedup, Tables}
+import graft.queries.{Curation, Dedup, DedupStore, Tables}
 import graft.streaming.ReleaseIngestStream
 
 /** Cross-store forget: one doc list driven through EVERY persisted store
@@ -32,7 +32,7 @@ class ForgetEverywhereSpec extends SparkSpec {
     val idx = s"$root/dedup"
     val rel = s"$root/release"
     ReleaseIngestStream.ingest(docs, idx, rel) // bootstrap: bands+manifest+release
-    Dedup.persistExactIndex(docs, idx)
+    DedupStore.persistExactIndex(docs, idx)
     val winPath = s"$root/win"
     Curation.refcountedWindowStore(docs).write
       .option("compression", "zstd").parquet(winPath)
@@ -117,14 +117,14 @@ class ForgetEverywhereSpec extends SparkSpec {
 
     // the dedup manifest must equal the from-scratch manifest over the
     // survivors (retract-equals-rebuild, end to end through the forget)
-    val sub = Dedup.manifestSubdir(idx, 0.7)
+    val sub = DedupStore.manifestSubdir(idx, 0.7)
     val mAfter = spark.read.parquet(sub)
       .select("doc_id", "component", "n_chars", "keep")
       .collect().map(_.toSeq.toList).toSet
     val freshIdx = s"$root/dedup_rb"
-    Dedup.persistBandIndex(keep, freshIdx)
-    Dedup.persistComponents(keep, freshIdx, 0.7)
-    val mWant = spark.read.parquet(Dedup.manifestSubdir(freshIdx, 0.7))
+    DedupStore.persistBandIndex(keep, freshIdx)
+    DedupStore.persistComponents(keep, freshIdx, 0.7)
+    val mWant = spark.read.parquet(DedupStore.manifestSubdir(freshIdx, 0.7))
       .select("doc_id", "component", "n_chars", "keep")
       .collect().map(_.toSeq.toList).toSet
     assert(mAfter == mWant,
@@ -161,9 +161,9 @@ class ForgetEverywhereSpec extends SparkSpec {
 
     // id-keyed stores only — the re-runnable class the Forget doc names
     val idx = s"$root/dedup"
-    Dedup.persistBandIndex(docs, idx)
-    Dedup.persistComponents(docs, idx, 0.7)
-    Dedup.persistExactIndex(docs, idx)
+    DedupStore.persistBandIndex(docs, idx)
+    DedupStore.persistComponents(docs, idx, 0.7)
+    DedupStore.persistExactIndex(docs, idx)
     val img = s"$root/img"
     Multimodal.persistDhashIndex(Multimodal.imagePayloads(docs), img)
     val model = IvfIndex.fit(emb, k = 4)
@@ -223,7 +223,7 @@ class ForgetEverywhereSpec extends SparkSpec {
     // PLUMBED guards (r13 verdict item: the ledger as a parameter of the
     // absorbing entry points, zero caller composition): forgotten docs
     // re-arriving through EACH absorb path leave every store residual-free
-    Dedup.appendToBandIndex(td, idx, tombstonePath = Some(ledger))
+    DedupStore.appendToBandIndex(td, idx, tombstonePath = Some(ledger))
     assert(audit()("dedup_bands") == 0L && audit()("dedup_shingles") == 0L,
       "a guarded band-index append must refuse tombstoned docs")
     // the full release ingest (bootstrap branch) over a mixed batch:
@@ -238,7 +238,7 @@ class ForgetEverywhereSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(res2.values.forall(_ == 0L),
       s"a guarded release ingest must leave no forgotten-doc rows: $res2")
-    assert(spark.read.parquet(Dedup.manifestSubdir(idx2, 0.7)).count() == want.size,
+    assert(spark.read.parquet(DedupStore.manifestSubdir(idx2, 0.7)).count() == want.size,
       "the guarded ingest must still absorb every non-forgotten row")
   }
 }

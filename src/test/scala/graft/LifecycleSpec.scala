@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Text
 import graft.operators.IvfIndex
 import graft.ops.ShardExport
-import graft.queries.{Curation, Dedup, Release, Tables}
+import graft.queries.{Curation, Dedup, DedupStore, Release, Tables}
 
 /** DAY-IN-THE-LIFE integration: every persisted store family — band index
   * + dedup manifest (q66/q110/q112/q129), exact-fingerprint index (q113),
@@ -74,9 +74,9 @@ class LifecycleSpec extends SparkSpec {
 
     // ---- DAY 0: build every store from the base corpus -----------------
     var bandRoot = s"$root/dedup_d0"
-    Dedup.persistBandIndex(day0, bandRoot)
-    Dedup.persistComponents(day0, bandRoot, Thr)
-    Dedup.persistExactIndex(day0, bandRoot)
+    DedupStore.persistBandIndex(day0, bandRoot)
+    DedupStore.persistComponents(day0, bandRoot, Thr)
+    DedupStore.persistExactIndex(day0, bandRoot)
     val winPath = s"$root/windows"
     Curation.windowStore(day0).write
       .option("compression", "zstd").parquet(winPath)
@@ -142,7 +142,7 @@ class LifecycleSpec extends SparkSpec {
       // restricted to batch-touching pairs. On day 2 the probed index is
       // the COMPACTED one — gauge-after-compact.
       val newIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
-      val incPairs = Dedup.incrementalMinhashPairs(spark, batch, bandRoot, Thr)
+      val incPairs = DedupStore.incrementalMinhashPairs(spark, batch, bandRoot, Thr)
         .collect().map { r =>
           val (a, b) = (r.getLong(0), r.getLong(1))
           ((a min b, a max b), r.getDouble(2))
@@ -156,7 +156,7 @@ class LifecycleSpec extends SparkSpec {
 
       // exact probe (q113 contract): canon = global min doc_id per
       // fingerprint over the cumulative corpus
-      val incExact = Dedup.incrementalExactDedup(spark, batch, bandRoot)
+      val incExact = DedupStore.incrementalExactDedup(spark, batch, bandRoot)
         .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
       val canon = corpusNext
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -216,8 +216,8 @@ class LifecycleSpec extends SparkSpec {
         clue + "shard export lost or duplicated docs")
 
       // -- absorb the batch into every store --
-      Dedup.absorbBatch(spark, batch, corpusNext, bandRoot, Thr)
-      Dedup.appendToExactIndex(spark, batch, bandRoot)
+      DedupStore.absorbBatch(spark, batch, corpusNext, bandRoot, Thr)
+      DedupStore.appendToExactIndex(spark, batch, bandRoot)
       Curation.appendToWindowStore(spark, batch, winPath)
       Curation.absorbIntoRefcountedStore(spark, batch, rcWinPath)
       Curation.absorbIntoHistogramStore(spark, batch, histPath)
@@ -268,7 +268,7 @@ class LifecycleSpec extends SparkSpec {
     // migrate by metadata rename (they are day-level state, not band
     // fragments — compaction must not touch their content)
     val bandRoot2 = s"$root/dedup_d1c"
-    Dedup.compactBandIndex(spark, bandRoot, bandRoot2)
+    DedupStore.compactBandIndex(spark, bandRoot, bandRoot2)
     def bandRows(p: String) = spark.read.parquet(s"$p/bands")
       .select("band", "bhash", "doc_id").collect().map(_.toSeq).toSet
     def shingleRows(p: String) = spark.read.parquet(s"$p/shingles")
@@ -345,8 +345,8 @@ class LifecycleSpec extends SparkSpec {
       .agg(max(col("shard_id").cast("long"))).head.getLong(0)
     val packBefore3 = packRows()
 
-    Dedup.absorbBatch(spark, day3, c2.unionByName(day3), bandRoot, Thr)
-    Dedup.appendToExactIndex(spark, day3, bandRoot)
+    DedupStore.absorbBatch(spark, day3, c2.unionByName(day3), bandRoot, Thr)
+    DedupStore.appendToExactIndex(spark, day3, bandRoot)
     Curation.absorbIntoRefcountedStore(spark, day3, rcWinPath)
     Curation.absorbIntoHistogramStore(spark, day3, histPath)
     IvfIndex.appendToIndex(model, e3, ivfPath)
@@ -360,7 +360,7 @@ class LifecycleSpec extends SparkSpec {
     assert(packRows() != packBefore3,
       "day 3: the poisoned absorb must actually extend the pack stream")
 
-    Dedup.retractBatch(spark, day3.select("doc_id"), c2, bandRoot, Thr)
+    DedupStore.retractBatch(spark, day3.select("doc_id"), c2, bandRoot, Thr)
     Curation.retractFromRefcountedStore(spark, day3, rcWinPath)
     Curation.retractFromHistogramStore(spark, day3, histPath)
     IvfIndex.retractFromIndex(spark, model, e3, ivfPath)
@@ -467,7 +467,7 @@ class LifecycleSpec extends SparkSpec {
       "the retracted batch's tombstones must be gone")
     // the un-absorbed manifest must equal the from-scratch rebuild
     val manifest = spark.read.parquet(
-      Dedup.manifestSubdir(indexDir, 0.7))
+      DedupStore.manifestSubdir(indexDir, 0.7))
     assert(manifest.filter(col("keep") === 1)
         .select("doc_id").collect().map(_.getLong(0)).toSet ==
       expectIds(b1, b3),
@@ -518,14 +518,14 @@ class LifecycleSpec extends SparkSpec {
     // release rows, no double-grown band index, manifest untouched
     val storeBefore = rel().select(relCols.map(col): _*)
       .collect().map(_.toSeq).toSet
-    val manifestBefore = spark.read.parquet(Dedup.manifestSubdir(indexDir, 0.7))
+    val manifestBefore = spark.read.parquet(DedupStore.manifestSubdir(indexDir, 0.7))
       .collect().map(_.toSeq).toSet
     val shinglesBefore = spark.read.parquet(s"$indexDir/shingles").count()
     ReleaseIngestStream.ingest(bdf(b4), indexDir, releaseDir)
     assert(rel().select(relCols.map(col): _*)
         .collect().map(_.toSeq).toSet == storeBefore,
       "replay: the release store must be byte-stable under a re-absorb")
-    assert(spark.read.parquet(Dedup.manifestSubdir(indexDir, 0.7))
+    assert(spark.read.parquet(DedupStore.manifestSubdir(indexDir, 0.7))
         .collect().map(_.toSeq).toSet == manifestBefore,
       "replay: the manifest must be unchanged under a re-absorb")
     assert(spark.read.parquet(s"$indexDir/shingles").count() == shinglesBefore,
@@ -752,7 +752,7 @@ class LifecycleSpec extends SparkSpec {
     val d1 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
     val batchIds = d1.select(col("doc_id"))
     val root = java.nio.file.Files.createTempDirectory("graft_xm_day").toString
-    Dedup.persistBandIndex(d0, s"$root/text")
+    DedupStore.persistBandIndex(d0, s"$root/text")
     Multimodal.persistDhashIndex(Multimodal.imagePayloads(d0), s"$root/img")
     Multimodal.persistAudioIndex(Multimodal.audioPayloads(d0), s"$root/aud")
     Multimodal.persistVideoIndex(Multimodal.videoPayloads(d0), s"$root/vid")

@@ -87,13 +87,13 @@ class PlanShapeSpec extends SparkSpec {
     val batch = docs.filter(org.apache.spark.sql.functions.pmod(
       org.apache.spark.sql.functions.col("doc_id"),
       org.apache.spark.sql.functions.lit(5)) === 0)
-    val path = graft.queries.Dedup.indexPathFor(sf)
+    val path = graft.queries.DedupStore.indexPathFor(sf)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS")))
-      graft.queries.Dedup.persistBandIndex(
+      graft.queries.DedupStore.persistBandIndex(
         docs.filter(org.apache.spark.sql.functions.pmod(
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.lit(5)) =!= 0), path)
-    val small = graft.queries.Dedup
+    val small = graft.queries.DedupStore
       .incrementalMinhashPairs(spark, batch, path, threshold = 0.7)
       .queryExecution.executedPlan.toString
     assert(small.contains("BroadcastHashJoin"),
@@ -102,7 +102,7 @@ class PlanShapeSpec extends SparkSpec {
     // at backfill scale those hints are a driver OOM. (AQE may still pick a
     // broadcast from RUNTIME sizes at this sf — the assertion is on the
     // static plan, where withheld hints leave equi-joins to the planner.)
-    val big = graft.queries.Dedup
+    val big = graft.queries.DedupStore
       .incrementalMinhashPairs(spark, batch, path, threshold = 0.7, broadcastCeiling = 0L)
       .queryExecution.optimizedPlan.toString
     // the optimizer folds broadcast() hints into the join nodes as
@@ -110,10 +110,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!big.contains("strategy=broadcast"),
       "no broadcast hint may survive above the ceiling")
     // identical results on both shapes — the gate is a plan decision only
-    val a = graft.queries.Dedup
+    val a = graft.queries.DedupStore
       .incrementalMinhashPairs(spark, batch, path, threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val b = graft.queries.Dedup
+    val b = graft.queries.DedupStore
       .incrementalMinhashPairs(spark, batch, path, threshold = 0.7, broadcastCeiling = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b, "both join shapes must produce the identical pair set")
@@ -379,13 +379,13 @@ class PlanShapeSpec extends SparkSpec {
     val docs = graft.queries.Tables(spark, sf, "documents")
     val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-    val path = graft.queries.Dedup.indexPathFor(sf)
+    val path = graft.queries.DedupStore.indexPathFor(sf)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS")))
-      graft.queries.Dedup.persistBandIndex(corpus, path)
+      graft.queries.DedupStore.persistBandIndex(corpus, path)
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "components_bp7000", "_SUCCESS")))
-      graft.queries.Dedup.persistComponents(corpus, path, threshold = 0.7)
-    val df = graft.queries.Dedup
+      graft.queries.DedupStore.persistComponents(corpus, path, threshold = 0.7)
+    val df = graft.queries.DedupStore
       .incrementalComponentMerge(spark, batch, path, threshold = 0.7)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin"),
@@ -409,13 +409,13 @@ class PlanShapeSpec extends SparkSpec {
     val docs = graft.queries.Tables(spark, sf, "documents")
     val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-    val path = graft.queries.Dedup.indexPathFor(sf)
+    val path = graft.queries.DedupStore.indexPathFor(sf)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS")))
-      graft.queries.Dedup.persistBandIndex(corpus, path)
+      graft.queries.DedupStore.persistBandIndex(corpus, path)
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "manifest_bp7000", "_SUCCESS")))
-      graft.queries.Dedup.persistComponents(corpus, path, threshold = 0.7)
-    val df = graft.queries.Dedup
+      graft.queries.DedupStore.persistComponents(corpus, path, threshold = 0.7)
+    val df = graft.queries.DedupStore
       .incrementalManifest(spark, batch, docs, path, threshold = 0.7)
     val p = df.queryExecution.executedPlan.toString
     // exactly one Window: only the touched-cluster re-rank — a second
@@ -644,8 +644,8 @@ class PlanShapeSpec extends SparkSpec {
     val docs = graft.queries.Tables(spark, sf, "documents")
     val idx = java.nio.file.Files
       .createTempDirectory("graft_forget_planshape").toString + "/dedup"
-    graft.queries.Dedup.persistBandIndex(docs, idx)
-    graft.queries.Dedup.persistComponents(docs, idx, 0.7)
+    graft.queries.DedupStore.persistBandIndex(docs, idx)
+    graft.queries.DedupStore.persistComponents(docs, idx, 0.7)
     val ids = docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id")
     val p = executedPlanOf(graft.pipeline.Forget.residuals(
       ids, graft.pipeline.Forget.families(

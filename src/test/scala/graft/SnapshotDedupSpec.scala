@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Dedup, Tables}
+import graft.queries.{Dedup, DedupStore, Tables}
 
 /** The q146 scale contract: folding snapshots one at a time through the
   * persisted band-index/component store (the q110 contracted merge on gid
@@ -16,29 +16,29 @@ class SnapshotDedupSpec extends SparkSpec {
 
   test("snapshot-by-snapshot fold through the persisted store equals the one-shot union clustering") {
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val snaps = Dedup.deriveSnapshots(Tables(spark, d, "documents"))
-      val oneShot = Dedup.crossSnapshotDedup(snaps).collect()
+      val snaps = DedupStore.deriveSnapshots(Tables(spark, d, "documents"))
+      val oneShot = DedupStore.crossSnapshotDedup(snaps).collect()
         .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
         .toMap
 
-      val keyed = Dedup.withSnapGid(snaps)
+      val keyed = DedupStore.withSnapGid(snaps)
         .select(col("gid"), col("snap"), col("doc_id"),
           col("text"), length(col("text")).cast("long").as("n_chars"))
       def snapDocs(n: Int) = keyed.filter(col("snap") === n)
         .select(col("gid").as("doc_id"), col("text"), col("n_chars"))
       val path = java.nio.file.Files
         .createTempDirectory("graft_snapfold").toString + "/idx"
-      Dedup.persistBandIndex(snapDocs(0), path)
-      Dedup.persistComponents(snapDocs(0), path, threshold = 0.7)
+      DedupStore.persistBandIndex(snapDocs(0), path)
+      DedupStore.persistComponents(snapDocs(0), path, threshold = 0.7)
       var corpus = snapDocs(0)
       for (n <- 1 to 2) {
         val next = corpus.unionByName(snapDocs(n))
-        Dedup.absorbBatch(spark, snapDocs(n), next, path, threshold = 0.7)
+        DedupStore.absorbBatch(spark, snapDocs(n), next, path, threshold = 0.7)
         corpus = next
       }
       val stored = spark.read.parquet(s"$path/manifest_bp7000")
         .select(col("doc_id").as("id"), col("component"))
-      val folded = Dedup.keepNewest(keyed, stored).collect()
+      val folded = DedupStore.keepNewest(keyed, stored).collect()
         .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
         .toMap
       assert(folded == oneShot,
@@ -52,8 +52,8 @@ class SnapshotDedupSpec extends SparkSpec {
     val d = "/root/testdata/sf0.001"
     val viaRetract = SparkEntry.queries("q158_snapshot_retract")(spark, d)
       .collect().map(_.toSeq).toSeq
-    val oneShot01 = Dedup.crossSnapshotDedup(
-      Dedup.deriveSnapshots(Tables(spark, d, "documents"))
+    val oneShot01 = DedupStore.crossSnapshotDedup(
+      DedupStore.deriveSnapshots(Tables(spark, d, "documents"))
         .filter(col("snap") < 2))
       .collect().map(_.toSeq).toSeq
     assert(viaRetract == oneShot01,
@@ -71,7 +71,7 @@ class SnapshotDedupSpec extends SparkSpec {
       (1, 1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (1, 9L, "wholly unrelated content words here nothing shared")
     ).toDF("snap", "doc_id", "text")
-    val out = Dedup.crossSnapshotDedup(snaps).collect()
+    val out = DedupStore.crossSnapshotDedup(snaps).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getInt(3)).toMap
     assert(out((1, 1L)) == 1, "the snap-1 re-crawl must be the survivor")
     assert(out((0, 1L)) == 0 && out((0, 2L)) == 0,
@@ -81,9 +81,9 @@ class SnapshotDedupSpec extends SparkSpec {
 
   test("withSnapGid raises on ids outside the stride range") {
     import spark.implicits._
-    val bad = Seq((0, Dedup.SnapStride, "x")).toDF("snap", "doc_id", "text")
+    val bad = Seq((0, DedupStore.SnapStride, "x")).toDF("snap", "doc_id", "text")
     val e = intercept[Exception] {
-      Dedup.withSnapGid(bad).collect()
+      DedupStore.withSnapGid(bad).collect()
     }
     assert(e.getMessage.contains("snap gid out of range") ||
       Option(e.getCause).exists(_.getMessage.contains("snap gid out of range")))

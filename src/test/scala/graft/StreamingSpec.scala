@@ -428,7 +428,7 @@ class StreamingSpec extends SparkSpec {
     val corpus = Seq((10L, ta), (11L, tb)).toDF("doc_id", "text")
     val path = java.nio.file.Files
       .createTempDirectory("graft_stream_idx").toString + "/idx"
-    graft.queries.Dedup.persistBandIndex(corpus, path)
+    graft.queries.DedupStore.persistBandIndex(corpus, path)
 
     val m0 = 1700000000000L - (1700000000000L % 3600000)
     def doc(id: Long, minutes: Long, text: String) =
@@ -463,7 +463,7 @@ class StreamingSpec extends SparkSpec {
     // stream == batch: the flags agree with incrementalMinhashPairs over
     // the same batch against the same index (crossings only — the guard's
     // contract excludes within-stream pairs)
-    val batchPairs = graft.queries.Dedup.incrementalMinhashPairs(
+    val batchPairs = graft.queries.DedupStore.incrementalMinhashPairs(
         spark, Seq((1L, ta), (2L, novel), (3L, mutated)).toDF("doc_id", "text"),
         path, threshold = 0.7)
       .filter(org.apache.spark.sql.functions.col("existing_id") >= 10L)
@@ -475,7 +475,7 @@ class StreamingSpec extends SparkSpec {
     // the EXACT tier over the same corpus: stateless fingerprint guard —
     // the verbatim copy resolves to its stored canonical immediately (no
     // watermark needed); the near-dup and novel docs pass it silently
-    graft.queries.Dedup.persistExactIndex(corpus, path)
+    graft.queries.DedupStore.persistExactIndex(corpus, path)
     val input2 = MemoryStream[(Long, Timestamp, String)]
     val q2 = graft.streaming.IndexDedupStream.startExact(
       spark, input2.toDF().toDF("doc_id", "ts", "text"), path,
