@@ -218,6 +218,26 @@ object CrossModal {
       batchIds: DataFrame,
       path: String,
       src: EdgeSources): Unit = {
+    val (next, survivorsSized) = retractAssembly(spark, batchIds, path, src)
+    next
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(assignmentDir(path) + ".next")
+    survivorsSized.unpersist()
+    graft.ops.StoreSwap.swapInto(spark, assignmentDir(path))
+  }
+
+  /** The plan-visible half of [[retract]]: the post-retraction assignment
+    * frame plus the persisted survivor set (caller unpersists after the
+    * write). Split out so PlanShapeSpec can pin both broadcast shapes of
+    * the survivor gate on the executed assembly, the absorb-side
+    * precedent.
+    */
+  private[graft] def retractAssembly(
+      spark: SparkSession,
+      batchIds: DataFrame,
+      path: String,
+      src: EdgeSources,
+      broadcastCeiling: Long = Dedup.IncrementalBroadcastCeiling): (DataFrame, DataFrame) = {
     val store = readAssignment(spark, path)
     val ids = broadcast(batchIds.select(col("doc_id")))
     val touched = store.join(ids, Seq("doc_id"))
@@ -236,8 +256,33 @@ object CrossModal {
       rows.count()
       rows
     }
+    val pairs = survivorPairs(spark, survivorsSized, src, broadcastCeiling)
+    val comps = graft.operators.ConnectedComponents.run(
+      survivorsSized.select(col("doc_id").as("id")),
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    (untouched.unionByName(
+      comps.select(col("component"), col("id").as("doc_id"))),
+      survivorsSized)
+  }
+
+  /** The survivor-edge regeneration with its size-gated broadcast: a
+    * survivor set estimated under the ceiling is force-broadcast into
+    * every per-modality index probe (the stores stream once, no
+    * shuffle); a mega-family takedown whose survivors exceed it keeps
+    * ordinary equi-joins — at that scale a forced broadcast is a driver
+    * OOM, not an optimization. `survivorsSized` must be a materialized
+    * (persisted + counted) relation so the stats gate reads a measured
+    * size. Split out of [[retractAssembly]] because the component fold
+    * above it checkpoints — these joins are only plan-visible here,
+    * where PlanShapeSpec pins both shapes (the q66/tombstone precedent).
+    */
+  private[graft] def survivorPairs(
+      spark: SparkSession,
+      survivorsSized: DataFrame,
+      src: EdgeSources,
+      broadcastCeiling: Long = Dedup.IncrementalBroadcastCeiling): DataFrame = {
     val small = survivorsSized.queryExecution.optimizedPlan.stats.sizeInBytes <=
-      BigInt(Dedup.IncrementalBroadcastCeiling)
+      BigInt(broadcastCeiling)
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val tia = DedupStore.survivorTextPairs(
         spark, src.textIndexPath, survivorsSized, src.threshold, hinted)
@@ -247,19 +292,10 @@ object CrossModal {
       .unionByName(Multimodal.survivorFingerprintPairs(
         Multimodal.readBandStore(spark, src.audioIndexPath),
         survivorsSized, src.maxHammingAud, hinted))
-    val pairs = src.videoIndexPath.fold(tia)(p =>
+    src.videoIndexPath.fold(tia)(p =>
       tia.unionByName(Multimodal.survivorVideoPairs(
         Multimodal.readBandStore(spark, p),
         Multimodal.readVcounts(spark, p),
         survivorsSized, src.maxHammingVid, src.minOverlapVid, hinted)))
-    val comps = graft.operators.ConnectedComponents.run(
-      survivorsSized.select(col("doc_id").as("id")),
-      pairs.select(col("a").as("src"), col("b").as("dst")))
-    untouched
-      .unionByName(comps.select(col("component"), col("id").as("doc_id")))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "zstd").parquet(assignmentDir(path) + ".next")
-    survivorsSized.unpersist()
-    graft.ops.StoreSwap.swapInto(spark, assignmentDir(path))
   }
 }

@@ -641,15 +641,16 @@ object Curation {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .option("compression", "zstd").parquet(path)
 
-  /** One-time day-N window-store materialization (testdata-only warm
-    * reuse; k rides the path so an incompatible store is never served).
+  /** One-time day-N window-store materialization (content-keyed warm
+    * reuse per [[WarmStores.dirTag]]; k rides the path so an incompatible
+    * store is never served).
     */
   private def windowStoreFor(
       base: org.apache.spark.sql.DataFrame, dir: String, k: Int = 5): String = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
-      java.lang.Integer.toHexString(dir.hashCode) + s"_k$k"
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      java.lang.Integer.toHexString(dir.hashCode) + s"_k$k" +
+      WarmStores.dirTag(base.sparkSession, dir, "documents")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       windowStore(base, k).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -664,9 +665,9 @@ object Curation {
   private def hashedWindowStoreFor(
       base: org.apache.spark.sql.DataFrame, dir: String, k: Int = 5): String = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
-      java.lang.Integer.toHexString(dir.hashCode) + s"_k${k}_xxh"
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      java.lang.Integer.toHexString(dir.hashCode) + s"_k${k}_xxh" +
+      WarmStores.dirTag(base.sparkSession, dir, "documents")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       hashedWindowStore(base, k).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -822,9 +823,9 @@ object Curation {
       k: Int = 5): String = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_ngram_store_" +
       java.lang.Integer.toHexString(dir.hashCode) +
-      (if (hashed) "_rcxfull" else "_rcfull") + s"_k$k"
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      (if (hashed) "_rcxfull" else "_rcfull") + s"_k$k" +
+      WarmStores.dirTag(docs.sparkSession, dir, "documents")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       rcStoreOf(docs, k, hashed).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1133,14 +1134,14 @@ object Curation {
     s"${sys.props("java.io.tmpdir")}/graft_qhist_" +
       java.lang.Integer.toHexString(dir.hashCode) + s"_v$kernelVersion"
 
-  /** One-time day-N histogram materialization (testdata-only warm reuse —
-    * the [[graft.queries.Dedup]] band-index policy verbatim).
+  /** One-time day-N histogram materialization (content-keyed warm reuse —
+    * the [[graft.queries.DedupStore]] band-index policy verbatim).
     */
   private def histogramIndexFor(
       base: org.apache.spark.sql.DataFrame, dir: String): String = synchronized {
-    val path = histogramPathFor(dir)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    val path = histogramPathFor(dir) +
+      WarmStores.dirTag(base.sparkSession, dir, "documents")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       scoreHistogram(base).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1159,9 +1160,9 @@ object Curation {
     */
   private def histogramFullIndexFor(
       docs: org.apache.spark.sql.DataFrame, dir: String): String = synchronized {
-    val path = histogramPathFor(dir) + "_full"
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    val path = histogramPathFor(dir) + "_full" +
+      WarmStores.dirTag(docs.sparkSession, dir, "documents")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       scoreHistogram(docs).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)

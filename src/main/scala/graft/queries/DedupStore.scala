@@ -764,10 +764,10 @@ object DedupStore {
     */
   private def snapshotStoreFor(
       docs01: DataFrame, dir: String, threshold: Double): String = synchronized {
-    val path = indexPathFor(dir) + "_snap01"
+    val path = indexPathFor(dir) + "_snap01" +
+      WarmStores.dirTag(docs01.sparkSession, dir, "documents")
     val sub = manifestSubdir(path, threshold)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS")) &&
+    val reusable = WarmStores.ready(path, "shingles/_SUCCESS") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(sub, "_SUCCESS"))
     if (!reusable) {
       persistBandIndex(docs01, path)
@@ -803,10 +803,10 @@ object DedupStore {
     */
   private[queries] def fullComponentIndexFor(
       docs: DataFrame, dir: String, threshold: Double): String = synchronized {
-    val path = indexPathFor(dir) + "_full"
+    val path = indexPathFor(dir) + "_full" +
+      WarmStores.dirTag(docs.sparkSession, dir, "documents")
     val sub = manifestSubdir(path, threshold)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS")) &&
+    val reusable = WarmStores.ready(path, "shingles/_SUCCESS") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(sub, "_SUCCESS"))
     if (!reusable) {
       persistBandIndex(docs, path)
@@ -824,10 +824,10 @@ object DedupStore {
     */
   private def snapshotFullIndexFor(
       docs: DataFrame, dir: String, threshold: Double): String = synchronized {
-    val path = indexPathFor(dir) + "_snapfull"
+    val path = indexPathFor(dir) + "_snapfull" +
+      WarmStores.dirTag(docs.sparkSession, dir, "documents")
     val sub = manifestSubdir(path, threshold)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS")) &&
+    val reusable = WarmStores.ready(path, "shingles/_SUCCESS") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(sub, "_SUCCESS"))
     if (!reusable) {
       persistBandIndex(docs, path)
@@ -858,18 +858,18 @@ object DedupStore {
 
   /** One-time band-index materialization per corpus dir — the q66 analogue
     * of [[Similarity]]'s persistedIndex rules: index build ≠ query (an
-    * offline artifact at scale), so cross-call reuse is allowed ONLY for
-    * the read-only testdata dirs; any other dir rebuilds per call (a user
-    * dir rewritten mid-session must not serve stale bands). The band table
-    * is a deterministic function of (corpus, banding parameters) and the
-    * parameters are baked into [[indexPathFor]]'s fingerprint, so for an
-    * unchanged testdata dir a completed warm index at the fingerprinted
-    * path is reusable as-is.
+    * offline artifact at scale). Cross-call reuse is content-keyed
+    * ([[WarmStores.dirTag]] rides the path): the band table is a
+    * deterministic function of (corpus bytes, banding parameters) and
+    * BOTH are in the path — [[indexPathFor]]'s parameter fingerprint plus
+    * the corpus tag — so a rewritten dir or changed parameters re-key
+    * instead of serving stale bands, and an unchanged dir warm-serves
+    * across calls and JVM restarts.
     */
   private[queries] def bandIndexFor(corpus: DataFrame, dir: String): String = synchronized {
-    val path = indexPathFor(dir)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "shingles", "_SUCCESS"))
+    val path = indexPathFor(dir) +
+      WarmStores.dirTag(corpus.sparkSession, dir, "documents")
+    val reusable = WarmStores.ready(path, "shingles/_SUCCESS")
     if (!reusable) persistBandIndex(corpus, path)
     path
   }
@@ -883,9 +883,9 @@ object DedupStore {
     * fingerprint suffix in the path is irrelevant to it but harmless).
     */
   private[queries] def exactIndexFor(corpus: DataFrame, dir: String): String = synchronized {
-    val path = indexPathFor(dir)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "exact_fp", "_SUCCESS"))
+    val path = indexPathFor(dir) +
+      WarmStores.dirTag(corpus.sparkSession, dir, "documents")
+    val reusable = WarmStores.ready(path, "exact_fp/_SUCCESS")
     if (!reusable) persistExactIndex(corpus, path)
     path
   }
@@ -894,7 +894,7 @@ object DedupStore {
       corpus: DataFrame, dir: String, threshold: Double): String = synchronized {
     val path = bandIndexFor(corpus, dir)
     val sub = manifestSubdir(path, threshold)
-    val reusable = dir.startsWith("/root/testdata") &&
+    val reusable =
       java.nio.file.Files.exists(java.nio.file.Paths.get(sub, "_SUCCESS"))
     if (!reusable) persistComponents(corpus, path, threshold)
     path

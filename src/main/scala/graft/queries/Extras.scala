@@ -847,7 +847,8 @@ object Extras {
       "Media-store sync audit: per-arm rows/dups/ids and orphan drift vs " +
         "the cross-modal assignment (dumped rows, both engines replay)",
       s"""WITH r AS (SELECT artifact, doc_id, sig
-        |  FROM read_parquet('$q196Dir/rows.parquet/*.parquet')),
+        |  FROM read_parquet('$q196Dir/rows.parquet/*/*.parquet',
+        |                    hive_partitioning = 1)),
         |a AS (SELECT DISTINCT doc_id FROM r WHERE artifact = 'assignment'),
         |d AS (SELECT DISTINCT artifact, doc_id FROM r),
         |per AS (SELECT artifact, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -870,7 +871,12 @@ object Extras {
         audioIndexFor(Multimodal.audioPayloads(corpus), dir),
         videoIndexFor(Multimodal.videoPayloads(corpus), dir))
       Extras.synchronized {
+        // hive-partitioned by arm: the reconcile's orphan reference is
+        // one arm ('assignment'), so its scan partition-prunes to a
+        // single directory instead of re-reading every arm's rows
+        // (PlanShapeSpec pins the PartitionFilters)
         rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("artifact")
           .option("compression", "zstd").parquet(s"$q196Dir/rows.parquet")
       }
       mediaStoreSync(s.read.parquet(s"$q196Dir/rows.parquet"))
@@ -1070,16 +1076,16 @@ object Extras {
       .orderBy("doc_id")
 
   /** Warm tombstone ledger for q190 (the %97 forgotten set, the q172
-    * takedown convention): testdata dirs reuse; any other dir rebuilds
-    * from scratch (delete-then-append, because the ledger is append-only
-    * by design and a repeat build must not accumulate).
+    * takedown convention): content-keyed reuse ([[WarmStores.dirTag]]);
+    * a fresh build is delete-then-append, because the ledger is
+    * append-only by design and a repeat build must not accumulate.
     */
   private def tombstoneLedgerFor(
       s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_tombs_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      java.lang.Integer.toHexString(dir.hashCode) +
+      WarmStores.dirTag(s, dir, "documents")
+    val reusable = WarmStores.ready(path)
     if (!reusable) {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -1091,10 +1097,10 @@ object Extras {
   }
 
   /** Warm cross-modal assignment store over the %5<>0 store corpus (the
-    * DedupStore.bandIndexFor convention: testdata dirs reuse, any other dir
-    * rebuilds). Never mutated by its consumers — q192 registers the
-    * PROBE form; the store-rewriting absorb/retract lifecycle is
-    * CrossModalSpec's.
+    * DedupStore.bandIndexFor convention, content-keyed via
+    * [[WarmStores.dirTag]]). Never mutated by its consumers — q192
+    * registers the PROBE form; the store-rewriting absorb/retract
+    * lifecycle is CrossModalSpec's.
     */
   private def crossModalIndexFor(
       corpus: DataFrame, dir: String, tag: String): String =
@@ -1103,24 +1109,22 @@ object Extras {
       // persisted under the three-arm union must never warm-serve the
       // four-arm (video-enabled) readers
       val path = s"${sys.props("java.io.tmpdir")}/graft_xmidx4_" +
-        java.lang.Integer.toHexString(dir.hashCode) + "_" + tag
-      val reusable = dir.startsWith("/root/testdata") &&
-        java.nio.file.Files.exists(
-          java.nio.file.Paths.get(path, "assignment", "_SUCCESS"))
+        java.lang.Integer.toHexString(dir.hashCode) + "_" + tag +
+        WarmStores.dirTag(corpus.sparkSession, dir, "documents")
+      val reusable = WarmStores.ready(path, "assignment/_SUCCESS")
       if (!reusable) graft.pipeline.CrossModal.persist(corpus, path)
       path
     }
 
   /** Warm-reuse policy for the image dHash index (the DedupStore.bandIndexFor
-    * convention): testdata corpora reuse the artifact across calls, any
-    * other dir rebuilds.
+    * convention, content-keyed via [[WarmStores.dirTag]] — media payloads
+    * derive deterministically from the documents table).
     */
   private def dhashIndexFor(media: DataFrame, dir: String): String = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_dhidx_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "dhbands", "_SUCCESS"))
+      java.lang.Integer.toHexString(dir.hashCode) +
+      WarmStores.dirTag(media.sparkSession, dir, "documents")
+    val reusable = WarmStores.ready(path, "dhbands/_SUCCESS")
     if (!reusable) Multimodal.persistDhashIndex(media, path)
     path
   }
@@ -1131,10 +1135,9 @@ object Extras {
     */
   private def audioIndexFor(media: DataFrame, dir: String): String = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_afidx_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "dhbands", "_SUCCESS"))
+      java.lang.Integer.toHexString(dir.hashCode) +
+      WarmStores.dirTag(media.sparkSession, dir, "documents")
+    val reusable = WarmStores.ready(path, "dhbands/_SUCCESS")
     if (!reusable) Multimodal.persistAudioIndex(media, path)
     path
   }
@@ -1146,12 +1149,10 @@ object Extras {
     */
   private def videoIndexFor(media: DataFrame, dir: String): String = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_vfidx_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "dhbands", "_SUCCESS")) &&
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "vcounts", "_SUCCESS"))
+      java.lang.Integer.toHexString(dir.hashCode) +
+      WarmStores.dirTag(media.sparkSession, dir, "documents")
+    val reusable =
+      WarmStores.ready(path, "dhbands/_SUCCESS", "vcounts/_SUCCESS")
     if (!reusable) Multimodal.persistVideoIndex(media, path)
     path
   }

@@ -473,8 +473,12 @@ object Release {
     * something re-derived per takedown — instead of re-paying the
     * derivation q169 itself keeps measuring. Values are identical either
     * way (the artifact holds [[incrementalRelease]]'s rows verbatim), so
-    * the oracles are untouched. Warm reuse only for /root/testdata dirs,
-    * the [[graft.queries.Dedup]] bandIndexFor convention.
+    * the oracles are untouched. Warm reuse is content-keyed
+    * ([[WarmStores.dirTag]]): the artifact path encodes the corpus bytes
+    * that built it, so any dir warm-serves safely and a rewritten dir
+    * re-keys — the round-15 sf1 rehearsal measured this chain rebuilding
+    * per call (q171/q176/q177 at 46-82x on 10x data) under the old
+    * testdata-only policy.
     */
   /** [[incrementalReleaseFor]]'s sibling for q164's epoch-1 release
     * manifest — q172's release arm probes the stored manifest (the
@@ -485,9 +489,9 @@ object Release {
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_relman_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      java.lang.Integer.toHexString(dir.hashCode) +
+      WarmStores.dirTag(s, dir, "documents")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       releaseManifest(Tables(s, dir, "documents")).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -499,9 +503,9 @@ object Release {
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_increl_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      java.lang.Integer.toHexString(dir.hashCode) +
+      WarmStores.dirTag(s, dir, "documents")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       incrementalRelease(s, dir).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -708,9 +712,9 @@ object Release {
       dir: String,
       packTokens: Int = 512): String = synchronized {
     val path = s"${sys.props("java.io.tmpdir")}/graft_packabs_" +
-      java.lang.Integer.toHexString(dir.hashCode) + s"_p$packTokens"
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      java.lang.Integer.toHexString(dir.hashCode) + s"_p$packTokens" +
+      WarmStores.dirTag(base.sparkSession, dir, "documents")
+    val reusable = WarmStores.ready(path)
     if (!reusable) {
       val m0 = packManifest(base, packTokens)
       m0.unionByName(packSpans(batch, packResumeOffsets(m0, packTokens), packTokens))

@@ -528,7 +528,10 @@ object Similarity {
       fp.getDecimal(0).hashCode().toLong ^ (fp.getLong(1) * 1000003L))
     val path = s"${sys.props("java.io.tmpdir")}/graft_moment_store_tf12_" +
       java.lang.Integer.toHexString(dir.hashCode) + "_" + tag
-    val reusable = dir.startsWith("/root/testdata") &&
+    // the row-hash fp above keys the path by the corpus CONTENT, so a
+    // completed artifact at this path is valid for any dir — no
+    // dir-prefix gate needed (the WarmStores rationale)
+    val reusable =
       java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
     if (!reusable)
       momentSums(corpus, dim = 64).write
@@ -1606,15 +1609,17 @@ object Similarity {
   /** Shared by q42/q56 — their contract is IDENTICAL models, so the build
     * + staleness policy must live in exactly one place. Index build ≠
     * query: memoized per corpus dir (offline artifact at scale); quantizer
-    * quality needs only a bounded sample + few iterations. Cache only the
-    * read-only testdata dirs — a user dir rewritten mid-session must not
-    * serve a stale quantizer.
+    * quality needs only a bounded sample + few iterations. The cache key
+    * carries [[WarmStores.dirTag]]'s content tag, so a dir rewritten
+    * mid-session re-keys to a fresh fit instead of serving a stale
+    * quantizer.
     */
   private[graft] def modelFor(corpus: DataFrame, dir: String): graft.operators.IvfIndex.Model = {
     def build() = graft.operators.IvfIndex.fit(
       corpus.limit(2048).coalesce(1), k = 16, maxIter = 5)
-    if (dir.startsWith("/root/testdata")) models.computeIfAbsent(dir, _ => build())
-    else build()
+    models.computeIfAbsent(
+      dir + WarmStores.dirTag(corpus.sparkSession, dir, "embeddings"),
+      _ => build())
   }
 
   /** One-time index materialization per (corpus dir, MODEL). Two stacked
@@ -1622,22 +1627,22 @@ object Similarity {
     *   - the path is keyed by a centroid fingerprint, so an old /tmp index
     *     whose MODEL has since changed is never served (different model ⇒
     *     different path ⇒ rebuilt);
-    *   - cross-call reuse is allowed ONLY for the read-only testdata dirs —
-    *     the fingerprint covers the quantizer (fit on a bounded sample),
-    *     NOT the corpus, so a user dir rewritten beyond the sampled rows
-    *     could keep the same model while the index contents go stale. Any
-    *     other dir rebuilds its index per call, matching modelFor's rule.
-    * For an unchanged testdata dir, `fit` is deterministic (fixed seed +
-    * sample) ⇒ same fingerprint ⇒ a completed warm index is reusable.
+    *   - the path also carries [[WarmStores.dirTag]]'s corpus-content tag —
+    *     the centroid fingerprint covers the quantizer (fit on a bounded
+    *     sample), NOT the corpus, so a dir rewritten beyond the sampled
+    *     rows could keep the same model while the index contents go
+    *     stale; the content tag re-keys exactly that case.
+    * For an unchanged dir, `fit` is deterministic (fixed seed + sample)
+    * ⇒ same fingerprint ⇒ a completed warm index is reusable.
     */
   private[graft] def persistedIndex(
       model: graft.operators.IvfIndex.Model, corpus: DataFrame, dir: String): String = synchronized {
     val fp = java.util.Arrays.deepHashCode(model.centroids.asInstanceOf[Array[AnyRef]])
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
       java.lang.Integer.toHexString(dir.hashCode) + "_" +
-      java.lang.Integer.toHexString(fp)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      java.lang.Integer.toHexString(fp) +
+      WarmStores.dirTag(corpus.sparkSession, dir, "embeddings")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       graft.ops.Bucketing.writePartitioned(
         graft.operators.IvfIndex.assign(model, corpus), path, Seq("bucket"))
@@ -1654,9 +1659,9 @@ object Similarity {
     val fp = java.util.Arrays.deepHashCode(model.centroids.asInstanceOf[Array[AnyRef]])
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_store_" +
       java.lang.Integer.toHexString(dir.hashCode) + "_" +
-      java.lang.Integer.toHexString(fp)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      java.lang.Integer.toHexString(fp) +
+      WarmStores.dirTag(corpus.sparkSession, dir, "embeddings")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       graft.ops.Bucketing.writePartitioned(
         graft.operators.IvfIndex.assign(model, corpus), path, Seq("bucket"))
@@ -1672,9 +1677,9 @@ object Similarity {
     val fp = java.util.Arrays.deepHashCode(model.centroids.asInstanceOf[Array[AnyRef]])
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_q8_" +
       java.lang.Integer.toHexString(dir.hashCode) + "_" +
-      java.lang.Integer.toHexString(fp)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      java.lang.Integer.toHexString(fp) +
+      WarmStores.dirTag(corpus.sparkSession, dir, "embeddings")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       graft.ops.Bucketing.writePartitioned(
         graft.operators.IvfIndex.assignQuantized(model, corpus), path, Seq("bucket"))
@@ -1691,8 +1696,9 @@ object Similarity {
   private[graft] def dedupModelFor(corpus: DataFrame, dir: String): graft.operators.IvfIndex.Model = {
     def build() = graft.operators.IvfIndex.fit(
       corpus.limit(2048).coalesce(1), k = 8, maxIter = 10)
-    if (dir.startsWith("/root/testdata")) models.computeIfAbsent(s"dedup:$dir", _ => build())
-    else build()
+    models.computeIfAbsent(
+      "dedup:" + dir + WarmStores.dirTag(corpus.sparkSession, dir, "embeddings"),
+      _ => build())
   }
 
   /** q117's code table — [[persistedIndex]]'s path-by-fingerprint and
@@ -1710,9 +1716,9 @@ object Similarity {
       java.util.Arrays.deepHashCode(pq.codebooks.asInstanceOf[Array[AnyRef]])
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_pq_" +
       java.lang.Integer.toHexString(dir.hashCode) + "_" +
-      java.lang.Integer.toHexString(fp)
-    val reusable = dir.startsWith("/root/testdata") &&
-      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      java.lang.Integer.toHexString(fp) +
+      WarmStores.dirTag(corpus.sparkSession, dir, "embeddings")
+    val reusable = WarmStores.ready(path)
     if (!reusable)
       graft.ops.Bucketing.writePartitioned(
         graft.operators.PqIndex.assign(ivf, pq, corpus), path, Seq("bucket"))
@@ -1726,8 +1732,9 @@ object Similarity {
   private[graft] def pqModelFor(corpus: DataFrame, dir: String): graft.operators.PqIndex.Model = {
     def build() = graft.operators.PqIndex.fit(
       corpus.limit(2048).coalesce(1), m = 16, numCodes = 16, maxIter = 10)
-    if (dir.startsWith("/root/testdata")) pqModels.computeIfAbsent(dir, _ => build())
-    else build()
+    pqModels.computeIfAbsent(
+      dir + WarmStores.dirTag(corpus.sparkSession, dir, "embeddings"),
+      _ => build())
   }
 
   private val models =

@@ -869,4 +869,70 @@ class PlanShapeSpec extends SparkSpec {
       "resume offsets must broadcast onto the batch window:\n" + p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q196 reconcile prunes: the orphan reference reads ONLY the assignment arm's partition") {
+    val p = planOf("q196_media_store_sync")
+    // the dump is hive-partitioned by artifact, so the `a` branch
+    // (artifact = 'assignment') must reach the scan as a partition filter
+    // — one directory read, not a re-scan of every arm's rows
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("assignment")),
+      "assignment-side scan must partition-prune:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("cross-modal retract: survivor regen broadcasts under the ceiling, plain equi-joins above") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.multimodal.Multimodal
+    import graft.pipeline.CrossModal
+    val docs = graft.queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_xm_planshape").toString
+    val (text, img, aud, vid) =
+      (s"$root/text", s"$root/img", s"$root/aud", s"$root/vid")
+    graft.queries.DedupStore.persistBandIndex(docs, text)
+    Multimodal.persistDhashIndex(Multimodal.imagePayloads(docs), img)
+    Multimodal.persistAudioIndex(Multimodal.audioPayloads(docs), aud)
+    Multimodal.persistVideoIndex(Multimodal.videoPayloads(docs), vid)
+    val src = CrossModal.EdgeSources(text, img, aud, videoIndexPath = Some(vid))
+    // the materialized (persisted + counted) survivor set retractAssembly
+    // hands the gate — a takedown's surviving family members
+    val survivors = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select("doc_id").persist()
+    survivors.count()
+    try {
+      // under the ceiling: survivors are force-broadcast into all four
+      // index probes — the stores stream once, never sort-merge shuffled
+      val smallDf = CrossModal.survivorPairs(spark, survivors, src)
+      smallDf.collect()
+      // assert on the REALIZED plan only — the AdaptiveSparkPlan string
+      // appends an "== Initial Plan ==" section whose pre-AQE join picks
+      // are not what executed
+      val small = smallDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(small.contains("BroadcastHashJoin"),
+        "under the ceiling the survivor set must broadcast:\n" + small)
+      assert(!small.contains("SortMergeJoin"),
+        "the corpus-scale index stores must never sort-merge shuffle:\n" + small)
+      assert(!small.contains("CartesianProduct"), small)
+      // above the ceiling (0): no forced broadcast may survive — a
+      // mega-family survivor set through the driver is an OOM (the q66/
+      // tombstone pin shape: assert on the static optimized plan, where
+      // withheld hints leave the joins to the planner; AQE may still pick
+      // broadcasts from RUNTIME sizes at this sf)
+      val bigDf = CrossModal.survivorPairs(
+        spark, survivors, src, broadcastCeiling = 0L)
+      assert(!bigDf.queryExecution.optimizedPlan.toString
+          .contains("strategy=broadcast"),
+        "no broadcast hint may survive above the ceiling")
+      // identical edges on both shapes — the gate is a plan decision only
+      def edges(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("a").cast("long"), col("b").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(edges(smallDf) == edges(bigDf),
+        "both join shapes must regenerate the identical survivor edges")
+    } finally survivors.unpersist()
+  }
 }
