@@ -50,6 +50,16 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Ceiling (bytes, measured storage size) under which a round's label
+    * map is small enough to chase LAZILY via broadcast lookups; above it
+    * the chased level is materialized so later rounds read a leaf instead
+    * of re-executing shuffle joins per reference. 64 MB of (id, lab)
+    * pairs is ~4M nodes — broadcasting that per round is cheap against
+    * the shuffle stages it replaces; far larger maps pay one extra
+    * materialization action per round instead.
+    */
+  val FreshChaseBroadcastCeiling: Long = 64L << 20
+
   /** Materialize + truncate lineage + install MEASURED stats (see class
     * doc): the rewrapped leaf reports its true persisted size, so the next
     * round's joins broadcast-vs-shuffle exactly as they would over a
@@ -147,7 +157,16 @@ object ConnectedComponents {
       .groupBy("id").agg(least(col("id"), min(col("v"))).as("lab")))
     var round = 0
     var converged = false
-    var prevRound: Option[DataFrame] = None
+    // artifacts superseded LAST round (each round's materialized levels
+    // are read by the NEXT round's plan — labels via the lookup, propAll
+    // via the bridge branch — so they free exactly one round later)
+    var prevRound: List[DataFrame] = Nil
+    // the previous round's materialized propagation (the bridge source;
+    // also the backing blocks of a lazily-chased labels level)
+    var lastProp: Option[DataFrame] = None
+    // (bid, bval) bridge emissions derived from the previous round's
+    // materialized propagation — see the bridge comment in the loop
+    var bridges: Option[DataFrame] = None
     def free(df: DataFrame): Unit =
       org.apache.spark.sql.graft.shims.unpersistCheckpoint(df)
     var done = false
@@ -155,58 +174,130 @@ object ConnectedComponents {
     try {
       while (!converged && round < maxIter) {
         val rt0 = System.nanoTime()
-        // ONE materialized plan — and so ONE blocking action — per round
-        // (iterative operators are action-latency-bound, so actions per
-        // round is the currency that matters):
+        // ONE materialized plan — and normally ONE blocking action — per
+        // round (iterative operators are action-latency-bound, so actions
+        // per round is the currency that matters):
         //   1. propagation: neighbor labels and own label meet in one
         //      aggregate; the previous label tags along as `own` (exactly
         //      one non-null per id, from the `labels` branch) so the change
         //      test needs no join back against the previous level;
-        //   2. pointer chase against the PREVIOUS round's materialized
-        //      label map — one round staler than chasing this round's
-        //      propagation, but measured equally strong (the chase
-        //      saturates after ~3 applications either way) and it removes
-        //      the separate mid-round materialization the fresh-map chase
-        //      would require (the propagation subtree appears ONCE in this
-        //      plan, as the chase base, so nothing recomputes).
-        // Stale-map chase stays correct: labels_prev(x) <= x and is
-        // reachable from x, so chased labels remain monotone decreasing
-        // over reachable ids; the fixpoint test below is unaffected.
-        // the propagation join and every chase join build against the SAME
-        // projection of the label map, so Spark's exchange reuse ships ONE
-        // broadcast (or one shuffle) of it per round, not chaseSteps + 1
+        //   2. pointer chase against THIS round's materialized propagation
+        //      map (fresh, not the previous round's — see the chase block
+        //      below for why staleness was the round-count killer on
+        //      hub-cascade graphs).
+        // Fresh-map chase stays correct: prop(x) <= x and is reachable
+        // from x, so chased labels remain monotone decreasing over
+        // reachable ids; the fixpoint test below is unaffected.
         val lookup = labels.select(col("id").as("__k"), col("lab").as("__v"))
-        val prop = sym
+        // BRIDGE emissions are the round-count lever (the star-contraction
+        // move): every node that IMPROVED last round forwards its new
+        // label straight to its former label target — a join-free value
+        // branch into the aggregate. Without it, a label VALUE can only
+        // flood the graph one edge per round, and no pointer chase helps,
+        // because intermediate labels point at local minima whose own map
+        // entry is themselves (measured: the q191 cross-modal fold's
+        // ecc-28 component pinned the loop at 23-26 rounds under stale,
+        // fresh, composed AND pointer-edge chase variants alike). A bridge
+        // jumps the improved value from the frontier directly to the hub
+        // every follower points at, collapsing the flood to ~log rounds
+        // (same fold: 6 rounds). Safety: both endpoints of a bridge are
+        // reachable ids of the same component (the labels invariant), and
+        // at the fixpoint every bridge degenerates to "m receives m", so
+        // the convergence test below is unaffected.
+        val bridgeRows = bridges match {
+          case Some(b) => b.select(col("bid").as("id"), col("bval").as("lab"),
+            lit(null).cast("long").as("own"))
+          case None => null
+        }
+        val seeded = sym
           .join(lookup, col("u") === col("__k"))
           .select(col("v").as("id"), col("__v").as("lab"),
             lit(null).cast("long").as("own"))
           .union(labels.select(col("id"), col("lab"), col("lab").as("own")))
+        val prop = (if (bridgeRows == null) seeded else seeded.union(bridgeRows))
           .groupBy("id").agg(min("lab").as("lab"), max("own").as("own"))
-        val chased = (1 to chaseSteps).foldLeft(prop) { (acc, _) =>
-          acc.as("c").join(lookup, col("c.lab") === col("__k"), "left")
-            .select(col("c.id").as("id"),
-              coalesce(col("__v"), col("c.lab")).as("lab"), col("c.own").as("own"))
-        }
         // materialize the round AND count changed rows in the SAME driver
         // action: the lazy local checkpoint persists partitions as the
         // count's job computes them (doCheckpoint then finds every block
         // already cached), so convergence detection is free — no separate
-        // isEmpty scan job per round.
-        val nextCk = chased.select(col("id"), col("lab"),
+        // isEmpty scan job per round. Convergence is tested on the
+        // PROPAGATION output: prop == own for every node means the label
+        // map is edge-consistent, and a monotone edge-consistent map IS
+        // the min-reachable fixpoint (along any path u..m to the component
+        // minimum, lab(u) <= lab(..) <= lab(m) = m while every label is
+        // >= m), at which point any pointer chase is the identity.
+        // (`own` is null on the bridge/edge branches, so a node outside
+        // `labels` can never satisfy lab == own spuriously.)
+        val propCk = prop.select(col("id"), col("lab"), col("own"),
           (col("lab") =!= col("own")).as("__changed"))
           .localCheckpoint(eager = false)
-        val changed = nextCk.filter(col("__changed")).count()
+        val changed = propCk.filter(col("__changed")).count()
         converged = changed == 0L
         // now that the blocks exist, rewrap with their measured size
-        val next = org.apache.spark.sql.graft.shims.realStats(nextCk)
+        val propAll = org.apache.spark.sql.graft.shims.realStats(propCk)
+        // next round's bridges: improved nodes forward the new label to
+        // the node their old label pointed at (own is null for ids seen
+        // only through edge/bridge branches — no bridge from those)
+        bridges = Some(propAll
+          .filter(col("__changed") && col("own").isNotNull)
+          .select(col("own").as("bid"), col("lab").as("bval")))
+        val propSized = propAll.select("id", "lab")
+        // pointer chase against THIS round's materialized map — not the
+        // previous round's. The stale-map chase was measured useless on
+        // hub-cascade graphs (label pointers at a sub-family's local
+        // minimum stay self-referential until the NEXT round's map carries
+        // the hub's update, so convergence walked one hub level per two
+        // rounds no matter how many chase steps ran: the q191 cross-modal
+        // fold took 26 rounds at chaseSteps 5, 10, 20 AND 40). Against the
+        // fresh map, chase step i resolves hub level i, so a cascade of
+        // depth d converges in ~d/chaseSteps rounds (measured: the same
+        // fold drops 26 -> 7 rounds). Chain-shaped graphs keep their old
+        // behavior or better (the fresh map is pointwise <= the stale one).
+        val next =
+          if (converged || chaseSteps == 0) propSized
+          else {
+            val mapBytes = propSized.queryExecution.optimizedPlan.stats.sizeInBytes
+            if (mapBytes <= FreshChaseBroadcastCeiling) {
+              // small map: leave the chase LAZY over the materialized prop
+              // leaf — chaseSteps lookups against ONE shared broadcast of
+              // it (map-side, one build), so the round still costs exactly
+              // one blocking action. With the bridge branch doing the
+              // long-distance jumps, plain re-application is enough here;
+              // deeper schemes (self-composition) were measured to buy no
+              // rounds while paying a nested broadcast build per level.
+              val fl = broadcast(
+                propSized.select(col("id").as("__k"), col("lab").as("__v")))
+              (1 to chaseSteps).foldLeft(propSized) { (acc, _) =>
+                acc.as("c").join(fl, col("c.lab") === col("__k"), "left")
+                  .select(col("c.id").as("id"),
+                    coalesce(col("__v"), col("c.lab")).as("lab"))
+              }
+            } else {
+              // big map: a lazy chase would re-execute chaseSteps
+              // shuffle joins per downstream reference — materialize the
+              // chased level instead (one extra action per round, still a
+              // net win against the extra rounds it saves)
+              val fl = propSized.select(col("id").as("__k"), col("lab").as("__v"))
+              val chasedCk = (1 to chaseSteps).foldLeft(propSized) { (acc, _) =>
+                acc.as("c").join(fl, col("c.lab") === col("__k"), "left")
+                  .select(col("c.id").as("id"),
+                    coalesce(col("__v"), col("c.lab")).as("lab"))
+              }.localCheckpoint()
+              org.apache.spark.sql.graft.shims.realStats(chasedCk)
+            }
+          }
         // superseded snapshots are dead — drop their checkpoint blocks now
         // instead of waiting for GC + ContextCleaner (at scale each round's
-        // labels are |V| rows of storage; only one round should be live).
-        // The PREVIOUS round's labels were still read by this round's plan,
-        // so each level is released exactly one round after it was built.
+        // labels are |V| rows of storage; only ~one round should be live).
+        // THIS round's artifacts (labels via the lookup, propAll via the
+        // bridge branch AND as the final level's backing blocks) are still
+        // read by the NEXT round's plan — or returned — so each level is
+        // released exactly one round after it was built, and the last
+        // propAll never lands in the free list (it backs the result).
         prevRound.foreach(free)
-        prevRound = Some(labels)
-        labels = next.select("id", "lab")
+        prevRound = labels :: lastProp.toList
+        lastProp = Some(propAll)
+        labels = next
         round += 1
         if (dbg) System.err.println(
           f"[cc] round $round: ${(System.nanoTime() - rt0) / 1e9}%.2f s changed=$changed")
@@ -229,9 +320,11 @@ object ConnectedComponents {
       // and the last superseded label level. On the failure path the final
       // labels level and the ids snap are dead too. The loop session needs
       // no teardown — its conf dies with it and its cached state is shared.
+      // (the final lastProp backs the returned labels level — the same
+      // materialized propagation — so it is only freed on failure)
       prevRound.foreach(free)
       free(ep)
-      if (!done) { free(labels); free(ids) }
+      if (!done) { free(labels); lastProp.foreach(free); free(ids) }
     }
   }
 }

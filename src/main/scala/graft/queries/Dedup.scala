@@ -508,10 +508,22 @@ object Dedup {
     * smaller rep set; the disposition joins are id-keyed hash joins.
     */
   def dedupTiers(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.graft.{shims => S}
     val fp = docs.select(col("doc_id"), Text.fingerprint(col("text")).as("f"))
-    val withRep = fp.join(
+    // snap the exact-tier map once (the incrementalRelease lever,
+    // Release.scala): withRep feeds the rep-id filter, the near tier's
+    // node/edge actions AND the final disposition join — without the snap
+    // every one of those actions re-ran the fingerprint aggregate + join
+    // (measured ~0.2 s per extra execution at sf0.1, 3-4 executions).
+    // realStats installs the MEASURED size, so the rep-id side of the
+    // `reps` join below broadcast-plans exactly when it truly fits —
+    // which also keeps `reps` on the docs scan's partitioning instead of
+    // an AQE-coalesced post-shuffle layout (the minhash kernels above it
+    // then run corpus-wide parallel, not on one starved task).
+    val withRep = S.realStats(fp.join(
       fp.groupBy("f").agg(min("doc_id").as("rep")), "f")
       .select(col("doc_id"), col("rep"))
+      .localCheckpoint())
     val reps = docs.join(
       withRep.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
     val ranked = rankRepresentatives(
@@ -1104,7 +1116,11 @@ object Dedup {
         "graph (bands dump-readback-oracled), keep first occurrence, " +
         "reassembled text",
       paragraphOracleSql) { (s, dir) =>
-      val chunks = paragraphChunks(Tables(s, dir, "documents"))
+      // snapped for the same reason as [[paragraphDedup]]'s chunk table:
+      // the band dump below plus the readback tail's shingle/node/
+      // reassembly actions otherwise each re-run the chunk explode
+      val chunks = org.apache.spark.sql.graft.shims.realStats(
+        paragraphChunks(Tables(s, dir, "documents")).localCheckpoint())
       Dedup.synchronized {
         paragraphBands(chunks).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1471,7 +1487,13 @@ object Dedup {
       window: Int = 32,
       threshold: Double = 0.7,
       stride: Long = ParagraphChunkStride): DataFrame = {
-    val chunks = paragraphChunks(docs, window, stride)
+    // snap the chunk table once (the incrementalRelease lever): it feeds
+    // the band kernel, the shingle kernel (twice, via the verify joins),
+    // the CC node snap and the final reassembly — unsnapped, every one of
+    // those actions re-ran the upstream doc chain + the chunk explode.
+    // Same O(corpus) materialization class as the CC loop's edge snap.
+    val chunks = org.apache.spark.sql.graft.shims.realStats(
+      paragraphChunks(docs, window, stride).localCheckpoint())
     paragraphDedupOver(chunks, paragraphBands(chunks), threshold)
   }
 
@@ -1885,7 +1907,16 @@ object Dedup {
     * corpus needs. Composes three already-oracled chains verbatim.
     */
   def fullDedupPipeline(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val tiers = dedupTiers(docs, threshold)
+    import org.apache.spark.sql.graft.{shims => S}
+    // snap the disposition once (the incrementalRelease lever): it feeds
+    // the keeper-id filter below, the paragraph tier's whole input chain
+    // AND the final join — unsnapped, each of those actions re-executed
+    // the exact+near tier joins and ranking window. The measured-size leaf
+    // also lets the keeper-id join broadcast-plan, which keeps `keepers`
+    // (and the chunk/shingle kernels over it) on the docs scan's
+    // partitioning instead of a single AQE-coalesced task (measured: the
+    // paragraph-tier chunk kernel ran 3.1 s on ONE task at sf0.1).
+    val tiers = S.realStats(dedupTiers(docs, threshold).localCheckpoint())
     val keepers = docs.join(
       tiers.filter(col("tier") === "keep").select("doc_id"), "doc_id")
     val para = paragraphDedup(keepers)

@@ -677,9 +677,14 @@ object DedupStore {
     */
   def crossSnapshotDedup(
       snapshots: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val keyed = withSnapGid(snapshots)
+    // snap the gid-keyed union once (the incrementalRelease lever): it
+    // feeds the CC node snap, the minhash edge snap's signature AND
+    // shingle branches, and the keep-newest join — unsnapped, each of
+    // those actions re-derived the whole 3-arm snapshot union.
+    val keyed = org.apache.spark.sql.graft.shims.realStats(withSnapGid(snapshots)
       .select(col("gid"), col("snap"), col("doc_id"), col("text"),
         length(col("text")).cast("long").as("n_chars"))
+      .localCheckpoint())
     val u = keyed.select(col("gid").as("doc_id"), col("text"))
     val comps = graft.operators.ConnectedComponents.run(
       u.select(col("doc_id").as("id")),
@@ -1105,9 +1110,14 @@ object DedupStore {
       "Cross-snapshot fold: snapshot 2 merged into the persisted snap-0/1 " +
         "component store, keep-newest ranked (q146's incremental twin)",
       crossSnapshotOracleSql) { (s, dir) =>
-      val keyed = withSnapGid(deriveSnapshots(Tables(s, dir, "documents")))
-        .select(col("gid"), col("snap"), col("doc_id"), col("text"),
-          length(col("text")).cast("long").as("n_chars"))
+      // snapped like [[crossSnapshotDedup]]'s keyed union: the merge's
+      // probe actions and the keep-newest join otherwise each re-derive
+      // the 3-arm snapshot union
+      val keyed = org.apache.spark.sql.graft.shims.realStats(
+        withSnapGid(deriveSnapshots(Tables(s, dir, "documents")))
+          .select(col("gid"), col("snap"), col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("n_chars"))
+          .localCheckpoint())
       def gidDocs(n: Int) = keyed.filter(col("snap") === n)
         .select(col("gid").as("doc_id"), col("text"), col("n_chars"))
       val path = snapshotStoreFor(
@@ -1140,9 +1150,12 @@ object DedupStore {
         "families",
       crossSnapshotOracle(withSnap2 = false)) { (s, dir) =>
       val thr = 0.7
-      val keyed = withSnapGid(deriveSnapshots(Tables(s, dir, "documents")))
-        .select(col("gid"), col("snap"), col("doc_id"), col("text"),
-          length(col("text")).cast("long").as("n_chars"))
+      // snapped like the q147 registration's keyed union (same rationale)
+      val keyed = org.apache.spark.sql.graft.shims.realStats(
+        withSnapGid(deriveSnapshots(Tables(s, dir, "documents")))
+          .select(col("gid"), col("snap"), col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("n_chars"))
+          .localCheckpoint())
       def gidDocs(n: Int) = keyed.filter(col("snap") === n)
         .select(col("gid").as("doc_id"), col("text"), col("n_chars"))
       val d01 = gidDocs(0).unionByName(gidDocs(1))
