@@ -79,7 +79,12 @@ object ShardExport {
     */
   def write(docs: DataFrame, outDir: String, epoch: Int,
             packTokens: Int, shardTokens: Int): String = {
-    val pd = packedDocs(docs, packTokens)
+    // snapped once (the incrementalRelease pub0 lever): the pack table
+    // feeds assignShards' bounded offset collect, the shard-assignment
+    // branch and the final address join — unsnapped, each of those
+    // actions re-ran the corpus token-cumsum window chain
+    val pd = org.apache.spark.sql.graft.shims.realStats(
+      packedDocs(docs, packTokens).localCheckpoint())
     val packs = pd.groupBy("source", "pack_id").agg(sum("n_toks").as("pack_toks"))
     val assigned = assignShards(packs, epoch, shardTokens)
       .select(col("source"), col("pack_id"), col("shard_id"))

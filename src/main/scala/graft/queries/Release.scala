@@ -307,8 +307,14 @@ object Release {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val keep = graft.queries.Dedup.dedupManifest(docs)
       .filter(col("keep") === 1).select(col("doc_id"))
-    val pd = graft.ops.ShardExport
+    // snapped once (incrementalRelease's documented pub0 lever): the pack
+    // table feeds assignShards' bounded offset collect, the shard
+    // assignment branch AND the final address join — unsnapped, each of
+    // those actions re-ran the dedup ranking + keeper semi-join + pack
+    // cumsum chain (measured 3 executions of the same stage at sf0.1)
+    val pd = org.apache.spark.sql.graft.shims.realStats(graft.ops.ShardExport
       .packedDocs(docs.join(keep, Seq("doc_id"), "left_semi"), 512)
+      .localCheckpoint())
     val packs = pd.groupBy("source", "pack_id")
       .agg(sum("n_toks").as("pack_toks"))
     val asg = graft.ops.ShardExport

@@ -756,8 +756,16 @@ object TextAnalysis {
     def bigrams = explode(expr(
       "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("tok")
 
-    val cnts = train.select(col("lang"), bigrams)
-      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    // snapped (the incrementalRelease lever): the model table feeds the
+    // per-class totals, the joint-vocab count and the scoring join —
+    // unsnapped, each of those consumers re-ran the char-bigram explode +
+    // count over the whole train split (measured 3 executions of the
+    // heaviest stage at sf0.1). Vocabulary-sized, so the snap is tiny and
+    // the measured-size leaf keeps the scoring joins broadcast-planned.
+    val cnts = org.apache.spark.sql.graft.shims.realStats(
+      train.select(col("lang"), bigrams)
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        .localCheckpoint())
     // model constants: per-class token totals + doc priors, joint vocab
     // size, train doc count — all tiny (|langs| rows / scalars), broadcast
     val classes = cnts.groupBy("lang").agg(sum("n").as("tot"))
